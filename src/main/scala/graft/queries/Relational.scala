@@ -1,0 +1,353 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational query inventory — SURVEY.md §2.2–§2.7 re-expressed over the
+  * driver's TPC-H-ish testdata.
+  *
+  * The reference's inspection/monitoring surface
+  * (`poc/.../SimulatorController.java`, `CdcMonitoringService.java`) and the
+  * PL/SQL worker predicates are all plain projections / filters / hash
+  * aggregations / top-K / UNION ALL — everything here stays inside Spark
+  * built-ins so Catalyst gets pushdown, pruning and whole-stage codegen.
+  * At 100 TB the relevant plans are: aggregations use partial (map-side)
+  * aggregation; top-K compiles to `TakeOrderedAndProject` (no full sort);
+  * the one dimension join is a broadcast hash join.
+  */
+object Relational extends QueryPack {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  // ---- A1/A5-ish flagship aggregation (pricing summary, TPC-H Q1 shape) --
+  private def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- multi-join aggregation (bench headline; exercises J-strategy) -----
+  private def q3RevenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val ord = Tables.load(s, dir, "orders")
+    val li = Tables.load(s, dir, "lineitem")
+    val nat = Tables.load(s, dir, "nation")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q3Sql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // ---- O1: ordered page (`ORDER BY pk FETCH FIRST 20`) -------------------
+  // Ref: SimulatorController.java:92-96. Spark plans TakeOrderedAndProject.
+  private def o1OrderedPage(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+      .limit(20)
+
+  private val o1Sql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders ORDER BY o_orderkey LIMIT 20""".stripMargin
+
+  // ---- O2: reverse-chron top-K (`ORDER BY seq DESC FETCH FIRST 50`) ------
+  // Ref: SimulatorController.java:133-137.
+  private def o2RecentTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(50)
+
+  private val o2Sql =
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+      |FROM events ORDER BY ts DESC, event_id DESC LIMIT 50""".stripMargin
+
+  // ---- O3: two-source merge + re-sort + cap (UNION ALL) ------------------
+  // Ref: SimulatorController.java:214-246 (ASIS log ∪ TOBE log, re-sorted).
+  private def o3UnionMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val asis = ev.filter(col("user_id") % 2 === 0).withColumn("source_db", lit("ASIS"))
+    val tobe = ev.filter(col("user_id") % 2 === 1).withColumn("source_db", lit("TOBE"))
+    asis.unionByName(tobe)
+      .select(col("source_db"), col("event_id"), col("ts"), col("event_type"))
+      .orderBy(col("ts").desc_nulls_last, col("event_id").desc)
+      .limit(50)
+  }
+
+  private val o3Sql =
+    """SELECT source_db, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM (
+      |  SELECT 'ASIS' AS source_db, event_id, ts, event_type FROM events WHERE user_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'TOBE' AS source_db, event_id, ts, event_type FROM events WHERE user_id % 2 = 1
+      |) ORDER BY ts DESC NULLS LAST, event_id DESC LIMIT 50""".stripMargin
+
+  // ---- A1/A2: global counters + derived success rate ---------------------
+  // Ref: CdcMonitoringService.java:33-36,120-122 ('error' events = failures).
+  private def a1GlobalCounters(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .agg(
+        count(lit(1)).as("total_received"),
+        count(when(col("event_type") =!= "error", 1)).as("total_success"),
+        count(when(col("event_type") === "error", 1)).as("total_failed"))
+      .withColumn("success_rate",
+        when(col("total_received") > 0,
+          round(col("total_success").cast("double") / col("total_received") * 100, 2))
+          .otherwise(lit(0.0)))
+
+  private val a1Sql =
+    """SELECT COUNT(*) AS total_received,
+      |  COUNT(CASE WHEN event_type <> 'error' THEN 1 END) AS total_success,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS total_failed,
+      |  CASE WHEN COUNT(*) > 0
+      |       THEN ROUND(CAST(COUNT(CASE WHEN event_type <> 'error' THEN 1 END) AS DOUBLE) / COUNT(*) * 100, 2)
+      |       ELSE 0.0 END AS success_rate
+      |FROM events""".stripMargin
+
+  // ---- A3: per-topic group stats -----------------------------------------
+  // Ref: CdcMonitoringService.java:39,155-157 (Map[topic → TableStats]).
+  private def a3TopicStats(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("received"),
+        count(when(col("value") >= 100, 1)).as("high_value"),
+        max(col("ts")).as("last_event_ts"),
+        min(col("ts")).as("first_event_ts"))
+      .orderBy(col("event_type"))
+
+  private val a3Sql =
+    """SELECT event_type, COUNT(*) AS received,
+      |  COUNT(CASE WHEN value >= 100 THEN 1 END) AS high_value,
+      |  CAST(MAX(ts) AS TIMESTAMP) AS last_event_ts,
+      |  CAST(MIN(ts) AS TIMESTAMP) AS first_event_ts
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- A5: status breakdown (GROUP BY + COUNT after LIKE filter) ---------
+  // Ref: SimulatorController.java:269-288.
+  private def a5StatusBreakdown(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderstatus"))
+
+  private val a5Sql =
+    """SELECT o_orderstatus, COUNT(*) AS cnt
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---- A6: MAX/MIN scalar lookups (PK autogen / update / delete targets) -
+  // Ref: SimulatorController.java:337-340,420-425,498-510.
+  private def a6MinmaxPk(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .agg(
+        (coalesce(max(col("o_orderkey")), lit(0L)) + 1).as("next_pk"),
+        min(col("o_orderkey")).as("min_pk"),
+        max(when(col("o_orderkey") > 3, col("o_orderkey"))).as("delete_target_pk"))
+
+  private val a6Sql =
+    """SELECT COALESCE(MAX(o_orderkey), 0) + 1 AS next_pk,
+      |  MIN(o_orderkey) AS min_pk,
+      |  MAX(CASE WHEN o_orderkey > 3 THEN o_orderkey END) AS delete_target_pk
+      |FROM orders""".stripMargin
+
+  // ---- A7: dup-hash diagnostics (GROUP BY hash HAVING COUNT>1) -----------
+  // Ref: docs/04-운영/04_트러블슈팅.md:330-335.
+  private def a7DupHash(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(sha2(concat_ws("|", col("user_id").cast("string"), col("event_type")), 256).as("change_hash"))
+      .groupBy(col("change_hash"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .orderBy(col("change_hash"))
+
+  private val a7Sql =
+    """SELECT change_hash, COUNT(*) AS cnt FROM (
+      |  SELECT sha256(concat_ws('|', CAST(user_id AS VARCHAR), event_type)) AS change_hash FROM events
+      |) GROUP BY change_hash HAVING COUNT(*) > 1 ORDER BY change_hash""".stripMargin
+
+  // ---- A8: per-table count union (sample-data verification) --------------
+  // Ref: asis-oracle/init/05_insert_sample_data.sql:38-44.
+  private def a8CountUnion(s: SparkSession, dir: String): DataFrame = {
+    val parts = Seq("orders", "lineitem", "customer", "events").map { n =>
+      Tables.load(s, dir, n).agg(count(lit(1)).as("cnt")).withColumn("table_name", lit(n))
+    }
+    parts.reduce(_ unionByName _).select(col("table_name"), col("cnt")).orderBy(col("table_name"))
+  }
+
+  private val a8Sql =
+    """SELECT table_name, cnt FROM (
+      |  SELECT 'orders' AS table_name, COUNT(*) AS cnt FROM orders
+      |  UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+      |  UNION ALL SELECT 'customer', COUNT(*) FROM customer
+      |  UNION ALL SELECT 'events', COUNT(*) FROM events
+      |) ORDER BY table_name""".stripMargin
+
+  // ---- P14: LIKE filter ---------------------------------------------------
+  // Ref: SimulatorController.java:209-211 (`UPPER(col) LIKE '%x%'`).
+  private def p14LikeFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .filter(upper(col("text")).like("%MERGE%"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val p14Sql =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE UPPER(text) LIKE '%MERGE%' ORDER BY doc_id""".stripMargin
+
+  // ---- P15: time-window predicate (dedup lookback) ------------------------
+  // Ref: asis…04_create_procedures.sql:37-42 (`> SYSTIMESTAMP - 5 min`);
+  // anchored to max(ts) for determinism. The scalar max is a broadcast-able
+  // single-row aggregate, not a driver-side collect.
+  private def p15TimeWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val maxTs = ev.agg(max(col("ts")).as("max_ts"))
+    ev.crossJoin(broadcast(maxTs))
+      .filter(col("ts") > col("max_ts") - expr("INTERVAL 60 MINUTES"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  private val p15Sql =
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+      |FROM events
+      |WHERE ts > (SELECT MAX(ts) FROM events) - INTERVAL 60 MINUTE
+      |ORDER BY event_id""".stripMargin
+
+  // ---- J1: code-map dimension lookup with pass-through fallback ----------
+  // Ref: FN_CONVERT_CODE, asis…03_create_mapping_tables.sql:40-59. The dim
+  // is broadcast (≤ 25 rows), fallback = COALESCE(target, source) exactly as
+  // the PL/SQL NO_DATA_FOUND branch passes the source value through.
+  private def j1CodeLookup(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val nat = Tables.load(s, dir, "nation").filter(col("n_nationkey") < 20)
+    cust.join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"), "left")
+      .select(
+        col("c_custkey"),
+        coalesce(col("n_name"), col("c_nationkey").cast("string")).as("nation_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val j1Sql =
+    """SELECT c_custkey,
+      |  COALESCE(n_name, CAST(c_nationkey AS VARCHAR)) AS nation_name
+      |FROM customer
+      |LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 20) n
+      |  ON c_nationkey = n_nationkey
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- J2: dedup anti-lookup (left-anti join vs processed state) ---------
+  // Ref: FN_IS_LOOP, asis…04:31-44 — "not seen before" as an anti join.
+  private def j2AntiLookup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val processed = ev
+      .filter(col("event_type") === "signup" && col("ts") < lit("2024-01-03").cast("timestamp"))
+      .select(col("user_id")).distinct()
+    ev.join(processed, Seq("user_id"), "left_anti")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  private val j2Sql =
+    """SELECT event_id, user_id, event_type FROM events e
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM events s
+      |  WHERE s.event_type = 'signup' AND s.ts < TIMESTAMP '2024-01-03 00:00:00'
+      |    AND s.user_id = e.user_id)
+      |ORDER BY event_id""".stripMargin
+
+  // ---- W1: recent-N ring buffer per key (A4 as a window function) --------
+  // Ref: CdcMonitoringService.java:41-47,159-171 (newest-first bounded list).
+  private def w1RingBuffer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts").desc, col("event_id").desc)
+    Tables.load(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("event_type"), col("rn"), col("event_id"), col("ts"))
+      .orderBy(col("event_type"), col("rn"))
+  }
+
+  private val w1Sql =
+    """SELECT event_type, rn, event_id, CAST(ts AS TIMESTAMP) AS ts FROM (
+      |  SELECT event_type, event_id, ts,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |) WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin
+
+  // ---- W2: last-write-wins conflict resolution per key -------------------
+  // Ref: docs/02-설계/04_충돌_정책.md:16-24 (documented LWW policy).
+  private def w2LastWriteWins(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    Tables.load(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("ts").as("last_ts"))
+      .orderBy(col("user_id"))
+  }
+
+  private val w2Sql =
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+      |  CAST(ts AS TIMESTAMP) AS last_ts FROM (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |) WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  override val all: Seq[Q] = Seq(
+    Q("q1_pricing_summary", "A1/A3 flagship hash aggregation (decimal-exact)", q1PricingSummary, Some(q1Sql)),
+    Q("q3_revenue_by_nation", "multi-join aggregation, broadcast dim", q3RevenueByNation, Some(q3Sql)),
+    Q("o1_ordered_page", "O1 ordered page / TakeOrderedAndProject", o1OrderedPage, Some(o1Sql)),
+    Q("o2_recent_topk", "O2 reverse-chron top-K", o2RecentTopk, Some(o2Sql)),
+    Q("o3_union_merge", "O3 UNION ALL + re-sort + cap", o3UnionMerge, Some(o3Sql)),
+    Q("a1_global_counters", "A1+A2 counters and success rate", a1GlobalCounters, Some(a1Sql)),
+    Q("a3_topic_stats", "A3 per-topic stats", a3TopicStats, Some(a3Sql)),
+    Q("a5_status_breakdown", "A5 status GROUP BY COUNT", a5StatusBreakdown, Some(a5Sql)),
+    Q("a6_minmax_pk", "A6 MAX/MIN scalar lookups", a6MinmaxPk, Some(a6Sql)),
+    Q("a7_dup_hash", "A7 duplicate-hash diagnostics", a7DupHash, Some(a7Sql)),
+    Q("a8_count_union", "A8 per-table count UNION ALL", a8CountUnion, Some(a8Sql)),
+    Q("p14_like_filter", "P14 UPPER/LIKE filter", p14LikeFilter, Some(p14Sql)),
+    Q("p15_time_window", "P15 time-window predicate", p15TimeWindow, Some(p15Sql)),
+    Q("j1_code_lookup", "J1/T2 broadcast code-map lookup + fallback", j1CodeLookup, Some(j1Sql)),
+    Q("j2_anti_lookup", "J2 left-anti join vs processed state", j2AntiLookup, Some(j2Sql)),
+    Q("w1_ring_buffer", "A4 ring buffer via row_number window", w1RingBuffer, Some(w1Sql)),
+    Q("w2_last_write_wins", "LWW conflict policy via window", w2LastWriteWins, Some(w2Sql)),
+  )
+}
