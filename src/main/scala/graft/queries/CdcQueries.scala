@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.cdc.{Apply, Envelope}
+
+/** CDC operator semantics (SURVEY.md §2.2 P1/P5, §2.8 ST1/ST5-ST7)
+  * certified against the DuckDB oracle by modeling `events` as a CDC
+  * change stream: event_type ⇒ op (signup=INSERT, error=DELETE, else
+  * UPDATE), event_id ⇒ CDC_SEQ, user_id ⇒ pk.
+  *
+  * These queries run the REAL engine code paths (`Envelope.decodeOp`,
+  * `Envelope.epochAuto`, `Apply.applyBatch`) — the oracle SQL re-states
+  * the same semantics independently, so a hash match certifies the
+  * library, not a copy of the SQL.
+  */
+object CdcQueries extends QueryPack {
+
+  private def asChanges(ev: DataFrame): DataFrame =
+    ev.select(
+      col("event_id").as("seq"),
+      col("user_id").as("id"),
+      when(col("event_type") === "signup", "INSERT")
+        .when(col("event_type") === "error", "DELETE")
+        .otherwise("UPDATE").as("operation"),
+      col("value"))
+
+  private def baseSnapshot(ev: DataFrame): DataFrame =
+    ev.filter(col("user_id") % 2 === 0).select(col("user_id").as("id")).distinct()
+      .withColumn("value", lit(0.0))
+
+  private val chSql =
+    """SELECT event_id AS seq, user_id AS id,
+      |  CASE event_type WHEN 'signup' THEN 'INSERT' WHEN 'error' THEN 'DELETE'
+      |       ELSE 'UPDATE' END AS operation, value
+      |FROM events""".stripMargin
+
+  private val baseSql =
+    """SELECT id, 0.0 AS value FROM
+      |  (SELECT DISTINCT user_id AS id FROM events WHERE user_id % 2 = 0)""".stripMargin
+
+  // ---- P1: Debezium op-code decode (c/u/d/r → INSERT/UPDATE/DELETE) ------
+  // Runs Envelope.decodeOp (CdcEvent.java:175-185 semantics).
+  private def p1OpDecode(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val op = when(col("event_type") === "signup", "c")
+      .when(col("event_type") === "click", "u")
+      .when(col("event_type") === "error", "d")
+      .when(col("event_type") === "view", "r")
+      .otherwise("x")
+    ev.select(col("event_id"), op.as("op"), Envelope.decodeOp(op).as("operation"))
+      .orderBy(col("event_id"))
+  }
+
+  private val p1Sql =
+    """SELECT event_id, op,
+      |  CASE op WHEN 'c' THEN 'INSERT' WHEN 'u' THEN 'UPDATE' WHEN 'd' THEN 'DELETE'
+      |       WHEN 'r' THEN 'INSERT' ELSE 'UNKNOWN' END AS operation
+      |FROM (SELECT event_id,
+      |  CASE event_type WHEN 'signup' THEN 'c' WHEN 'click' THEN 'u'
+      |       WHEN 'error' THEN 'd' WHEN 'view' THEN 'r' ELSE 'x' END AS op
+      |  FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  // ---- P5: epoch-variant temporal decode (magnitude heuristic) -----------
+  // Runs Envelope.epochAuto (CdcSyncService.java:246-265 semantics) on
+  // synthesized micro/milli/day encodings.
+  private def p5EpochDecode(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val v = when(col("event_id") % 3 === 0, col("event_id") % 40000)
+      .when(col("event_id") % 3 === 1, lit(1700000000000L) + col("event_id") * 1000L)
+      .otherwise(lit(1700000000000000L) + col("event_id"))
+    ev.select(col("event_id"), v.as("raw_epoch"),
+        Envelope.epochAuto(v).as("decoded_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  private val p5Sql =
+    """SELECT event_id, raw_epoch,
+      |  CASE
+      |    WHEN abs(raw_epoch) >= 100000000000000 THEN make_timestamp(raw_epoch)
+      |    WHEN abs(raw_epoch) < 100000 THEN CAST(DATE '1970-01-01' + CAST(raw_epoch AS INTEGER) AS TIMESTAMP)
+      |    ELSE epoch_ms(raw_epoch)
+      |  END AS decoded_ts
+      |FROM (SELECT event_id,
+      |  CASE
+      |    WHEN event_id % 3 = 0 THEN event_id % 40000
+      |    WHEN event_id % 3 = 1 THEN 1700000000000 + event_id * 1000
+      |    ELSE 1700000000000000 + event_id
+      |  END AS raw_epoch FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  // ---- ST1: hash-window loop suppression (batch form) --------------------
+  // Same post-transform hash re-arriving within the window ⇒ blocked
+  // (FN_IS_LOOP, asis…04:31-44). Batch emulation: lag over the hash
+  // partition; the exact sequential/stateful form lives in streaming
+  // (graft.streaming). Window stretched to 3 days so the testdata
+  // exercises both branches.
+  private def st1LoopBlock(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val hash = sha2(concat_ws("|", col("user_id").cast("string"), col("event_type")), 256)
+    val w = Window.partitionBy(col("change_hash")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("change_hash", hash)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("loop_blocked",
+        col("prev_ts").isNotNull && col("ts") <= col("prev_ts") + expr("INTERVAL 3 DAYS"))
+      .select(col("event_id"), col("change_hash"), col("loop_blocked"))
+      .orderBy(col("event_id"))
+  }
+
+  private val st1Sql =
+    """SELECT event_id, change_hash,
+      |  prev_ts IS NOT NULL AND ts <= prev_ts + INTERVAL 3 DAY AS loop_blocked
+      |FROM (
+      |  SELECT event_id, ts,
+      |    sha256(concat_ws('|', CAST(user_id AS VARCHAR), event_type)) AS change_hash,
+      |    LAG(ts, 1) OVER (PARTITION BY sha256(concat_ws('|', CAST(user_id AS VARCHAR), event_type))
+      |                     ORDER BY ts, event_id) AS prev_ts
+      |  FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  // ---- ST5/ST6/ST7: ordered CDC apply (net state) ------------------------
+  // Runs Apply.applyBatch; the oracle restates the per-key existence
+  // state machine independently in SQL.
+  private def st5ApplyMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val r = Apply.applyBatch(baseSnapshot(ev), asChanges(ev), "id", "seq", Seq("value"))
+    r.target.orderBy(col("id"))
+  }
+
+  private val st5Sql =
+    s"""WITH base AS ($baseSql),
+      |ch AS ($chSql),
+      |flags AS (
+      |  SELECT c.*, b.id IS NOT NULL AS in_base,
+      |    LAST_VALUE(CASE WHEN c.operation <> 'UPDATE' THEN c.operation END IGNORE NULLS)
+      |      OVER (PARTITION BY c.id ORDER BY c.seq
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_id_op,
+      |    LAST_VALUE(CASE WHEN c.operation <> 'UPDATE' THEN c.operation END IGNORE NULLS)
+      |      OVER (PARTITION BY c.id ORDER BY c.seq
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_id_op
+      |  FROM ch c LEFT JOIN base b ON c.id = b.id),
+      |f2 AS (
+      |  SELECT *,
+      |    operation = 'INSERT' OR (operation IN ('UPDATE','DELETE') AND
+      |      CASE WHEN prev_id_op = 'INSERT' THEN TRUE
+      |           WHEN prev_id_op = 'DELETE' THEN FALSE
+      |           ELSE in_base END) AS applied,
+      |    CASE WHEN last_id_op = 'INSERT' THEN TRUE
+      |         WHEN last_id_op = 'DELETE' THEN FALSE
+      |         ELSE in_base END AS final_exists
+      |  FROM flags),
+      |f3 AS (
+      |  SELECT *, MAX(CASE WHEN applied THEN seq END) OVER (PARTITION BY id) AS last_applied_seq
+      |  FROM f2)
+      |SELECT id, value FROM f3 WHERE final_exists AND seq = last_applied_seq
+      |UNION ALL
+      |SELECT id, value FROM base WHERE id NOT IN (SELECT DISTINCT id FROM ch)
+      |UNION ALL
+      |SELECT b.id, b.value FROM base b
+      |JOIN (SELECT DISTINCT id FROM f3 WHERE final_exists AND last_applied_seq IS NULL) k
+      |  ON b.id = k.id
+      |ORDER BY id""".stripMargin
+
+  // ---- ST5 audit side: per-event outcome statuses ------------------------
+  private def st5AuditStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val r = Apply.applyBatch(baseSnapshot(ev), asChanges(ev), "id", "seq", Seq("value"))
+    r.audit.groupBy(col("status"))
+      .agg(count(lit(1)).as("cnt"),
+        count(when(col("upsert_converted"), 1)).as("upsert_converted_cnt"))
+      .orderBy(col("status"))
+  }
+
+  private val st5AuditSql =
+    s"""WITH base AS ($baseSql),
+      |ch AS ($chSql),
+      |flags AS (
+      |  SELECT c.*, b.id IS NOT NULL AS in_base,
+      |    LAST_VALUE(CASE WHEN c.operation <> 'UPDATE' THEN c.operation END IGNORE NULLS)
+      |      OVER (PARTITION BY c.id ORDER BY c.seq
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_id_op
+      |  FROM ch c LEFT JOIN base b ON c.id = b.id),
+      |f2 AS (
+      |  SELECT *,
+      |    CASE WHEN prev_id_op = 'INSERT' THEN TRUE
+      |         WHEN prev_id_op = 'DELETE' THEN FALSE
+      |         ELSE in_base END AS exists_at
+      |  FROM flags),
+      |f3 AS (
+      |  SELECT *,
+      |    operation = 'INSERT' OR (operation IN ('UPDATE','DELETE') AND exists_at) AS applied,
+      |    operation = 'INSERT' AND exists_at AS upsert_converted
+      |  FROM f2)
+      |SELECT CASE WHEN applied THEN 'SUCCESS' ELSE 'TARGET_NOT_FOUND' END AS status,
+      |  COUNT(*) AS cnt,
+      |  COUNT(CASE WHEN upsert_converted THEN 1 END) AS upsert_converted_cnt
+      |FROM f3 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  override val all: Seq[Q] = Seq(
+    Q("p1_op_decode", "P1 op-code decode via Envelope.decodeOp", p1OpDecode, Some(p1Sql)),
+    Q("p5_epoch_decode", "P5 epoch magnitude heuristic via Envelope.epochAuto", p5EpochDecode, Some(p5Sql)),
+    Q("st1_loop_block", "ST1 hash-window loop suppression (batch form)", st1LoopBlock, Some(st1Sql)),
+    Q("st5_apply_merge", "ST5-ST7 ordered CDC apply via Apply.applyBatch", st5ApplyMerge, Some(st5Sql)),
+    Q("st5_audit_stats", "S7 audit outcomes of the CDC apply", st5AuditStats, Some(st5AuditSql)),
+  )
+}
