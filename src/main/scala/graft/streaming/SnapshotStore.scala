@@ -1,0 +1,51 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Versioned parquet snapshot store — the engine's local stand-in for a
+  * MERGE-capable sink (Delta / JDBC MERGE in production, SURVEY §2.8 ST5).
+  *
+  * Each apply writes a new `v<N>` directory and then atomically flips a
+  * `_current` pointer file, so a snapshot read never races a write (the
+  * same read-version/write-new-version/commit protocol Delta uses, minus
+  * the transaction log). Audit rows append to `_audit` (CDC_SYNC_LOG).
+  */
+final class SnapshotStore(spark: SparkSession, basePath: String) {
+
+  private def tableDir(table: String) = s"$basePath/$table"
+  private def pointer(table: String) = Paths.get(tableDir(table), "_current")
+
+  def currentVersion(table: String): Int =
+    if (Files.exists(pointer(table)))
+      new String(Files.readAllBytes(pointer(table))).trim.toInt
+    else 0
+
+  /** Current snapshot; empty DataFrame with the given schema at v0. */
+  def snapshot(table: String, schema: StructType): DataFrame = {
+    val v = currentVersion(table)
+    if (v == 0) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.parquet(s"${tableDir(table)}/v$v")
+  }
+
+  /** Write the next snapshot version and flip the pointer. */
+  def commit(table: String, df: DataFrame): Int = {
+    val next = currentVersion(table) + 1
+    df.write.mode(SaveMode.Overwrite).parquet(s"${tableDir(table)}/v$next")
+    Files.createDirectories(Paths.get(tableDir(table)))
+    Files.write(pointer(table), next.toString.getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    next
+  }
+
+  def appendAudit(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append).parquet(s"$basePath/_audit")
+
+  def audit(): DataFrame = {
+    val p = s"$basePath/_audit"
+    if (Files.exists(Paths.get(p))) spark.read.parquet(p)
+    else spark.emptyDataFrame
+  }
+}

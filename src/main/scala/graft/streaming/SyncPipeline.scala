@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.cdc._
+
+/** End-to-end CDC sync pipeline (SURVEY.md §3.1 restated Spark-first):
+  *
+  * Kafka-shaped source (`topic`, `value`) → Debezium envelope parse →
+  * config-driven transform → post-transform loop hash → stateful
+  * loop-dedup (5 min window / 10 min TTL, suppressed events audited) →
+  * `foreachBatch`: ordered apply with upsert conversion +
+  * TARGET_NOT_FOUND + audit append, on a 5-second trigger
+  * (`Trigger.ProcessingTime`, mirroring the reference's DBMS_SCHEDULER
+  * cadence, `asis…04:396`).
+  *
+  * One streaming query per (mapping, direction) — the reference runs one
+  * Kafka listener per topic (`CdcKafkaConsumer.java:60-107`); per-query
+  * isolation keeps per-table schemas static for Catalyst.
+  *
+  * Scale notes: parse/transform are narrow and codegen'd; the only wide
+  * stages are the dedup state shuffle (by change_hash) and the apply's
+  * pk-hash join+window — both partition by key and scale horizontally.
+  * The snapshot store is the local stand-in for a MERGE sink.
+  */
+final class SyncPipeline(
+    spark: SparkSession,
+    store: SnapshotStore,
+    trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+    watermarkDelay: String = "10 minutes",
+    loopWindowMs: Long = LoopDedup.windowMsDefault,
+    loopTtlMs: Long = LoopDedup.ttlMsDefault) {
+
+  private val codeDim = CodeMapping.dim(spark)
+
+  /** Parse + transform + hash one table/direction slice of the source. */
+  def transformed(
+      source: DataFrame,
+      mapping: TableMapping,
+      direction: Direction.Value): DataFrame = {
+    val topic = Registry.topicFor(direction, mapping)
+    val side = mapping.sideFor(direction)
+    val target = mapping.targetFor(direction)
+    val routed =
+      if (source.columns.contains("topic")) source.filter(col("topic") === topic)
+      else source
+    val parsed = Envelope.parse(routed, side)
+    val tx = Transform(parsed, mapping, direction, codeDim)
+    val targetCols = mapping.specsFor(direction).map(_._1)
+    val valueCols = targetCols.filterNot(_ == target.pk)
+    tx.withColumn("change_hash",
+        Hashing.loopHash(target.table, col(target.pk), col("operation"),
+          valueCols.map(col)))
+      .withColumn("event_ts", col("source_ts"))
+      .withColumn("seq", unix_micros(col("source_ts")))
+  }
+
+  /** Start the streaming query for one mapping+direction. */
+  def start(
+      source: DataFrame,
+      mapping: TableMapping,
+      direction: Direction.Value,
+      checkpoint: String): StreamingQuery = {
+    val target = mapping.targetFor(direction)
+    val targetCols = mapping.specsFor(direction).map(_._1)
+    val deduped = LoopDedup(
+      transformed(source, mapping, direction).withWatermark("event_ts", watermarkDelay),
+      loopWindowMs, loopTtlMs)
+
+    deduped.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyMicroBatch(batch, mapping, direction); ()
+      }
+      .start()
+  }
+
+  /** One micro-batch: split blocked/live, apply live in order, audit all.
+    * Also the batch-replay entry point (processing a backlog parquet of
+    * events uses exactly this code path).
+    */
+  def applyMicroBatch(
+      batch: DataFrame,
+      mapping: TableMapping,
+      direction: Direction.Value): Unit = {
+    val target = mapping.targetFor(direction)
+    val targetCols = mapping.specsFor(direction).map(_._1)
+    val valueCols = targetCols.filterNot(_ == target.pk)
+    val cached = batch.cache()
+    try {
+      val blocked = cached.filter(col("loop_blocked"))
+      val live = cached.filter(!col("loop_blocked"))
+
+      val schema = org.apache.spark.sql.types.StructType(
+        Registry.targetSchema(target).filter(f => targetCols.contains(f.name)))
+      val base = store.snapshot(target.table, schema)
+      val result = Apply.applyBatch(
+        base, live.select((Seq("seq", "operation") ++ targetCols).map(col): _*),
+        target.pk, "seq", valueCols)
+      store.commit(target.table, result.target)
+
+      val dirName = if (direction == Direction.AsisToTobe) "ASIS_TO_TOBE" else "TOBE_TO_ASIS"
+      def auditCols(df: DataFrame, status: Column, converted: Column) = df.select(
+        lit(dirName).as("direction"),
+        lit(target.table).as("table_name"),
+        col("operation"),
+        col("pk_value"),
+        status.as("status"),
+        converted.as("upsert_converted"),
+        col("change_hash"),
+        current_timestamp().as("log_time"))
+
+      val liveAudit = auditCols(
+        result.audit.withColumnRenamed("cdc_seq", "seq").join(
+          live.select(col("seq"), col("change_hash")), Seq("seq"), "left"),
+        col("status"), col("upsert_converted"))
+      val blockedAudit = auditCols(
+        blocked.withColumn("pk_value", col(target.pk).cast("string")),
+        lit("LOOP_BLOCKED"), lit(false))
+      store.appendAudit(liveAudit.unionByName(blockedAudit))
+    } finally cached.unpersist()
+  }
+}
