@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  *  - `bruteTopK` is the exact baseline: query×corpus join + per-query
+  *    top-k (`TakeOrderedAndProject` per key via row_number window). At
+  *    scale the corpus side stays partitioned; the (small) query set is
+  *    broadcast, so the scan is embarrassingly parallel.
+  *  - `lshBuckets`/`lshTopK` is the scale path: sign-random-projection
+  *    LSH — P deterministic hyperplanes (md5-derived weights, engine-
+  *    portable), vectors bucketed by sign pattern; queries probe only
+  *    their own bucket. Bucket join replaces the full cross product —
+  *    at 100 TB the candidate set per query is |corpus| / 2^P on
+  *    average.
+  *
+  * Dot products run on doubles (exact for float inputs) via
+  * `zip_with` + left-fold `aggregate`, matching sequential summation in
+  * the oracle; scores round to 6 dp before ranking so ordering is
+  * engine-independent.
+  */
+object Similarity {
+
+  /** Cosine/dot score (inputs are L2-normalized ⇒ dot = cosine). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosineRounded(a: Column, b: Column): Column = round(dot(a, b), 6)
+
+  /** Exact top-k neighbors for each query vector. */
+  def bruteTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineRounded(col("qe"), col("ce")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane weights in [-1, 1]: derived
+    * from md5("p_i") prefixes, so any engine (or the DuckDB oracle) can
+    * regenerate the identical planes. Precomputed driver-side once and
+    * embedded as literals — no per-row hashing.
+    */
+  def planeWeights(planes: Int, dims: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until planes).map { p =>
+      (0 until dims).map { i =>
+        val hex = md.digest(s"${p}_$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000).toDouble / 1000.0
+      }
+    }
+  }
+
+  /** Sign-random-projection bucket id from P hyperplanes. */
+  def lshBucket(emb: Column, planes: Int, dims: Int): Column = {
+    val ws = planeWeights(planes, dims)
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(emb, typedlit(ws(p)), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1), p)).otherwise(0)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k: queries probe only their own sign bucket. Trades recall
+    * for a 2^planes candidate reduction (standard SRP-LSH behavior).
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, planes: Int, dims: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"),
+      lshBucket(col(embCol), planes, dims).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"),
+      lshBucket(col(embCol), planes, dims).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineRounded(col("qe"), col("ce")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked by a key (e.g. a
+    * cluster label or LSH bucket) so the pair space never goes O(n²).
+    */
+  def cosineNearDupPairs(
+      df: DataFrame, threshold: Double, blockCol: String,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(embCol).as("ea"))
+    val b = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(embCol).as("eb"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosineRounded(col("ea"), col("eb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

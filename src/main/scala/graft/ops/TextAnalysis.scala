@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, document fingerprints.
+  *
+  * All pure Column DSL (no UDFs) — every operator is a narrow, codegen'd
+  * projection that scales linearly with no shuffle; at 100 TB these run
+  * map-side at parquet-scan speed with column pruning (only `text` read).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (BPE-ish regex boundary). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Type-token ratio: distinct tokens / tokens (lexical diversity). */
+  def typeTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    round(size(array_distinct(t)).cast("double") / size(t), 6)
+  }
+
+  def avgWordLen(text: Column): Column = {
+    val t = tokens(text)
+    round(aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(t), 6)
+  }
+
+  /** Punctuation-ish character ratio (quality signal). */
+  def punctRatio(text: Column): Column =
+    round((length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))).cast("double")
+      / greatest(length(text), lit(1)), 6)
+
+  /** Stopword-hit ratio against a tiny function-word list per language. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  def stopwordHits(text: Column, lang: String): Column =
+    size(filter(tokens(text), t => t.isInCollection(stopwords(lang))))
+
+  /** N-gram-heuristic language ID: argmax of stopword-hit counts,
+    * 'und' (unknown) when nothing matches. Argmax is integer-encoded
+    * (hits*4 + alphabetical index) so ties resolve identically in any
+    * engine: equal hits ⇒ alphabetically-last language wins.
+    */
+  def langId(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted // de, en, es, fr
+    val encoded = langs.zipWithIndex.map { case (l, i) =>
+      stopwordHits(text, l) * 4 + i
+    }
+    val best = greatest(encoded: _*)
+    val lang = langs.zipWithIndex.foldLeft(lit("und")) { case (acc, (l, i)) =>
+      when(best % 4 === i, l).otherwise(acc)
+    }
+    when(best >= 4, lang).otherwise("und") // best<4 ⇒ zero hits everywhere
+  }
+
+  /** Composite quality score in [0,1]: length, diversity, word shape.
+    * Deterministic decimal-free arithmetic (6-dp rounded terms).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenTerm = least(lit(1.0), tokenCount(text).cast("double") / 50.0)
+    val ttr = typeTokenRatio(text)
+    val wordTerm = least(lit(1.0), avgWordLen(text) / 8.0)
+    val punct = punctRatio(text)
+    round(lit(0.4) * lenTerm + lit(0.3) * ttr + lit(0.2) * wordTerm
+      + lit(0.1) * (lit(1.0) - punct), 6)
+  }
+
+  /** Whole-document fingerprint: hash of whitespace-normalized text. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Shingle fingerprint: minimum hash over word n-gram shingles — the
+    * single-permutation core of MinHash (see Dedup.minHashSignature).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    val count = size(t) - (n - 1)
+    when(count > 0,
+      transform(sequence(lit(0), count - 1),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+      .otherwise(array(concat_ws(" ", t)))
+  }
+
+  def shingleFingerprint(text: Column, n: Int = 5): Column =
+    array_min(transform(shingles(text, n), s => md5(s)))
+}

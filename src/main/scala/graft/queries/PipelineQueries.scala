@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators over `documents` / `embeddings`
+  * (dedup, similarity search, text analysis) wired into the driver
+  * contract with independent DuckDB oracle restatements.
+  */
+object PipelineQueries extends QueryPack {
+
+  private val wordsSql = "list_distinct(string_split_regex(trim(text), '\\s+'))"
+
+  // ---- TX1: token stats + quality score ----------------------------------
+  private def tx1TokenStats(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(t).as("n_tokens"),
+      TextAnalysis.typeTokenRatio(t).as("ttr"),
+      TextAnalysis.avgWordLen(t).as("avg_word_len"),
+      TextAnalysis.punctRatio(t).as("punct_ratio"),
+      TextAnalysis.qualityScore(t).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tx1Sql =
+    """SELECT doc_id, n_tokens, ttr, avg_word_len, punct_ratio,
+      |  round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) + 0.3 * ttr
+      |      + 0.2 * least(1.0, avg_word_len / 8.0) + 0.1 * (1.0 - punct_ratio), 6) AS quality
+      |FROM (
+      |  SELECT doc_id, len(w) AS n_tokens,
+      |    round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS ttr,
+      |    round(CAST(list_sum([length(x) for x in w]) AS DOUBLE) / len(w), 6) AS avg_word_len,
+      |    round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+      |        / greatest(length(text), 1), 6) AS punct_ratio
+      |  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- TX2: language-ID heuristic ----------------------------------------
+  private def tx2LangId(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      TextAnalysis.langId(col("text")).as("detected_lang"),
+      TextAnalysis.stopwordHits(col("text"), "en").as("en_hits"))
+      .orderBy(col("doc_id"))
+
+  private val tx2Sql =
+    s"""SELECT doc_id, labeled_lang,
+      |  CASE WHEN best >= 4 THEN
+      |    CASE best % 4 WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es' ELSE 'fr' END
+      |  ELSE 'und' END AS detected_lang,
+      |  en_hits
+      |FROM (
+      |  SELECT doc_id, lang AS labeled_lang, en_hits,
+      |    greatest(de_hits * 4 + 0, en_hits * 4 + 1, es_hits * 4 + 2, fr_hits * 4 + 3) AS best
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS de_hits,
+      |      len(list_filter(w, x -> x IN ('the','a','and','of','is','to','in'))) AS en_hits,
+      |      len(list_filter(w, x -> x IN ('el','la','de','que','y'))) AS es_hits,
+      |      len(list_filter(w, x -> x IN ('le','la','et','les','des'))) AS fr_hits
+      |    FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w FROM documents)))
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- TX3: document fingerprints ----------------------------------------
+  private def tx3Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+      TextAnalysis.shingleFingerprint(col("text"), 5).as("shingle_fp"))
+      .orderBy(col("doc_id"))
+
+  private val tx3Sql =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  list_min([md5(array_to_string(w[i:i+4], ' ')) for i in range(1, len(w) - 3)]) AS shingle_fp
+      |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- DD1: exact dedup (hash-groupBy) -----------------------------------
+  private def dd1ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    Dedup.exactDupGroups(docs, col("doc_id"), col("text"))
+      .orderBy(col("content_hash"))
+  }
+
+  private val dd1Sql =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+      |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  // ---- DD2: MinHash + LSH near-dup pairs ---------------------------------
+  private def dd2MinhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashNearDupPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", k = 8, bands = 2, threshold = 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val dd2Sql =
+    s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+      |sigs AS (
+      |  SELECT doc_id, words,
+      |    [list_min([('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || w), 1, 8))::BIGINT
+      |               for w in words]) for i in range(0, 8)] AS sig
+      |  FROM t),
+      |bands AS (
+      |  SELECT doc_id, words,
+      |    unnest([md5(CAST(b AS VARCHAR) || '|' ||
+      |                CAST(sig[b*4+1] AS VARCHAR) || '|' || CAST(sig[b*4+2] AS VARCHAR) || '|' ||
+      |                CAST(sig[b*4+3] AS VARCHAR) || '|' || CAST(sig[b*4+4] AS VARCHAR))
+      |            for b in range(0, 2)]) AS band_key
+      |  FROM sigs)
+      |SELECT id_a, id_b, jaccard FROM (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.words, b.words))), 6) AS jaccard
+      |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin
+
+  // ---- DD3: SimHash near-dup pairs ---------------------------------------
+  private def dd3SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearDupPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", maxDist = 2)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val dd3Sql =
+    s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+      |wh AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h
+      |       FROM t, unnest(words) AS u(w)),
+      |bits AS (
+      |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM wh, (SELECT range AS j FROM range(0, 32)) GROUP BY doc_id, j),
+      |sh AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash
+      |       FROM bits GROUP BY doc_id),
+      |chunks AS (
+      |  SELECT doc_id, simhash,
+      |    unnest([CAST(c AS VARCHAR) || ':' || CAST((simhash >> (c*8)) & 255 AS VARCHAR)
+      |            for c in range(0, 4)]) AS chunk_key
+      |  FROM sh)
+      |SELECT id_a, id_b, hamming FROM (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+      |  FROM chunks a JOIN chunks b ON a.chunk_key = b.chunk_key AND a.doc_id < b.doc_id)
+      |WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin
+
+  // ---- DD4: n-gram Jaccard dedup (blocked by source+lang) ----------------
+  private def dd4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val sh = docs.select(col("source"), col("lang"), col("doc_id"),
+      array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh3"))
+    val a = sh.select(col("source"), col("lang"), col("doc_id").as("id_a"), col("sh3").as("sa"))
+    val b = sh.select(col("source"), col("lang"), col("doc_id").as("id_b"), col("sh3").as("sb"))
+    a.join(b, Seq("source", "lang"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Dedup.jaccard(col("sa"), col("sb")).as("jaccard3"))
+      .filter(col("jaccard3") >= 0.05)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val dd4Sql =
+    """WITH t AS (SELECT doc_id, source, lang, string_split_regex(trim(text), '\s+') AS w
+      |           FROM documents),
+      |sh AS (SELECT doc_id, source, lang,
+      |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS sh3
+      |  FROM t)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(CAST(len(list_intersect(a.sh3, b.sh3)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh3, b.sh3))), 6) AS jaccard3
+      |FROM sh a JOIN sh b
+      |  ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE round(CAST(len(list_intersect(a.sh3, b.sh3)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh3, b.sh3))), 6) >= 0.05
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- DD5: embedding-cosine near-dup (blocked by label) -----------------
+  private def dd5CosineNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(Tables.load(s, dir, "embeddings"),
+        threshold = 0.35, blockCol = "label")
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val dd5Sql =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- SIM1: brute-force cosine top-k ------------------------------------
+  private def sim1BruteTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val sim1Sql =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings)
+      |SELECT query_id, neighbor_id, score, rank FROM (
+      |  SELECT query_id, neighbor_id, round(list_dot_product(qe, ce), 6) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY round(list_dot_product(qe, ce), 6) DESC, neighbor_id) AS rank
+      |  FROM q JOIN c ON query_id <> neighbor_id)
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // ---- SIM2: SRP-LSH bucketed ANN top-k ----------------------------------
+  private def sim2LshTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10, planes = 6, dims = 64)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val sim2Sql =
+    """WITH pl AS (
+      |  SELECT p, [((('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+      |               % 2001 - 1000) / 1000.0) for i in range(0, 64)] AS w
+      |  FROM range(0, 6) t(p)),
+      |b AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |    SUM(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), w) >= 0
+      |             THEN 1 << p ELSE 0 END) AS bucket
+      |  FROM embeddings, pl GROUP BY vec_id, embedding)
+      |SELECT query_id, neighbor_id, score, rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_dot_product(q.e, c.e), 6) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY round(list_dot_product(q.e, c.e), 6) DESC, c.vec_id) AS rank
+      |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 5)
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  override val all: Seq[Q] = Seq(
+    Q("tx1_token_stats", "token count / TTR / quality scoring", tx1TokenStats, Some(tx1Sql)),
+    Q("tx2_langid", "n-gram-heuristic language ID", tx2LangId, Some(tx2Sql)),
+    Q("tx3_fingerprint", "document + shingle fingerprints", tx3Fingerprint, Some(tx3Sql)),
+    Q("dd1_exact_dedup", "exact dedup via content-hash groupBy", dd1ExactDedup, Some(dd1Sql)),
+    Q("dd2_minhash_pairs", "MinHash+LSH near-dup pairs, Jaccard-verified", dd2MinhashPairs, Some(dd2Sql)),
+    Q("dd3_simhash_pairs", "SimHash near-dup pairs, Hamming-verified", dd3SimhashPairs, Some(dd3Sql)),
+    Q("dd4_ngram_jaccard", "3-gram Jaccard dedup, blocked by source+lang", dd4NgramJaccard, Some(dd4Sql)),
+    Q("dd5_cosine_neardup", "embedding-cosine near-dup, label-blocked", dd5CosineNearDup, Some(dd5Sql)),
+    Q("sim1_brute_topk", "brute-force cosine top-k", sim1BruteTopk, Some(sim1Sql)),
+    Q("sim2_lsh_topk", "SRP-LSH bucketed ANN top-k", sim2LshTopk, Some(sim2Sql)),
+  )
+}

