@@ -1,0 +1,258 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot inner loops of the dedup
+  * operators. These exist because their Column-DSL equivalents
+  * (higher-order lambdas, array_intersect/array_union per pair) run
+  * interpreted with per-call allocations — measured ~50µs per candidate
+  * pair, which dominates near-dup verification at scale. Each expression
+  * is a single JVM pass with codegen (static-call `doGenCode`), so the
+  * surrounding projection stays inside whole-stage codegen.
+  *
+  * All hash math mirrors the engine-portable md5-prefix scheme
+  * (`Dedup.hash32`/`hash60`) so the DuckDB oracle can restate results
+  * independently.
+  */
+object ArrayHashes {
+
+  private def md5: java.security.MessageDigest =
+    java.security.MessageDigest.getInstance("MD5")
+
+  /** First 32 bits of md5(bytes) as unsigned-in-long — equals
+    * `('0x' || substr(md5(s),1,8))::BIGINT`.
+    */
+  def md5Head32(d: java.security.MessageDigest, s: UTF8String): Long = {
+    val b = d.digest(s.getBytes)
+    ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) | ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+  }
+
+  // ---- sorted-set Jaccard ------------------------------------------------
+
+  /** One-pass merge Jaccard over two SORTED distinct long arrays. */
+  def jaccardSortedLongs(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var common = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { common += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - common
+    if (union == 0) 0.0 else common.toDouble / union
+  }
+
+  case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = left.nullable || right.nullable
+    override def prettyName: String = "jaccard_sorted"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      jaccardSortedLongs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = "graft.functions.ArrayHashes$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $m.jaccardSortedLongs($a, $b);")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def jaccard_sorted(a: Column, b: Column): Column =
+    GraftBridge.column(SortedJaccard(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  // ---- MinHash signature -------------------------------------------------
+
+  /** K-permutation MinHash over a distinct word array in one pass:
+    * sig[i] = min over words of md5Head32(i + "|" + word).
+    */
+  def minHashSig(words: ArrayData, k: Int): ArrayData = {
+    val d = md5
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = words.numElements()
+    var w = 0
+    while (w < n) {
+      val word = words.getUTF8String(w)
+      var i = 0
+      while (i < k) {
+        val h = md5Head32(d, UTF8String.concat(
+          UTF8String.fromString(i.toString + "|"), word))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_signature"
+    override def nullSafeEval(in: Any): Any =
+      minHashSig(in.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = "graft.functions.ArrayHashes$.MODULE$"
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $m.minHashSig($c, $k);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def minhash_signature(words: Column, k: Int): Column =
+    GraftBridge.column(MinHashSignature(GraftBridge.expression(words), k))
+
+  /** MinHash signature + LSH band keys fused in one pass. Returns
+    * `bands` hex-md5 strings; band b hashes "b|sig[b·r]|…|sig[b·r+r-1]".
+    *
+    * Fused deliberately: expressed as `explode(band_keys(element_at(sig,…)
+    * × k))`, project-collapse duplicates the signature computation into
+    * every element_at reference (measured 32× blowup). One opaque
+    * expression evaluates the signature exactly once per row.
+    */
+  def minHashBandKeys(words: ArrayData, k: Int, bands: Int): ArrayData = {
+    val sigArr = minHashSig(words, k)
+    val r = k / bands
+    val d = md5
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder
+      sb.append(b)
+      var j = 0
+      while (j < r) { sb.append('|').append(sigArr.getLong(b * r + j)); j += 1 }
+      val dig = d.digest(sb.toString.getBytes("UTF-8"))
+      val hex = new java.lang.StringBuilder(32)
+      var i = 0
+      while (i < 16) { hex.append(f"${dig(i) & 0xff}%02x"); i += 1 }
+      out(b) = UTF8String.fromString(hex.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class MinHashBandKeys(child: Expression, k: Int, bands: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "minhash_band_keys"
+    override def nullSafeEval(in: Any): Any =
+      minHashBandKeys(in.asInstanceOf[ArrayData], k, bands)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = "graft.functions.ArrayHashes$.MODULE$"
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $m.minHashBandKeys($c, $k, $bands);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def minhash_band_keys(words: Column, k: Int, bands: Int): Column =
+    GraftBridge.column(MinHashBandKeys(GraftBridge.expression(words), k, bands))
+
+  /** First 60 bits of md5 as non-negative long — equals
+    * `('0x' || substr(md5(s),1,15))::BIGINT` (Dedup.hash60).
+    */
+  def md5Head60(d: java.security.MessageDigest, s: UTF8String): Long = {
+    val b = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Sorted distinct 60-bit hash set of word n-gram shingles, one pass.
+    * Replaces `array_sort(transform(array_distinct(shingles(text,n)),
+    * hash60))` whose interpreted lambdas re-evaluate the token split per
+    * element (measured as the dominant cost of n-gram dedup). Matches
+    * TextAnalysis.shingles semantics incl. the short-doc fallback
+    * (fewer than n words ⇒ one shingle of the whole token list).
+    */
+  def shingleHashSet(words: ArrayData, n: Int): ArrayData = {
+    val d = md5
+    val count = words.numElements() - (n - 1)
+    val sep = UTF8String.fromString(" ")
+    val hashes: Array[Long] =
+      if (count <= 0) {
+        val parts = new Array[UTF8String](words.numElements())
+        var i = 0
+        while (i < parts.length) { parts(i) = words.getUTF8String(i); i += 1 }
+        Array(md5Head60(d, UTF8String.concatWs(sep, parts: _*)))
+      } else {
+        val out = new Array[Long](count)
+        var i = 0
+        while (i < count) {
+          val parts = new Array[UTF8String](n)
+          var j = 0
+          while (j < n) { parts(j) = words.getUTF8String(i + j); j += 1 }
+          out(i) = md5Head60(d, UTF8String.concatWs(sep, parts: _*))
+          i += 1
+        }
+        out
+      }
+    java.util.Arrays.sort(hashes)
+    // in-place dedup of the sorted array
+    var w = 0
+    var i = 1
+    while (i < hashes.length) {
+      if (hashes(i) != hashes(w)) { w += 1; hashes(w) = hashes(i) }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, w + 1))
+  }
+
+  case class ShingleHashSet(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hash_set"
+    override def nullSafeEval(in: Any): Any =
+      shingleHashSet(in.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = "graft.functions.ArrayHashes$.MODULE$"
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $m.shingleHashSet($c, $n);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def shingle_hash_set(words: Column, n: Int): Column =
+    GraftBridge.column(ShingleHashSet(GraftBridge.expression(words), n))
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /** 32-bit SimHash from a distinct word array in one pass: bit j is the
+    * sign of Σ over words of ±1 per md5Head32(word) bit j.
+    */
+  def simHash32FromWords(words: ArrayData): Long = {
+    val d = md5
+    val sums = new Array[Int](32)
+    val n = words.numElements()
+    var w = 0
+    while (w < n) {
+      val h = md5Head32(d, words.getUTF8String(w))
+      var j = 0
+      while (j < 32) {
+        if (((h >> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+        j += 1
+      }
+      w += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) { if (sums(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  case class SimHash32(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash32"
+    override def nullSafeEval(in: Any): Any =
+      simHash32FromWords(in.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = "graft.functions.ArrayHashes$.MODULE$"
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $m.simHash32FromWords($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def simhash32(words: Column): Column =
+    GraftBridge.column(SimHash32(GraftBridge.expression(words)))
+}

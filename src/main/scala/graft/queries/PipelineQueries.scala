@@ -95,28 +95,30 @@ object PipelineQueries extends QueryPack {
   // ---- DD2: MinHash + LSH near-dup pairs ---------------------------------
   private def dd2MinhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashNearDupPairs(Tables.load(s, dir, "documents"),
-        "doc_id", "text", k = 8, bands = 2, threshold = 0.9)
+        "doc_id", "text", k = 32, bands = 2, threshold = 0.9)
       .orderBy(col("id_a"), col("id_b"))
 
   private val dd2Sql =
     s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
       |sigs AS (
-      |  SELECT doc_id, words,
+      |  SELECT doc_id,
+      |    [('0x' || substr(md5(w), 1, 15))::BIGINT for w in words] AS wh,
       |    [list_min([('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || w), 1, 8))::BIGINT
-      |               for w in words]) for i in range(0, 8)] AS sig
+      |               for w in words]) for i in range(0, 32)] AS sig
       |  FROM t),
       |bands AS (
-      |  SELECT doc_id, words,
-      |    unnest([md5(CAST(b AS VARCHAR) || '|' ||
-      |                CAST(sig[b*4+1] AS VARCHAR) || '|' || CAST(sig[b*4+2] AS VARCHAR) || '|' ||
-      |                CAST(sig[b*4+3] AS VARCHAR) || '|' || CAST(sig[b*4+4] AS VARCHAR))
+      |  SELECT doc_id,
+      |    unnest([md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*16+1:b*16+16], '|'))
       |            for b in range(0, 2)]) AS band_key
-      |  FROM sigs)
-      |SELECT id_a, id_b, jaccard FROM (
-      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-      |    round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
-      |        / len(list_distinct(list_concat(a.words, b.words))), 6) AS jaccard
+      |  FROM sigs),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, jaccard FROM (
+      |  SELECT id_a, id_b,
+      |    round(CAST(len(list_intersect(sa.wh, sb.wh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(sa.wh, sb.wh))), 6) AS jaccard
+      |  FROM cands JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b)
       |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin
 
   // ---- DD3: SimHash near-dup pairs ---------------------------------------
@@ -148,13 +150,19 @@ object PipelineQueries extends QueryPack {
   // ---- DD4: n-gram Jaccard dedup (blocked by source+lang) ----------------
   private def dd4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    val sh = docs.select(col("source"), col("lang"), col("doc_id"),
-      array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh3"))
+    // co-partition by the block key: parallelizes shingle hashing and
+    // materializes sh3 into the exchange so the self-join probes read
+    // computed arrays instead of re-deriving them per matched pair
+    val sh = docs
+      .select(col("source"), col("lang"), col("doc_id"),
+        graft.functions.ArrayHashes.shingle_hash_set(
+          TextAnalysis.tokens(col("text")), 3).as("sh3"))
+      .repartition(col("source"), col("lang"))
     val a = sh.select(col("source"), col("lang"), col("doc_id").as("id_a"), col("sh3").as("sa"))
     val b = sh.select(col("source"), col("lang"), col("doc_id").as("id_b"), col("sh3").as("sb"))
     a.join(b, Seq("source", "lang"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), Dedup.jaccard(col("sa"), col("sb")).as("jaccard3"))
+      .select(col("id_a"), col("id_b"), Dedup.jaccardSorted(col("sa"), col("sb")).as("jaccard3"))
       .filter(col("jaccard3") >= 0.05)
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -163,7 +171,8 @@ object PipelineQueries extends QueryPack {
     """WITH t AS (SELECT doc_id, source, lang, string_split_regex(trim(text), '\s+') AS w
       |           FROM documents),
       |sh AS (SELECT doc_id, source, lang,
-      |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS sh3
+      |  [('0x' || substr(md5(s), 1, 15))::BIGINT for s in
+      |   list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])] AS sh3
       |  FROM t)
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  round(CAST(len(list_intersect(a.sh3, b.sh3)) AS DOUBLE)
