@@ -15,9 +15,12 @@ object SparkEntry {
 
   private lazy val registry: Seq[Q] = packs.flatMap(_.all)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full CDC slice: Debezium envelope parse → config-driven
+    * transform → ordered apply (see CdcQueries.cdc1_e2e_sync).
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("cdc1_e2e_sync")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.cdc.{Apply, Envelope}
+import graft.cdc._
 
 /** CDC operator semantics (SURVEY.md §2.2 P1/P5, §2.8 ST1/ST5-ST7)
   * certified against the DuckDB oracle by modeling `events` as a CDC
@@ -199,7 +199,78 @@ object CdcQueries extends QueryPack {
       |  COUNT(CASE WHEN upsert_converted THEN 1 END) AS upsert_converted_cnt
       |FROM f3 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- CDC1: full end-to-end slice (flagship) ----------------------------
+  // Synthesizes Debezium envelope JSON from the events table, then runs
+  // the REAL engine stack: Envelope.parse (all-string image capture,
+  // decimal + epoch decode) → Transform (config-driven renames / casts /
+  // defaults) → Apply.applyBatch (ordered apply on an empty base:
+  // INSERTs land, DELETEs are TARGET_NOT_FOUND no-ops). The oracle
+  // restates the net effect relationally.
+  private val eventsSide = TableSide("EVENTS", "EVENT_ID", Seq(
+    "EVENT_ID" -> WireType.Num, "USER_ID" -> WireType.Num,
+    "EVENT_TYPE" -> WireType.Str, "VALUE" -> WireType.Num,
+    "TS" -> WireType.Temporal))
+
+  private val eventsMapping = TableMapping(
+    entity = "EVENTS", direction = "ASIS_TO_TOBE",
+    asis = eventsSide,
+    tobe = TableSide("TB_EVENTS", "EVENT_ID", Seq(
+      "EVENT_ID" -> WireType.Num, "USER_ID" -> WireType.Num,
+      "KIND" -> WireType.Str, "VALUE" -> WireType.Num,
+      "EVENT_TS" -> WireType.Temporal, "CREATED_BY" -> WireType.Str)),
+    asisToTobe = Seq(
+      "EVENT_ID" -> ColumnSpec.Direct("EVENT_ID"),
+      "USER_ID" -> ColumnSpec.Direct("USER_ID"),
+      "KIND" -> ColumnSpec.Direct("EVENT_TYPE"),
+      "VALUE" -> ColumnSpec.Direct("VALUE"),
+      "EVENT_TS" -> ColumnSpec.CastTimestamp("TS", defaultNow = false),
+      "CREATED_BY" -> ColumnSpec.DefaultLit("SYNC")),
+    tobeToAsis = Seq.empty)
+
+  private def cdc1E2eSync(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val image = struct(
+      col("event_id").cast("string").as("EVENT_ID"),
+      col("user_id").cast("string").as("USER_ID"),
+      col("event_type").as("EVENT_TYPE"),
+      col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+        .cast("string").as("VALUE"),
+      unix_millis(col("ts")).as("TS"))
+    val isDelete = col("event_type") === "error"
+    val envelopes = ev.select(to_json(struct(struct(
+      when(isDelete, "d").otherwise("c").as("op"),
+      unix_millis(col("ts")).as("ts_ms"),
+      struct(lit("ASIS_USER").as("schema"), lit("EVENTS").as("table")).as("source"),
+      when(isDelete, image).as("before"),
+      when(!isDelete, image).as("after")).as("payload"))).as("value"))
+
+    val parsed = Envelope.parse(envelopes, eventsSide)
+    val tx = Transform(parsed, eventsMapping, Direction.AsisToTobe, CodeMapping.dim(s))
+    val changes = tx.withColumn("seq", col("EVENT_ID").cast("long"))
+    val targetCols = eventsMapping.asisToTobe.map(_._1)
+    val base = s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        Registry.targetSchema(eventsMapping.tobe)))
+    val r = Apply.applyBatch(base, changes, "EVENT_ID", "seq",
+      targetCols.filterNot(_ == "EVENT_ID"))
+    r.target.select(
+      col("EVENT_ID").cast("long").as("event_id"),
+      col("USER_ID").cast("long").as("user_id"),
+      col("KIND").as("kind"),
+      col("VALUE").cast("double").as("value"),
+      col("EVENT_TS").as("event_ts"),
+      col("CREATED_BY").as("created_by"))
+      .orderBy(col("event_id"))
+  }
+
+  private val cdc1Sql =
+    """SELECT event_id, user_id, event_type AS kind,
+      |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+      |  epoch_ms(epoch_ms(ts)) AS event_ts, 'SYNC' AS created_by
+      |FROM events WHERE event_type <> 'error' ORDER BY event_id""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("cdc1_e2e_sync", "flagship: envelope parse → transform → ordered apply", cdc1E2eSync, Some(cdc1Sql)),
     Q("p1_op_decode", "P1 op-code decode via Envelope.decodeOp", p1OpDecode, Some(p1Sql)),
     Q("p5_epoch_decode", "P5 epoch magnitude heuristic via Envelope.epochAuto", p5EpochDecode, Some(p5Sql)),
     Q("st1_loop_block", "ST1 hash-window loop suppression (batch form)", st1LoopBlock, Some(st1Sql)),

@@ -104,7 +104,55 @@ object Extras extends QueryPack {
       |  FROM events)
       |GROUP BY 1 ORDER BY win_start""".stripMargin
 
+  // ---- FM1: FIELD_MERGE conflict policy ----------------------------------
+  // Two conflicting change sets per user (latest click vs latest
+  // purchase); merged column-wise with click side preferred, purchase
+  // filling nulls (docs/02-설계/03_케이스_분류.md:379-426 semantics).
+  private def fm1FieldMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    def latest(kind: String) = graft.cdc.Conflict.lww(
+      ev.filter(col("event_type") === kind), "user_id", "ts", "event_id")
+      .select(col("user_id"),
+        col("value").as("value"), col("ts").as("changed_at"))
+    val clicks = latest("click")
+    val purchases = latest("purchase")
+    graft.cdc.Conflict.fieldMerge(clicks, purchases, "user_id",
+        Seq("value", "changed_at"))
+      .orderBy(col("user_id"))
+  }
+
+  private val fm1Sql =
+    """WITH clicks AS (
+      |  SELECT user_id, value, ts AS changed_at FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+      |    FROM events WHERE event_type = 'click') WHERE rn = 1),
+      |purchases AS (
+      |  SELECT user_id, value, ts AS changed_at FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+      |    FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+      |SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+      |  COALESCE(c.value, p.value) AS value,
+      |  CAST(COALESCE(c.changed_at, p.changed_at) AS TIMESTAMP) AS changed_at
+      |FROM clicks c FULL OUTER JOIN purchases p ON c.user_id = p.user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---- A4: newest-N ring buffer as a typed Aggregator --------------------
+  private def a4RingAgg(s: SparkSession, dir: String): DataFrame = {
+    val newest3 = graft.functions.RingBuffer.newestN(3)
+    Tables.load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(newest3(unix_micros(col("ts")), col("event_id")).as("newest_ids"))
+      .orderBy(col("event_type"))
+  }
+
+  private val a4Sql =
+    """SELECT event_type,
+      |  (list(event_id ORDER BY ts DESC, event_id DESC))[1:3] AS newest_ids
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("fm1_field_merge", "FIELD_MERGE conflict policy (column-wise coalesce)", fm1FieldMerge, Some(fm1Sql)),
+    Q("a4_ring_agg", "A4 newest-N ring buffer as typed Aggregator", a4RingAgg, Some(a4Sql)),
     Q("mm1_media_meta", "multimodal: typed metadata over binary payloads", mm1MediaMeta, Some(mm1Sql)),
     Q("mm2_frame_hashes", "multimodal: fixed-size frame sampling", mm2FrameHashes, Some(mm2Sql)),
     Q("p7_debezium_decimal", "P7 VariableScaleDecimal custom Expression", p7DebeziumDecimal, Some(p7Sql)),

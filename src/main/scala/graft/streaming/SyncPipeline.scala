@@ -103,6 +103,14 @@ final class SyncPipeline(
       store.commit(target.table, result.target)
 
       val dirName = if (direction == Direction.AsisToTobe) "ASIS_TO_TOBE" else "TOBE_TO_ASIS"
+      // error-code taxonomy (docs/02-설계/05_에러코드_체계.md, designed-only
+      // in the reference): E_001 missing target, E_002 pk-dup upsert,
+      // I_001 loop suppression
+      def errorCode(status: Column, converted: Column): Column =
+        when(status === "TARGET_NOT_FOUND", "SYNC_E_001")
+          .when(status === "LOOP_BLOCKED", "SYNC_I_001")
+          .when(converted, "SYNC_E_002")
+          .otherwise(lit(null).cast("string"))
       def auditCols(df: DataFrame, status: Column, converted: Column) = df.select(
         lit(dirName).as("direction"),
         lit(target.table).as("table_name"),
@@ -110,6 +118,7 @@ final class SyncPipeline(
         col("pk_value"),
         status.as("status"),
         converted.as("upsert_converted"),
+        errorCode(status, converted).as("error_code"),
         col("change_hash"),
         current_timestamp().as("log_time"))
 
