@@ -30,6 +30,13 @@ import graft.functions.DebeziumDecimalDecode.debezium_decimal
   */
 object Envelope {
 
+  /** P11: uppercase column-name normalization at the ingest boundary
+    * (`CdcSyncService.java:156,164` uppercases JSON keys to match Oracle
+    * columns).
+    */
+  def normalizeColumnNames(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.toUpperCase): _*)
+
   /** op code → logical operation (`CdcEvent.java:175-185`). */
   def decodeOp(op: Column): Column =
     when(op === "c", "INSERT")
