@@ -71,12 +71,14 @@ object Apply {
       when(col("__applied"), "SUCCESS").otherwise("TARGET_NOT_FOUND").as("status"),
       col("__upsert_converted").as("upsert_converted"))
 
-    // final per-key state
+    // final per-key state — same partitioning AND sort as `byKey` so
+    // Catalyst collapses window operators and reuses the sort
+    val fullFrame = byKey.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val lastIdOp = max(
       when(col("operation") =!= "UPDATE", struct(col(seqCol), col("operation"))))
-      .over(Window.partitionBy(col(pk)))
+      .over(fullFrame)
     val lastAppliedSeq = max(when(col("__applied"), col(seqCol)))
-      .over(Window.partitionBy(col(pk)))
+      .over(fullFrame)
 
     val finals = flagged
       .withColumn("__final_exists",

@@ -61,9 +61,11 @@ object Transform {
         if (defaultNow) coalesce(col(src).cast("timestamp"), now)
         else col(src).cast("timestamp")
       case ColumnSpec.CastDate(src) =>
-        // ASIS DATE columns; kept as timestamp truncated to day to match
-        // Oracle DATE semantics (date+time) without a lossy date-only type
-        date_trunc("DAY", col(src)).cast("timestamp")
+        // Oracle DATE keeps date+time at SECOND precision — truncate
+        // fractional seconds only. (Day-truncation would break loop
+        // prevention: the ASIS→TOBE→ASIS round trip must preserve
+        // values so the echo's post-transform hash matches.)
+        date_trunc("SECOND", col(src)).cast("timestamp")
       case ColumnSpec.DefaultLit(v) => lit(v)
       case ColumnSpec.DefaultNow => now
     }

@@ -111,17 +111,22 @@ object Dedup {
       graft.functions.ArrayHashes.minhash_band_keys(
         array_distinct(TextAnalysis.tokens(col(textCol))), k, bands).as("band_keys"))
       .repartition(col("id"))
-    val banded = sigs.select(col("id"), explode(col("band_keys")).as("band_key"))
-    val cands = banded.select(col("band_key"), col("id").as("id_a"))
-      .join(banded.select(col("band_key"), col("id").as("id_b")), Seq("band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    cands
-      .join(sigs.select(col("id").as("id_a"), col("wh").as("wa")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("wh").as("wb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccardSorted(col("wa"), col("wb")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    // first-colliding-band join: pair (a,b) is produced exactly once —
+    // by the lowest band index where their keys collide — so no DISTINCT
+    // shuffle over the candidate set and no re-join to fetch word sets
+    val l = sigs.select(col("id").as("id_a"), col("wh").as("wa"), col("band_keys").as("bka"))
+    val rt = sigs.select(col("id").as("id_b"), col("wh").as("wb"), col("band_keys").as("bkb"))
+    val perBand = (0 until bands).map { b =>
+      val earlierDiffer = (0 until b)
+        .map(p => element_at(col("bka"), p + 1) =!= element_at(col("bkb"), p + 1))
+        .foldLeft(lit(true))(_ && _)
+      l.join(rt,
+          element_at(col("bka"), b + 1) === element_at(col("bkb"), b + 1) &&
+            col("id_a") < col("id_b") && earlierDiffer)
+        .select(col("id_a"), col("id_b"),
+          jaccardSorted(col("wa"), col("wb")).as("jaccard"))
+    }
+    perBand.reduce(_ unionByName _).filter(col("jaccard") >= threshold)
   }
 
   // ---- SimHash -----------------------------------------------------------

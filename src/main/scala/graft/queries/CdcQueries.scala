@@ -228,7 +228,9 @@ object CdcQueries extends QueryPack {
     tobeToAsis = Seq.empty)
 
   private def cdc1E2eSync(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(s, dir, "events")
+    // hash-repartition up front: the JSON round trip (to_json →
+    // envelope parse) is CPU-bound and the source is one parquet file
+    val ev = Tables.load(s, dir, "events").repartition(col("event_id"))
     val image = struct(
       col("event_id").cast("string").as("EVENT_ID"),
       col("user_id").cast("string").as("USER_ID"),

@@ -51,8 +51,8 @@ class TransformSpec extends SparkSpec {
     assert(r.getAs[String]("BOOK_TITLE") == "t")
     assert(r.getAs[String]("CATEGORY") == "01") // LIT → 01
     assert(r.getAs[String]("STATUS") == "Y")
-    // Oracle DATE semantics: day-truncated timestamp
-    assert(r.getAs[Timestamp]("REG_DATE") == Timestamp.valueOf("2024-03-03 00:00:00"))
+    // Oracle DATE semantics: date+time at second precision
+    assert(r.getAs[Timestamp]("REG_DATE") == Timestamp.valueOf("2024-03-03 09:30:00"))
     // CREATED_BY/UPDATED_BY dropped (T6): not in output schema
     assert(!out(0).schema.fieldNames.contains("CREATED_BY"))
   }
