@@ -94,6 +94,42 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF-style ANN: vectors are assigned to their nearest of C seed
+    * centroids (deterministic: the first C vectors); a query probes its
+    * `nProbe` nearest centroid lists only. The standard inverted-file
+    * trade: candidate set shrinks ~C/nProbe-fold; recall depends on how
+    * often true neighbors live in unprobed lists. Centroid assignment
+    * is one broadcast join + per-key top-1 window; at 100 TB the
+    * assignment is map-side and the probe join shuffles only by the
+    * (small-cardinality) centroid id.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, nCentroids: Int, nProbe: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cents = corpus.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("cent_id"), col(embCol).as("cent_e"))
+    def nearestCentroids(df: DataFrame, outId: String, outEmb: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(outId))
+        .orderBy(col("cent_sim").desc, col("cent_id"))
+      df.select(col(idCol).as(outId), col(embCol).as(outEmb))
+        .join(broadcast(cents))
+        .withColumn("cent_sim", cosineRounded(col(outEmb), col("cent_e")))
+        .withColumn("cent_rank", row_number().over(w))
+        .filter(col("cent_rank") <= n)
+        .select(col(outId), col(outEmb), col("cent_id"))
+    }
+    val assigned = nearestCentroids(corpus, "neighbor_id", "ce", 1)
+    val probes = nearestCentroids(queries, "query_id", "qe", nProbe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    probes.join(assigned, Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineRounded(col("qe"), col("ce")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by a key (e.g. a
     * cluster label or LSH bucket) so the pair space never goes O(n²).
     */

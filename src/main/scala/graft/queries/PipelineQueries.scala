@@ -241,7 +241,61 @@ object PipelineQueries extends QueryPack {
       |  WHERE q.vec_id < 5)
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // ---- SIM3: IVF-probed ANN top-k ----------------------------------------
+  private def sim3IvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+        k = 10, nCentroids = 8, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val sim3Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, emb AS cent_e FROM e WHERE vec_id < 8),
+      |assigned AS (
+      |  SELECT vec_id AS neighbor_id, emb AS ce, cent_id FROM (
+      |    SELECT e.vec_id, e.emb, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_dot_product(e.emb, c.cent_e), 6) DESC, c.cent_id) AS r
+      |    FROM e CROSS JOIN cents c) WHERE r <= 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, emb AS qe, cent_id FROM (
+      |    SELECT e.vec_id, e.emb, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_dot_product(e.emb, c.cent_e), 6) DESC, c.cent_id) AS r
+      |    FROM e CROSS JOIN cents c WHERE e.vec_id < 5) WHERE r <= 2)
+      |SELECT query_id, neighbor_id, score, rank FROM (
+      |  SELECT p.query_id, a.neighbor_id,
+      |    round(list_dot_product(p.qe, a.ce), 6) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+      |      ORDER BY round(list_dot_product(p.qe, a.ce), 6) DESC, a.neighbor_id) AS rank
+      |  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+      |  WHERE p.query_id <> a.neighbor_id)
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // ---- TX4: regex / BPE-ish tokenization ---------------------------------
+  private def tx4RegexTokens(s: SparkSession, dir: String): DataFrame = {
+    val toks = regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      size(toks).as("n_word_tokens"),
+      size(regexp_extract_all(col("text"), lit("[^a-z0-9\\s]"), lit(0))).as("n_punct_tokens"),
+      aggregate(toks, lit(0L), (acc, t) => acc + ceil(length(t) / 4.0).cast("long"))
+        .as("n_bpe4_pieces"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tx4Sql =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens,
+      |  len(regexp_extract_all(text, '[^a-z0-9\s]')) AS n_punct_tokens,
+      |  CAST(list_sum([CAST(ceil(length(t) / 4.0) AS BIGINT)
+      |                 for t in regexp_extract_all(text, '[a-z0-9]+')]) AS BIGINT) AS n_bpe4_pieces
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("sim3_ivf_topk", "IVF-probed ANN top-k (centroid inverted lists)", sim3IvfTopk, Some(sim3Sql)),
+    Q("tx4_regex_tokens", "regex word/punct + BPE-ish piece counting", tx4RegexTokens, Some(tx4Sql)),
     Q("tx1_token_stats", "token count / TTR / quality scoring", tx1TokenStats, Some(tx1Sql)),
     Q("tx2_langid", "n-gram-heuristic language ID", tx2LangId, Some(tx2Sql)),
     Q("tx3_fingerprint", "document + shingle fingerprints", tx3Fingerprint, Some(tx3Sql)),

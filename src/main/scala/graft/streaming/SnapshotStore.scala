@@ -23,11 +23,14 @@ final class SnapshotStore(spark: SparkSession, basePath: String) {
     else 0
 
   /** Current snapshot; empty DataFrame with the given schema at v0. */
-  def snapshot(table: String, schema: StructType): DataFrame = {
-    val v = currentVersion(table)
-    if (v == 0) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.parquet(s"${tableDir(table)}/v$v")
-  }
+  def snapshot(table: String, schema: StructType): DataFrame =
+    snapshotAt(table, currentVersion(table), schema)
+
+  /** Time travel: read any committed version (0 = empty). */
+  def snapshotAt(table: String, version: Int, schema: StructType = null): DataFrame =
+    if (version == 0)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.parquet(s"${tableDir(table)}/v$version")
 
   /** Write the next snapshot version and flip the pointer. */
   def commit(table: String, df: DataFrame): Int = {
