@@ -101,13 +101,18 @@ object Envelope {
     * side into normalized CDC events:
     * operation, ts, source_schema, source_table, change_hash, <data cols…>.
     *
-    * Corrupt / unparseable payloads yield null images and are dropped,
-    * matching the reference's skip-on-parse-failure
-    * (`CdcKafkaConsumer.java:213-216`).
+    * ONE `from_json` pass handles both envelope shapes: the schema is a
+    * superset (top-level fields AND a `payload` wrapper); whichever
+    * half parsed non-null wins. Corrupt / unparseable payloads yield
+    * null images and are dropped, matching the reference's
+    * skip-on-parse-failure (`CdcKafkaConsumer.java:213-216`).
     */
   def parse(raw: DataFrame, side: TableSide): DataFrame = {
-    val payload = payloadJson(col("value"))
-    val env = from_json(payload, envelopeSchema(side))
+    val envSchema = envelopeSchema(side)
+    val outer = StructType(envSchema.fields :+ StructField("payload", envSchema))
+    val parsed = from_json(col("value"), outer)
+    val env = when(parsed.getField("payload").isNotNull, parsed.getField("payload"))
+      .otherwise(struct(envSchema.fieldNames.map(n => parsed.getField(n).as(n)): _*))
     val withEnv = raw
       .withColumn("_env", env)
       .withColumn("op", col("_env.op"))
