@@ -30,7 +30,9 @@ final class SyncPipeline(
     trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
     watermarkDelay: String = "10 minutes",
     loopWindowMs: Long = LoopDedup.windowMsDefault,
-    loopTtlMs: Long = LoopDedup.ttlMsDefault) {
+    loopTtlMs: Long = LoopDedup.ttlMsDefault,
+    /** use the transformWithState dedup (needs RocksDB state store) */
+    useTws: Boolean = false) {
 
   private val codeDim = CodeMapping.dim(spark)
 
@@ -64,9 +66,11 @@ final class SyncPipeline(
       checkpoint: String): StreamingQuery = {
     val target = mapping.targetFor(direction)
     val targetCols = mapping.specsFor(direction).map(_._1)
-    val deduped = LoopDedup(
-      transformed(source, mapping, direction).withWatermark("event_ts", watermarkDelay),
-      loopWindowMs, loopTtlMs)
+    val tx = transformed(source, mapping, direction)
+      .withWatermark("event_ts", watermarkDelay)
+    val deduped =
+      if (useTws) LoopDedupTws(tx, loopWindowMs, loopTtlMs)
+      else LoopDedup(tx, loopWindowMs, loopTtlMs)
 
     deduped.writeStream
       .outputMode("append")
@@ -91,6 +95,7 @@ final class SyncPipeline(
     val valueCols = targetCols.filterNot(_ == target.pk)
     val cached = batch.cache()
     try {
+      if (cached.isEmpty) return // empty micro-batch: no snapshot churn
       val blocked = cached.filter(col("loop_blocked"))
       val live = cached.filter(!col("loop_blocked"))
 
