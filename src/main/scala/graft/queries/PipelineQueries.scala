@@ -293,7 +293,30 @@ object PipelineQueries extends QueryPack {
       |                 for t in regexp_extract_all(text, '[a-z0-9]+')]) AS BIGINT) AS n_bpe4_pieces
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- EMB1: per-label centroid update (one k-means step) ----------------
+  // Element-wise mean over the embedding column: posexplode → (label,
+  // dim) average. The classic shuffle-by-(label,dim) vector aggregation
+  // a clustering pipeline runs every iteration; partial aggregation
+  // means the shuffle carries |labels|·dims rows, not |corpus|·dims.
+  private def emb1LabelCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("v").cast("double")), 6).as("centroid_v"),
+        count(lit(1)).as("n_vectors"))
+      .orderBy(col("label"), col("dim"))
+
+  private val emb1Sql =
+    """SELECT label, dim, round(avg(v), 6) AS centroid_v, COUNT(*) AS n_vectors
+      |FROM (
+      |  SELECT label,
+      |    generate_subscripts(embedding, 1) - 1 AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings)
+      |GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("emb1_label_centroids", "k-means centroid update (element-wise vector mean)", emb1LabelCentroids, Some(emb1Sql)),
     Q("sim3_ivf_topk", "IVF-probed ANN top-k (centroid inverted lists)", sim3IvfTopk, Some(sim3Sql)),
     Q("tx4_regex_tokens", "regex word/punct + BPE-ish piece counting", tx4RegexTokens, Some(tx4Sql)),
     Q("tx1_token_stats", "token count / TTR / quality scoring", tx1TokenStats, Some(tx1Sql)),

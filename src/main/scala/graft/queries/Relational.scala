@@ -331,7 +331,33 @@ object Relational extends QueryPack {
       |  FROM events
       |) WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // ---- Q18 shape: large-order customers (join + HAVING + top-K) ----------
+  private def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val ord = Tables.load(s, dir, "orders")
+    val cust = Tables.load(s, dir, "customer")
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+    big.join(ord, big("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val q18Sql =
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty FROM (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 150) big
+      |JOIN orders   ON big.l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("q18_large_orders", "join + HAVING + top-K (large-order customers)", q18LargeOrders, Some(q18Sql)),
     Q("q1_pricing_summary", "A1/A3 flagship hash aggregation (decimal-exact)", q1PricingSummary, Some(q1Sql)),
     Q("q3_revenue_by_nation", "multi-join aggregation, broadcast dim", q3RevenueByNation, Some(q3Sql)),
     Q("o1_ordered_page", "O1 ordered page / TakeOrderedAndProject", o1OrderedPage, Some(o1Sql)),
