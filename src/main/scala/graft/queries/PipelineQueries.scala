@@ -121,6 +121,47 @@ object PipelineQueries extends QueryPack {
       |  FROM cands JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b)
       |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin
 
+  // ---- DD6: near-dup canonicalization (connected components) -------------
+  // Assign every doc the min doc_id of its ≥0.9-Jaccard component; the
+  // oracle computes the same fixpoint with a recursive CTE.
+  private def dd6NeardupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text",
+      k = 32, bands = 2, threshold = 0.9)
+    Dedup.minLabelComponents(pairs, docs, "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private val dd6Sql =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    [('0x' || substr(md5(w), 1, 15))::BIGINT for w in words] AS wh,
+      |    [list_min([('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || w), 1, 8))::BIGINT
+      |               for w in words]) for i in range(0, 32)] AS sig
+      |  FROM t),
+      |bands AS (
+      |  SELECT doc_id,
+      |    unnest([md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*16+1:b*16+16], '|'))
+      |            for b in range(0, 2)]) AS band_key
+      |  FROM sigs),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cands
+      |  JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
+      |  WHERE round(CAST(len(list_intersect(sa.wh, sb.wh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(sa.wh, sb.wh))), 6) >= 0.9),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+      |SELECT id AS doc_id, MIN(lbl) AS canonical_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   // ---- DD3: SimHash near-dup pairs ---------------------------------------
   private def dd3SimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashNearDupPairs(Tables.load(s, dir, "documents"),
@@ -324,6 +365,7 @@ object PipelineQueries extends QueryPack {
     Q("tx3_fingerprint", "document + shingle fingerprints", tx3Fingerprint, Some(tx3Sql)),
     Q("dd1_exact_dedup", "exact dedup via content-hash groupBy", dd1ExactDedup, Some(dd1Sql)),
     Q("dd2_minhash_pairs", "MinHash+LSH near-dup pairs, Jaccard-verified", dd2MinhashPairs, Some(dd2Sql)),
+    Q("dd6_neardup_canonical", "near-dup canonicalization via min-label components", dd6NeardupCanonical, Some(dd6Sql)),
     Q("dd3_simhash_pairs", "SimHash near-dup pairs, Hamming-verified", dd3SimhashPairs, Some(dd3Sql)),
     Q("dd4_ngram_jaccard", "3-gram Jaccard dedup, blocked by source+lang", dd4NgramJaccard, Some(dd4Sql)),
     Q("dd5_cosine_neardup", "embedding-cosine near-dup, label-blocked", dd5CosineNearDup, Some(dd5Sql)),
