@@ -45,6 +45,10 @@ object Apply {
       .join(inBase, Seq(pk), "left")
       .withColumn("__in_base", coalesce(col("__in_base"), lit(false)))
 
+    // ---- audit path: per-event outcomes need the sequential per-key
+    // scan (window over seq). Evaluated lazily — only when the caller
+    // uses `audit`. Statuses exactly as CDC_SYNC_LOG
+    // (02_create_cdc_tables.sql:117-128).
     val byKey = Window.partitionBy(col(pk)).orderBy(col(seqCol))
     // last INSERT/DELETE strictly before this event (null = none yet)
     val prevIdOp = last(
@@ -62,8 +66,6 @@ object Apply {
       .withColumn("__upsert_converted",
         col("operation") === "INSERT" && col("__exists_at"))
 
-    // audit: one row per event, exactly the reference's CDC_SYNC_LOG
-    // statuses (02_create_cdc_tables.sql:117-128)
     val audit = flagged.select(
       col(seqCol).as("cdc_seq"),
       col(pk).cast("string").as("pk_value"),
@@ -71,37 +73,30 @@ object Apply {
       when(col("__applied"), "SUCCESS").otherwise("TARGET_NOT_FOUND").as("status"),
       col("__upsert_converted").as("upsert_converted"))
 
-    // final per-key state — same partitioning AND sort as `byKey` so
-    // Catalyst collapses window operators and reuses the sort
-    val fullFrame = byKey.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val lastIdOp = max(
-      when(col("operation") =!= "UPDATE", struct(col(seqCol), col("operation"))))
-      .over(fullFrame)
-    val lastAppliedSeq = max(when(col("__applied"), col(seqCol)))
-      .over(fullFrame)
+    // ---- target path: ONE hash aggregate, no sort. The key insight:
+    // whenever a key finally exists, its LAST event necessarily applied
+    // (it is either the final INSERT, or an UPDATE after the
+    // existence-making event — skipped events can only precede the last
+    // INSERT/DELETE), so the final values are simply max_by(seq). A key
+    // exists iff its last INSERT/DELETE is an INSERT, else iff it was
+    // in the base and no INSERT/DELETE touched it.
+    val perKey = ch.groupBy(col(pk)).agg(
+      max_by(struct(dataCols.map(col): _*), col(seqCol)).as("__last"),
+      max(when(col("operation") =!= "UPDATE", struct(col(seqCol), col("operation"))))
+        .as("__last_id"),
+      first(col("__in_base")).as("__in_base"))
 
-    val finals = flagged
-      .withColumn("__final_exists",
-        when(lastIdOp.getField("operation") === "INSERT", lit(true))
-          .when(lastIdOp.getField("operation") === "DELETE", lit(false))
+    val survivors = perKey
+      .filter(
+        when(col("__last_id").getField("operation") === "INSERT", lit(true))
+          .when(col("__last_id").getField("operation") === "DELETE", lit(false))
           .otherwise(col("__in_base")))
-      .withColumn("__last_applied_seq", lastAppliedSeq)
-
-    val survivors = finals
-      .filter(col("__final_exists") && col(seqCol) === col("__last_applied_seq"))
-      .select(col(pk) +: dataCols.map(col): _*)
+      .select(col(pk) +: dataCols.map(c => col("__last").getField(c).as(c)): _*)
 
     val untouched = base.join(ch.select(pk).distinct(), Seq(pk), "left_anti")
       .select(col(pk) +: dataCols.map(col): _*)
 
-    // keys that survive only as their untouched base row (all events
-    // skipped, e.g. lone UPDATE on a post-DELETE ghost) keep base values
-    val keptBase = base
-      .join(finals.filter(col("__final_exists") && col("__last_applied_seq").isNull)
-        .select(pk).distinct(), Seq(pk), "left_semi")
-      .select(col(pk) +: dataCols.map(col): _*)
-
-    ApplyResult(untouched.unionByName(survivors).unionByName(keptBase), audit)
+    ApplyResult(untouched.unionByName(survivors), audit)
   }
 
   /** ST8 per-record error isolation: split a batch into (valid, dead
