@@ -21,6 +21,11 @@ object Tables {
     Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // defensive: a caller-provided session (e.g. the driver harness) may
+    // not carry the nanos flag; it is a runtime-settable SQL conf
+    requiredConf.foreach { case (k, v) =>
+      if (spark.conf.getOption(k).forall(_ != v)) spark.conf.set(k, v)
+    }
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       // ns → µs; sub-µs components are zero in the generated data
