@@ -356,8 +356,52 @@ object Relational extends QueryPack {
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin
 
+  // ---- distinct aggregation ---------------------------------------------
+  private def cd1DistinctUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  private val cd1Sql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- percentiles (exact, interpolated) ---------------------------------
+  private def pc1ValuePercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy(col("event_type"))
+
+  private val pc1Sql =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.9), 4) AS p90,
+      |  round(quantile_cont(value, 0.99), 4) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- rollup ------------------------------------------------------------
+  private def gs1Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  private val gs1Sql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("q18_large_orders", "join + HAVING + top-K (large-order customers)", q18LargeOrders, Some(q18Sql)),
+    Q("cd1_distinct_users", "distinct aggregation per group", cd1DistinctUsers, Some(cd1Sql)),
+    Q("pc1_value_percentiles", "exact interpolated percentiles per group", pc1ValuePercentiles, Some(pc1Sql)),
+    Q("gs1_rollup", "ROLLUP grouping sets with subtotals", gs1Rollup, Some(gs1Sql)),
     Q("q1_pricing_summary", "A1/A3 flagship hash aggregation (decimal-exact)", q1PricingSummary, Some(q1Sql)),
     Q("q3_revenue_by_nation", "multi-join aggregation, broadcast dim", q3RevenueByNation, Some(q3Sql)),
     Q("o1_ordered_page", "O1 ordered page / TakeOrderedAndProject", o1OrderedPage, Some(o1Sql)),
