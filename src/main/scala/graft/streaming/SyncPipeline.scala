@@ -64,8 +64,6 @@ final class SyncPipeline(
       mapping: TableMapping,
       direction: Direction.Value,
       checkpoint: String): StreamingQuery = {
-    val target = mapping.targetFor(direction)
-    val targetCols = mapping.specsFor(direction).map(_._1)
     val tx = transformed(source, mapping, direction)
       .withWatermark("event_ts", watermarkDelay)
     val deduped =
