@@ -70,15 +70,15 @@ object Dedup {
     * pair and is the hot inner loop of every near-dup verify).
     */
   def jaccard(a: Column, b: Column): Column =
-    round(size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)), 6)
+    TextAnalysis.round6(size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)))
 
   /** Jaccard over SORTED distinct long arrays — one-pass merge via the
     * native `jaccard_sorted` expression; ~100× cheaper per pair than the
     * generic array set ops. Use with `array_sort`ed `hash60` sets.
     */
   def jaccardSorted(a: Column, b: Column): Column =
-    round(graft.functions.ArrayHashes.jaccard_sorted(a, b), 6)
+    TextAnalysis.round6(graft.functions.ArrayHashes.jaccard_sorted(a, b))
 
   /** MinHash-LSH near-duplicate pairs: banded candidates verified with
     * exact Jaccard ≥ threshold. Output: (id_a, id_b, jaccard).

@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Engine-agnostic 6-dp rounding: `round()` half-way behavior differs
+    * between engines on exactly-representable .5 boundaries (observed:
+    * Spark 0.724062 vs DuckDB 0.724063 on the same double);
+    * floor(x·10⁶ + 0.5) is pure IEEE arithmetic and identical anywhere.
+    */
+  def round6(c: Column): Column = floor(c * 1000000.0 + 0.5) / 1000000.0
+
   /** Whitespace tokenization (BPE-ish regex boundary). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
@@ -20,18 +27,18 @@ object TextAnalysis {
   /** Type-token ratio: distinct tokens / tokens (lexical diversity). */
   def typeTokenRatio(text: Column): Column = {
     val t = tokens(text)
-    round(size(array_distinct(t)).cast("double") / size(t), 6)
+    round6(size(array_distinct(t)).cast("double") / size(t))
   }
 
   def avgWordLen(text: Column): Column = {
     val t = tokens(text)
-    round(aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(t), 6)
+    round6(aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(t))
   }
 
   /** Punctuation-ish character ratio (quality signal). */
   def punctRatio(text: Column): Column =
-    round((length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))).cast("double")
-      / greatest(length(text), lit(1)), 6)
+    round6((length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))).cast("double")
+      / greatest(length(text), lit(1)))
 
   /** Stopword-hit ratio against a tiny function-word list per language. */
   val stopwords: Map[String, Seq[String]] = Map(
@@ -68,8 +75,8 @@ object TextAnalysis {
     val ttr = typeTokenRatio(text)
     val wordTerm = least(lit(1.0), avgWordLen(text) / 8.0)
     val punct = punctRatio(text)
-    round(lit(0.4) * lenTerm + lit(0.3) * ttr + lit(0.2) * wordTerm
-      + lit(0.1) * (lit(1.0) - punct), 6)
+    round6(lit(0.4) * lenTerm + lit(0.3) * ttr + lit(0.2) * wordTerm
+      + lit(0.1) * (lit(1.0) - punct))
   }
 
   /** Whole-document fingerprint: hash of whitespace-normalized text. */

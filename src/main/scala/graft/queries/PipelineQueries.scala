@@ -28,14 +28,14 @@ object PipelineQueries extends QueryPack {
 
   private val tx1Sql =
     """SELECT doc_id, n_tokens, ttr, avg_word_len, punct_ratio,
-      |  round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) + 0.3 * ttr
-      |      + 0.2 * least(1.0, avg_word_len / 8.0) + 0.1 * (1.0 - punct_ratio), 6) AS quality
+      |  floor((0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) + 0.3 * ttr
+      |      + 0.2 * least(1.0, avg_word_len / 8.0) + 0.1 * (1.0 - punct_ratio)) * 1000000.0 + 0.5) / 1000000.0 AS quality
       |FROM (
       |  SELECT doc_id, len(w) AS n_tokens,
-      |    round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS ttr,
-      |    round(CAST(list_sum([length(x) for x in w]) AS DOUBLE) / len(w), 6) AS avg_word_len,
-      |    round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
-      |        / greatest(length(text), 1), 6) AS punct_ratio
+      |    floor(CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 1000000.0 + 0.5) / 1000000.0 AS ttr,
+      |    floor(CAST(list_sum([length(x) for x in w]) AS DOUBLE) / len(w) * 1000000.0 + 0.5) / 1000000.0 AS avg_word_len,
+      |    floor(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+      |        / greatest(length(text), 1) * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio
       |  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents))
       |ORDER BY doc_id""".stripMargin
 
@@ -116,8 +116,8 @@ object PipelineQueries extends QueryPack {
       |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
       |SELECT id_a, id_b, jaccard FROM (
       |  SELECT id_a, id_b,
-      |    round(CAST(len(list_intersect(sa.wh, sb.wh)) AS DOUBLE)
-      |        / len(list_distinct(list_concat(sa.wh, sb.wh))), 6) AS jaccard
+      |    floor(CAST(len(list_intersect(sa.wh, sb.wh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(sa.wh, sb.wh))) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
       |  FROM cands JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b)
       |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin
 
@@ -151,8 +151,8 @@ object PipelineQueries extends QueryPack {
       |pairs AS (
       |  SELECT id_a, id_b FROM cands
       |  JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
-      |  WHERE round(CAST(len(list_intersect(sa.wh, sb.wh)) AS DOUBLE)
-      |      / len(list_distinct(list_concat(sa.wh, sb.wh))), 6) >= 0.9),
+      |  WHERE floor(CAST(len(list_intersect(sa.wh, sb.wh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(sa.wh, sb.wh))) * 1000000.0 + 0.5) / 1000000.0 >= 0.9),
       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
       |          UNION SELECT id_b, id_a FROM pairs),
       |reach(id, lbl) AS (
@@ -216,12 +216,12 @@ object PipelineQueries extends QueryPack {
       |   list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])] AS sh3
       |  FROM t)
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  round(CAST(len(list_intersect(a.sh3, b.sh3)) AS DOUBLE)
-      |      / len(list_distinct(list_concat(a.sh3, b.sh3))), 6) AS jaccard3
+      |  floor(CAST(len(list_intersect(a.sh3, b.sh3)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh3, b.sh3))) * 1000000.0 + 0.5) / 1000000.0 AS jaccard3
       |FROM sh a JOIN sh b
       |  ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
-      |WHERE round(CAST(len(list_intersect(a.sh3, b.sh3)) AS DOUBLE)
-      |      / len(list_distinct(list_concat(a.sh3, b.sh3))), 6) >= 0.05
+      |WHERE floor(CAST(len(list_intersect(a.sh3, b.sh3)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh3, b.sh3))) * 1000000.0 + 0.5) / 1000000.0 >= 0.05
       |ORDER BY id_a, id_b""".stripMargin
 
   // ---- DD5: embedding-cosine near-dup (blocked by label) -----------------
