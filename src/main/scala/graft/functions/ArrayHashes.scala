@@ -67,6 +67,48 @@ object ArrayHashes {
   def jaccard_sorted(a: Column, b: Column): Column =
     GraftBridge.column(SortedJaccard(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  // ---- positional prefix equality (LSH first-colliding-band) -------------
+
+  /** True iff any of the first `n` positions of the two string arrays are
+    * equal. Used as the "an earlier band already collided" test in the
+    * LSH first-colliding-band join — it runs once per joined candidate
+    * row, where the HOF form (`exists(zip_with(slice...))`) is
+    * interpreted with per-row array allocations (measured 5× slower on
+    * the whole dd2 query).
+    */
+  def prefixAnyEqual(a: ArrayData, b: ArrayData, n: Int): Boolean = {
+    var i = 0
+    while (i < n) {
+      if (a.getUTF8String(i).equals(b.getUTF8String(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  case class PrefixAnyEqual(left: Expression, right: Expression, len: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def first: Expression = left
+    override def second: Expression = right
+    override def third: Expression = len
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = left.nullable || right.nullable || len.nullable
+    override def prettyName: String = "prefix_any_equal"
+    override def nullSafeEval(a: Any, b: Any, n: Any): Any =
+      prefixAnyEqual(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        n.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = "graft.functions.ArrayHashes$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (a, b, n) => s"${ev.value} = $m.prefixAnyEqual($a, $b, $n);")
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(left = f, right = s, len = t)
+  }
+
+  def prefix_any_equal(a: Column, b: Column, n: Column): Column =
+    GraftBridge.column(PrefixAnyEqual(
+      GraftBridge.expression(a), GraftBridge.expression(b), GraftBridge.expression(n)))
+
   // ---- MinHash signature -------------------------------------------------
 
   /** K-permutation MinHash over a distinct word array in one pass:

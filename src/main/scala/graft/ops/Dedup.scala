@@ -84,26 +84,31 @@ object Dedup {
     * exact Jaccard ≥ threshold. Output: (id_a, id_b, jaccard).
     *
     * Plan shape (the scale-critical part):
-    *  1. signatures + hashed word sets: narrow, map-side;
-    *  2. band-key self-join → DISTINCT (id_a, id_b) — candidate pairs
-    *     are deduplicated BEFORE any verification work, so a pair
-    *     colliding in several bands is verified once;
+    *  1. signatures + hashed word sets: narrow, map-side, materialized
+    *     once (eager localCheckpoint);
+    *  2. ONE slim (band_pos, band_key) self-join over exploded band
+    *     keys — the shuffle carries 8 short keys per doc, never the
+    *     hashed word sets; each pair survives exactly once (lowest
+    *     colliding band, prefix-differs filter), so no DISTINCT shuffle;
     *  3. verification joins the hashed word sets (60-bit longs, not
     *     strings) back by id — Jaccard runs once per candidate pair on
     *     integer arrays.
     * Band selectivity r = k/bands controls the candidate volume:
-    * P(candidate) = 1-(1-J^r)^bands. Defaults (k=32, bands=2, r=16) are
-    * tuned for a corpus dense in 0.6–0.8-similar pairs: J=0.7 passes at
-    * 0.7%, J=1.0 at 100% — exact/near-exact dups always surface, the
-    * mid-similarity mass is pruned ~100×.
+    * P(candidate) = 1-(1-J^r)^bands. Defaults (k=32, bands=8, r=4) put
+    * the S-curve's knee near the 0.9 default threshold: recall at J=0.9
+    * is 1-(1-0.9⁴)²⁸... ≈ 0.9998 while J=0.3 pairs pass at only ~6% —
+    * true near-dups essentially always surface, the dissimilar mass is
+    * still pruned. (The old bands=2/r=16 default missed ~66% of true
+    * J=0.9 pairs — recall at the operator's own threshold is the
+    * tuning invariant, asserted in DedupSpec's planted-pair test.)
     */
   def minHashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 32, bands: Int = 2, threshold: Double = 0.9): DataFrame = {
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.9): DataFrame = {
     // hash-partition by id first: spreads signature hashing across all
-    // cores even when the source is one parquet file, and materializes
-    // the signatures into the exchange instead of re-deriving them in
-    // downstream probe loops
+    // cores even when the source is one parquet file; the eager
+    // localCheckpoint computes signatures exactly once — they feed the
+    // slim band join AND both verification probes below
     val sigs = df.select(
       col(idCol).as("id"),
       graft.functions.ArrayHashes.shingle_hash_set(
@@ -111,22 +116,34 @@ object Dedup {
       graft.functions.ArrayHashes.minhash_band_keys(
         array_distinct(TextAnalysis.tokens(col(textCol))), k, bands).as("band_keys"))
       .repartition(col("id"))
-    // first-colliding-band join: pair (a,b) is produced exactly once —
-    // by the lowest band index where their keys collide — so no DISTINCT
-    // shuffle over the candidate set and no re-join to fetch word sets
-    val l = sigs.select(col("id").as("id_a"), col("wh").as("wa"), col("band_keys").as("bka"))
-    val rt = sigs.select(col("id").as("id_b"), col("wh").as("wb"), col("band_keys").as("bkb"))
-    val perBand = (0 until bands).map { b =>
-      val earlierDiffer = (0 until b)
-        .map(p => element_at(col("bka"), p + 1) =!= element_at(col("bkb"), p + 1))
-        .foldLeft(lit(true))(_ && _)
-      l.join(rt,
-          element_at(col("bka"), b + 1) === element_at(col("bkb"), b + 1) &&
-            col("id_a") < col("id_b") && earlierDiffer)
-        .select(col("id_a"), col("id_b"),
-          jaccardSorted(col("wa"), col("wb")).as("jaccard"))
-    }
-    perBand.reduce(_ unionByName _).filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    // ONE slim band-position join (not one join per band): explode band
+    // keys WITHOUT the heavy word-hash arrays, so the band shuffle
+    // carries 8 short strings per doc instead of the whole hashed word
+    // set. First-colliding-band semantics (each pair produced exactly
+    // once, by the lowest colliding band — no DISTINCT shuffle) are kept
+    // via the prefix-differs filter on the full key arrays.
+    val bandRows = sigs.select(col("id"), col("band_keys"),
+      posexplode(col("band_keys")).as(Seq("band_pos", "band_key")))
+    val a = bandRows.select(col("band_pos"), col("band_key"),
+      col("id").as("id_a"), col("band_keys").as("bka"))
+    val b = bandRows.select(col("band_pos"), col("band_key"),
+      col("id").as("id_b"), col("band_keys").as("bkb"))
+    val earlierAllDiffer = !graft.functions.ArrayHashes.prefix_any_equal(
+      col("bka"), col("bkb"), col("band_pos"))
+    val cands = a.join(b, Seq("band_pos", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(earlierAllDiffer)
+      .select(col("id_a"), col("id_b"))
+    // verification: fetch hashed word sets by id (sigs re-read from the
+    // checkpoint, not recomputed) and run the one-pass sorted merge once
+    // per candidate pair
+    val wa = sigs.select(col("id").as("id_a"), col("wh").as("wa"))
+    val wb = sigs.select(col("id").as("id_b"), col("wh").as("wb"))
+    cands.join(wa, Seq("id_a")).join(wb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccardSorted(col("wa"), col("wb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Connected-component canonicalization: given near-dup pairs, assign
@@ -153,14 +170,17 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val neighborMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nmin"))
+      // the changed flag is computed inside the same join that produces
+      // the next labels (no second self-join per iteration); the eager
+      // localCheckpoint materializes both in one job, and the
+      // convergence probe below is a narrow scan of the cached blocks
       val next = labels.join(neighborMin, labels("id") === neighborMin("dst"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("changed"))
         .localCheckpoint(true)
-      converged = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.drop("changed")
       iter += 1
     }
     labels.select(col("id").as(idCol), col("label").as("canonical_id"))

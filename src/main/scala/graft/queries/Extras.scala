@@ -137,17 +137,21 @@ object Extras extends QueryPack {
       |ORDER BY user_id""".stripMargin
 
   // ---- A4: newest-N ring buffer as a typed Aggregator --------------------
+  // The array is rendered as a comma-joined string so the driver's
+  // pandas hash-compare (which cannot sort ndarray cells) stays green.
   private def a4RingAgg(s: SparkSession, dir: String): DataFrame = {
     val newest3 = graft.functions.RingBuffer.newestN(3)
     Tables.load(s, dir, "events")
       .groupBy(col("event_type"))
-      .agg(newest3(unix_micros(col("ts")), col("event_id")).as("newest_ids"))
+      .agg(concat_ws(",",
+        newest3(unix_micros(col("ts")), col("event_id")).cast("array<string>"))
+        .as("newest_ids"))
       .orderBy(col("event_type"))
   }
 
   private val a4Sql =
     """SELECT event_type,
-      |  (list(event_id ORDER BY ts DESC, event_id DESC))[1:3] AS newest_ids
+      |  array_to_string((list(event_id ORDER BY ts DESC, event_id DESC))[1:3], ',') AS newest_ids
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   override val all: Seq[Q] = Seq(

@@ -95,7 +95,7 @@ object PipelineQueries extends QueryPack {
   // ---- DD2: MinHash + LSH near-dup pairs ---------------------------------
   private def dd2MinhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashNearDupPairs(Tables.load(s, dir, "documents"),
-        "doc_id", "text", k = 32, bands = 2, threshold = 0.9)
+        "doc_id", "text", k = 32, bands = 8, threshold = 0.9)
       .orderBy(col("id_a"), col("id_b"))
 
   private val dd2Sql =
@@ -108,8 +108,8 @@ object PipelineQueries extends QueryPack {
       |  FROM t),
       |bands AS (
       |  SELECT doc_id,
-      |    unnest([md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*16+1:b*16+16], '|'))
-      |            for b in range(0, 2)]) AS band_key
+      |    unnest([md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], '|'))
+      |            for b in range(0, 8)]) AS band_key
       |  FROM sigs),
       |cands AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -127,7 +127,7 @@ object PipelineQueries extends QueryPack {
   private def dd6NeardupCanonical(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text",
-      k = 32, bands = 2, threshold = 0.9)
+      k = 32, bands = 8, threshold = 0.9)
     Dedup.minLabelComponents(pairs, docs, "doc_id")
       .orderBy(col("doc_id"))
   }
@@ -142,8 +142,8 @@ object PipelineQueries extends QueryPack {
       |  FROM t),
       |bands AS (
       |  SELECT doc_id,
-      |    unnest([md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*16+1:b*16+16], '|'))
-      |            for b in range(0, 2)]) AS band_key
+      |    unnest([md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], '|'))
+      |            for b in range(0, 8)]) AS band_key
       |  FROM sigs),
       |cands AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

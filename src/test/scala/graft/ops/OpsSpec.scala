@@ -35,6 +35,20 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("planted J=0.9 pair is found at default banding (recall regression)") {
+    // 18 shared words + 1 unique each: |A∩B|=18, |A∪B|=20 → J=0.9 exactly.
+    // With the old bands=2/r=16 default this pair was missed with
+    // probability ≈0.66; at bands=8/r=4 recall at J=0.9 is ≈0.9998.
+    val shared = (1 to 18).map(i => s"word$i")
+    val d = Seq(
+      (1L, (shared :+ "alpha").mkString(" ")),
+      (2L, (shared :+ "bravo").mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDupPairs(d, "doc_id", "text").collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("id_a") == 1L)
+    assert(pairs.head.getAs[Double]("jaccard") == 0.9)
+  }
+
   test("simhash of identical docs is identical; hamming grows with difference") {
     val sh = docs.select($"doc_id", Dedup.simHash32($"text").as("sh"))
       .as[(Long, Long)].collect().toMap
