@@ -132,4 +132,62 @@ object Envelope {
       col("operation"), col("source_ts"), col("source_schema"), col("source_table"))
     withEnv.select(metaCols ++ dataCols: _*)
   }
+
+  // ---- generic schemaless path (SURVEY §1.3) ------------------------------
+
+  /** Column-name heuristic marking temporal columns when no schema is
+    * registered (`CdcSyncService.java:154-162`): names containing
+    * DATE/TIME (incl. TIMESTAMP) or ending in _AT. Applied to
+    * already-uppercased keys.
+    */
+  val temporalNamePattern = "DATE|TIME|_AT$"
+
+  /** Envelope schema with `MapType(String,String)` images — any table
+    * shape parses without registration.
+    */
+  def schemalessEnvelopeSchema: StructType = {
+    val img = MapType(StringType, StringType)
+    StructType(Seq(
+      StructField("op", StringType),
+      StructField("ts_ms", LongType),
+      StructField("source", StructType(Seq(
+        StructField("schema", StringType),
+        StructField("table", StringType)))),
+      StructField("before", img),
+      StructField("after", img)))
+  }
+
+  /** Parse envelopes from an UNREGISTERED topic (the reference's Java
+    * layer is fully schemaless, `CdcSyncService.java:140-166`): same
+    * op decode / image coalesce / wrapper tolerance as `parse`, but the
+    * image lands as a `MapType(String,String)` column (`image`, keys
+    * uppercased per P11) plus `image_ts` — the name-pattern temporal
+    * columns decoded with the P5 magnitude heuristic.
+    *
+    * The map transforms are higher-order Column functions (interpreted):
+    * acceptable for the compat fallback path, which exists so an unknown
+    * table syncs at all; registered tables take the codegen'd `parse`.
+    */
+  def parseSchemaless(raw: DataFrame): DataFrame = {
+    val envSchema = schemalessEnvelopeSchema
+    val outer = StructType(envSchema.fields :+ StructField("payload", envSchema))
+    val parsed = from_json(col("value"), outer)
+    val env = when(parsed.getField("payload").isNotNull, parsed.getField("payload"))
+      .otherwise(struct(envSchema.fieldNames.map(n => parsed.getField(n).as(n)): _*))
+    raw.withColumn("_env", env)
+      .withColumn("op", col("_env.op"))
+      .withColumn("operation", decodeOp(col("op")))
+      .withColumn("source_ts", timestamp_millis(col("_env.ts_ms")))
+      .withColumn("source_schema", col("_env.source.schema"))
+      .withColumn("source_table", col("_env.source.table"))
+      .withColumn("_imgraw",
+        when(col("operation") === "DELETE", col("_env.before")).otherwise(col("_env.after")))
+      .filter(col("_env").isNotNull && col("op").isNotNull && col("_imgraw").isNotNull)
+      .withColumn("image", transform_keys(col("_imgraw"), (k, _) => upper(k)))
+      .withColumn("image_ts", transform_values(
+        map_filter(col("image"), (k, _) => k.rlike(temporalNamePattern)),
+        (_, v) => epochAuto(v)))
+      .select(col("operation"), col("source_ts"), col("source_schema"),
+        col("source_table"), col("image"), col("image_ts"))
+  }
 }

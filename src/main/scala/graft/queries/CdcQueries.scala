@@ -271,8 +271,58 @@ object CdcQueries extends QueryPack {
       |  epoch_ms(epoch_ms(ts)) AS event_ts, 'SYNC' AS created_by
       |FROM events WHERE event_type <> 'error' ORDER BY event_id""".stripMargin
 
+  // ---- CDC2: schemaless envelope path (SURVEY §1.3) ----------------------
+  // An UNREGISTERED topic parsed via Envelope.parseSchemaless: map-typed
+  // image (keys uppercased), wrapper AND bare envelope shapes mixed
+  // 50/50, DELETE coalescing to `before`, and the name-pattern temporal
+  // heuristic decoding CREATED_AT. The oracle restates the net output
+  // relationally from the base table.
+  private def cdc2Schemaless(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").repartition(col("event_id"))
+    // lowercase wire keys: proves the P11 uppercase normalization
+    val image = struct(
+      col("event_id").cast("string").as("event_id"),
+      col("user_id").cast("string").as("user_id"),
+      col("event_type").as("event_type"),
+      col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+        .cast("string").as("value"),
+      unix_millis(col("ts")).as("created_at"))
+    val isDelete = col("event_type") === "error"
+    val inner = struct(
+      when(isDelete, "d").otherwise("u").as("op"),
+      unix_millis(col("ts")).as("ts_ms"),
+      struct(lit("ASIS_USER").as("schema"), lit("UNREGISTERED_TBL").as("table")).as("source"),
+      when(isDelete, image).as("before"),
+      when(!isDelete, image).as("after"))
+    val envelopes = ev.select(
+      when(col("event_id") % 2 === 0, to_json(struct(inner.as("payload"))))
+        .otherwise(to_json(inner)).as("value"))
+    Envelope.parseSchemaless(envelopes).select(
+        element_at(col("image"), "EVENT_ID").cast("long").as("event_id"),
+        element_at(col("image"), "USER_ID").cast("long").as("user_id"),
+        col("operation"),
+        col("source_table"),
+        size(col("image")).as("n_fields"),
+        size(col("image_ts")).as("n_temporal"),
+        element_at(col("image"), "VALUE")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .cast("double").as("value"),
+        element_at(col("image_ts"), "CREATED_AT").as("created_at"))
+      .orderBy(col("event_id"))
+  }
+
+  private val cdc2Sql =
+    """SELECT event_id, user_id,
+      |  CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPDATE' END AS operation,
+      |  'UNREGISTERED_TBL' AS source_table,
+      |  5 AS n_fields, 1 AS n_temporal,
+      |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+      |  epoch_ms(epoch_ms(ts)) AS created_at
+      |FROM events ORDER BY event_id""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("cdc1_e2e_sync", "flagship: envelope parse → transform → ordered apply", cdc1E2eSync, Some(cdc1Sql)),
+    Q("cdc2_schemaless", "schemaless map-image envelope path for unregistered topics", cdc2Schemaless, Some(cdc2Sql)),
     Q("p1_op_decode", "P1 op-code decode via Envelope.decodeOp", p1OpDecode, Some(p1Sql)),
     Q("p5_epoch_decode", "P5 epoch magnitude heuristic via Envelope.epochAuto", p5EpochDecode, Some(p5Sql)),
     Q("st1_loop_block", "ST1 hash-window loop suppression (batch form)", st1LoopBlock, Some(st1Sql)),

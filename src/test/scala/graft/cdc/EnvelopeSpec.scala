@@ -67,6 +67,39 @@ class EnvelopeSpec extends SparkSpec {
     assert(parsed.filter(col("BOOK_ID") === 2).count() == 1)
   }
 
+  test("schemaless path: unregistered topic parses to an uppercased map image") {
+    // a table shape no registry entry knows about; lowercase wire keys
+    val raw = Seq(
+      // wrapped, update
+      """{"payload":{"op":"u","ts_ms":1768284013301,
+        |"source":{"schema":"ASIS_USER","table":"MYSTERY_TBL"},
+        |"before":null,
+        |"after":{"mystery_id":"7","note":"hello","last_mod_date":1768279886846,"synced_at":19723}}}"""
+        .stripMargin.replaceAll("\n", ""),
+      // bare, delete → before image
+      """{"op":"d","ts_ms":1768284013302,
+        |"source":{"schema":"ASIS_USER","table":"MYSTERY_TBL"},
+        |"before":{"mystery_id":"8","note":"bye","last_mod_date":1768279886846,"synced_at":19723},
+        |"after":null}""".stripMargin.replaceAll("\n", ""),
+      "corrupt {{{").toDF("value")
+    val out = Envelope.parseSchemaless(raw).orderBy("operation").collect()
+    assert(out.length == 2) // corrupt dropped
+    val del = out(0); val upd = out(1)
+    assert(del.getAs[String]("operation") == "DELETE")
+    assert(upd.getAs[String]("operation") == "UPDATE")
+    assert(del.getAs[String]("source_table") == "MYSTERY_TBL")
+    val img = upd.getAs[Map[String, String]]("image")
+    assert(img.keySet == Set("MYSTERY_ID", "NOTE", "LAST_MOD_DATE", "SYNCED_AT"))
+    assert(img("MYSTERY_ID") == "7")
+    // DELETE coalesced to the before image
+    assert(del.getAs[Map[String, String]]("image")("NOTE") == "bye")
+    // temporal heuristic: *_DATE and *_AT decode, NOTE/MYSTERY_ID don't
+    val ts = upd.getAs[Map[String, java.sql.Timestamp]]("image_ts")
+    assert(ts.keySet == Set("LAST_MOD_DATE", "SYNCED_AT"))
+    assert(ts("LAST_MOD_DATE").toInstant.toString.startsWith("2026-01-13")) // millis
+    assert(ts("SYNCED_AT").toInstant.toString.startsWith("2024-01-01")) // epoch days
+  }
+
   test("debezium_decimal handles negative scale-2 and null") {
     import graft.functions.DebeziumDecimalDecode
     val d = DebeziumDecimalDecode.decode(
