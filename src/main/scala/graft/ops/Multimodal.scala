@@ -7,13 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded/featurized per partition.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic STUB (`decodeImageStub`) — everything
-  * around it (schema, binary payloads, partition-batch processing,
-  * frame sampling, feature shape) is real Spark plumbing and tested.
-  * Swapping the stub for javax.imageio / ffmpeg bindings changes no
-  * plan shape: the mapPartitions batch iterator is exactly where a real
-  * codec would run, one partition per task, no driver involvement.
+  * IMAGE decode is REAL: `javax.imageio` ships with the JDK and decodes
+  * PNG/BMP with zero external codecs — `pngTable`/`decodeImage`/
+  * `imageMeta` run a genuine encode→decode round trip inside
+  * `mapPartitions` (one task per partition, no driver involvement).
+  * AUDIO/VIDEO decode stays a clearly-marked deterministic STUB
+  * (`decodeImageStub` naming kept for compatibility): those codecs
+  * genuinely don't exist in this container. Swapping the stub for
+  * ffmpeg bindings changes no plan shape — the mapPartitions batch
+  * iterator is exactly where the codec runs.
   */
 object Multimodal {
 
@@ -61,15 +63,79 @@ object Multimodal {
       .withColumn("frame_md5", md5(col("frame_bytes")))
   }
 
-  /** STUB image decode — deterministic fake standing in for a codec.
-    * Real implementation would be e.g. ImageIO.read over the bytes; the
-    * container ships no codecs, so this derives a fake pixel summary
-    * from the payload deterministically.
+  /** STUB decode for audio/video — deterministic fake standing in for a
+    * codec (ffmpeg et al. genuinely absent from this container). Image
+    * decode does NOT use this: see `decodeImage`.
     */
   def decodeImageStub(payload: Array[Byte]): (Int, Int, Long) = {
     val size = payload.length
     val checksum = payload.foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
     (64 + size % 512, 64 + (size * 7) % 512, checksum)
+  }
+
+  // ---- real image decode (JDK javax.imageio) -----------------------------
+
+  /** Deterministic tiny PNG per doc: width `1 + doc_id % 16`, height
+    * `1 + (doc_id*7) % 16`, solid RGB fill `(doc_id * 2654435761) %
+    * 2^24` — a REAL encoded PNG (javax.imageio), so downstream decode
+    * exercises an actual codec, and an oracle can predict the decoded
+    * dimensions from doc_id alone. Runs inside mapPartitions like any
+    * ingest-side transcode.
+    */
+  def pngTable(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 1 + (id % 16).toInt
+        val h = 1 + ((id * 7) % 16).toInt
+        val rgb = ((id * 2654435761L) & 0xffffffL).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL image decode via the JDK codec: (width, height, top-left RGB).
+    * Returns null for undecodable payloads (the per-record error
+    * isolation the reference applies to bad events, ST8).
+    */
+  def decodeImage(payload: Array[Byte]): (Int, Int, Int) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) null
+    else (img.getWidth, img.getHeight, img.getRGB(0, 0) & 0xffffff)
+  }
+
+  /** Decoded image metadata over a (doc_id, payload) binary-column
+    * table — `mapPartitions` + ImageIO, the codec seam; undecodable
+    * rows are dropped rather than failing the task.
+    */
+  def imageMeta(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("rgb0", IntegerType)))
+    val idIdx = media.schema.fieldIndex("doc_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Option(decodeImage(r.getAs[Array[Byte]](payloadIdx))).map {
+          case (w, h, rgb) => Row(r.getLong(idIdx), w, h, rgb)
+        }
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Per-partition featurization: byte histogram (2^4 buckets) — the

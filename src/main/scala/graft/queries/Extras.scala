@@ -42,6 +42,22 @@ object Extras extends QueryPack {
       |WHERE frame_idx < least(CAST(ceil(length(text) / 64.0) AS INTEGER), 4)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---- MM3: REAL PNG decode (javax.imageio) ------------------------------
+  // Encode a deterministic tiny PNG per doc, then decode it with the
+  // JDK codec inside mapPartitions. The oracle predicts the decoded
+  // dimensions + fill color from doc_id alone — a hash match certifies
+  // that a genuine codec ran and round-tripped losslessly.
+  private def mm3PngDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageMeta(Multimodal.pngTable(Tables.load(s, dir, "documents")))
+      .orderBy(col("doc_id"))
+
+  private val mm3Sql =
+    """SELECT doc_id,
+      |  CAST(1 + doc_id % 16 AS INTEGER) AS width,
+      |  CAST(1 + (doc_id * 7) % 16 AS INTEGER) AS height,
+      |  CAST((doc_id * 2654435761) % 16777216 AS INTEGER) AS rgb0
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- P7: VariableScaleDecimal decode (custom Catalyst Expression) -----
   // The oracle recomputes BigInteger(ascii-bytes)/10^scale from first
   // principles — a hash match certifies DebeziumDecimalDecode incl. its
@@ -159,6 +175,7 @@ object Extras extends QueryPack {
     Q("a4_ring_agg", "A4 newest-N ring buffer as typed Aggregator", a4RingAgg, Some(a4Sql)),
     Q("mm1_media_meta", "multimodal: typed metadata over binary payloads", mm1MediaMeta, Some(mm1Sql)),
     Q("mm2_frame_hashes", "multimodal: fixed-size frame sampling", mm2FrameHashes, Some(mm2Sql)),
+    Q("mm3_png_decode", "multimodal: real JDK PNG encode→decode round trip", mm3PngDecode, Some(mm3Sql)),
     Q("p7_debezium_decimal", "P7 VariableScaleDecimal custom Expression", p7DebeziumDecimal, Some(p7Sql)),
     Q("js1_json_extract", "JSON field extraction + aggregation", js1JsonExtract, Some(js1Sql)),
     Q("w3_tumbling_hourly", "tumbling event-time window aggregation", w3TumblingHourly, Some(w3Sql)),

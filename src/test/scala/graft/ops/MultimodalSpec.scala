@@ -37,6 +37,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImageStub(b) == Multimodal.decodeImageStub(b))
   }
 
+  test("real PNG round trip: payloads are genuine PNGs, JDK decode recovers w/h/color") {
+    val pngs = Multimodal.pngTable(
+      graft.Tables.load(spark, sfSmoke, "documents").limit(20))
+    val raw = pngs.collect()
+    // PNG magic bytes prove a real encoder ran
+    assert(raw.forall { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
+    })
+    val meta = Multimodal.imageMeta(pngs).collect()
+    assert(meta.length == raw.length)
+    meta.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 1 + (id % 16).toInt, "width")
+      assert(r.getInt(2) == 1 + ((id * 7) % 16).toInt, "height")
+      assert(r.getInt(3) == ((id * 2654435761L) & 0xffffffL).toInt, "rgb0")
+    }
+    // undecodable payloads are dropped, not task-fatal (ST8 isolation)
+    val junk = Seq((99L, "not a png".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    assert(Multimodal.imageMeta(junk).count() == 0)
+  }
+
   test("fake embeddings feed the similarity operators") {
     val emb = Multimodal.fakeEmbedding(media, 8)
     assert(emb.head().getAs[scala.collection.Seq[Float]]("embedding").length == 8)
