@@ -40,6 +40,14 @@ object Monitoring {
     src.orderBy(col("log_time").desc).limit(n)
   }
 
+  /** A4 at scale: bound the scan by the audit store's `log_date`
+    * partition column before the top-K, so the parquet scan prunes to
+    * the queried days instead of reading the whole append-forever log.
+    */
+  def recentSince(audit: DataFrame, n: Int, since: java.sql.Date,
+      errorsOnly: Boolean = false): DataFrame =
+    recent(audit.filter(col("log_date") >= lit(since)), n, errorsOnly)
+
   /** A5: status breakdown with optional LIKE filter (SimulatorController). */
   def statusBreakdown(audit: DataFrame, tableLike: Option[String]): DataFrame = {
     val f = tableLike.map(t => audit.filter(upper(col("table_name")).contains(t.toUpperCase)))

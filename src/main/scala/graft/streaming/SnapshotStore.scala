@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, to_date}
 import org.apache.spark.sql.types.StructType
 
 /** Versioned parquet snapshot store — the engine's local stand-in for a
@@ -43,8 +44,16 @@ final class SnapshotStore(spark: SparkSession, basePath: String) {
     next
   }
 
+  /** Audit rows append partitioned by `log_date`: the audit table is
+    * the one append-forever table in the system, so date partitioning
+    * is what keeps `Monitoring.recent`/`statusBreakdown` scans pruned
+    * when the log is 100× today's volume (`AuditPruneSpec` asserts the
+    * partition filter reaches the scan).
+    */
   def appendAudit(df: DataFrame): Unit =
-    df.write.mode(SaveMode.Append).parquet(s"$basePath/_audit")
+    df.withColumn("log_date", to_date(col("log_time")))
+      .write.mode(SaveMode.Append)
+      .partitionBy("log_date").parquet(s"$basePath/_audit")
 
   def audit(): DataFrame = {
     val p = s"$basePath/_audit"
