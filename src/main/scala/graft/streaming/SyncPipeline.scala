@@ -31,8 +31,11 @@ final class SyncPipeline(
     watermarkDelay: String = "10 minutes",
     loopWindowMs: Long = LoopDedup.windowMsDefault,
     loopTtlMs: Long = LoopDedup.ttlMsDefault,
-    /** use the transformWithState dedup (needs RocksDB state store) */
-    useTws: Boolean = false) {
+    /** transformWithState dedup (Spark 4's supported stateful API,
+      * RocksDB-backed state with declarative TTL) is the default;
+      * `false` falls back to the flatMapGroupsWithState variant.
+      */
+    useTws: Boolean = true) {
 
   private val codeDim = CodeMapping.dim(spark)
 
@@ -66,6 +69,11 @@ final class SyncPipeline(
       checkpoint: String): StreamingQuery = {
     val tx = transformed(source, mapping, direction)
       .withWatermark("event_ts", watermarkDelay)
+    // transformWithState requires the RocksDB provider; set it once at
+    // query start (it serves every stateful operator equally well)
+    if (useTws) spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val deduped =
       if (useTws) LoopDedupTws(tx, loopWindowMs, loopTtlMs)
       else LoopDedup(tx, loopWindowMs, loopTtlMs)

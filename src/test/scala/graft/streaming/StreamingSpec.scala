@@ -77,7 +77,8 @@ class StreamingSpec extends SparkSpec {
   test("loop window expires: same hash after 5 minutes applies again") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     val store = new SnapshotStore(spark, s"$dir/store")
-    val pipeline = new SyncPipeline(spark, store, trigger = Trigger.ProcessingTime("0 seconds"))
+    val pipeline = new SyncPipeline(spark, store, trigger = Trigger.ProcessingTime("0 seconds"),
+      useTws = false) // keeps the fMGWS variant covered alongside the TWS default
     val mem = MemoryStream[String](spark)
     val source = mem.toDF()
       .withColumn("topic", lit("asis.ASIS_USER.BOOK_INFO"))
