@@ -58,6 +58,35 @@ object Extras extends QueryPack {
       |  CAST((doc_id * 2654435761) % 16777216 AS INTEGER) AS rgb0
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- SK1: salted join on a deliberately skewed key ---------------------
+  // ~1/3 of events collapse onto hot key 7; the salted join spreads that
+  // key over 8 shuffle partitions (salt derived from event_id) while the
+  // exploded 50-row dim side still matches every salted row. The oracle
+  // restates the UNSALTED join — a hash match proves salting is
+  // result-invisible.
+  private def sk1SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("k", when(col("event_id") % 3 === 0, 7L).otherwise(col("user_id") % 50))
+    val dim = Tables.load(s, dir, "customer")
+      .groupBy((col("c_custkey") % 50).as("k"))
+      .agg(min(col("c_name")).as("label"))
+    graft.ops.Skew.saltedJoin(ev, dim, "k", salts = 8, saltSource = col("event_id"))
+      .groupBy(col("k"), col("label"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .orderBy(col("k"))
+  }
+
+  private val sk1Sql =
+    """WITH ev AS (
+      |  SELECT CASE WHEN event_id % 3 = 0 THEN 7 ELSE user_id % 50 END AS k, value
+      |  FROM events),
+      |dim AS (SELECT c_custkey % 50 AS k, MIN(c_name) AS label FROM customer GROUP BY 1)
+      |SELECT ev.k, label, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM ev JOIN dim ON ev.k = dim.k
+      |GROUP BY ev.k, label ORDER BY ev.k""".stripMargin
+
   // ---- P7: VariableScaleDecimal decode (custom Catalyst Expression) -----
   // The oracle recomputes BigInteger(ascii-bytes)/10^scale from first
   // principles — a hash match certifies DebeziumDecimalDecode incl. its
@@ -176,6 +205,7 @@ object Extras extends QueryPack {
     Q("mm1_media_meta", "multimodal: typed metadata over binary payloads", mm1MediaMeta, Some(mm1Sql)),
     Q("mm2_frame_hashes", "multimodal: fixed-size frame sampling", mm2FrameHashes, Some(mm2Sql)),
     Q("mm3_png_decode", "multimodal: real JDK PNG encode→decode round trip", mm3PngDecode, Some(mm3Sql)),
+    Q("sk1_salted_join", "salted join spreads a deliberately hot key", sk1SaltedJoin, Some(sk1Sql)),
     Q("p7_debezium_decimal", "P7 VariableScaleDecimal custom Expression", p7DebeziumDecimal, Some(p7Sql)),
     Q("js1_json_extract", "JSON field extraction + aggregation", js1JsonExtract, Some(js1Sql)),
     Q("w3_tumbling_hourly", "tumbling event-time window aggregation", w3TumblingHourly, Some(w3Sql)),

@@ -49,12 +49,21 @@ class StreamingAggSpec extends SparkSpec {
       && r.getAs[Long]("n") == 2))
   }
 
-  test("salted join equals the plain join") {
+  test("salted join equals the plain join, and the salt reaches the join keys") {
     val ev = graft.Tables.load(spark, sfSmoke, "events")
     val dim = ev.groupBy("user_id").agg(max("value").as("max_value"))
     val plain = ev.join(dim, Seq("user_id")).agg(sum("max_value")).head().getDouble(0)
-    val salted = graft.ops.Skew.saltedJoin(ev, dim, "user_id", 8, col("event_id"))
-      .agg(sum("max_value")).head().getDouble(0)
+    val saltedDf = graft.ops.Skew.saltedJoin(ev, dim, "user_id", 8, col("event_id"))
+    val salted = saltedDf.agg(sum("max_value")).head().getDouble(0)
     assert(math.abs(plain - salted) < 1e-6)
+    // the salt column must be part of the physical join keys (that's
+    // what spreads the hot key across 8 shuffle partitions)
+    assert(saltedDf.queryExecution.executedPlan.toString.contains("__salt"))
+    // ...and a hot key's rows genuinely land on every salt value
+    val spread = ev.withColumn("k", lit(1))
+    val perSalt = graft.ops.Skew.saltedJoin(
+        spread, spread.select("k").distinct(), "k", 8, col("event_id"))
+      .groupBy(pmod(crc32(col("event_id").cast("string")), lit(8))).count().count()
+    assert(perSalt == 8)
   }
 }
