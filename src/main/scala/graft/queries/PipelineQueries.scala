@@ -103,7 +103,10 @@ object PipelineQueries extends QueryPack {
       |sigs AS (
       |  SELECT doc_id,
       |    [('0x' || substr(md5(w), 1, 15))::BIGINT for w in words] AS wh,
-      |    [list_min([('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || w), 1, 8))::BIGINT
+      |    [list_min([((('0x' || substr(md5('a' || chr(124) || CAST(i AS VARCHAR)), 1, 5))::BIGINT | 1)
+      |                 * ('0x' || substr(md5(w), 1, 8))::BIGINT
+      |                 + ('0x' || substr(md5('b' || chr(124) || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 4294967291
+      |                ) % 4294967291
       |               for w in words]) for i in range(0, 32)] AS sig
       |  FROM t),
       |bands AS (
@@ -137,7 +140,10 @@ object PipelineQueries extends QueryPack {
       |sigs AS (
       |  SELECT doc_id,
       |    [('0x' || substr(md5(w), 1, 15))::BIGINT for w in words] AS wh,
-      |    [list_min([('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || w), 1, 8))::BIGINT
+      |    [list_min([((('0x' || substr(md5('a' || chr(124) || CAST(i AS VARCHAR)), 1, 5))::BIGINT | 1)
+      |                 * ('0x' || substr(md5(w), 1, 8))::BIGINT
+      |                 + ('0x' || substr(md5('b' || chr(124) || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 4294967291
+      |                ) % 4294967291
       |               for w in words]) for i in range(0, 32)] AS sig
       |  FROM t),
       |bands AS (
