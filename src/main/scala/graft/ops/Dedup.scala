@@ -186,6 +186,47 @@ object Dedup {
     labels.select(col("id").as(idCol), col("label").as("canonical_id"))
   }
 
+  // ---- train/eval decontamination ----------------------------------------
+
+  /** Train/eval contamination pairs by n-gram CONTAINMENT — the
+    * asymmetric cousin of Jaccard a decontamination pass needs:
+    * |shingles(eval) ∩ shingles(train)| / |shingles(eval)|, i.e. "how
+    * much of this eval doc already sits inside that training doc".
+    *
+    * Plan shape: an inverted-index join, not an all-pairs compare —
+    * both sides explode to (doc, shingle-hash) rows and meet in ONE
+    * shuffle keyed by the 60-bit shingle hash; counts aggregate per
+    * (eval, train) pair. `maxDf` drops shingles appearing in more than
+    * that many training docs BEFORE the join — the standard guard that
+    * keeps boilerplate n-grams (hot keys) from exploding the join at
+    * corpus scale; the denominator stays the full eval shingle count,
+    * so dropping common shingles only ever lowers containment.
+    */
+  def ngramContainmentPairs(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      threshold: Double = 0.5, maxDf: Long = 1000): DataFrame = {
+    def shingles(df: DataFrame, name: String) = df.select(
+      col(idCol).as(name),
+      explode(graft.functions.ArrayHashes.shingle_hash_set(
+        TextAnalysis.tokens(col(textCol)), n)).as("h"))
+    val trainSh = shingles(train, "train_id")
+    val keep = trainSh.groupBy(col("h"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf).select("h")
+    val evalSizes = eval.select(col(idCol).as("eval_id"),
+      size(graft.functions.ArrayHashes.shingle_hash_set(
+        TextAnalysis.tokens(col(textCol)), n)).as("n_eval"))
+    shingles(eval, "eval_id")
+      .join(keep, Seq("h"), "left_semi")
+      .join(trainSh, Seq("h"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(evalSizes, Seq("eval_id"))
+      .select(col("eval_id"), col("train_id"),
+        TextAnalysis.round6(col("n_common").cast("double") / col("n_eval"))
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** 32-bit SimHash over distinct words — bit j is the sign of the sum of

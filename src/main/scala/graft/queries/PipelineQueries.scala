@@ -340,6 +340,83 @@ object PipelineQueries extends QueryPack {
       |                 for t in regexp_extract_all(text, '[a-z0-9]+')]) AS BIGINT) AS n_bpe4_pieces
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- DC1: train/eval decontamination (n-gram containment) --------------
+  // src0 plays the eval set; every other source is training data. The
+  // inverted-index join finds eval docs whose 3-gram sets sit ≥50%
+  // inside some training doc — the overlap a decontamination pass must
+  // remove before training.
+  private def dc1Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    Dedup.ngramContainmentPairs(
+        docs.filter(col("source") =!= "src0"), docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 3, threshold = 0.5, maxDf = 1000)
+      .orderBy(col("eval_id"), col("train_id"))
+  }
+
+  private val dc1Sql =
+    """WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+      |           FROM documents),
+      |sh AS (SELECT doc_id, source,
+      |  [('0x' || substr(md5(s), 1, 15))::BIGINT for s in
+      |   list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])] AS hs
+      |  FROM t),
+      |tr AS (SELECT doc_id AS train_id, unnest(hs) AS h FROM sh WHERE source <> 'src0'),
+      |keep AS (SELECT h FROM tr GROUP BY h HAVING COUNT(*) <= 1000),
+      |ev AS (SELECT doc_id AS eval_id, unnest(hs) AS h FROM sh WHERE source = 'src0'),
+      |evn AS (SELECT doc_id AS eval_id, len(hs) AS n_eval FROM sh WHERE source = 'src0'),
+      |hits AS (
+      |  SELECT eval_id, train_id, COUNT(*) AS n_common
+      |  FROM ev JOIN tr USING (h)
+      |  WHERE h IN (SELECT h FROM keep)
+      |  GROUP BY eval_id, train_id)
+      |SELECT eval_id, train_id,
+      |  floor(CAST(n_common AS DOUBLE) / n_eval * 1000000.0 + 0.5) / 1000000.0 AS containment
+      |FROM hits JOIN evn USING (eval_id)
+      |WHERE floor(CAST(n_common AS DOUBLE) / n_eval * 1000000.0 + 0.5) / 1000000.0 >= 0.5
+      |ORDER BY eval_id, train_id""".stripMargin
+
+  // ---- PK1: sequence packing into 2048-token windows ---------------------
+  private def pk1SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    graft.ops.Packing.packWindows(docs, "doc_id", "n_tokens",
+        budget = 2048, partitionCol = "lang")
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+      .orderBy(col("lang"), col("pack_id"))
+  }
+
+  private val pk1Sql =
+    """WITH t AS (SELECT doc_id, lang,
+      |             len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT doc_id, lang, n_tokens,
+      |  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |                      ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+      |SELECT lang, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+      |FROM c GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin
+
+  // ---- SM1: deterministic hash sampling (stratified by lang) -------------
+  // Reservoir/rand() sampling is irreproducible across engines and
+  // re-runs; hash-mod sampling is the pipeline-grade equivalent: the
+  // same ~10% of docs selected on every engine, every run.
+  private def sm1HashSample(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(pmod(Dedup.hash32(
+          concat(lit("sample|"), col("doc_id").cast("string"))), lit(100)) < 10, 1))
+          .as("n_sampled"))
+      .orderBy(col("lang"))
+
+  private val sm1Sql =
+    """SELECT lang, COUNT(*) AS n_total,
+      |  COUNT(CASE WHEN ('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+      |        THEN 1 END) AS n_sampled
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- EMB1: per-label centroid update (one k-means step) ----------------
   // Element-wise mean over the embedding column: posexplode → (label,
   // dim) average. The classic shuffle-by-(label,dim) vector aggregation
@@ -375,6 +452,9 @@ object PipelineQueries extends QueryPack {
     Q("dd3_simhash_pairs", "SimHash near-dup pairs, Hamming-verified", dd3SimhashPairs, Some(dd3Sql)),
     Q("dd4_ngram_jaccard", "3-gram Jaccard dedup, blocked by source+lang", dd4NgramJaccard, Some(dd4Sql)),
     Q("dd5_cosine_neardup", "embedding-cosine near-dup, label-blocked", dd5CosineNearDup, Some(dd5Sql)),
+    Q("dc1_decontaminate", "train/eval n-gram containment (inverted-index join)", dc1Decontaminate, Some(dc1Sql)),
+    Q("pk1_sequence_packing", "greedy packing into 2048-token context windows", pk1SequencePacking, Some(pk1Sql)),
+    Q("sm1_hash_sample", "deterministic hash-mod sampling, lang-stratified", sm1HashSample, Some(sm1Sql)),
     Q("sim1_brute_topk", "brute-force cosine top-k", sim1BruteTopk, Some(sim1Sql)),
     Q("sim2_lsh_topk", "SRP-LSH bucketed ANN top-k", sim2LshTopk, Some(sim2Sql)),
   )

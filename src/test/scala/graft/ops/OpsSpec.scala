@@ -58,6 +58,36 @@ class OpsSpec extends SparkSpec {
     assert(hamNear < hamFar)
   }
 
+  test("n-gram containment: eval doc inside a train doc scores 1.0, unrelated scores 0") {
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "totally different content about spark engines and shuffles"))
+      .toDF("doc_id", "text")
+    // eval 20 is a strict substring of train 10; eval 21 shares nothing
+    val eval = Seq(
+      (20L, "beta gamma delta epsilon zeta eta"),
+      (21L, "unrelated words nowhere in training data at all okay"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramContainmentPairs(train, eval, "doc_id", "text",
+      n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((20L, 10L, 1.0)))
+  }
+
+  test("sequence packing: windows respect the budget up to one straddling doc") {
+    val docs = (1 to 100).map(i => (i.toLong, "en", 100)).toDF("doc_id", "lang", "n_tokens")
+    val packed = Packing.packWindows(docs, "doc_id", "n_tokens", budget = 250, partitionCol = "lang")
+    val sizes = packed.groupBy("pack_id").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every window holds ≥ the budget's floor in docs and overflows by < one doc
+    assert(sizes.values.forall(t => t <= 250 + 100))
+    assert(packed.agg(sum("n_tokens")).head().getLong(0) == 100L * 100)
+    // deterministic: same input → same assignment
+    val again = Packing.packWindows(docs, "doc_id", "n_tokens", 250, "lang")
+      .select("doc_id", "pack_id").collect().toSet
+    assert(again == packed.select("doc_id", "pack_id").collect().toSet)
+  }
+
   test("language ID picks the stopword-dominant language") {
     val out = TextAnalysis.langId(col("text"))
     val got = docs.select($"doc_id", out.as("l")).as[(Long, String)].collect().toMap
