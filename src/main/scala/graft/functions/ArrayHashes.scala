@@ -69,7 +69,7 @@ object ArrayHashes {
 
   // ---- positional prefix equality (LSH first-colliding-band) -------------
 
-  /** True iff any of the first `n` positions of the two string arrays are
+  /** True iff any of the first `n` positions of the two long arrays are
     * equal. Used as the "an earlier band already collided" test in the
     * LSH first-colliding-band join — it runs once per joined candidate
     * row, where the HOF form (`exists(zip_with(slice...))`) is
@@ -79,7 +79,7 @@ object ArrayHashes {
   def prefixAnyEqual(a: ArrayData, b: ArrayData, n: Int): Boolean = {
     var i = 0
     while (i < n) {
-      if (a.getUTF8String(i).equals(b.getUTF8String(i))) return true
+      if (a.getLong(i) == b.getLong(i)) return true
       i += 1
     }
     false
@@ -184,7 +184,11 @@ object ArrayHashes {
     GraftBridge.column(MinHashSignature(GraftBridge.expression(words), k))
 
   /** MinHash signature + LSH band keys fused in one pass. Returns
-    * `bands` hex-md5 strings; band b hashes "b|sig[b·r]|…|sig[b·r+r-1]".
+    * `bands` 60-bit longs; band b is md5Head60("b|sig[b·r]|…|sig[b·r+r-1]")
+    * — longs, not hex strings, so the exploded band join shuffles and
+    * compares 8 bytes per key instead of a 32-char string, and the
+    * key arrays riding along for the first-colliding-band filter cost
+    * 64 bytes per side instead of ~300.
     *
     * Fused deliberately: expressed as `explode(band_keys(element_at(sig,…)
     * × k))`, project-collapse duplicates the signature computation into
@@ -195,25 +199,21 @@ object ArrayHashes {
     val sigArr = minHashSig(words, k)
     val r = k / bands
     val d = md5
-    val out = new Array[Any](bands)
+    val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
       val sb = new java.lang.StringBuilder
       sb.append(b)
       var j = 0
       while (j < r) { sb.append('|').append(sigArr.getLong(b * r + j)); j += 1 }
-      val dig = d.digest(sb.toString.getBytes("UTF-8"))
-      val hex = new java.lang.StringBuilder(32)
-      var i = 0
-      while (i < 16) { hex.append(f"${dig(i) & 0xff}%02x"); i += 1 }
-      out(b) = UTF8String.fromString(hex.toString)
+      out(b) = md5Head60(d, UTF8String.fromString(sb.toString))
       b += 1
     }
     new GenericArrayData(out)
   }
 
   case class MinHashBandKeys(child: Expression, k: Int, bands: Int) extends UnaryExpression {
-    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_band_keys"
     override def nullSafeEval(in: Any): Any =
       minHashBandKeys(in.asInstanceOf[ArrayData], k, bands)

@@ -56,11 +56,12 @@ object Dedup {
       array_distinct(TextAnalysis.tokens(text)), k)
 
   /** LSH band keys: bands of `r` signature rows, hashed with the band
-    * index so bands never collide across positions.
+    * index so bands never collide across positions. Column-DSL form of
+    * `ArrayHashes.minhash_band_keys` (same 60-bit long keys).
     */
   def lshBandKeys(sig: Column, bands: Int, r: Int): Column =
     array((0 until bands).map { b =>
-      md5(concat_ws("|",
+      hash60(concat_ws("|",
         lit(b) +: (0 until r).map(j => element_at(sig, b * r + j + 1)): _*))
     }: _*)
 

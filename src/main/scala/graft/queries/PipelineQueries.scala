@@ -111,7 +111,7 @@ object PipelineQueries extends QueryPack {
       |  FROM t),
       |bands AS (
       |  SELECT doc_id,
-      |    unnest([md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], '|'))
+      |    unnest([('0x' || substr(md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], '|')), 1, 15))::BIGINT
       |            for b in range(0, 8)]) AS band_key
       |  FROM sigs),
       |cands AS (
@@ -148,7 +148,7 @@ object PipelineQueries extends QueryPack {
       |  FROM t),
       |bands AS (
       |  SELECT doc_id,
-      |    unnest([md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], '|'))
+      |    unnest([('0x' || substr(md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], '|')), 1, 15))::BIGINT
       |            for b in range(0, 8)]) AS band_key
       |  FROM sigs),
       |cands AS (
