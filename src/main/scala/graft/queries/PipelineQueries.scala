@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{Dedup, Similarity, TextAnalysis}
@@ -417,6 +418,38 @@ object PipelineQueries extends QueryPack {
       |        THEN 1 END) AS n_sampled
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- QC1: per-source quality cap (best-N docs per domain) --------------
+  // The "cap each domain's contribution, keeping its best documents"
+  // quality gate: rank by the (pre-rounded, rule-7) quality score with a
+  // doc_id tie-break, keep 10 per source. One shuffle on source; ranks
+  // are deterministic across engines because the score is rounded
+  // BEFORE ranking.
+  private def qc1SourceCap(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id"))))
+      .filter(col("rn") <= 10)
+      .select(col("source"), col("rn"), col("doc_id"), col("quality"))
+      .orderBy(col("source"), col("rn"))
+
+  private val qc1Sql =
+    """WITH q AS (
+      |  SELECT doc_id, source,
+      |    floor((0.4 * least(1.0, CAST(len(w) AS DOUBLE) / 50.0)
+      |        + 0.3 * (floor(CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 1000000.0 + 0.5) / 1000000.0)
+      |        + 0.2 * least(1.0, (floor(CAST(list_sum([length(x) for x in w]) AS DOUBLE) / len(w) * 1000000.0 + 0.5) / 1000000.0) / 8.0)
+      |        + 0.1 * (1.0 - floor(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+      |            / greatest(length(text), 1) * 1000000.0 + 0.5) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0 AS quality
+      |  FROM (SELECT doc_id, source, text, string_split_regex(trim(text), '\s+') AS w FROM documents))
+      |SELECT source, rn, doc_id, quality FROM (
+      |  SELECT source, doc_id, quality,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn
+      |  FROM q)
+      |WHERE rn <= 10 ORDER BY source, rn""".stripMargin
+
   // ---- EMB1: per-label centroid update (one k-means step) ----------------
   // Element-wise mean over the embedding column: posexplode → (label,
   // dim) average. The classic shuffle-by-(label,dim) vector aggregation
@@ -455,6 +488,7 @@ object PipelineQueries extends QueryPack {
     Q("dc1_decontaminate", "train/eval n-gram containment (inverted-index join)", dc1Decontaminate, Some(dc1Sql)),
     Q("pk1_sequence_packing", "greedy packing into 2048-token context windows", pk1SequencePacking, Some(pk1Sql)),
     Q("sm1_hash_sample", "deterministic hash-mod sampling, lang-stratified", sm1HashSample, Some(sm1Sql)),
+    Q("qc1_source_cap", "per-source contribution cap keeping best-quality docs", qc1SourceCap, Some(qc1Sql)),
     Q("sim1_brute_topk", "brute-force cosine top-k", sim1BruteTopk, Some(sim1Sql)),
     Q("sim2_lsh_topk", "SRP-LSH bucketed ANN top-k", sim2LshTopk, Some(sim2Sql)),
   )
