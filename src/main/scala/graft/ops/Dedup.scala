@@ -169,8 +169,12 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val neighborMin = edges.join(labels, edges("src") === labels("id"))
-        .groupBy(col("dst")).agg(min(col("label")).as("nmin"))
+      // iteration 0: labels are the identity, so min-label-of-neighbors
+      // is just min(src) per dst — one aggregation, no join
+      val neighborMin =
+        if (iter == 0) edges.groupBy(col("dst")).agg(min(col("src")).as("nmin"))
+        else edges.join(labels, edges("src") === labels("id"))
+          .groupBy(col("dst")).agg(min(col("label")).as("nmin"))
       // the changed flag is computed inside the same join that produces
       // the next labels (no second self-join per iteration); the eager
       // localCheckpoint materializes both in one job, and the
