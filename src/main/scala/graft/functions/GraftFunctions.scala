@@ -29,7 +29,9 @@ object GraftFunctions {
     "minhash_band_keys" -> (es =>
       ArrayHashes.MinHashBandKeys(es(0), intLit(es(1), "k"), intLit(es(2), "bands"))),
     "shingle_hash_set" -> (es =>
-      ArrayHashes.ShingleHashSet(es(0), intLit(es(1), "n"))))
+      ArrayHashes.ShingleHashSet(es(0), intLit(es(1), "n"))),
+    "prefix_any_equal" -> (es =>
+      ArrayHashes.PrefixAnyEqual(es(0), es(1), es(2))))
 
   /** Register on an existing session (temp functions). */
   def registerAll(spark: SparkSession): Unit =

@@ -20,10 +20,16 @@ class FunctionsSpec extends SparkSpec {
 
     val r4 = spark.sql(
       "SELECT minhash_band_keys(array('x','y'), 8, 2) AS b").head()
-    assert(r4.getSeq[String](0).length == 2)
+    assert(r4.getSeq[Long](0).length == 2)
+    assert(r4.getSeq[Long](0).forall(_ >= 0)) // 60-bit keys stay positive
 
     val r5 = spark.sql("SELECT simhash32(array('hello')) AS s").head()
     assert(r5.getLong(0) >= 0)
+
+    val r6 = spark.sql(
+      "SELECT prefix_any_equal(array(1L,2L,3L), array(9L,2L,8L), 3) AS p," +
+        " prefix_any_equal(array(1L,2L,3L), array(9L,2L,8L), 1) AS q").head()
+    assert(r6.getBoolean(0) && !r6.getBoolean(1))
   }
 
   test("extensions class injects the same builders") {
