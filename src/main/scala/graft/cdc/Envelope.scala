@@ -113,8 +113,11 @@ object Envelope {
     val parsed = from_json(col("value"), outer)
     val env = when(parsed.getField("payload").isNotNull, parsed.getField("payload"))
       .otherwise(struct(envSchema.fieldNames.map(n => parsed.getField(n).as(n)): _*))
+    // opaque(): optimizer barrier so the wide from_json runs ONCE per
+    // row — without it, project-collapse + per-field JSON pruning
+    // re-parse the envelope once per referenced field (measured 27×)
     val withEnv = raw
-      .withColumn("_env", env)
+      .withColumn("_env", graft.functions.ArrayHashes.opaque(env))
       .withColumn("op", col("_env.op"))
       .withColumn("operation", decodeOp(col("_env.op")))
       .withColumn("source_ts", timestamp_millis(col("_env.ts_ms")))
@@ -174,7 +177,7 @@ object Envelope {
     val parsed = from_json(col("value"), outer)
     val env = when(parsed.getField("payload").isNotNull, parsed.getField("payload"))
       .otherwise(struct(envSchema.fieldNames.map(n => parsed.getField(n).as(n)): _*))
-    raw.withColumn("_env", env)
+    raw.withColumn("_env", graft.functions.ArrayHashes.opaque(env))
       .withColumn("op", col("_env.op"))
       .withColumn("operation", decodeOp(col("op")))
       .withColumn("source_ts", timestamp_millis(col("_env.ts_ms")))

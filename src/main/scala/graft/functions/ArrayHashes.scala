@@ -109,6 +109,32 @@ object ArrayHashes {
     GraftBridge.column(PrefixAnyEqual(
       GraftBridge.expression(a), GraftBridge.expression(b), GraftBridge.expression(n)))
 
+  // ---- optimizer barrier ---------------------------------------------------
+
+  /** Identity expression flagged non-deterministic: an optimizer
+    * barrier. Project-collapse refuses to inline it and the
+    * GetStructField(JsonToStructs) pruning rule can't see through it,
+    * so an expensive child (a wide `from_json`, notably) is evaluated
+    * exactly ONCE per row instead of once per field reference — the
+    * envelope parse was measured evaluating 27× per row without this.
+    * Codegen passes the child's code straight through (zero cost).
+    */
+  case class Opaque(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = child.dataType
+    override def nullable: Boolean = child.nullable
+    override lazy val deterministic: Boolean = false
+    override def prettyName: String = "opaque"
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      child.eval(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val c = child.genCode(ctx)
+      ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def opaque(c: Column): Column = GraftBridge.column(Opaque(GraftBridge.expression(c)))
+
   // ---- MinHash signature -------------------------------------------------
 
   /** Largest prime below 2^32 — the modulus of the affine permutation
