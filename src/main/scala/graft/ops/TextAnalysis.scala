@@ -86,8 +86,15 @@ object TextAnalysis {
   /** Shingle fingerprint: minimum hash over word n-gram shingles — the
     * single-permutation core of MinHash (see Dedup.minHashSignature).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
+  def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
+
+  /** Shingles over an ALREADY-MATERIALIZED token-array column. Callers
+    * on a hot path must pass a bound attribute, not `tokens(text)`
+    * inline: the lambda references the array once per n-gram element,
+    * and an inlined `split` sub-tree is re-evaluated on every reference
+    * (measured 6× on the repetition-signal query).
+    */
+  def shinglesOf(t: Column, n: Int): Column = {
     val count = size(t) - (n - 1)
     when(count > 0,
       transform(sequence(lit(0), count - 1),

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality operators a training-data pipeline runs after the
+  * per-document stats in [[TextAnalysis]]: repetition signals, TF-IDF
+  * keyword extraction, PII redaction, vocabulary / adjacent-pair counts.
+  *
+  * Scale design: everything explode-based shuffles on (doc, gram) or
+  * (gram) with map-side partial aggregation — the word-count shape that
+  * scales linearly; nothing materializes per-document n-gram arrays
+  * through a shuffle. Redaction is a narrow codegen'd projection.
+  */
+object TextQuality {
+
+  /** Per-document repetition signals (the Gopher/C4-style quality
+    * filters): fraction of tokens that are the single most frequent
+    * token, and fraction of trigram occurrences belonging to a trigram
+    * seen more than once in the document. High values flag boilerplate
+    * and degenerate repetition.
+    *
+    * Two (doc, gram) aggregations joined on doc — each is one shuffle
+    * with partial aggregation; the join keys are co-partitioned on
+    * doc id by construction.
+    */
+  def repetitionSignals(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // single-file parquet plans as ONE partition; the interpreted n-gram
+    // lambdas are CPU-heavy, so spread rows across cores first
+    val df = df0.select(col(idCol), col(textCol)).repartition(col(idCol))
+    val uni = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        TextAnalysis.round6(max(col("c")).cast("double") / sum(col("c")))
+          .as("top_unigram_frac"))
+    // opaque(): without the barrier CollapseProject inlines the split
+    // into every element_at reference inside the shingle lambda
+    val tri = df.select(col(idCol),
+        graft.functions.ArrayHashes.opaque(TextAnalysis.tokens(col(textCol))).as("w"))
+      .select(col(idCol), explode(TextAnalysis.shinglesOf(col("w"), 3)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        TextAnalysis.round6(
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).cast("double") / sum(col("c")))
+          .as("dup_trigram_frac"))
+    uni.join(tri, Seq(idCol))
+  }
+
+  /** Top-k keywords per document by log-free TF-IDF: score =
+    * (term count × corpus size) / (doc length × doc frequency) — the
+    * same ordering as tf·(N/df), kept as one integer-ratio division so
+    * the score is bit-identical in any IEEE engine (ln() is not
+    * correctly-rounded across libm implementations, so a log idf would
+    * break cross-engine rank ties).
+    */
+  def tfIdfKeywords(df0: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val df = df0.select(col(idCol), col(textCol)).repartition(col(idCol))
+    val tf = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("cnt"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("cnt")).as("len"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("n"))
+    val scored = tf.join(dl, Seq(idCol)).join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        TextAnalysis.round6((col("cnt") * col("n")).cast("double")
+          / (col("len") * col("df"))).as("score"))
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))))
+      .filter(col("rn") <= k)
+  }
+
+  /** PII patterns kept engine-portable (no lookarounds, no \\d shorthand
+    * differences): email and a +1-555 phone shape.
+    */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phoneRe = "\\+1-555-[0-9]{4}"
+
+  /** Redact emails/phones and count what was removed — the masking pass
+    * every shareable corpus needs. Narrow projection, codegen'd regex.
+    */
+  def piiRedact(df: DataFrame, textCol: String): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(col(textCol), emailRe, "[EMAIL]"), phoneRe, "[PHONE]")
+    df.withColumn("n_emails", size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))).cast("long"))
+      .withColumn("n_phones", size(regexp_extract_all(col(textCol), lit(phoneRe), lit(0))).cast("long"))
+      .withColumn(textCol, redacted)
+  }
+
+  /** Corpus-wide top-k vocabulary with counts (tokenizer/vocab
+    * construction). One (token) shuffle with partial agg, then a
+    * TakeOrderedAndProject — no full sort.
+    */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(col(textCol)).repartition(col(textCol))
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("token"))))
+
+  /** Adjacent-token-pair counts — the candidate-merge counting step of a
+    * BPE trainer. Same word-count shape as vocabTopK.
+    */
+  def adjacentPairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    // tokens materialized as a column first — an inlined split would be
+    // re-evaluated on every element_at reference in the lambda
+    val t = col("w")
+    val pairs = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(textCol)).repartition(col(textCol))
+      .select(graft.functions.ArrayHashes.opaque(TextAnalysis.tokens(col(textCol))).as("w"))
+      .select(explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("pair"))))
+  }
+}

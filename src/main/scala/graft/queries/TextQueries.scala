@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.TextQuality
+
+/** Corpus-quality operators over `documents`: repetition signals,
+  * TF-IDF keywords, PII redaction, vocabulary and BPE-pair counting.
+  */
+object TextQueries extends QueryPack {
+
+  private val wordsFrom =
+    "(SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)"
+
+  // ---- RQ1: repetition signals -------------------------------------------
+  private def rq1Repetition(s: SparkSession, dir: String): DataFrame =
+    TextQuality.repetitionSignals(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val rq1Sql =
+    s"""WITH w AS $wordsFrom,
+      |uni AS (
+      |  SELECT doc_id,
+      |    floor(CAST(MAX(c) AS DOUBLE) / SUM(c) * 1000000.0 + 0.5) / 1000000.0 AS top_unigram_frac
+      |  FROM (SELECT doc_id, g, COUNT(*) AS c
+      |        FROM (SELECT doc_id, unnest(w) AS g FROM w) GROUP BY doc_id, g)
+      |  GROUP BY doc_id),
+      |tri AS (
+      |  SELECT doc_id,
+      |    floor(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) * 1000000.0 + 0.5) / 1000000.0 AS dup_trigram_frac
+      |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM (
+      |          SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+      |            THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+      |            ELSE [array_to_string(w, ' ')] END) AS g FROM w)
+      |        GROUP BY doc_id, g)
+      |  GROUP BY doc_id)
+      |SELECT uni.doc_id AS doc_id, top_unigram_frac, dup_trigram_frac
+      |FROM uni JOIN tri ON uni.doc_id = tri.doc_id
+      |ORDER BY uni.doc_id""".stripMargin
+
+  // ---- TF1: TF-IDF keywords ----------------------------------------------
+  private def tf1Keywords(s: SparkSession, dir: String): DataFrame =
+    TextQuality.tfIdfKeywords(Tables.load(s, dir, "documents"), "doc_id", "text", k = 3)
+      .select(col("doc_id"), col("term"), col("rn"), col("score"))
+      .orderBy(col("doc_id"), col("rn"))
+
+  private val tf1Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM tok GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS len FROM tf GROUP BY doc_id),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    floor(CAST(tf.cnt * n.n AS DOUBLE) / (dl.len * dfreq.df) * 1000000.0 + 0.5) / 1000000.0 AS score
+      |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, term, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      |  FROM scored)
+      |SELECT doc_id, term, CAST(rn AS BIGINT) AS rn, score
+      |FROM ranked WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin
+
+  // ---- PII1: redaction ---------------------------------------------------
+  // The corpus has no real PII, so the query plants deterministic
+  // synthetic contacts derived from (source, doc_id) and then proves the
+  // redaction pass removes exactly those.
+  private def pii1Redact(s: SparkSession, dir: String): DataFrame = {
+    val aug = Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      concat(col("text"), lit(" contact "), lower(col("source")),
+        col("doc_id").cast("string"), lit("@example.com call +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("t"))
+    TextQuality.piiRedact(aug, "t")
+      .select(col("doc_id"), md5(col("t")).as("redacted_md5"),
+        col("n_emails"), col("n_phones"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val pii1Sql =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    text || ' contact ' || lower(source) || CAST(doc_id AS VARCHAR)
+      |      || '@example.com call +1-555-'
+      |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  md5(regexp_replace(regexp_replace(t,
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+      |    '\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS redacted_md5,
+      |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones
+      |FROM aug ORDER BY doc_id""".stripMargin
+
+  // ---- VB1: vocabulary top-K ---------------------------------------------
+  private def vb1Vocab(s: SparkSession, dir: String): DataFrame =
+    TextQuality.vocabTopK(Tables.load(s, dir, "documents"), "text", k = 100)
+      .orderBy(col("rank"))
+
+  private val vb1Sql =
+    """SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank, token, n
+      |FROM (SELECT token, COUNT(*) AS n
+      |      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+      |      GROUP BY token)
+      |ORDER BY n DESC, token LIMIT 100""".stripMargin
+
+  // ---- BP1: BPE adjacent-pair counts -------------------------------------
+  private def bp1BpePairs(s: SparkSession, dir: String): DataFrame =
+    TextQuality.adjacentPairCounts(Tables.load(s, dir, "documents"), "text", k = 50)
+      .orderBy(col("rank"))
+
+  private val bp1Sql =
+    """SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank, pair, n
+      |FROM (SELECT pair, COUNT(*) AS n FROM (
+      |        SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS pair
+      |        FROM (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents))
+      |      GROUP BY pair)
+      |ORDER BY n DESC, pair LIMIT 50""".stripMargin
+
+  override def all: Seq[Q] = Seq(
+    Q("rq1_repetition", "Gopher-style repetition quality signals (top-unigram / dup-trigram fractions)", rq1Repetition, Some(rq1Sql)),
+    Q("tf1_tfidf_keywords", "top-3 keywords per doc by log-free TF-IDF", tf1Keywords, Some(tf1Sql)),
+    Q("pii1_redact", "PII redaction pass with removal counts (planted deterministic contacts)", pii1Redact, Some(pii1Sql)),
+    Q("vb1_vocab_topk", "corpus top-100 vocabulary with counts", vb1Vocab, Some(vb1Sql)),
+    Q("bp1_bpe_pairs", "BPE trainer step: adjacent-token-pair counts, top-50", bp1BpePairs, Some(bp1Sql)))
+}

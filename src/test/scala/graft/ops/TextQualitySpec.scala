@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition signals flag degenerate docs and pass clean ones") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam"),                 // all one token
+      (2L, "one two three four five six seven eight"),  // no repetition
+      (3L, "a b c a b c a b c"))                        // repeated trigram
+      .toDF("doc_id", "text")
+    val out = TextQuality.repetitionSignals(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 1.0)            // top unigram is 100% of tokens
+    assert(out(2L)._1 == 0.125)          // 1/8
+    assert(out(2L)._2 == 0.0)            // every trigram unique
+    assert(out(3L)._2 > 0.5)             // 'a b c' occurs 3x of 7 trigrams
+    assert(out(1L)._2 == 1.0)            // 'spam spam spam' x3
+  }
+
+  test("tfIdf keywords rank rare terms above common ones") {
+    val d = Seq(
+      (1L, "shared shared unique1"),
+      (2L, "shared shared unique2"),
+      (3L, "shared shared unique3"))
+      .toDF("doc_id", "text")
+    val out = TextQuality.tfIdfKeywords(d, "doc_id", "text", k = 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    // 'shared' has df=3, the unique terms df=1: tf 1/3 * N/df 3 = 1.0 vs
+    // shared's 2/3 * 1 = 0.667 -> unique wins everywhere
+    assert(out == Map(1L -> "unique1", 2L -> "unique2", 3L -> "unique3"))
+  }
+
+  test("piiRedact masks emails and phones and counts them") {
+    val d = Seq((1L, "write bob.smith@corp.io or +1-555-0199 now"),
+                (2L, "nothing here")).toDF("doc_id", "text")
+    val out = TextQuality.piiRedact(d, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"))).toMap
+    assert(out(1L)._1 == "write [EMAIL] or [PHONE] now")
+    assert(out(1L)._2 == 1L && out(1L)._3 == 1L)
+    assert(out(2L) == (("nothing here", 0L, 0L)))
+  }
+
+  test("vocabTopK and adjacentPairCounts order by count then lexicographic") {
+    val d = Seq((1L, "b a b c b a")).toDF("doc_id", "text")
+    val vocab = TextQuality.vocabTopK(d, "text", 2)
+      .select("rank", "token", "n").as[(Int, String, Long)].collect().toSeq
+    assert(vocab == Seq((1, "b", 3L), (2, "a", 2L)))
+    val pairs = TextQuality.adjacentPairCounts(d, "text", 3)
+      .select("rank", "pair", "n").as[(Int, String, Long)].collect().toSeq
+    // pairs: "b a" x2, "a b", "b c", "c b"
+    assert(pairs == Seq((1, "b a", 2L), (2, "a b", 1L), (3, "b c", 1L)))
+  }
+
+  test("adjacentPairCounts drops single-token docs") {
+    val d = Seq((1L, "solo")).toDF("doc_id", "text")
+    assert(TextQuality.adjacentPairCounts(d, "text", 10).count() == 0)
+  }
+}
