@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-column utilities beyond search ([[Similarity]]): int8
+  * quantization and per-dimension corpus statistics.
+  *
+  * Both are narrow map-side projections followed by (for stats) a
+  * 64-row aggregation — shuffle size is O(dims), independent of corpus
+  * size. Determinism: every float enters exact fixed-point (×10⁶ or
+  * ×127/amax, floor-rounded) before any aggregation, so results are
+  * independent of summation order — the property that lets a
+  * distributed sum hash-match a single-threaded oracle.
+  */
+object Embeddings {
+
+  /** Symmetric int8 quantization: q_i = round_half_up(v_i · 127 / amax),
+    * amax = max |v_i| (zero vectors quantize to zeros). Emits the
+    * checkable digest (amax, sum/min/max of q) rather than 64 columns.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val amax0 = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    // opaque: CollapseProject would inline the array_max scan into every
+    // lambda element -> O(dims²) per row
+    val base = df.select(col(idCol),
+      graft.functions.ArrayHashes.opaque(col(vecCol)).as("v"),
+      graft.functions.ArrayHashes.opaque(amax0).as("amax"))
+    val q = when(col("amax") === 0.0, transform(col("v"), _ => lit(0L)))
+      .otherwise(transform(col("v"),
+        x => floor(x.cast("double") * lit(127.0) / col("amax") + lit(0.5)).cast("long")))
+    base.select(col(idCol),
+      TextAnalysis.round6(col("amax")).as("amax6"),
+      aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
+      array_min(q).as("q_min"),
+      array_max(q).as("q_max"))
+  }
+
+  /** Per-dimension mean/variance over the corpus, in overflow-safe
+    * fixed-point: values scale to integers q = ⌊v·10⁶ + ½⌋, sums and
+    * sums-of-squares stay exact int64 (|v| ≤ 10³ and n ≤ 10⁸ before
+    * q² sums approach 2^63), and the two final divisions are
+    * correctly-rounded IEEE — order-independent and engine-exact,
+    * unlike summing raw doubles.
+    */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select((col("pos") + 1).as("dim"),
+        floor(col("v").cast("double") * 1000000.0 + 0.5).cast("long").as("q"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("qsum"),
+        sum(col("q") * col("q")).as("qsq"))
+      .select(col("dim").cast("long"), col("n"),
+        TextAnalysis.round6(col("qsum").cast("double") / col("n") / 1000000.0).as("mean6"),
+        TextAnalysis.round6(
+          (col("qsq").cast("double") / col("n")
+            - (col("qsum").cast("double") / col("n")) * (col("qsum").cast("double") / col("n")))
+            / 1.0e12).as("var6"))
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed sketches with ENGINE-PORTABLE determinism.
+  *
+  * The usual objection to oracle-checking a sketch is that every engine
+  * ships its own hash and register layout. This HyperLogLog derives its
+  * registers from md5 (like every semantic hash in this library) and
+  * keeps ALL arithmetic in exact integer space until one final
+  * correctly-rounded IEEE division — so the estimate, not just the
+  * exact count, hash-matches an independent SQL restatement.
+  *
+  * Scale: one narrow map-side projection + a 256-row groupBy — the
+  * cheapest possible cardinality estimate at 100 TB (the shuffle carries
+  * at most m=256 partial registers per partition, constant in input
+  * size; contrast with exact COUNT DISTINCT, whose shuffle is linear in
+  * the number of distinct values).
+  */
+object Sketches {
+
+  val M = 256            // registers
+  val RestBits = 53      // rest = h div 256 is 52 bits -> rho = 53 - bitlen in [1, 53]
+
+  /** Raw HLL-256 cardinality estimate (no small/large-range correction
+    * — those need ln(), which is not correctly-rounded across libm
+    * implementations, so they would break the cross-engine hash match).
+    * Output: one row (hll_estimate, buckets_used, max_register).
+    *
+    * rho uses bin()-length, not floor(log2(x)): log2 in double rounds
+    * UP to exactly k for x just below 2^k (k ≳ 50), which would
+    * misplace a register; bin() is exact in any engine.
+    *
+    * Exactness argument for the estimate: register terms are summed as
+    * integers 2^(53-r) (max total 511·2^52 < 2^61, no overflow for
+    * non-empty input); alpha·m²·2^53 / total runs in correctly-rounded
+    * IEEE ops in a fixed association order — identical on any engine.
+    */
+  def hllDistinct(df: DataFrame, valueCol: Column): DataFrame = {
+    val regs = df
+      .select(Dedup.hash60(valueCol.cast("string")).as("h"))
+      .select(pmod(col("h"), lit(M.toLong)).as("bucket"), expr(s"h div $M").as("rest"))
+      .select(col("bucket"), when(col("rest") === 0, lit(RestBits))
+        .otherwise(lit(RestBits) - length(bin(col("rest")))).as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
+    val alpha = 0.7213 / (1.0 + 1.079 / M)
+    regs.agg(
+        count(lit(1)).as("used"),
+        sum(expr(s"shiftleft(cast(1 as bigint), cast($RestBits - r as int))")).as("dsum"),
+        max(col("r")).as("maxr"))
+      .select(
+        TextAnalysis.round6(
+          lit(alpha * (M.toDouble * M) * math.pow(2.0, RestBits)) /
+            (col("dsum") + (lit(M.toLong) - col("used"))
+              * expr(s"shiftleft(cast(1 as bigint), $RestBits)")).cast("double"))
+          .as("hll_estimate"),
+        col("used").cast("long").as("buckets_used"),
+        col("maxr").cast("long").as("max_register"))
+  }
+}

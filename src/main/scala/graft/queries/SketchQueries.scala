@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Embeddings, Sketches}
+
+/** Sketch + embedding-utility operators: deterministic HyperLogLog,
+  * int8 quantization, per-dimension corpus statistics. All three keep
+  * their arithmetic exact (integers / fixed-point / dyadic rationals)
+  * until one final correctly-rounded division, so even the approximate
+  * results hash-match the DuckDB restatements.
+  */
+object SketchQueries extends QueryPack {
+
+  // ---- HLL1: HyperLogLog distinct estimate -------------------------------
+  private def hll1Sketch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val exact = ev.agg(count_distinct(col("event_id")).as("n_exact"))
+    Sketches.hllDistinct(ev, col("event_id"))
+      .crossJoin(broadcast(exact))
+      .select(col("n_exact"), col("hll_estimate"), col("buckets_used"), col("max_register"))
+  }
+
+  private val hll1Sql =
+    """WITH h AS (
+      |  SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events),
+      |r AS (
+      |  SELECT h % 256 AS bucket,
+      |    CASE WHEN h // 256 = 0 THEN 53 ELSE 53 - length(bin(h // 256)) END AS rho
+      |  FROM h),
+      |reg AS (SELECT bucket, MAX(rho) AS r FROM r GROUP BY bucket),
+      |s AS (
+      |  SELECT COUNT(*) AS used,
+      |    SUM((1::BIGINT) << (53 - r)) AS dsum,
+      |    MAX(r) AS maxr
+      |  FROM reg)
+      |SELECT (SELECT COUNT(DISTINCT event_id) FROM events) AS n_exact,
+      |  floor(((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0)
+      |    / CAST(CAST(dsum AS BIGINT) + (256 - used) * ((1::BIGINT) << 53) AS DOUBLE)
+      |    * 1000000.0 + 0.5) / 1000000.0 AS hll_estimate,
+      |  CAST(used AS BIGINT) AS buckets_used, CAST(maxr AS BIGINT) AS max_register
+      |FROM s""".stripMargin
+
+  // ---- QZ1: int8 quantization --------------------------------------------
+  private def qz1Quantize(s: SparkSession, dir: String): DataFrame =
+    Embeddings.quantizeInt8(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy(col("vec_id"))
+
+  private val qz1Sql =
+    """WITH b AS (
+      |  SELECT vec_id, embedding,
+      |    list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS amax
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, amax,
+      |    CASE WHEN amax = 0.0 THEN [0::BIGINT for x in embedding]
+      |         ELSE [CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT)
+      |               for x in embedding] END AS ql
+      |  FROM b)
+      |SELECT vec_id,
+      |  floor(amax * 1000000.0 + 0.5) / 1000000.0 AS amax6,
+      |  CAST(list_sum(ql) AS BIGINT) AS q_sum,
+      |  list_min(ql) AS q_min, list_max(ql) AS q_max
+      |FROM q ORDER BY vec_id""".stripMargin
+
+  // ---- DIM1: per-dimension stats -----------------------------------------
+  private def dim1DimStats(s: SparkSession, dir: String): DataFrame =
+    Embeddings.dimStats(Tables.load(s, dir, "embeddings"), "embedding")
+      .orderBy(col("dim"))
+
+  private val dim1Sql =
+    """WITH q AS (
+      |  SELECT i AS dim,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+      |  FROM embeddings, range(1, 65) t(i)),
+      |a AS (
+      |  SELECT dim, COUNT(*) AS n,
+      |    CAST(SUM(q) AS BIGINT) AS qsum, CAST(SUM(q * q) AS BIGINT) AS qsq
+      |  FROM q GROUP BY dim)
+      |SELECT CAST(dim AS BIGINT) AS dim, n,
+      |  floor(CAST(qsum AS DOUBLE) / n / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS mean6,
+      |  floor((CAST(qsq AS DOUBLE) / n
+      |         - (CAST(qsum AS DOUBLE) / n) * (CAST(qsum AS DOUBLE) / n))
+      |        / 1000000000000.0 * 1000000.0 + 0.5) / 1000000.0 AS var6
+      |FROM a ORDER BY dim""".stripMargin
+
+  override def all: Seq[Q] = Seq(
+    Q("hll1_distinct_sketch", "deterministic HyperLogLog-256 cardinality estimate (md5 registers, exact-integer register sum)", hll1Sketch, Some(hll1Sql)),
+    Q("qz1_quantize_int8", "symmetric int8 embedding quantization digest", qz1Quantize, Some(qz1Sql)),
+    Q("dim1_dim_stats", "per-dimension embedding mean/variance in overflow-safe fixed-point", dim1DimStats, Some(dim1Sql)))
+}
