@@ -101,7 +101,62 @@ object Reshape extends QueryPack {
       |GROUP BY CUBE (event_type, date_trunc('week', ts))
       |ORDER BY event_type ASC NULLS FIRST, week ASC NULLS FIRST""".stripMargin
 
+  // ---- RG1: trailing-window rolling aggregate ----------------------------
+  // Daily revenue per user plus a trailing-7-day sum via an integer-day
+  // RANGE frame — the frame is over VALUES (days), not rows, so sparse
+  // activity windows are handled correctly.
+  private def rg1Rolling(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("day_rev"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_num"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("rolling_7d", sum(col("day_rev")).over(w))
+      .select(col("user_id"), col("day").cast("date").as("day"),
+        col("day_rev").cast("decimal(18,2)").cast("double").as("day_rev"),
+        col("rolling_7d").cast("decimal(18,2)").cast("double").as("rolling_7d"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  private val rg1Sql =
+    """WITH daily AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS day_rev,
+      |    date_diff('day', DATE '1970-01-01', date_trunc('day', ts)) AS day_num
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id, date_trunc('day', ts))
+      |SELECT user_id, CAST(day AS DATE) AS day,
+      |  CAST(CAST(day_rev AS DECIMAL(18,2)) AS DOUBLE) AS day_rev,
+      |  CAST(CAST(SUM(day_rev) OVER (PARTITION BY user_id ORDER BY day_num
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS rolling_7d
+      |FROM daily ORDER BY user_id, day""".stripMargin
+
+  // ---- NT1: ntile deciles ------------------------------------------------
+  private def nt1Ntile(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("double").as("total"))
+      .orderBy(col("decile"))
+
+  private val nt1Sql =
+    """SELECT decile, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+      |FROM (SELECT o_totalprice,
+      |        ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      |      FROM orders)
+      |GROUP BY decile ORDER BY decile""".stripMargin
+
   override def all: Seq[Q] = Seq(
+    Q("rg1_rolling_7d", "trailing-7-day rolling revenue per user (integer-day RANGE frame)", rg1Rolling, Some(rg1Sql)),
+    Q("nt1_ntile_deciles", "ntile decile stats over order totals", nt1Ntile, Some(nt1Sql)),
     Q("pv1_pivot", "pivot with explicit value list (single partial-agg shuffle, no inference scan)", pv1Pivot, Some(pv1Sql)),
     Q("un1_unpivot", "unpivot/melt of lineitem measures + per-measure rollup", un1Unpivot, Some(un1Sql)),
     Q("scd1_type2", "SCD type-2 validity intervals from an event stream (one window pass)", scd1Type2, Some(scd1Sql)),

@@ -120,7 +120,28 @@ object TextQueries extends QueryPack {
       |      GROUP BY pair)
       |ORDER BY n DESC, pair LIMIT 50""".stripMargin
 
+  // ---- CK1: context-window chunking --------------------------------------
+  private def ck1Chunking(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.chunkTokens(Tables.load(s, dir, "documents"),
+        "doc_id", "text", size = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val ck1Sql =
+    s"""WITH t AS $wordsFrom,
+      |c AS (
+      |  SELECT doc_id,
+      |    unnest([{'idx': i, 'cw': w[i*24+1 : i*24+32]}
+      |            for i in range(0, CASE WHEN len(w) >= 32
+      |                                   THEN (len(w) - 32) // 24 + 1
+      |                                   ELSE 1 END)]) AS u
+      |  FROM t)
+      |SELECT doc_id, CAST(u['idx'] AS BIGINT) AS chunk_idx,
+      |  CAST(len(u['cw']) AS BIGINT) AS n_tokens,
+      |  md5(array_to_string(u['cw'], ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   override def all: Seq[Q] = Seq(
+    Q("ck1_chunking", "overlapping context-window chunking (32-token windows, stride 24)", ck1Chunking, Some(ck1Sql)),
     Q("rq1_repetition", "Gopher-style repetition quality signals (top-unigram / dup-trigram fractions)", rq1Repetition, Some(rq1Sql)),
     Q("tf1_tfidf_keywords", "top-3 keywords per doc by log-free TF-IDF", tf1Keywords, Some(tf1Sql)),
     Q("pii1_redact", "PII redaction pass with removal counts (planted deterministic contacts)", pii1Redact, Some(pii1Sql)),

@@ -60,4 +60,15 @@ class TextQualitySpec extends SparkSpec {
     val d = Seq((1L, "solo")).toDF("doc_id", "text")
     assert(TextQuality.adjacentPairCounts(d, "text", 10).count() == 0)
   }
+
+  test("chunkTokens overlaps by size-stride and keeps short docs whole") {
+    // 10 tokens, size 4, stride 3: nChunks = (10-4)/3 + 1 = 3,
+    // starts 1/4/7 -> tokens [1-4], [4-7], [7-10]
+    val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+                (2L, "a b")).toDF("doc_id", "text")
+    val out = graft.ops.Packing.chunkTokens(d, "doc_id", "text", size = 4, stride = 3)
+      .select("doc_id", "chunk_idx", "n_tokens").as[(Long, Long, Long)]
+      .collect().sorted.toSeq
+    assert(out == Seq((1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 4L), (2L, 0L, 2L)))
+  }
 }
