@@ -37,6 +37,37 @@ object Sketches {
     * non-empty input); alpha·m²·2^53 / total runs in correctly-rounded
     * IEEE ops in a fixed association order — identical on any engine.
     */
+  /** Count-min sketch table: `d` hash rows × `w` buckets of exact
+    * counts. Same portability idea as the HLL: row hashes are
+    * md5-derived, counts are integers, so any engine rebuilds the
+    * identical table. Shuffle is O(d·w) per partition after partial
+    * aggregation — constant in input size.
+    */
+  def countMinTable(df: DataFrame, valueCol: Column, d: Int, w: Int): DataFrame =
+    df.select(explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"),
+          pmod(Dedup.hash60(concat_ws("|", lit(r.toString), valueCol.cast("string"))),
+            lit(w.toLong)).as("bucket"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Point estimates from a count-min table for the given probe values:
+    * min over the d rows of the probed bucket counts (classic CM upper
+    * bound; exact when no collisions). `probes` must be small (it is
+    * broadcast against the d·w-row table).
+    */
+  def countMinEstimate(table: DataFrame, probes: DataFrame, probeCol: String,
+      d: Int, w: Int): DataFrame = {
+    val probeBuckets = probes.select(col(probeCol), explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"),
+          pmod(Dedup.hash60(concat_ws("|", lit(r.toString), col(probeCol).cast("string"))),
+            lit(w.toLong)).as("bucket"))): _*)).as("rb"))
+      .select(col(probeCol), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    broadcast(probeBuckets).join(table, Seq("r", "bucket"))
+      .groupBy(col(probeCol))
+      .agg(min(col("c")).as("cm_estimate"))
+  }
+
   def hllDistinct(df: DataFrame, valueCol: Column): DataFrame = {
     val regs = df
       .select(Dedup.hash60(valueCol.cast("string")).as("h"))

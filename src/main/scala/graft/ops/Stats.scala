@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical operators with engine-exact arithmetic.
+  *
+  * The trick shared with [[Embeddings.dimStats]]: values quantize to
+  * integers first, so distributed sums are order-independent, and every
+  * subsequent double op (division, multiplication, sqrt — all IEEE
+  * correctly-rounded) is bit-identical in any engine. No raw-double
+  * summation ever crosses a shuffle.
+  */
+object Stats {
+
+  /** Per-group z-score outlier detection: count of |z| > `zThresh`
+    * rows and the rounded max |z| per group. `scale` is the fixed-point
+    * quantization (10³ for values up to ~10⁵ at 10⁸ rows/group before
+    * the q² sum nears 2^63 — raise/lower to trade range vs precision).
+    *
+    * sd = 0 groups (constant value) report zero outliers.
+    */
+  def zOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      zThresh: Double, scale: Long = 1000L): DataFrame = {
+    val q = floor(col(valueCol).cast("double") * scale.toDouble + 0.5).cast("long")
+    val rows = df.select(col(groupCol), q.as("q"))
+    val stats = rows.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("qsum"),
+        sum(col("q") * col("q")).as("qsq"))
+      .select(col(groupCol), col("n"),
+        (col("qsum").cast("double") / col("n") / scale.toDouble).as("mean"),
+        sqrt((col("qsq").cast("double") / col("n")
+          - (col("qsum").cast("double") / col("n")) * (col("qsum").cast("double") / col("n")))
+          / (scale.toDouble * scale)).as("sd"))
+    val z = when(col("sd") === 0.0, lit(0.0))
+      .otherwise((col("q").cast("double") / scale.toDouble - col("mean")) / col("sd"))
+    rows.join(broadcast(stats), Seq(groupCol))
+      .select(col(groupCol), col("n"), abs(z).as("absz"))
+      .groupBy(col(groupCol))
+      .agg(first(col("n")).as("n"),
+        sum(when(col("absz") > zThresh, 1L).otherwise(0L)).as("n_outliers"),
+        TextAnalysis.round6(max(col("absz"))).as("max_absz6"))
+  }
+}

@@ -101,6 +101,54 @@ object TextQuality {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n").desc, col("token"))))
 
+  /** Inverted index (term → sorted posting list of doc ids), emitted as
+    * a digest (df + md5 of the comma-joined postings) so wide lists stay
+    * hash-comparable. One (term, doc) distinct + one term shuffle;
+    * `minDf` bounds output to terms worth indexing.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long): DataFrame =
+    df.select(col(idCol), explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        md5(array_join(transform(sort_array(collect_list(col(idCol))),
+          x => x.cast("string")), ",")).as("postings_md5"))
+      .filter(col("df") >= minDf)
+
+  /** Adjacent-pair co-occurrence lift: n_ab·N / (n_a·n_b) — PMI without
+    * the log (identical ranking, and integer-ratio arithmetic keeps the
+    * score engine-exact; ln() is not correctly-rounded across libms).
+    * Output: pairs with ≥ `minPairCount` occurrences ranked by
+    * (lift desc, a, b), top `k`.
+    */
+  def cooccurrenceLift(df: DataFrame, textCol: String,
+      minPairCount: Long, k: Int): DataFrame = {
+    val t = col("w")
+    val pairs = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    val toks = df.select(col(textCol)).repartition(col(textCol))
+      .select(graft.functions.ArrayHashes.opaque(TextAnalysis.tokens(col(textCol))).as("w"))
+      .localCheckpoint(true)
+    val unigrams = toks.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+    val nTotal = toks.select(explode(col("w")).as("tok")).agg(count(lit(1)).as("n_corpus"))
+    val pairCounts = toks.select(explode(pairs).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairCount)
+    pairCounts
+      .join(unigrams.select(col("tok").as("a"), col("n_tok").as("n_a")), Seq("a"))
+      .join(unigrams.select(col("tok").as("b"), col("n_tok").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(nTotal))
+      .select(col("a"), col("b"), col("n_pair"),
+        TextAnalysis.round6((col("n_pair") * col("n_corpus")).cast("double")
+          / (col("n_a") * col("n_b"))).as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Adjacent-token-pair counts — the candidate-merge counting step of a
     * BPE trainer. Same word-count shape as vocabTopK.
     */

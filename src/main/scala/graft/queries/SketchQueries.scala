@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Embeddings, Sketches}
+import graft.ops.{Embeddings, Sketches, Stats, TextQuality}
 
 /** Sketch + embedding-utility operators: deterministic HyperLogLog,
   * int8 quantization, per-dimension corpus statistics. All three keep
@@ -86,7 +86,79 @@ object SketchQueries extends QueryPack {
       |        / 1000000000000.0 * 1000000.0 + 0.5) / 1000000.0 AS var6
       |FROM a ORDER BY dim""".stripMargin
 
+  // ---- CM1: count-min sketch ---------------------------------------------
+  // Build a 4×64 count-min table over document tokens, then probe it
+  // with the exact top-10 vocabulary: estimate >= exact always, equal
+  // when a token's 4 buckets are collision-free.
+  private def cm1CountMin(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val toks = docs.select(explode(
+      graft.ops.TextAnalysis.tokens(col("text"))).as("token"))
+    val table = Sketches.countMinTable(toks, col("token"), d = 4, w = 64)
+    val top10 = TextQuality.vocabTopK(docs, "text", 10)
+    Sketches.countMinEstimate(table, top10.select("token"), "token", d = 4, w = 64)
+      .join(top10, Seq("token"))
+      .select(col("rank").cast("long"), col("token"), col("n"), col("cm_estimate"))
+      .orderBy(col("rank"))
+  }
+
+  private val cm1Sql =
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+      |tc AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+      |top10 AS (
+      |  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
+      |  FROM tc ORDER BY n DESC, token LIMIT 10),
+      |cells AS (
+      |  SELECT r,
+      |    ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || token), 1, 15))::BIGINT % 64 AS bucket,
+      |    COUNT(*) AS c
+      |  FROM toks, range(0, 4) t(r) GROUP BY 1, 2),
+      |probes AS (
+      |  SELECT token, n, rank, r,
+      |    ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || token), 1, 15))::BIGINT % 64 AS bucket
+      |  FROM top10, range(0, 4) t(r))
+      |SELECT CAST(p.rank AS BIGINT) AS rank, p.token, p.n,
+      |  CAST(MIN(c.c) AS BIGINT) AS cm_estimate
+      |FROM probes p JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+      |GROUP BY p.rank, p.token, p.n
+      |ORDER BY rank""".stripMargin
+
+  // ---- AN1: z-score outliers ---------------------------------------------
+  private def an1Outliers(s: SparkSession, dir: String): DataFrame =
+    Stats.zOutliers(Tables.load(s, dir, "events"), "event_type", "value",
+        zThresh = 3.0, scale = 1000L)
+      .orderBy(col("event_type"))
+
+  private val an1Sql =
+    """WITH q AS (
+      |  SELECT event_type,
+      |    CAST(floor(CAST(value AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS q
+      |  FROM events),
+      |st AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(q) AS BIGINT) AS qsum, CAST(SUM(q * q) AS BIGINT) AS qsq
+      |  FROM q GROUP BY event_type),
+      |s2 AS (
+      |  SELECT event_type, n,
+      |    CAST(qsum AS DOUBLE) / n / 1000.0 AS mean,
+      |    sqrt((CAST(qsq AS DOUBLE) / n
+      |          - (CAST(qsum AS DOUBLE) / n) * (CAST(qsum AS DOUBLE) / n)) / 1000000.0) AS sd
+      |  FROM st)
+      |SELECT q.event_type, s2.n,
+      |  CAST(SUM(CASE WHEN (CASE WHEN sd = 0 THEN 0.0
+      |                           ELSE abs((CAST(q AS DOUBLE) / 1000.0 - mean) / sd) END) > 3.0
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  floor(MAX(CASE WHEN sd = 0 THEN 0.0
+      |                 ELSE abs((CAST(q AS DOUBLE) / 1000.0 - mean) / sd) END)
+      |        * 1000000.0 + 0.5) / 1000000.0 AS max_absz6
+      |FROM q JOIN s2 USING (event_type)
+      |GROUP BY q.event_type, s2.n
+      |ORDER BY event_type""".stripMargin
+
   override def all: Seq[Q] = Seq(
+    Q("cm1_countmin", "count-min sketch table + top-10 vocabulary probe (md5 rows, exact-integer cells)", cm1CountMin, Some(cm1Sql)),
+    Q("an1_z_outliers", "per-group z-score outlier counts (fixed-point moments; sqrt is correctly-rounded IEEE)", an1Outliers, Some(an1Sql)),
     Q("hll1_distinct_sketch", "deterministic HyperLogLog-256 cardinality estimate (md5 registers, exact-integer register sum)", hll1Sketch, Some(hll1Sql)),
     Q("qz1_quantize_int8", "symmetric int8 embedding quantization digest", qz1Quantize, Some(qz1Sql)),
     Q("dim1_dim_stats", "per-dimension embedding mean/variance in overflow-safe fixed-point", dim1DimStats, Some(dim1Sql)))

@@ -140,7 +140,43 @@ object TextQueries extends QueryPack {
       |  md5(array_to_string(u['cw'], ' ')) AS chunk_md5
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---- II1: inverted index -----------------------------------------------
+  private def ii1InvertedIndex(s: SparkSession, dir: String): DataFrame =
+    TextQuality.invertedIndex(Tables.load(s, dir, "documents"), "doc_id", "text", minDf = 10L)
+      .orderBy(col("term"))
+
+  private val ii1Sql =
+    """SELECT term, COUNT(*) AS df,
+      |  md5(array_to_string(list(doc_id ORDER BY doc_id), ',')) AS postings_md5
+      |FROM (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
+      |      FROM documents)
+      |GROUP BY term HAVING COUNT(*) >= 10
+      |ORDER BY term""".stripMargin
+
+  // ---- CO1: co-occurrence lift -------------------------------------------
+  private def co1CooccurLift(s: SparkSession, dir: String): DataFrame =
+    TextQuality.cooccurrenceLift(Tables.load(s, dir, "documents"), "text",
+        minPairCount = 5L, k = 20)
+      .orderBy(col("lift").desc, col("a"), col("b"))
+
+  private val co1Sql =
+    """WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |toks AS (SELECT unnest(w) AS tok FROM w),
+      |uni AS (SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY tok),
+      |n AS (SELECT COUNT(*) AS n_corpus FROM toks),
+      |pc AS (
+      |  SELECT p['a'] AS a, p['b'] AS b, COUNT(*) AS n_pair
+      |  FROM (SELECT unnest([{'a': w[i], 'b': w[i+1]} for i in range(1, len(w))]) AS p FROM w)
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      |SELECT a, b, n_pair,
+      |  floor(CAST(n_pair * n.n_corpus AS DOUBLE) / (ua.n_tok * ub.n_tok)
+      |        * 1000000.0 + 0.5) / 1000000.0 AS lift
+      |FROM pc JOIN uni ua ON pc.a = ua.tok JOIN uni ub ON pc.b = ub.tok CROSS JOIN n
+      |ORDER BY lift DESC, a, b LIMIT 20""".stripMargin
+
   override def all: Seq[Q] = Seq(
+    Q("ii1_inverted_index", "inverted index build: term -> sorted postings digest", ii1InvertedIndex, Some(ii1Sql)),
+    Q("co1_cooccur_lift", "adjacent-pair co-occurrence lift (log-free PMI ranking)", co1CooccurLift, Some(co1Sql)),
     Q("ck1_chunking", "overlapping context-window chunking (32-token windows, stride 24)", ck1Chunking, Some(ck1Sql)),
     Q("rq1_repetition", "Gopher-style repetition quality signals (top-unigram / dup-trigram fractions)", rq1Repetition, Some(rq1Sql)),
     Q("tf1_tfidf_keywords", "top-3 keywords per doc by log-free TF-IDF", tf1Keywords, Some(tf1Sql)),

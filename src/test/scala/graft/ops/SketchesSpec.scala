@@ -22,6 +22,34 @@ class SketchesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("count-min estimate upper-bounds exact counts and is exact sans collisions") {
+    val d = (Seq.fill(50)("hot") ++ (1 to 30).map(i => s"cold$i")).toDF("v")
+    val table = Sketches.countMinTable(d, col("v"), d = 4, w = 1024)
+    val probes = Seq("hot", "cold1").toDF("v")
+    val est = Sketches.countMinEstimate(table, probes, "v", d = 4, w = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // w=1024 over 31 distinct values: collision-free with overwhelming
+    // probability, so the min-over-rows recovers the exact counts
+    assert(est("hot") == 50L)
+    assert(est("cold1") == 1L)
+  }
+
+  test("zOutliers flags a planted extreme value and not a tight cluster") {
+    val d = ((1 to 99).map(i => ("a", 10.0 + (i % 3))) :+ (("a", 1000.0)))
+      .toDF("g", "v")
+    val out = Stats.zOutliers(d, "g", "v", zThresh = 3.0).collect().head
+    assert(out.getAs[Long]("n") == 100L)
+    assert(out.getAs[Long]("n_outliers") == 1L)
+    assert(out.getAs[Double]("max_absz6") > 3.0)
+  }
+
+  test("zOutliers reports zero outliers for a constant group (sd = 0)") {
+    val d = Seq(("c", 5.0), ("c", 5.0), ("c", 5.0)).toDF("g", "v")
+    val out = Stats.zOutliers(d, "g", "v", 3.0).collect().head
+    assert(out.getAs[Long]("n_outliers") == 0L)
+    assert(out.getAs[Double]("max_absz6") == 0.0)
+  }
+
   test("quantizeInt8 digest: max-magnitude element maps to ±127") {
     val d = Seq((1L, Array(0.5f, -1.0f, 0.25f)), (2L, Array(0f, 0f, 0f)))
       .toDF("vec_id", "embedding")

@@ -61,6 +61,29 @@ class TextQualitySpec extends SparkSpec {
     assert(TextQuality.adjacentPairCounts(d, "text", 10).count() == 0)
   }
 
+  test("invertedIndex digests sorted postings and applies minDf") {
+    val d = Seq((3L, "x y"), (1L, "x z"), (2L, "x")).toDF("doc_id", "text")
+    val out = TextQuality.invertedIndex(d, "doc_id", "text", minDf = 2L)
+      .select("term", "df", "postings_md5").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.keySet == Set("x")) // y, z have df 1
+    assert(out("x")._1 == 3L)
+    // postings are sorted by doc id regardless of arrival order
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("1,2,3".getBytes).map("%02x".format(_)).mkString
+    assert(out("x")._2 == expected)
+  }
+
+  test("cooccurrenceLift ranks exclusive pairs above promiscuous ones") {
+    // "p q" always together (lift high); "x" pairs with many partners
+    val d = Seq((1L, "p q"), (2L, "p q"), (3L, "p q"), (4L, "p q"), (5L, "p q"),
+                (6L, "x a x b x c x a x b x c x a x b x c x d"))
+      .toDF("doc_id", "text")
+    val out = TextQuality.cooccurrenceLift(d, "text", minPairCount = 5L, k = 5)
+      .select("a", "b").as[(String, String)].collect()
+    assert(out.head == (("p", "q")))
+  }
+
   test("chunkTokens overlaps by size-stride and keeps short docs whole") {
     // 10 tokens, size 4, stride 3: nChunks = (10-4)/3 + 1 = 3,
     // starts 1/4/7 -> tokens [1-4], [4-7], [7-10]
