@@ -20,6 +20,23 @@ object Stats {
     *
     * sd = 0 groups (constant value) report zero outliers.
     */
+  /** Deterministic corpus-mixture sampling: keep a row when its
+    * hash-percent falls under the per-group rate — the data-mixing step
+    * that reweights sources in a training corpus, reproducible across
+    * engines and re-runs (no rand()). `rates` maps group value →
+    * keep-percent [0,100]; unlisted groups use `defaultRate`.
+    * Narrow map-side filter; no shuffle.
+    */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+      rates: Map[String, Int], defaultRate: Int): DataFrame = {
+    val pct = pmod(Dedup.hash32(concat_ws("|", lit("mix"), col(idCol).cast("string"))),
+      lit(100L))
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    df.filter(pct < rate)
+  }
+
   def zOutliers(df: DataFrame, groupCol: String, valueCol: String,
       zThresh: Double, scale: Long = 1000L): DataFrame = {
     val q = floor(col(valueCol).cast("double") * scale.toDouble + 0.5).cast("long")

@@ -101,6 +101,28 @@ object TextQuality {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n").desc, col("token"))))
 
+  /** Tokenize against a broadcast top-k vocabulary (rank = token id,
+    * OOV = 0): the map-side id-mapping step before tokenizer sharding.
+    * Emits a digest per document (count, OOV count, md5 of the id
+    * sequence) so arbitrarily long id arrays stay hash-comparable.
+    * The vocab side is tiny and broadcast; the corpus never shuffles
+    * except the per-doc regroup.
+    */
+  def tokenizeIds(df: DataFrame, idCol: String, textCol: String, vocabK: Int): DataFrame = {
+    val vocab = vocabTopK(df, textCol, vocabK)
+      .select(col("token"), col("rank").cast("long").as("tid"))
+    val toks = df.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    toks.join(broadcast(vocab), toks("tok") === vocab("token"), "left")
+      .select(col(idCol), col("pos"), coalesce(col("tid"), lit(0L)).as("tid"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tid")))),
+          x => x.getField("tid").cast("string")), ",")).as("ids_md5"))
+  }
+
   /** Inverted index (term → sorted posting list of doc ids), emitted as
     * a digest (df + md5 of the comma-joined postings) so wide lists stay
     * hash-comparable. One (term, doc) distinct + one term shuffle;

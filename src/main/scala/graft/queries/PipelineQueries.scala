@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Similarity, Stats, TextAnalysis}
 
 /** Training-data pipeline operators over `documents` / `embeddings`
   * (dedup, similarity search, text analysis) wired into the driver
@@ -418,6 +418,30 @@ object PipelineQueries extends QueryPack {
       |        THEN 1 END) AS n_sampled
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- MX1: corpus mixture reweighting -----------------------------------
+  // Data-mixing: deterministically downsample sources to target rates
+  // (src0 keeps 100%, src1 80%, src2 50%, src3 20%, rest 10%) — the
+  // same rows survive on any engine, any re-run.
+  private val mixRates = Map("src0" -> 100, "src1" -> 80, "src2" -> 50, "src3" -> 20)
+
+  private def mx1Mixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val kept = Stats.mixtureSample(docs, "source", "doc_id", mixRates, defaultRate = 10)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_total"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  private val mx1Sql =
+    """SELECT source, COUNT(*) AS n_total,
+      |  CAST(COUNT(CASE WHEN ('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+      |                  < (CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 80
+      |                                 WHEN 'src2' THEN 50 WHEN 'src3' THEN 20 ELSE 10 END)
+      |             THEN 1 END) AS BIGINT) AS n_kept
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // ---- QC1: per-source quality cap (best-N docs per domain) --------------
   // The "cap each domain's contribution, keeping its best documents"
   // quality gate: rank by the (pre-rounded, rule-7) quality score with a
@@ -488,6 +512,7 @@ object PipelineQueries extends QueryPack {
     Q("dc1_decontaminate", "train/eval n-gram containment (inverted-index join)", dc1Decontaminate, Some(dc1Sql)),
     Q("pk1_sequence_packing", "greedy packing into 2048-token context windows", pk1SequencePacking, Some(pk1Sql)),
     Q("sm1_hash_sample", "deterministic hash-mod sampling, lang-stratified", sm1HashSample, Some(sm1Sql)),
+    Q("mx1_mixture_weights", "deterministic corpus-mixture reweighting by source", mx1Mixture, Some(mx1Sql)),
     Q("qc1_source_cap", "per-source contribution cap keeping best-quality docs", qc1SourceCap, Some(qc1Sql)),
     Q("sim1_brute_topk", "brute-force cosine top-k", sim1BruteTopk, Some(sim1Sql)),
     Q("sim2_lsh_topk", "SRP-LSH bucketed ANN top-k", sim2LshTopk, Some(sim2Sql)),

@@ -174,7 +174,32 @@ object TextQueries extends QueryPack {
       |FROM pc JOIN uni ua ON pc.a = ua.tok JOIN uni ub ON pc.b = ub.tok CROSS JOIN n
       |ORDER BY lift DESC, a, b LIMIT 20""".stripMargin
 
+  // ---- TO1: tokenizer id mapping -----------------------------------------
+  private def to1TokenizeIds(s: SparkSession, dir: String): DataFrame =
+    TextQuality.tokenizeIds(Tables.load(s, dir, "documents"), "doc_id", "text", vocabK = 20)
+      .orderBy(col("doc_id"))
+
+  private val to1Sql =
+    s"""WITH t AS $wordsFrom,
+      |vocab AS (
+      |  SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS tid
+      |  FROM (SELECT token, COUNT(*) AS n
+      |        FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents)
+      |        GROUP BY token)
+      |  ORDER BY n DESC, token LIMIT 20),
+      |p AS (
+      |  SELECT doc_id, u['pos'] AS pos, u['tok'] AS tok
+      |  FROM (SELECT doc_id, unnest([{'pos': i, 'tok': w[i]} for i in range(1, len(w)+1)]) AS u
+      |        FROM t)),
+      |j AS (SELECT doc_id, pos, COALESCE(v.tid, 0) AS tid
+      |      FROM p LEFT JOIN vocab v ON p.tok = v.token)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  md5(array_to_string(list(tid ORDER BY pos), ',')) AS ids_md5
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   override def all: Seq[Q] = Seq(
+    Q("to1_tokenize_ids", "tokenizer id-mapping vs broadcast top-20 vocab (OOV=0, id-sequence digest)", to1TokenizeIds, Some(to1Sql)),
     Q("ii1_inverted_index", "inverted index build: term -> sorted postings digest", ii1InvertedIndex, Some(ii1Sql)),
     Q("co1_cooccur_lift", "adjacent-pair co-occurrence lift (log-free PMI ranking)", co1CooccurLift, Some(co1Sql)),
     Q("ck1_chunking", "overlapping context-window chunking (32-token windows, stride 24)", ck1Chunking, Some(ck1Sql)),

@@ -61,6 +61,28 @@ class TextQualitySpec extends SparkSpec {
     assert(TextQuality.adjacentPairCounts(d, "text", 10).count() == 0)
   }
 
+  test("tokenizeIds maps in-vocab tokens to ranks and OOV to zero") {
+    val d = Seq((1L, "b b a zz"), (2L, "a b")).toDF("doc_id", "text")
+    // vocab top-2: b (rank 1, 3 occurrences), a (rank 2, 2 occurrences)
+    val out = TextQuality.tokenizeIds(d, "doc_id", "text", vocabK = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L)._1 == 4L && out(1L)._2 == 1L) // zz is OOV
+    val md5 = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes).map("%02x".format(_)).mkString
+    assert(out(1L)._3 == md5("1,1,2,0"))
+    assert(out(2L)._3 == md5("2,1"))
+  }
+
+  test("mixtureSample keeps everything at rate 100 and nothing at rate 0") {
+    val d = (1 to 200).map(i => (if (i % 2 == 0) "all" else "none", i.toLong))
+      .toDF("source", "doc_id")
+    val kept = graft.ops.Stats.mixtureSample(d, "source", "doc_id",
+      Map("all" -> 100, "none" -> 0), defaultRate = 50)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept("all") == 100L)
+    assert(!kept.contains("none"))
+  }
+
   test("invertedIndex digests sorted postings and applies minDf") {
     val d = Seq((3L, "x y"), (1L, "x z"), (2L, "x")).toDF("doc_id", "text")
     val out = TextQuality.invertedIndex(d, "doc_id", "text", minDf = 2L)
