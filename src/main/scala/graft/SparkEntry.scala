@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CdcQueries, Extras, PipelineQueries, Q, QueryPack, Relational, Reshape, SketchQueries, TemporalQueries, TextQueries}
+import graft.queries.{Analytics, CdcQueries, Extras, PipelineQueries, Q, QueryPack, Relational, Reshape, SketchQueries, TemporalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,7 +11,7 @@ import graft.queries.{CdcQueries, Extras, PipelineQueries, Q, QueryPack, Relatio
   */
 object SparkEntry {
 
-  private val packs: Seq[QueryPack] = Seq(Relational, CdcQueries, PipelineQueries, Extras, TemporalQueries, TextQueries, SketchQueries, Reshape)
+  private val packs: Seq[QueryPack] = Seq(Relational, CdcQueries, PipelineQueries, Extras, TemporalQueries, TextQueries, SketchQueries, Reshape, Analytics)
 
   private lazy val registry: Seq[Q] = packs.flatMap(_.all)
 
