@@ -23,6 +23,38 @@ object Sketches {
   val M = 256            // registers
   val RestBits = 53      // rest = h div 256 is 52 bits -> rho = 53 - bitlen in [1, 53]
 
+  /** Bloom filter build: `mBits` bits as 32-bit words (32, not 64, so
+    * a set bit is always a positive BIGINT in any engine), `k`
+    * md5-derived hash rows. Output: (word, bits) — mBits/32 rows.
+    * Scale: the filter is constant-size; partial bit_or makes the
+    * shuffle O(words) per partition.
+    */
+  def bloomBuild(df: DataFrame, valueCol: Column, mBits: Int, k: Int): DataFrame =
+    df.select(explode(array((0 until k).map(r =>
+        pmod(Dedup.hash60(concat_ws("|", lit(r.toString), valueCol.cast("string"))),
+          lit(mBits.toLong)).as(s"p$r")): _*)).as("p"))
+      .select((col("p") / 32).cast("long").as("word"), pmod(col("p"), lit(32L)).as("bit"))
+      .groupBy(col("word"))
+      .agg(bit_or(expr("shiftleft(cast(1 as bigint), cast(bit as int))")).as("bits"))
+
+  /** Bloom membership probe: true iff all `k` bit positions are set.
+    * The filter (mBits/32 rows) broadcasts; probes stay partitioned.
+    */
+  def bloomProbe(filter: DataFrame, probes: DataFrame, probeCol: String,
+      mBits: Int, k: Int): DataFrame = {
+    val pb = probes.select(col(probeCol), posexplode(array((0 until k).map(r =>
+        pmod(Dedup.hash60(concat_ws("|", lit(r.toString), col(probeCol).cast("string"))),
+          lit(mBits.toLong))): _*)).as(Seq("r", "p")))
+      .select(col(probeCol), (col("p") / 32).cast("long").as("word"),
+        pmod(col("p"), lit(32L)).as("bit"))
+    pb.join(broadcast(filter), Seq("word"), "left")
+      .select(col(probeCol),
+        (coalesce(expr("(shiftright(bits, cast(bit as int)) & 1)"), lit(0L)) === 1L)
+          .as("bit_set"))
+      .groupBy(col(probeCol))
+      .agg((sum(when(col("bit_set"), 1L).otherwise(0L)) === k).as("maybe_member"))
+  }
+
   /** Raw HLL-256 cardinality estimate (no small/large-range correction
     * — those need ln(), which is not correctly-rounded across libm
     * implementations, so they would break the cross-engine hash match).

@@ -124,6 +124,50 @@ object SketchQueries extends QueryPack {
       |GROUP BY p.rank, p.token, p.n
       |ORDER BY rank""".stripMargin
 
+  // ---- BL1: Bloom filter -------------------------------------------------
+  // Build a 16384-bit / 3-hash Bloom filter over purchase event ids,
+  // probe all event ids < 5000: flagged >= members always, and the
+  // false-positive count is itself deterministic (md5 bit positions,
+  // integer bit words) so even the FP band hash-matches.
+  private def bl1Bloom(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val members = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id")).distinct()
+    val filter = Sketches.bloomBuild(members, col("event_id"), mBits = 16384, k = 3)
+    val probes = ev.filter(col("event_id") < 5000).select(col("event_id")).distinct()
+    val flags = Sketches.bloomProbe(filter, probes, "event_id", mBits = 16384, k = 3)
+    flags.join(members.withColumn("is_member", lit(true)), Seq("event_id"), "left")
+      .agg(count(lit(1)).as("n_probed"),
+        sum(when(col("maybe_member"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("is_member").isNotNull, 1L).otherwise(0L)).as("n_members"),
+        sum(when(col("maybe_member") && col("is_member").isNull, 1L).otherwise(0L))
+          .as("n_false_pos"))
+  }
+
+  private val bl1Sql =
+    """WITH m AS (SELECT DISTINCT event_id FROM events WHERE event_type = 'purchase'),
+      |bits AS (
+      |  SELECT p // 32 AS word, bit_or((1::BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+      |  FROM (SELECT ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 16384 AS p
+      |        FROM m, range(0, 3) t(r))
+      |  GROUP BY 1),
+      |probes AS (SELECT DISTINCT event_id FROM events WHERE event_id < 5000),
+      |pb AS (
+      |  SELECT event_id, r,
+      |    ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 16384 AS p
+      |  FROM probes, range(0, 3) t(r)),
+      |flags AS (
+      |  SELECT pb.event_id,
+      |    (SUM(CASE WHEN ((bits >> CAST(pb.p % 32 AS INTEGER)) & 1) = 1
+      |              THEN 1 ELSE 0 END) = 3) AS maybe
+      |  FROM pb LEFT JOIN bits ON pb.p // 32 = bits.word
+      |  GROUP BY pb.event_id)
+      |SELECT COUNT(*) AS n_probed,
+      |  CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  CAST(SUM(CASE WHEN m.event_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+      |  CAST(SUM(CASE WHEN maybe AND m.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+      |FROM flags LEFT JOIN m ON flags.event_id = m.event_id""".stripMargin
+
   // ---- AN1: z-score outliers ---------------------------------------------
   private def an1Outliers(s: SparkSession, dir: String): DataFrame =
     Stats.zOutliers(Tables.load(s, dir, "events"), "event_type", "value",
@@ -158,6 +202,7 @@ object SketchQueries extends QueryPack {
 
   override def all: Seq[Q] = Seq(
     Q("cm1_countmin", "count-min sketch table + top-10 vocabulary probe (md5 rows, exact-integer cells)", cm1CountMin, Some(cm1Sql)),
+    Q("bl1_bloom", "Bloom filter build + probe with deterministic false-positive band", bl1Bloom, Some(bl1Sql)),
     Q("an1_z_outliers", "per-group z-score outlier counts (fixed-point moments; sqrt is correctly-rounded IEEE)", an1Outliers, Some(an1Sql)),
     Q("hll1_distinct_sketch", "deterministic HyperLogLog-256 cardinality estimate (md5 registers, exact-integer register sum)", hll1Sketch, Some(hll1Sql)),
     Q("qz1_quantize_int8", "symmetric int8 embedding quantization digest", qz1Quantize, Some(qz1Sql)),

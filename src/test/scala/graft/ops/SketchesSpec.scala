@@ -34,6 +34,18 @@ class SketchesSpec extends SparkSpec {
     assert(est("cold1") == 1L)
   }
 
+  test("bloom filter has no false negatives and bounded false positives") {
+    val members = (1 to 200).map(_.toLong).toDF("v")
+    val filter = Sketches.bloomBuild(members, col("v"), mBits = 16384, k = 3)
+    val probes = (1 to 2000).map(_.toLong).toDF("v")
+    val flags = Sketches.bloomProbe(filter, probes, "v", mBits = 16384, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert((1 to 200).forall(i => flags(i.toLong)), "false negative!")
+    val fps = (201 to 2000).count(i => flags(i.toLong))
+    // load 200*3/16384 ≈ 0.037 -> fp ≈ (1-e^-0.037)^3 ≈ 5e-5; 1800 probes
+    assert(fps <= 5, s"$fps false positives out of 1800")
+  }
+
   test("zOutliers flags a planted extreme value and not a tight cluster") {
     val d = ((1 to 99).map(i => ("a", 10.0 + (i % 3))) :+ (("a", 1000.0)))
       .toDF("g", "v")
