@@ -101,7 +101,57 @@ object Analytics extends QueryPack {
       |WHERE levenshtein(a.prefix, b.prefix) <= 10
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- RFM1: RFM segmentation --------------------------------------------
+  // Recency/frequency/monetary quartiles per user (anchor = corpus max
+  // ts so the result is re-runnable), combined into a 3-digit segment.
+  // Global ntile windows are fine HERE because they run on the per-user
+  // rollup (cardinality = users, not events); the event-level pass is
+  // one partial-agg shuffle.
+  private def rfm1Segments(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val anchor = ev.agg(max(col("ts")).as("amax"))
+    val u = ev.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("freq"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,2)"))).as("mon0"))
+      .crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+        (unix_micros(col("amax")) - unix_micros(col("last_ts"))).as("rec_us"),
+        col("freq"),
+        coalesce(col("mon0"), lit(0).cast("decimal(18,2)")).as("mon"))
+    import org.apache.spark.sql.expressions.Window
+    val b = u.select(col("user_id"), col("mon"),
+      ntile(4).over(Window.orderBy(col("rec_us"), col("user_id"))).as("r"),
+      ntile(4).over(Window.orderBy(col("freq").desc, col("user_id"))).as("f"),
+      ntile(4).over(Window.orderBy(col("mon").desc, col("user_id"))).as("m"))
+    b.groupBy((col("r") * 100 + col("f") * 10 + col("m")).cast("long").as("segment"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("mon")).cast("decimal(18,2)").cast("double").as("total_monetary"))
+      .orderBy(col("segment"))
+  }
+
+  private val rfm1Sql =
+    """WITH anchor AS (SELECT MAX(ts) AS amax FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |    epoch_us((SELECT amax FROM anchor)) - epoch_us(MAX(ts)) AS rec_us,
+      |    COUNT(*) AS freq,
+      |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+      |                      THEN CAST(value AS DECIMAL(18,2)) END),
+      |             CAST(0 AS DECIMAL(18,2))) AS mon
+      |  FROM events GROUP BY user_id),
+      |b AS (
+      |  SELECT user_id, mon,
+      |    ntile(4) OVER (ORDER BY rec_us, user_id) AS r,
+      |    ntile(4) OVER (ORDER BY freq DESC, user_id) AS f,
+      |    ntile(4) OVER (ORDER BY mon DESC, user_id) AS m
+      |  FROM u)
+      |SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS segment, COUNT(*) AS n_users,
+      |  CAST(CAST(SUM(mon) AS DECIMAL(18,2)) AS DOUBLE) AS total_monetary
+      |FROM b GROUP BY 1 ORDER BY segment""".stripMargin
+
   override def all: Seq[Q] = Seq(
+    Q("rfm1_segments", "RFM quartile segmentation over the per-user rollup", rfm1Segments, Some(rfm1Sql)),
     Q("fun1_funnel", "signup->purchase funnel conversion stats", fun1Funnel, Some(fun1Sql)),
     Q("rt1_retention", "weekly retention cohorts (first-event week x offset)", rt1Retention, Some(rt1Sql)),
     Q("ed1_edit_distance", "Levenshtein near-pairs over prefixes in a bounded block", ed1EditDistance, Some(ed1Sql)))
