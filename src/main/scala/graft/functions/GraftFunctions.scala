@@ -31,7 +31,10 @@ object GraftFunctions {
     "shingle_hash_set" -> (es =>
       ArrayHashes.ShingleHashSet(es(0), intLit(es(1), "n"))),
     "prefix_any_equal" -> (es =>
-      ArrayHashes.PrefixAnyEqual(es(0), es(1), es(2))))
+      ArrayHashes.PrefixAnyEqual(es(0), es(1), es(2))),
+    "dot_product" -> (es => VectorOps.DotProduct(es(0), es(1))),
+    "srp_bucket" -> (es =>
+      VectorOps.SrpBucket(es(0), intLit(es(1), "planes"), intLit(es(2), "dims"))))
 
   /** Register on an existing session (temp functions). */
   def registerAll(spark: SparkSession): Unit =

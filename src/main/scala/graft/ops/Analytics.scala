@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Behavioral-analytics operators: N-step funnels and retention
+  * cohorts, generalized from the fixed 2-step/weekly query shapes.
+  *
+  * Scale: both are one shuffle on the user key with partial
+  * aggregation, followed by rollups over tiny results. The funnel's
+  * per-user event array holds only step-type events (collect_list of a
+  * conditional), so its size is bounded by the user's activity in the
+  * funnel's own event types, not total activity.
+  */
+object Analytics {
+
+  /** Per-user strict-order funnel progress: for `steps = [s1, s2, …]`,
+    * `reached = k` means the user produced s1, then s2 strictly later,
+    * … up to s_k (the greedy earliest-completion walk, equivalent to
+    * the chained `min ts > previous step's ts` formulation an oracle
+    * states in SQL). Users present in `df` with no step events are kept
+    * with reached = 0, so corpus-level denominators stay correct.
+    *
+    * Output: (user, reached).
+    */
+  def funnelReached(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val perUser = df.groupBy(col(userCol).as("user"))
+      .agg(sort_array(collect_list(when(col(typeCol).isin(steps: _*),
+        struct(col(tsCol).as("ts"), col(typeCol).as("etype"))))).as("evs"))
+    // left fold over the ts-ordered events: state = (step reached so
+    // far, ts of the event that reached it); an event advances the
+    // state iff it is the next step's type and strictly later than the
+    // previous step. Runs once per user over a small array — not a
+    // per-pair hot loop, so the interpreted HOF is the right tool.
+    val init = struct(lit(0).as("step"), lit(null).cast("timestamp").as("last"))
+    val folded = aggregate(col("evs"), init, (st, ev) => {
+      val step = st.getField("step")
+      val last = st.getField("last")
+      val nextType = steps.zipWithIndex.foldLeft(lit(false)) { case (acc, (s, i)) =>
+        when(step === i, ev.getField("etype") === s).otherwise(acc)
+      }
+      val advances = nextType && (step === 0 || ev.getField("ts") > last)
+      when(advances,
+        struct((step + 1).as("step"), ev.getField("ts").as("last")))
+        .otherwise(st)
+    })
+    perUser.select(col("user"), folded.getField("step").as("reached"))
+  }
+
+  /** Corpus-level funnel summary: one row with the user count and the
+    * number of users reaching each step.
+    */
+  def funnelSummary(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    val reached = funnelReached(df, userCol, typeCol, tsCol, steps)
+    val aggs = count(lit(1)).as("n_users") +:
+      steps.indices.map(i =>
+        sum(when(col("reached") >= i + 1, 1L).otherwise(0L)).as(s"n_step${i + 1}"))
+    reached.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Retention cohorts: cohort = the user's first activity bucket
+    * (`bucket` ∈ day|week), cell = distinct users of that cohort active
+    * `offset` buckets later. Output: (cohort, offset, n_active).
+    */
+  def retentionCohorts(df: DataFrame, userCol: String, tsCol: String,
+      bucket: String): DataFrame = {
+    val days = bucket match {
+      case "week" => 7
+      case "day" => 1
+      case other => throw new IllegalArgumentException(
+        s"unsupported retention bucket: $other")
+    }
+    val ev = df.select(col(userCol).as("user_id"),
+      date_trunc(bucket, col(tsCol)).as("bucket"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("bucket")).as("cohort"))
+    ev.join(first, Seq("user_id"))
+      .groupBy(col("cohort"),
+        (datediff(col("bucket"), col("cohort")) / days).cast("long").as("offset"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+  }
+}

@@ -164,7 +164,14 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint(true)
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+    // iterate ONLY over edge-incident nodes: untouched ids can never
+    // change label, and near-dup components are a tiny fraction of the
+    // corpus — so every per-iteration join works on |touched| rows, not
+    // |corpus|. Untouched ids get identity labels back in one outer
+    // join at the end. (edges holds both directions, so the src column
+    // alone covers every endpoint.)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
@@ -188,7 +195,43 @@ object Dedup {
       labels = next.drop("changed")
       iter += 1
     }
-    labels.select(col("id").as(idCol), col("label").as("canonical_id"))
+    ids.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("label"), col("id")).as("canonical_id"))
+  }
+
+  // ---- blocked edit distance ---------------------------------------------
+
+  /** Blocked fuzzy-match pairs by bounded Levenshtein — the general
+    * entity-resolution operator: the caller supplies a blocking key
+    * (cluster label, LSH bucket, sorted-neighborhood key, …) and the
+    * pair space is O(Σ per-block²), never O(corpus²).
+    *
+    * Cost controls, in evaluation order:
+    *  1. block-keyed equi-join (one shuffle on the block key);
+    *  2. `|len_a − len_b| ≤ maxDist` prefilter — a free Levenshtein
+    *     lower bound that discards most survivors before any DP;
+    *  3. `levenshtein(…, maxDist)`: Spark's threshold variant runs the
+    *     banded O(len·maxDist) DP and returns −1 early when the bound
+    *     is exceeded — never the full O(len²) table.
+    * Texts clamp to `maxLen`-char prefixes so the DP cost per pair is
+    * bounded no matter what a pathological doc contains.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: Column, maxLen: Int = 32, maxDist: Int = 10): DataFrame = {
+    val d = df.select(blockCol.as("blk"), col(idCol).as("id"),
+      substring(col(textCol), 1, maxLen).as("prefix"))
+      .withColumn("plen", length(col("prefix")))
+    val a = d.select(col("blk"), col("id").as("id_a"),
+      col("prefix").as("pa"), col("plen").as("la"))
+    val b = d.select(col("blk"), col("id").as("id_b"),
+      col("prefix").as("pb"), col("plen").as("lb"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(col("la") - col("lb")) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("pa"), col("pb"), maxDist).as("dist"))
+      .filter(col("dist") >= 0) // threshold variant yields -1 above maxDist
   }
 
   // ---- train/eval decontamination ----------------------------------------

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact ranking — global `row_number` / NTILE without a
+  * single-partition window.
+  *
+  * The naive `row_number().over(Window.orderBy(...))` plans a
+  * `WindowExec` with no partitioning: Spark moves ALL rows to one task
+  * (it even logs "No Partition Defined ... this can cause serious
+  * performance degradation"). Correct at test scale, fatal at 100 TB.
+  *
+  * This operator uses the same scheme as Spark's own
+  * `RDD.zipWithIndex` (core/src/main/scala/org/apache/spark/rdd/
+  * ZippedWithIndexRDD.scala): range-partition on the sort key, rank
+  * locally inside each partition, then add per-partition offsets
+  * computed from a partition-count pass. The only data that ever
+  * reaches the driver is ONE long per shuffle partition — O(P)
+  * metadata, independent of row count — exactly what zipWithIndex's
+  * internal count job collects.
+  *
+  * Determinism: ranks depend only on the total order (callers must
+  * pass a full tie-break), never on where the sampled range boundaries
+  * fall, so results are stable run-to-run even though
+  * `repartitionByRange` samples. The eager localCheckpoint pins one
+  * materialization so the count pass and the rank pass see identical
+  * partitions (AQE may otherwise coalesce the two reads differently,
+  * which would shift partition ids between the passes).
+  */
+object Ranking {
+
+  /** df + a global 1-based rank column under `sort` (which must be a
+    * total order — include a tie-break key).
+    */
+  def withGlobalRank(df: DataFrame, rankCol: String, sort: Seq[Column]): DataFrame =
+    rankAndCount(df, rankCol, sort)._1
+
+  /** Exact SQL NTILE(n) semantics — first (N mod n) tiles get
+    * ceil(N/n) rows — computed from the distributed global rank plus
+    * two driver-side constants (N div n, N mod n), not from an
+    * unpartitioned window.
+    */
+  def withNtile(df: DataFrame, n: Int, tileCol: String, sort: Seq[Column]): DataFrame = {
+    val (ranked, total) = rankAndCount(df, "__nt_rank", sort)
+    val q = total / n
+    val r = total % n
+    val qSafe = math.max(q, 1L) // else-branch is unreachable when q == 0
+    val cut = (q + 1) * r // last rank inside the "big" tiles
+    val tile = when(col("__nt_rank") <= cut,
+      floor((col("__nt_rank") + lit(q)) / lit(q + 1)).cast("long"))
+      .otherwise(lit(r) + floor((col("__nt_rank") - cut + lit(qSafe - 1)) / lit(qSafe))
+        .cast("long"))
+    ranked.withColumn(tileCol, tile).drop("__nt_rank")
+  }
+
+  private def rankAndCount(
+      df: DataFrame, rankCol: String, sort: Seq[Column]): (DataFrame, Long) = {
+    val pinned = df
+      .repartitionByRange(sort: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+      .localCheckpoint(true)
+    // O(P) partition-count metadata — the zipWithIndex count job
+    val counts = pinned.groupBy(col("__gr_pid")).agg(count(lit(1)).as("__gr_cnt"))
+      .collect().map(row => (row.getInt(0), row.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetsDf = offsets.toSeq.toDF("__gr_pid", "__gr_off")
+    // local rank: window PARTITIONED by pid (bounded tasks, ~N/P rows)
+    val w = Window.partitionBy(col("__gr_pid")).orderBy(sort: _*)
+    val ranked = pinned
+      .withColumn("__gr_lr", row_number().over(w))
+      .join(broadcast(offsetsDf), Seq("__gr_pid"))
+      .withColumn(rankCol, col("__gr_off") + col("__gr_lr"))
+      .drop("__gr_pid", "__gr_lr", "__gr_off")
+    (ranked, acc)
+  }
+}

@@ -18,18 +18,19 @@ import org.apache.spark.sql.functions._
   *    at 100 TB the candidate set per query is |corpus| / 2^P on
   *    average.
   *
-  * Dot products run on doubles (exact for float inputs) via
-  * `zip_with` + left-fold `aggregate`, matching sequential summation in
-  * the oracle; scores round to 6 dp before ranking so ordering is
+  * Dot products run on doubles (exact for float inputs) via the native
+  * codegen'd `dot_product` expression ([[graft.functions.VectorOps]]) —
+  * a strict left fold in index order, bit-identical to sequential
+  * summation in the oracle but one allocation-free JVM pass per pair
+  * instead of an interpreted `zip_with`+`aggregate` lambda chain;
+  * scores round to 6 dp before ranking so ordering is
   * engine-independent.
   */
 object Similarity {
 
   /** Cosine/dot score (inputs are L2-normalized ⇒ dot = cosine). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorOps.dot_product(a, b)
 
   def cosineRounded(a: Column, b: Column): Column = round(dot(a, b), 6)
 
@@ -49,31 +50,18 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane weights in [-1, 1]: derived
     * from md5("p_i") prefixes, so any engine (or the DuckDB oracle) can
-    * regenerate the identical planes. Precomputed driver-side once and
-    * embedded as literals — no per-row hashing.
+    * regenerate the identical planes. Cached driver/executor-side —
+    * no per-row hashing (see [[graft.functions.VectorOps.planeWeights]]).
     */
-  def planeWeights(planes: Int, dims: Int): Seq[Seq[Double]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until planes).map { p =>
-      (0 until dims).map { i =>
-        val hex = md.digest(s"${p}_$i".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(8)
-        ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000).toDouble / 1000.0
-      }
-    }
-  }
+  def planeWeights(planes: Int, dims: Int): Seq[Seq[Double]] =
+    graft.functions.VectorOps.planeWeights(planes, dims).toSeq.map(_.toSeq)
 
-  /** Sign-random-projection bucket id from P hyperplanes. */
-  def lshBucket(emb: Column, planes: Int, dims: Int): Column = {
-    val ws = planeWeights(planes, dims)
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(emb, typedlit(ws(p)), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1), p)).otherwise(0)
-    }
-    bits.reduce(_ + _)
-  }
+  /** Sign-random-projection bucket id from P hyperplanes — all P
+    * projections fused into one native pass over the vector (the DSL
+    * form re-walked the embedding once per plane, interpreted).
+    */
+  def lshBucket(emb: Column, planes: Int, dims: Int): Column =
+    graft.functions.VectorOps.srp_bucket(emb, planes, dims)
 
   /** ANN top-k: queries probe only their own sign bucket. Trades recall
     * for a 2^planes candidate reduction (standard SRP-LSH behavior).

@@ -51,7 +51,11 @@ object Stats {
           / (scale.toDouble * scale)).as("sd"))
     val z = when(col("sd") === 0.0, lit(0.0))
       .otherwise((col("q").cast("double") / scale.toDouble - col("mean")) / col("sd"))
-    rows.join(broadcast(stats), Seq(groupCol))
+    // no broadcast hint: at low group cardinality AQE broadcasts the
+    // stats side on its own; at high cardinality (group = user id) a
+    // forced broadcast would build a driver-sized hash table — the
+    // equi-join must be allowed to fall back to shuffle
+    rows.join(stats, Seq(groupCol))
       .select(col(groupCol), col("n"), abs(z).as("absz"))
       .groupBy(col(groupCol))
       .agg(first(col("n")).as("n"),

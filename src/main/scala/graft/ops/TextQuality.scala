@@ -98,8 +98,12 @@ object TextQuality {
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
+      // rank over a limit(k)-BOUNDED input: one task over ≤ k rows is
+      // the right plan; the constant partition key states that intent
+      // (and keeps the "No Partition Defined" warning reserved for
+      // genuinely unbounded windows — see ops.Ranking for those)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("n").desc, col("token"))))
+        Window.partitionBy(lit(0)).orderBy(col("n").desc, col("token"))))
 
   /** Tokenize against a broadcast top-k vocabulary (rank = token id,
     * OOV = 0): the map-side id-mapping step before tokenizer sharding.
@@ -188,7 +192,8 @@ object TextQuality {
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
+      // bounded post-limit rank — deliberate single task (see vocabTopK)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("n").desc, col("pair"))))
+        Window.partitionBy(lit(0)).orderBy(col("n").desc, col("pair"))))
   }
 }

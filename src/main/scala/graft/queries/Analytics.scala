@@ -14,10 +14,13 @@ import graft.Tables
   */
 object Analytics extends QueryPack {
 
-  // ---- FUN1: funnel conversion -------------------------------------------
-  // signup -> later purchase, per user; one row of corpus-level funnel
-  // stats. "Later" is strict: first purchase strictly after first
-  // signup.
+  // ---- FUN1/FUN2: funnel conversion --------------------------------------
+  // fun1 is the fixed first-touch metric (UNCONDITIONAL first purchase
+  // vs first signup — a user who purchased before signing up and again
+  // after does NOT convert here); fun2 is the true N-step funnel via
+  // ops.Analytics.funnelReached (chained strictly-later mins — that
+  // same user DOES convert). Both semantics are real product metrics;
+  // keeping both pins the distinction with oracles.
   private def fun1Funnel(s: SparkSession, dir: String): DataFrame = {
     val perUser = Tables.load(s, dir, "events")
       .groupBy(col("user_id"))
@@ -51,19 +54,37 @@ object Analytics extends QueryPack {
       |FROM u""".stripMargin
 
   // ---- RT1: retention cohorts --------------------------------------------
-  // Cohort = week of a user's first event; cell = distinct users of that
-  // cohort active in week_offset weeks after. Two shuffles (user rollup,
-  // cohort-cell rollup), both with partial aggregation.
-  private def rt1Retention(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(s, dir, "events")
-      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
-    val firstWeek = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
-    ev.join(firstWeek, Seq("user_id"))
-      .groupBy(col("cohort_week"),
-        (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
-      .agg(count_distinct(col("user_id")).as("n_active"))
+  // Through ops.Analytics.retentionCohorts (bucket = week). Two
+  // shuffles (user rollup, cohort-cell rollup), both with partial
+  // aggregation.
+  private def rt1Retention(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Analytics.retentionCohorts(
+      Tables.load(s, dir, "events"), "user_id", "ts", "week")
+      .select(col("cohort").as("cohort_week"), col("offset").as("week_offset"),
+        col("n_active"))
       .orderBy(col("cohort_week"), col("week_offset"))
-  }
+
+  private def fun2Funnel3(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Analytics.funnelSummary(
+      Tables.load(s, dir, "events"), "user_id", "event_type", "ts",
+      Seq("signup", "click", "purchase"))
+
+  private val fun2Sql =
+    """WITH u1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |u2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |  JOIN u1 ON e.user_id = u1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY e.user_id),
+      |u3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |  JOIN u2 ON e.user_id = u2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+      |  (SELECT COUNT(*) FROM u1) AS n_step1,
+      |  (SELECT COUNT(*) FROM u2) AS n_step2,
+      |  (SELECT COUNT(*) FROM u3) AS n_step3""".stripMargin
 
   private val rt1Sql =
     """WITH ev AS (
@@ -76,21 +97,18 @@ object Analytics extends QueryPack {
       |GROUP BY cohort_week, week_offset
       |ORDER BY cohort_week, week_offset""".stripMargin
 
-  // ---- ED1: edit-distance pairs ------------------------------------------
-  // Levenshtein over 32-char prefixes within an id-range block: the
-  // bounded-block pattern for quadratic verifiers (both engines
-  // implement the same unit-cost DP, so distances match exactly).
-  private def ed1EditDistance(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(s, dir, "documents")
-      .filter(col("doc_id") < 100)
-      .select(col("doc_id"), substring(col("text"), 1, 32).as("prefix"))
-    val a = d.select(col("doc_id").as("id_a"), col("prefix").as("pa"))
-    val b = d.select(col("doc_id").as("id_b"), col("prefix").as("pb"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), levenshtein(col("pa"), col("pb")).as("dist"))
-      .filter(col("dist") <= 10)
+  // ---- ED1/ED2: blocked edit-distance pairs ------------------------------
+  // Both run through ops.Dedup.editDistancePairs — the generalized
+  // blocked fuzzy-match operator (block key + length band + threshold-
+  // bounded DP). ed1 keeps the original single-block shape; ed2 plants
+  // guaranteed near-strings (each doc's prefix vs the same prefix
+  // shifted one character) across 50 hash blocks, so the query proves
+  // nonzero matching, not just emptiness.
+  private def ed1EditDistance(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.editDistancePairs(
+      Tables.load(s, dir, "documents").filter(col("doc_id") < 100),
+      "doc_id", "text", blockCol = lit(0), maxLen = 32, maxDist = 10)
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   private val ed1Sql =
     """WITH d AS (
@@ -101,12 +119,40 @@ object Analytics extends QueryPack {
       |WHERE levenshtein(a.prefix, b.prefix) <= 10
       |ORDER BY id_a, id_b""".stripMargin
 
+  private def ed2NearStrings(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+    // planted near-pair per doc: prefix vs one-char-shifted prefix
+    // (edit distance ≤ 2: delete the first char, append one) under id
+    // + 1000000 — which lands in the same doc_id % 50 block
+    val both = base.select(col("doc_id"), substring(col("text"), 1, 24).as("t"))
+      .unionByName(base.select((col("doc_id") + 1000000L).as("doc_id"),
+        substring(col("text"), 2, 24).as("t")))
+    graft.ops.Dedup.editDistancePairs(
+      both, "doc_id", "t", blockCol = pmod(col("doc_id"), lit(50L)),
+      maxLen = 24, maxDist = 3)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val ed2Sql =
+    """WITH d AS (
+      |  SELECT doc_id, substr(text, 1, 24) AS t FROM documents WHERE doc_id < 200
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, substr(text, 2, 24) FROM documents WHERE doc_id < 200),
+      |p AS (SELECT doc_id, doc_id % 50 AS blk, t FROM d)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+      |FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |WHERE abs(length(a.t) - length(b.t)) <= 3 AND levenshtein(a.t, b.t) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ---- RFM1: RFM segmentation --------------------------------------------
   // Recency/frequency/monetary quartiles per user (anchor = corpus max
   // ts so the result is re-runnable), combined into a 3-digit segment.
-  // Global ntile windows are fine HERE because they run on the per-user
-  // rollup (cardinality = users, not events); the event-level pass is
-  // one partial-agg shuffle.
+  // The quartiles run on the per-user rollup (cardinality = users), but
+  // at 100 TB "users" is billions of rows — so each quartile is a
+  // distributed exact NTILE (ops.Ranking: range partition + local rank
+  // + O(P) offset metadata), never a single-partition window.
   private def rfm1Segments(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
     val anchor = ev.agg(max(col("ts")).as("amax"))
@@ -119,11 +165,12 @@ object Analytics extends QueryPack {
         (unix_micros(col("amax")) - unix_micros(col("last_ts"))).as("rec_us"),
         col("freq"),
         coalesce(col("mon0"), lit(0).cast("decimal(18,2)")).as("mon"))
-    import org.apache.spark.sql.expressions.Window
-    val b = u.select(col("user_id"), col("mon"),
-      ntile(4).over(Window.orderBy(col("rec_us"), col("user_id"))).as("r"),
-      ntile(4).over(Window.orderBy(col("freq").desc, col("user_id"))).as("f"),
-      ntile(4).over(Window.orderBy(col("mon").desc, col("user_id"))).as("m"))
+    val b = graft.ops.Ranking.withNtile(
+      graft.ops.Ranking.withNtile(
+        graft.ops.Ranking.withNtile(
+          u, 4, "r", Seq(col("rec_us").asc, col("user_id").asc)),
+        4, "f", Seq(col("freq").desc, col("user_id").asc)),
+      4, "m", Seq(col("mon").desc, col("user_id").asc))
     b.groupBy((col("r") * 100 + col("f") * 10 + col("m")).cast("long").as("segment"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("mon")).cast("decimal(18,2)").cast("double").as("total_monetary"))
@@ -153,6 +200,8 @@ object Analytics extends QueryPack {
   override def all: Seq[Q] = Seq(
     Q("rfm1_segments", "RFM quartile segmentation over the per-user rollup", rfm1Segments, Some(rfm1Sql)),
     Q("fun1_funnel", "signup->purchase funnel conversion stats", fun1Funnel, Some(fun1Sql)),
+    Q("fun2_funnel3", "3-step strict-order funnel (signup->click->purchase)", fun2Funnel3, Some(fun2Sql)),
     Q("rt1_retention", "weekly retention cohorts (first-event week x offset)", rt1Retention, Some(rt1Sql)),
-    Q("ed1_edit_distance", "Levenshtein near-pairs over prefixes in a bounded block", ed1EditDistance, Some(ed1Sql)))
+    Q("ed1_edit_distance", "Levenshtein near-pairs over prefixes in a bounded block", ed1EditDistance, Some(ed1Sql)),
+    Q("ed2_near_strings", "blocked fuzzy-match operator with planted near-pairs (nonzero matches)", ed2NearStrings, Some(ed2Sql)))
 }

@@ -135,10 +135,13 @@ object Reshape extends QueryPack {
       |FROM daily ORDER BY user_id, day""".stripMargin
 
   // ---- NT1: ntile deciles ------------------------------------------------
+  // Distributed exact NTILE (ops.Ranking): the naive
+  // ntile(10).over(Window.orderBy(...)) would single-partition ALL
+  // orders; Ranking range-partitions, ranks locally and bins by rank.
   private def nt1Ntile(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "orders")
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+    graft.ops.Ranking.withNtile(
+      Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+      10, "decile", Seq(col("o_totalprice").asc, col("o_orderkey").asc))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),
         min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"),

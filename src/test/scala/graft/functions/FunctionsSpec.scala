@@ -61,4 +61,43 @@ class FunctionsSpec extends SparkSpec {
     val hex = d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
     assert(viaBytes == java.lang.Long.parseLong(hex, 16))
   }
+
+  test("dot_product is bit-identical to the interpreted zip_with/aggregate fold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // deterministic pseudo-random float vectors, incl. negatives and
+    // magnitudes that make double-summation order observable
+    val vecs = (0 until 50).map { i =>
+      (i.toLong,
+        Array.tabulate(64)(j => (((i * 131 + j * 17) % 997) - 498) / 37.0f),
+        Array.tabulate(64)(j => (((i * 37 + j * 113) % 997) - 498) / 53.0f))
+    }.toDF("id", "a", "b")
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val rows = vecs.select(
+      VectorOps.dot_product(col("a"), col("b")).as("native"), hof.as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not approx
+  }
+
+  test("srp_bucket is bit-identical to the per-plane zip_with/aggregate form") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val planes = 8
+    val dims = 32
+    val ws = VectorOps.planeWeights(planes, dims)
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(dims)(j => (((i * 53 + j * 29) % 601) - 300) / 19.0f))
+    }.toDF("id", "e")
+    val dslBits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(col("e"), typedlit(ws(p).toSeq), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1), p)).otherwise(0)
+    }.reduce(_ + _)
+    val rows = vecs.select(
+      VectorOps.srp_bucket(col("e"), planes, dims).as("native"),
+      dslBits.as("dsl")).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
 }

@@ -49,6 +49,44 @@ class OpsSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("jaccard") == 0.9)
   }
 
+  test("funnelReached: strict ordering, same-ts events don't advance, zero-step users kept") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      ("a", "signup", ts(1)), ("a", "click", ts(2)), ("a", "purchase", ts(3)), // full
+      ("b", "click", ts(1)), ("b", "signup", ts(2)), ("b", "purchase", ts(3)), // click precedes signup -> stuck at 1... but purchase can't fill click's slot
+      ("c", "purchase", ts(1)), // wrong first step
+      ("d", "signup", ts(1)), ("d", "click", ts(1)), // same ts: not strictly later
+      ("e", "view", ts(1))) // no step events at all -> reached 0, still present
+      .toDF("user_id", "event_type", "ts")
+    val got = Analytics.funnelReached(ev, "user_id", "event_type", "ts",
+      Seq("signup", "click", "purchase"))
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("a" -> 3, "b" -> 1, "c" -> 0, "d" -> 1, "e" -> 0))
+  }
+
+  test("editDistancePairs: same-block pairs within bound only; cross-block never compared") {
+    val rows = Seq(
+      (1L, "spark engine", "b1"), (2L, "spark enginx", "b1"), // dist 1, same block
+      (3L, "spark engine", "b2"), // identical text but different block
+      (4L, "zzzzzzzzzzzz", "b1")) // same block, far away
+      .toDF("id", "txt", "blk")
+    val got = Dedup.editDistancePairs(rows, "id", "txt", col("blk"), maxLen = 32, maxDist = 3)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 1)))
+  }
+
+  test("minLabelComponents: chains collapse to min id; untouched ids keep identity") {
+    // component {1,2,3} via a chain (1-2, 2-3: needs >1 propagation
+    // round), component {7,9}, and ids 4,5 touching no edge at all —
+    // the edge-incident iteration must still label them with themselves
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 7L, 9L).toDF("doc_id")
+    val got = Dedup.minLabelComponents(pairs, ids, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+      7L -> 7L, 9L -> 7L))
+  }
+
   test("simhash of identical docs is identical; hamming grows with difference") {
     val sh = docs.select($"doc_id", Dedup.simHash32($"text").as("sh"))
       .as[(Long, Long)].collect().toMap

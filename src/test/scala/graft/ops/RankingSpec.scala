@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Correctness + plan-shape assertions for the distributed exact
+  * ranking operator. The plan claims matter as much as the values: a
+  * regression back to `Window.orderBy(...)` without a partitionBy would
+  * still return correct rows at test scale and only explode at 100 TB,
+  * so the "no unpartitioned window" property is pinned here the same
+  * way TemporalPlanSpec pins the as-of join shape.
+  */
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 997 rows (prime, never divides evenly), with duplicate v values so
+  // the tie-break is actually exercised
+  private lazy val fixture = (1 to 997).map(i => ((i * 7919) % 250, i.toLong))
+    .toDF("v", "id")
+
+  private def sameRows(a: DataFrame, b: DataFrame): Boolean =
+    a.except(b).isEmpty && b.except(a).isEmpty
+
+  test("withGlobalRank equals single-partition row_number (asc)") {
+    val got = Ranking.withGlobalRank(fixture, "rk", Seq(col("v").asc, col("id").asc))
+    val want = fixture.withColumn("rk",
+      row_number().over(Window.orderBy(col("v").asc, col("id").asc)).cast("long"))
+    assert(sameRows(got, want))
+  }
+
+  test("withGlobalRank equals single-partition row_number (desc sort)") {
+    val got = Ranking.withGlobalRank(fixture, "rk", Seq(col("v").desc, col("id").asc))
+    val want = fixture.withColumn("rk",
+      row_number().over(Window.orderBy(col("v").desc, col("id").asc)).cast("long"))
+    assert(sameRows(got, want))
+  }
+
+  test("withNtile equals SQL NTILE for n = 4, 7, 10 (uneven remainders)") {
+    for (n <- Seq(4, 7, 10)) {
+      val got = Ranking.withNtile(fixture, n, "t", Seq(col("v").asc, col("id").asc))
+      val want = fixture.withColumn("t",
+        ntile(n).over(Window.orderBy(col("v").asc, col("id").asc)).cast("long"))
+      assert(sameRows(got, want), s"ntile($n) mismatch")
+    }
+  }
+
+  test("withNtile: n larger than the row count (each row its own tile)") {
+    val tiny = Seq((3, 1L), (1, 2L), (2, 3L)).toDF("v", "id")
+    val got = Ranking.withNtile(tiny, 10, "t", Seq(col("v").asc, col("id").asc))
+    val want = tiny.withColumn("t",
+      ntile(10).over(Window.orderBy(col("v").asc, col("id").asc)).cast("long"))
+    assert(sameRows(got, want))
+  }
+
+  private def unpartitionedWindows(df: DataFrame): Seq[LogicalWindow] =
+    df.queryExecution.optimizedPlan.collect {
+      case w: LogicalWindow if w.partitionSpec.isEmpty => w
+    }
+
+  test("Ranking itself plans no unpartitioned window") {
+    val got = Ranking.withNtile(fixture, 4, "t", Seq(col("v").asc, col("id").asc))
+    assert(unpartitionedWindows(got).isEmpty)
+  }
+
+  test("rfm1_segments plans no unpartitioned window") {
+    val df = graft.SparkEntry.queries("rfm1_segments")(spark, sfSmoke)
+    assert(unpartitionedWindows(df).isEmpty)
+  }
+
+  test("nt1_ntile_deciles plans no unpartitioned window") {
+    val df = graft.SparkEntry.queries("nt1_ntile_deciles")(spark, sfSmoke)
+    assert(unpartitionedWindows(df).isEmpty)
+  }
+}

@@ -62,6 +62,22 @@ class SketchesSpec extends SparkSpec {
     assert(out.getAs[Double]("max_absz6") == 0.0)
   }
 
+  test("zOutliers at high group cardinality: no forced broadcast in the plan") {
+    // group = per-row id: as many groups as rows. The stats side is as
+    // large as the input — a broadcast hint here would build a
+    // driver-sized hash table at corpus scale. The plan must be free to
+    // shuffle (no BroadcastHashJoin forced by a hint on stats).
+    val d = (1 to 5000).map(i => (i.toLong, (i % 7).toDouble)).toDF("g", "v")
+    val q = Stats.zOutliers(d, "g", "v", 3.0)
+    val hinted = q.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint.leftHint.exists(_.strategy.isDefined) ||
+            j.hint.rightHint.exists(_.strategy.isDefined) => j
+    }
+    assert(hinted.isEmpty, "zOutliers must not force a join strategy")
+    assert(q.count() == 5000L) // still completes and yields one row per group
+  }
+
   test("quantizeInt8 digest: max-magnitude element maps to ±127") {
     val d = Seq((1L, Array(0.5f, -1.0f, 0.25f)), (2L, Array(0f, 0f, 0f)))
       .toDF("vec_id", "embedding")
