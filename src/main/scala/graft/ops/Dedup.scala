@@ -155,6 +155,12 @@ object Dedup {
     * are clique-like, so convergence takes O(diameter) ≈ 2-3 rounds —
     * at 100 TB this is the standard label-propagation pattern, not a
     * driver-side graph walk.
+    *
+    * Contract: `pairs` holds each undirected pair once (id_a < id_b),
+    * which every pair operator in this package guarantees — so the
+    * directed edge expansion below is distinct by construction and
+    * skips a whole dedup shuffle. Duplicate pairs would not change the
+    * RESULT (min is idempotent), only waste join work.
     */
   def minLabelComponents(pairs: DataFrame, ids: DataFrame, idCol: String,
       maxIters: Int = 50): DataFrame = {
@@ -163,7 +169,7 @@ object Dedup {
     // iterative-DataFrame blowup — measured ~10× here)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().localCheckpoint(true)
+      .localCheckpoint(true)
     // iterate ONLY over edge-incident nodes: untouched ids can never
     // change label, and near-dup components are a tiny fraction of the
     // corpus — so every per-iteration join works on |touched| rows, not
@@ -232,6 +238,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         levenshtein(col("pa"), col("pb"), maxDist).as("dist"))
       .filter(col("dist") >= 0) // threshold variant yields -1 above maxDist
+  }
+
+  /** Sorted-neighborhood candidate pairs — the blocking scheme for
+    * fuzzy matching when no equality block key exists: order the corpus
+    * by a sort key (normalized title, address, …) and pair each record
+    * with its `window` following neighbors. Candidates then feed a
+    * verifier such as [[editDistancePairs]]' bounded DP.
+    *
+    * Shape: one global rank ([[Ranking.withGlobalRank]] — range
+    * partition + local rank, no single-partition window), then a BAND
+    * self-join: neighbors within `window` ranks live in the same or the
+    * next rank bucket, so the probe side explodes to exactly 2 bucket
+    * keys and the join is equi on bucket — never an inequality
+    * nested-loop, never O(n²). Output: (id_a, id_b, gap) with id_a the
+    * earlier record in sort order, each pair exactly once.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, sortKey: Column,
+      window: Int): DataFrame = {
+    val ranked = Ranking.withGlobalRank(
+      df.select(col(idCol).as("id"), sortKey.as("snk")), "rk",
+      Seq(col("snk").asc, col("id").asc))
+    val bucketed = ranked
+      .withColumn("bucket", floor((col("rk") - 1) / window).cast("long"))
+    val a = bucketed.select(col("id").as("id_a"), col("rk").as("rk_a"),
+      explode(array(col("bucket"), col("bucket") + 1)).as("bucket"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("rk").as("rk_b"))
+    a.join(b, Seq("bucket"))
+      .filter((col("rk_b") - col("rk_a")).between(1, window))
+      .select(col("id_a"), col("id_b"), (col("rk_b") - col("rk_a")).as("gap"))
   }
 
   // ---- train/eval decontamination ----------------------------------------

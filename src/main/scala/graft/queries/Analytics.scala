@@ -146,6 +146,27 @@ object Analytics extends QueryPack {
       |WHERE abs(length(a.t) - length(b.t)) <= 3 AND levenshtein(a.t, b.t) <= 3
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- SN1: sorted-neighborhood blocking ---------------------------------
+  // Candidate pairs within a 5-record neighborhood of the corpus sorted
+  // by a 12-char text prefix — the blocking scheme for fuzzy matching
+  // without an equality key. The oracle restates it with a plain
+  // ROW_NUMBER + inequality join (fine at oracle scale; the engine side
+  // is the banded equi-join).
+  private def sn1SortedNeighborhood(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.sortedNeighborhoodPairs(
+      Tables.load(s, dir, "documents"), "doc_id",
+      substring(col("text"), 1, 12), window = 5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val sn1Sql =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY substr(text, 1, 12), doc_id) AS rk
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, b.rk - a.rk AS gap
+      |FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 5
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ---- RFM1: RFM segmentation --------------------------------------------
   // Recency/frequency/monetary quartiles per user (anchor = corpus max
   // ts so the result is re-runnable), combined into a 3-digit segment.
@@ -203,5 +224,6 @@ object Analytics extends QueryPack {
     Q("fun2_funnel3", "3-step strict-order funnel (signup->click->purchase)", fun2Funnel3, Some(fun2Sql)),
     Q("rt1_retention", "weekly retention cohorts (first-event week x offset)", rt1Retention, Some(rt1Sql)),
     Q("ed1_edit_distance", "Levenshtein near-pairs over prefixes in a bounded block", ed1EditDistance, Some(ed1Sql)),
-    Q("ed2_near_strings", "blocked fuzzy-match operator with planted near-pairs (nonzero matches)", ed2NearStrings, Some(ed2Sql)))
+    Q("ed2_near_strings", "blocked fuzzy-match operator with planted near-pairs (nonzero matches)", ed2NearStrings, Some(ed2Sql)),
+    Q("sn1_sorted_neighborhood", "sorted-neighborhood blocking pairs (banded rank join)", sn1SortedNeighborhood, Some(sn1Sql)))
 }

@@ -299,7 +299,22 @@ object PipelineQueries extends QueryPack {
 
   private val sim3Sql =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-      |cents AS (SELECT vec_id AS cent_id, emb AS cent_e FROM e WHERE vec_id < 8),
+      |seeds AS (SELECT vec_id AS cent_id, emb AS cent_e FROM e WHERE vec_id < 8),
+      |seed_assign AS (
+      |  SELECT vec_id, emb, cent_id FROM (
+      |    SELECT e.vec_id, e.emb, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_dot_product(e.emb, c.cent_e), 6) DESC, c.cent_id) AS r
+      |    FROM e CROSS JOIN seeds c) WHERE r <= 1),
+      |cents AS (
+      |  SELECT cent_id, list(m ORDER BY pos) AS cent_e FROM (
+      |    SELECT cent_id, pos,
+      |      (CAST(SUM(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      |        / COUNT(*)) / 1000000.0 AS m
+      |    FROM (SELECT cent_id, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v
+      |          FROM seed_assign)
+      |    GROUP BY cent_id, pos)
+      |  GROUP BY cent_id),
       |assigned AS (
       |  SELECT vec_id AS neighbor_id, emb AS ce, cent_id FROM (
       |    SELECT e.vec_id, e.emb, c.cent_id,

@@ -77,6 +77,51 @@ object Relational extends QueryPack {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  // ---- TPC-H Q5 shape: 6-table join with a co-location predicate ---------
+  // Local-supplier volume: revenue per nation where the customer and
+  // the line's supplier share a nation, restricted to one region and a
+  // date year. The join-order / strategy workout: two broadcast dims
+  // (nation, region), customer and supplier as build sides against the
+  // fact chain, plus the c_nationkey = s_nationkey co-location filter
+  // that only applies AFTER both sides are joined in.
+  private def q5LocalSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val ord = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val cust = Tables.load(s, dir, "customer")
+    val sup = Tables.load(s, dir, "supplier")
+    val nat = Tables.load(s, dir, "nation")
+    val reg = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+        cust("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q5Sql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   // ---- O1: ordered page (`ORDER BY pk FETCH FIRST 20`) -------------------
   // Ref: SimulatorController.java:92-96. Spark plans TakeOrderedAndProject.
   private def o1OrderedPage(s: SparkSession, dir: String): DataFrame =
@@ -404,6 +449,7 @@ object Relational extends QueryPack {
     Q("gs1_rollup", "ROLLUP grouping sets with subtotals", gs1Rollup, Some(gs1Sql)),
     Q("q1_pricing_summary", "A1/A3 flagship hash aggregation (decimal-exact)", q1PricingSummary, Some(q1Sql)),
     Q("q3_revenue_by_nation", "multi-join aggregation, broadcast dim", q3RevenueByNation, Some(q3Sql)),
+    Q("q5_local_supplier_volume", "6-table join with co-location predicate (TPC-H Q5 shape)", q5LocalSupplierVolume, Some(q5Sql)),
     Q("o1_ordered_page", "O1 ordered page / TakeOrderedAndProject", o1OrderedPage, Some(o1Sql)),
     Q("o2_recent_topk", "O2 reverse-chron top-K", o2RecentTopk, Some(o2Sql)),
     Q("o3_union_merge", "O3 UNION ALL + re-sort + cap", o3UnionMerge, Some(o3Sql)),

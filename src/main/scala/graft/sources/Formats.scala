@@ -37,4 +37,18 @@ object Formats {
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       .option("mode", "PERMISSIVE")
       .json(path)
+
+  /** ORC: the other columnar interchange format Spark ships natively
+    * (zstd-compressed; predicate pushdown and column pruning work the
+    * same as parquet — asserted in FormatsSpec). Avro is NOT offered:
+    * this environment has avro core jars but no spark-avro connector,
+    * so `format("avro")` cannot resolve (recorded in COVERAGE.md).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .orc(path)
+
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

@@ -162,6 +162,24 @@ class OpsSpec extends SparkSpec {
     assert(lsh.filter($"query_id" === $"neighbor_id").count() == 0)
   }
 
+  test("IVF recall@10 vs brute force: refinement meets a floor and beats seed-only") {
+    val emb = graft.Tables.load(spark, sfSmoke, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteTopK(emb, q, 10).select("query_id", "neighbor_id")
+    val nBrute = brute.count()
+    def hits(refine: Int): Long =
+      brute.intersect(Similarity.ivfTopK(emb, q, 10, nCentroids = 8, nProbe = 2,
+        refine = refine).select("query_id", "neighbor_id")).count()
+    val seedHits = hits(0)
+    val refinedHits = hits(1)
+    info(s"recall@10: seed-only=${seedHits.toDouble / nBrute}, " +
+      s"refined=${refinedHits.toDouble / nBrute} over $nBrute brute pairs")
+    assert(refinedHits.toDouble / nBrute >= 0.5,
+      s"refined IVF recall@10 below floor: $refinedHits/$nBrute")
+    assert(refinedHits >= seedHits,
+      s"k-means refinement lost recall: $refinedHits < $seedHits")
+  }
+
   test("plane weights are deterministic and within [-1,1]") {
     val w1 = Similarity.planeWeights(3, 16)
     val w2 = Similarity.planeWeights(3, 16)
