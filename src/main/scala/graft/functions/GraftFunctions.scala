@@ -36,19 +36,26 @@ object GraftFunctions {
     "srp_bucket" -> (es =>
       VectorOps.SrpBucket(es(0), intLit(es(1), "planes"), intLit(es(2), "dims"))))
 
-  /** Register on an existing session (temp functions). */
-  def registerAll(spark: SparkSession): Unit =
+  /** Register on an existing session (temp functions + optimizer rule). */
+  def registerAll(spark: SparkSession): Unit = {
     builders.foreach { case (name, b) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, b, "built-in")
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.LevenshteinThresholdRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.LevenshteinThresholdRule
+  }
 }
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), b))
     }
+    e.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
+  }
 }

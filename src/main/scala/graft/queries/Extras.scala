@@ -122,6 +122,31 @@ object Extras extends QueryPack {
       |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
       |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin
 
+  // ---- VR1: VariantType semi-structured extraction -----------------------
+  // The open-schema path: props parses ONCE into Spark 4's binary
+  // VariantType (no schema declared up front, unlike from_json), then
+  // typed field extraction. At 100 TB this is the shredded
+  // semi-structured scan: parse cost is one pass, the variant binary
+  // is columnar-friendly, and variant_get is codegen'd — against
+  // get_json_object, which re-parses the JSON text per extraction.
+  private def vr1VariantExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k").cast("long")).as("k_sum"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .orderBy(col("event_type"))
+
+  private val vr1Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+      |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS k_min,
+      |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS k_max
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- W3: tumbling event-time window ------------------------------------
   private def w3TumblingHourly(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
@@ -208,6 +233,7 @@ object Extras extends QueryPack {
     Q("sk1_salted_join", "salted join spreads a deliberately hot key", sk1SaltedJoin, Some(sk1Sql)),
     Q("p7_debezium_decimal", "P7 VariableScaleDecimal custom Expression", p7DebeziumDecimal, Some(p7Sql)),
     Q("js1_json_extract", "JSON field extraction + aggregation", js1JsonExtract, Some(js1Sql)),
+    Q("vr1_variant_extract", "VariantType parse-once semi-structured extraction (Spark 4 variant)", vr1VariantExtract, Some(vr1Sql)),
     Q("w3_tumbling_hourly", "tumbling event-time window aggregation", w3TumblingHourly, Some(w3Sql)),
     Q("w4_sliding_2h", "sliding event-time window aggregation", w4Sliding2h, Some(w4Sql)),
   )

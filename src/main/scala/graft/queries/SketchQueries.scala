@@ -200,7 +200,56 @@ object SketchQueries extends QueryPack {
       |GROUP BY q.event_type, s2.n
       |ORDER BY event_type""".stripMargin
 
+  // ---- PF1: per-column profile -------------------------------------------
+  // One-scan null/distinct profile of the events table. The oracle
+  // restates ts-distinct through the same ns→µs truncation Tables.load
+  // applies (epoch_ns // 1000), so both engines count the same values.
+  private def pf1Profile(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.profile(Tables.load(s, dir, "events"),
+      Seq("event_id", "event_type", "ts", "user_id", "value"))
+      .orderBy(col("col_name"))
+
+  private val pf1Sql =
+    """SELECT * FROM (
+      |  SELECT 'event_id' AS col_name, COUNT(*) AS n_rows,
+      |    CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+      |    COUNT(DISTINCT event_id) AS n_distinct FROM events
+      |  UNION ALL
+      |  SELECT 'event_type', COUNT(*),
+      |    CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    COUNT(DISTINCT event_type) FROM events
+      |  UNION ALL
+      |  SELECT 'ts', COUNT(*),
+      |    CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    COUNT(DISTINCT epoch_ns(ts) // 1000) FROM events
+      |  UNION ALL
+      |  SELECT 'user_id', COUNT(*),
+      |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    COUNT(DISTINCT user_id) FROM events
+      |  UNION ALL
+      |  SELECT 'value', COUNT(*),
+      |    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    COUNT(DISTINCT value) FROM events)
+      |ORDER BY col_name""".stripMargin
+
+  // ---- HG1: equal-width histogram ----------------------------------------
+  private def hg1Histogram(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.histogram(Tables.load(s, dir, "orders"), "o_totalprice", 20)
+      .orderBy(col("bin"))
+
+  private val hg1Sql =
+    """WITH mm AS (SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS lo,
+      |                   MAX(CAST(o_totalprice AS DOUBLE)) AS hi FROM orders)
+      |SELECT bin, COUNT(*) AS n FROM (
+      |  SELECT CASE WHEN hi = lo THEN 0
+      |    ELSE CAST(least(floor((CAST(o_totalprice AS DOUBLE) - lo)
+      |                          / ((hi - lo) / 20)), 19) AS BIGINT) END AS bin
+      |  FROM orders, mm)
+      |GROUP BY bin ORDER BY bin""".stripMargin
+
   override def all: Seq[Q] = Seq(
+    Q("pf1_column_profile", "one-scan per-column null/distinct profile", pf1Profile, Some(pf1Sql)),
+    Q("hg1_histogram", "equal-width 20-bin histogram over order totals", hg1Histogram, Some(hg1Sql)),
     Q("cm1_countmin", "count-min sketch table + top-10 vocabulary probe (md5 rows, exact-integer cells)", cm1CountMin, Some(cm1Sql)),
     Q("bl1_bloom", "Bloom filter build + probe with deterministic false-positive band", bl1Bloom, Some(bl1Sql)),
     Q("an1_z_outliers", "per-group z-score outlier counts (fixed-point moments; sqrt is correctly-rounded IEEE)", an1Outliers, Some(an1Sql)),

@@ -78,6 +78,28 @@ class SketchesSpec extends SparkSpec {
     assert(q.count() == 5000L) // still completes and yields one row per group
   }
 
+  test("profile: null and distinct counts per column in one pass") {
+    val d = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "a"), (null, "b"),
+      (3L, null), (3L, "b")).toDF("id", "tag")
+    val got = Profile.profile(d, Seq("id", "tag")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("id") == ((5L, 1L, 3L)))  // 5 rows, 1 null, distinct {1,2,3}
+    assert(got("tag") == ((5L, 1L, 2L))) // distinct {a,b}
+  }
+
+  test("histogram: bins partition all rows; max value lands in the last bin") {
+    val d = (0 to 100).map(_.toDouble).toDF("v")
+    val h = Profile.histogram(d, "v", 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h.values.sum == 101L)
+    assert(h.keySet.max == 9L && h.keySet.min == 0L)
+    assert(h(9L) == 11L) // 90..99 plus v=100 closed into the top bin
+    // degenerate: constant column -> everything in bin 0
+    val c = Seq(5.0, 5.0, 5.0).toDF("v")
+    val hc = Profile.histogram(c, "v", 10).collect()
+    assert(hc.length == 1 && hc.head.getLong(0) == 0L && hc.head.getLong(1) == 3L)
+  }
+
   test("quantizeInt8 digest: max-magnitude element maps to ±127") {
     val d = Seq((1L, Array(0.5f, -1.0f, 0.25f)), (2L, Array(0f, 0f, 0f)))
       .toDF("vec_id", "embedding")
