@@ -457,6 +457,44 @@ object PipelineQueries extends QueryPack {
       |             THEN 1 END) AS BIGINT) AS n_kept
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- CP1: end-to-end curation pipeline (composition proof) -------------
+  // The whole corpus-prep chain as ONE dataflow: exact dedup → token
+  // quality gate → per-source mixture downsampling → (source, lang)
+  // rollup. Every stage is an existing operator
+  // (Dedup.exactDedup / TextAnalysis.tokens / Stats.mixtureSample) and
+  // the oracle restates each stage independently — the proof that the
+  // operators COMPOSE, which is how a real pipeline consumes them.
+  // Plan: dedup's semi-join shuffle + one map-side filter chain + one
+  // rollup shuffle; the quality gate and sampling add no exchanges.
+  private def cp1Curation(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val deduped = Dedup.exactDedup(docs, "doc_id", "text")
+    val quality = deduped.filter(size(TextAnalysis.tokens(col("text"))) >= 20)
+    val sampled = Stats.mixtureSample(quality, "source", "doc_id",
+      mixRates, defaultRate = 10)
+    sampled.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_tokens"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  private val cp1Sql =
+    """WITH keep AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM documents
+      |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+      |q AS (
+      |  SELECT d.doc_id, d.source, d.lang,
+      |    len(string_split_regex(trim(d.text), '\s+')) AS n_tok
+      |  FROM documents d JOIN keep USING (doc_id)
+      |  WHERE len(string_split_regex(trim(d.text), '\s+')) >= 20),
+      |s AS (
+      |  SELECT * FROM q
+      |  WHERE ('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+      |        < (CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 80
+      |                       WHEN 'src2' THEN 50 WHEN 'src3' THEN 20 ELSE 10 END))
+      |SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |FROM s GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   // ---- QC1: per-source quality cap (best-N docs per domain) --------------
   // The "cap each domain's contribution, keeping its best documents"
   // quality gate: rank by the (pre-rounded, rule-7) quality score with a
@@ -519,6 +557,7 @@ object PipelineQueries extends QueryPack {
     Q("tx2_langid", "n-gram-heuristic language ID", tx2LangId, Some(tx2Sql)),
     Q("tx3_fingerprint", "document + shingle fingerprints", tx3Fingerprint, Some(tx3Sql)),
     Q("dd1_exact_dedup", "exact dedup via content-hash groupBy", dd1ExactDedup, Some(dd1Sql)),
+    Q("cp1_curation_pipeline", "end-to-end curation: dedup -> quality gate -> mixture sample -> rollup", cp1Curation, Some(cp1Sql)),
     Q("dd2_minhash_pairs", "MinHash+LSH near-dup pairs, Jaccard-verified", dd2MinhashPairs, Some(dd2Sql)),
     Q("dd6_neardup_canonical", "near-dup canonicalization via min-label components", dd6NeardupCanonical, Some(dd6Sql)),
     Q("dd3_simhash_pairs", "SimHash near-dup pairs, Hamming-verified", dd3SimhashPairs, Some(dd3Sql)),

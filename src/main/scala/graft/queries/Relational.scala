@@ -122,6 +122,59 @@ object Relational extends QueryPack {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  // ---- TPC-H Q6 shape: pure filter + scalar aggregate --------------------
+  // The pushdown workout: every predicate must reach the parquet scan
+  // (shipdate range, discount band, quantity cap), leaving a map-side
+  // partial sum and a 1-row exchange.
+  private def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  private val q6Sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ---- TPC-H Q14 shape: conditional aggregate over a fact-dim join -------
+  private def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+    val part = Tables.load(s, dir, "part")
+    val disc = dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount")))
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .agg(
+        sum(when(col("p_type").startsWith("PROMO"), disc)
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double").as("promo_revenue"),
+        sum(disc).cast("double").as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        graft.ops.TextAnalysis.round6(
+          col("promo_revenue") / col("total_revenue")).as("promo_share6"))
+  }
+
+  private val q14Sql =
+    """SELECT
+      |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+      |       THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+      |  floor(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+      |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |      / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |      * 1000000.0 + 0.5) / 1000000.0 AS promo_share6
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'""".stripMargin
+
   // ---- O1: ordered page (`ORDER BY pk FETCH FIRST 20`) -------------------
   // Ref: SimulatorController.java:92-96. Spark plans TakeOrderedAndProject.
   private def o1OrderedPage(s: SparkSession, dir: String): DataFrame =
@@ -450,6 +503,8 @@ object Relational extends QueryPack {
     Q("q1_pricing_summary", "A1/A3 flagship hash aggregation (decimal-exact)", q1PricingSummary, Some(q1Sql)),
     Q("q3_revenue_by_nation", "multi-join aggregation, broadcast dim", q3RevenueByNation, Some(q3Sql)),
     Q("q5_local_supplier_volume", "6-table join with co-location predicate (TPC-H Q5 shape)", q5LocalSupplierVolume, Some(q5Sql)),
+    Q("q6_forecast_revenue", "pure filter + scalar aggregate, full pushdown (TPC-H Q6 shape)", q6ForecastRevenue, Some(q6Sql)),
+    Q("q14_promo_revenue", "conditional aggregate over broadcast fact-dim join (TPC-H Q14 shape)", q14PromoRevenue, Some(q14Sql)),
     Q("o1_ordered_page", "O1 ordered page / TakeOrderedAndProject", o1OrderedPage, Some(o1Sql)),
     Q("o2_recent_topk", "O2 reverse-chron top-K", o2RecentTopk, Some(o2Sql)),
     Q("o3_union_merge", "O3 UNION ALL + re-sort + cap", o3UnionMerge, Some(o3Sql)),
