@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-shape assertions for the headline relational queries — the
+  * properties that make them scale are facts about the physical plan,
+  * so pin them like TemporalPlanSpec/RankingSpec do: a regression that
+  * un-pushes a filter or degrades a broadcast to a nested loop passes
+  * row checks and only surfaces as a blow-up at 100 TB.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfSmoke).queryExecution.executedPlan.toString
+
+  test("q6: every predicate reaches the parquet scan as a pushed filter") {
+    // read the scan node's metadata directly — the plan STRING truncates
+    // long PushedFilters lists, which would make substring checks lie
+    val exec = SparkEntry.queries("q6_forecast_revenue")(spark, sfSmoke)
+      .queryExecution.executedPlan
+    val inner = exec match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val pushed = inner.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }.mkString("; ")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), s"shipdate lower not pushed: $pushed")
+    assert(pushed.contains("LessThan(l_shipdate"), s"shipdate upper not pushed: $pushed")
+    assert(pushed.contains("GreaterThanOrEqual(l_discount,0.05)"), s"discount band not pushed: $pushed")
+    assert(pushed.contains("LessThan(l_quantity"), s"quantity cap not pushed: $pushed")
+  }
+
+  test("q3/q5/q14: dimension joins broadcast (no shuffle for small sides)") {
+    for (q <- Seq("q3_revenue_by_nation", "q5_local_supplier_volume", "q14_promo_revenue"))
+      assert(plan(q).contains("BroadcastHashJoin"), s"$q lost its broadcast join")
+  }
+
+  test("ordered pages compile to TakeOrderedAndProject, never a full sort") {
+    for (q <- Seq("o1_ordered_page", "o2_recent_topk"))
+      assert(plan(q).contains("TakeOrderedAndProject"), s"$q plans a full sort")
+  }
+
+  test("pf1: profiling all columns is ONE scan with one Expand, not N scans") {
+    val p = plan("pf1_column_profile")
+    val scans = "FileScan parquet".r.findAllIn(p).length +
+      "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"profile re-scans the table:\n$p") // matcher overlap tolerance
+    assert(p.contains("Expand"), s"expected Expand for multi-distinct:\n$p")
+  }
+
+  test("banded pair operators never degrade to cartesian/nested-loop joins") {
+    for (q <- Seq("dd2_minhash_pairs", "dd3_simhash_pairs", "sn1_sorted_neighborhood",
+      "ed2_near_strings", "cp1_curation_pipeline")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
+    }
+  }
+}
