@@ -31,6 +31,25 @@ object Profile {
     one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }
 
+  /** The 100 TB profiling path: same shape as [[profile]] but with
+    * `approx_count_distinct` (HLL++, `rsd` relative error) — the
+    * shuffle carries constant-size sketches per column instead of
+    * every distinct value. Use [[profile]] when the oracle needs exact
+    * numbers; use this on corpora where a per-column distinct shuffle
+    * is itself the bottleneck.
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      approx_count_distinct(col(c), rsd).as(s"__distinct_$c")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map(c => struct(lit(c).as("col_name"),
+      col("__rows").as("n_rows"), col(s"__nulls_$c").as("n_nulls"),
+      col(s"__distinct_$c").as("n_distinct_approx")))
+    one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Equal-width histogram: `bins` buckets spanning [min, max], the
     * top edge closed (v == max lands in the last bin). Constant-width
     * degenerate input (min == max) puts everything in bin 0. Output:

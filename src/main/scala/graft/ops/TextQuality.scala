@@ -98,12 +98,13 @@ object TextQuality {
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
-      // rank over a limit(k)-BOUNDED input: one task over ≤ k rows is
-      // the right plan; the constant partition key states that intent
-      // (and keeps the "No Partition Defined" warning reserved for
-      // genuinely unbounded windows — see ops.Ranking for those)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(lit(0)).orderBy(col("n").desc, col("token"))))
+      // rank via the distributed ranking operator: input is already
+      // limit(k)-bounded so this is cheap, and it keeps every rank in
+      // the engine free of unpartitioned windows (a constant
+      // partitionBy key would be folded away and single-partition the
+      // window anyway — measured, not guessed)
+      .transform(Ranking.withGlobalRank(_, "rank",
+        Seq(col("n").desc, col("token").asc)))
 
   /** Tokenize against a broadcast top-k vocabulary (rank = token id,
     * OOV = 0): the map-side id-mapping step before tokenizer sharding.
@@ -192,8 +193,8 @@ object TextQuality {
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
-      // bounded post-limit rank — deliberate single task (see vocabTopK)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(lit(0)).orderBy(col("n").desc, col("pair"))))
+      // bounded post-limit rank through ops.Ranking (see vocabTopK)
+      .transform(Ranking.withGlobalRank(_, "rank",
+        Seq(col("n").desc, col("pair").asc)))
   }
 }

@@ -433,6 +433,34 @@ object PipelineQueries extends QueryPack {
       |        THEN 1 END) AS n_sampled
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- SP1: stratified exact-N sampling ----------------------------------
+  // Exactly 5 docs per language, selected by deterministic hash rank —
+  // the "equal representation" sampling mode (vs sm1's rate-based
+  // thinning): reproducible on any engine, any run, and exact-N even
+  // for skewed strata. One shuffle on the stratum; same plan shape as
+  // qc1's per-source cap but ranked by hash, not quality.
+  private def sp1StratifiedExact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashRank = pmod(Dedup.hash32(
+      concat(lit("strat|"), col("doc_id").cast("string"))), lit(1000000007L))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), hashRank.as("hr"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("hr"), col("doc_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("rn").cast("long").as("rn"), col("doc_id"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  private val sp1Sql =
+    """SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY ('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |               % 1000000007, doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
+
   // ---- MX1: corpus mixture reweighting -----------------------------------
   // Data-mixing: deterministically downsample sources to target rates
   // (src0 keeps 100%, src1 80%, src2 50%, src3 20%, rest 10%) — the
@@ -558,6 +586,7 @@ object PipelineQueries extends QueryPack {
     Q("tx3_fingerprint", "document + shingle fingerprints", tx3Fingerprint, Some(tx3Sql)),
     Q("dd1_exact_dedup", "exact dedup via content-hash groupBy", dd1ExactDedup, Some(dd1Sql)),
     Q("cp1_curation_pipeline", "end-to-end curation: dedup -> quality gate -> mixture sample -> rollup", cp1Curation, Some(cp1Sql)),
+    Q("sp1_stratified_exact", "stratified exact-N sampling by deterministic hash rank", sp1StratifiedExact, Some(sp1Sql)),
     Q("dd2_minhash_pairs", "MinHash+LSH near-dup pairs, Jaccard-verified", dd2MinhashPairs, Some(dd2Sql)),
     Q("dd6_neardup_canonical", "near-dup canonicalization via min-label components", dd6NeardupCanonical, Some(dd6Sql)),
     Q("dd3_simhash_pairs", "SimHash near-dup pairs, Hamming-verified", dd3SimhashPairs, Some(dd3Sql)),

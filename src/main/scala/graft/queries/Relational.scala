@@ -175,6 +175,109 @@ object Relational extends QueryPack {
       |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
       |  AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'""".stripMargin
 
+  // ---- FO1: full-outer snapshot reconciliation ---------------------------
+  // The diff-two-snapshots shape (which keys exist only on one side,
+  // which changed): customers with orders in two adjacent years, FULL
+  // OUTER joined per customer, classified left-only / right-only /
+  // both. One shuffle per side's rollup + the outer join's exchange.
+  private def fo1FullOuterReconcile(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+    def yearly(y: Int, n: String) = ord
+      .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as(n))
+    yearly(1995, "n_a").join(yearly(1996, "n_b"), Seq("o_custkey"), "full_outer")
+      .select(when(col("n_a").isNotNull && col("n_b").isNotNull, "both")
+        .when(col("n_a").isNotNull, "left_only").otherwise("right_only").as("presence"))
+      .groupBy(col("presence")).agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("presence"))
+  }
+
+  private val fo1Sql =
+    """WITH a AS (
+      |  SELECT o_custkey, COUNT(*) AS n_a FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00' GROUP BY o_custkey),
+      |b AS (
+      |  SELECT o_custkey, COUNT(*) AS n_b FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00' GROUP BY o_custkey)
+      |SELECT CASE WHEN n_a IS NOT NULL AND n_b IS NOT NULL THEN 'both'
+      |            WHEN n_a IS NOT NULL THEN 'left_only' ELSE 'right_only' END AS presence,
+      |  COUNT(*) AS n_customers
+      |FROM a FULL OUTER JOIN b USING (o_custkey)
+      |GROUP BY 1 ORDER BY presence""".stripMargin
+
+  // ---- WF1: ranking window-function family --------------------------------
+  // dense_rank / percent_rank / cume_dist per status over order totals
+  // (top 3 per status via row_number to bound output). All windows are
+  // PARTITIONED (by status) — the ratio functions are int-ratio doubles
+  // rounded through rule-7 so ranks hash-match across engines.
+  private def wf1RankFunctions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        dense_rank().over(w).cast("long").as("drank"),
+        graft.ops.TextAnalysis.round6(percent_rank().over(w)).as("prank6"),
+        graft.ops.TextAnalysis.round6(cume_dist().over(w)).as("cdist6"))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderstatus"), col("rn").cast("long").as("rn"),
+        col("o_orderkey"), col("drank"), col("prank6"), col("cdist6"))
+      .orderBy(col("o_orderstatus"), col("rn"))
+  }
+
+  private val wf1Sql =
+    """SELECT o_orderstatus, CAST(rn AS BIGINT) AS rn, o_orderkey,
+      |  CAST(drank AS BIGINT) AS drank,
+      |  floor(prank * 1000000.0 + 0.5) / 1000000.0 AS prank6,
+      |  floor(cdist * 1000000.0 + 0.5) / 1000000.0 AS cdist6
+      |FROM (
+      |  SELECT o_orderstatus, o_orderkey,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+      |    DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS drank,
+      |    PERCENT_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS prank,
+      |    CUME_DIST() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS cdist
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_orderstatus, rn""".stripMargin
+
+  // ---- SO1: INTERSECT / EXCEPT set operators ------------------------------
+  // The reference never uses set ops (SURVEY §2.6 notes UNION ALL only);
+  // a complete engine still needs them. Set semantics = distinct — both
+  // engines agree; the output is the three set-relation cardinalities
+  // over adjacent-year customer key sets.
+  private def so1SetOps(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+    def keys(y: Int) = ord
+      .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val a = keys(1995)
+    val b = keys(1996)
+    val rows = Seq(
+      ("intersect", a.intersect(b)), ("a_except_b", a.except(b)),
+      ("b_except_a", b.except(a)))
+    rows.map { case (nm, df) =>
+      df.agg(count(lit(1)).as("n")).select(lit(nm).as("set_op"), col("n"))
+    }.reduce(_ unionByName _).orderBy(col("set_op"))
+  }
+
+  private val so1Sql =
+    """WITH a AS (SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'),
+      |b AS (SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+      |SELECT 'intersect' AS set_op,
+      |  (SELECT COUNT(*) FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)) AS n
+      |UNION ALL SELECT 'a_except_b',
+      |  (SELECT COUNT(*) FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b))
+      |UNION ALL SELECT 'b_except_a',
+      |  (SELECT COUNT(*) FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a))
+      |ORDER BY set_op""".stripMargin
+
   // ---- O1: ordered page (`ORDER BY pk FETCH FIRST 20`) -------------------
   // Ref: SimulatorController.java:92-96. Spark plans TakeOrderedAndProject.
   private def o1OrderedPage(s: SparkSession, dir: String): DataFrame =
@@ -505,6 +608,9 @@ object Relational extends QueryPack {
     Q("q5_local_supplier_volume", "6-table join with co-location predicate (TPC-H Q5 shape)", q5LocalSupplierVolume, Some(q5Sql)),
     Q("q6_forecast_revenue", "pure filter + scalar aggregate, full pushdown (TPC-H Q6 shape)", q6ForecastRevenue, Some(q6Sql)),
     Q("q14_promo_revenue", "conditional aggregate over broadcast fact-dim join (TPC-H Q14 shape)", q14PromoRevenue, Some(q14Sql)),
+    Q("fo1_full_outer_reconcile", "full-outer snapshot reconciliation (left/right/both counts)", fo1FullOuterReconcile, Some(fo1Sql)),
+    Q("wf1_rank_functions", "dense_rank/percent_rank/cume_dist per status (partitioned windows)", wf1RankFunctions, Some(wf1Sql)),
+    Q("so1_set_ops", "INTERSECT/EXCEPT set-operator cardinalities", so1SetOps, Some(so1Sql)),
     Q("o1_ordered_page", "O1 ordered page / TakeOrderedAndProject", o1OrderedPage, Some(o1Sql)),
     Q("o2_recent_topk", "O2 reverse-chron top-K", o2RecentTopk, Some(o2Sql)),
     Q("o3_union_merge", "O3 UNION ALL + re-sort + cap", o3UnionMerge, Some(o3Sql)),

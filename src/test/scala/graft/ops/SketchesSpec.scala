@@ -87,6 +87,14 @@ class SketchesSpec extends SparkSpec {
     assert(got("tag") == ((5L, 1L, 2L))) // distinct {a,b}
   }
 
+  test("profileApprox: sketch-based distincts land within the error band") {
+    val d = (1 to 5000).map(i => (i.toLong, (i % 50).toString)).toDF("id", "tag")
+    val got = Profile.profileApprox(d, Seq("id", "tag")).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(math.abs(got("id") - 5000L) <= 500L, s"id approx ${got("id")}")
+    assert(math.abs(got("tag") - 50L) <= 5L, s"tag approx ${got("tag")}")
+  }
+
   test("histogram: bins partition all rows; max value lands in the last bin") {
     val d = (0 to 100).map(_.toDouble).toDF("v")
     val h = Profile.histogram(d, "v", 10).collect()

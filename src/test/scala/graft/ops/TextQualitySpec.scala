@@ -48,12 +48,12 @@ class TextQualitySpec extends SparkSpec {
   test("vocabTopK and adjacentPairCounts order by count then lexicographic") {
     val d = Seq((1L, "b a b c b a")).toDF("doc_id", "text")
     val vocab = TextQuality.vocabTopK(d, "text", 2)
-      .select("rank", "token", "n").as[(Int, String, Long)].collect().toSeq
-    assert(vocab == Seq((1, "b", 3L), (2, "a", 2L)))
+      .select("rank", "token", "n").as[(Long, String, Long)].collect().toSeq
+    assert(vocab == Seq((1L, "b", 3L), (2L, "a", 2L)))
     val pairs = TextQuality.adjacentPairCounts(d, "text", 3)
-      .select("rank", "pair", "n").as[(Int, String, Long)].collect().toSeq
+      .select("rank", "pair", "n").as[(Long, String, Long)].collect().toSeq
     // pairs: "b a" x2, "a b", "b c", "c b"
-    assert(pairs == Seq((1, "b a", 2L), (2, "a b", 1L), (3, "b c", 1L)))
+    assert(pairs == Seq((1L, "b a", 2L), (2L, "a b", 1L), (3L, "b c", 1L)))
   }
 
   test("adjacentPairCounts drops single-token docs") {
