@@ -138,6 +138,45 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** REAL image resize: decode (ImageIO) → nearest-neighbor resample →
+    * re-encode PNG, per partition. Deterministic pixel math (integer
+    * source-index mapping, no interpolation rounding), so downstream
+    * decode of the output is oracle-predictable for solid-color inputs.
+    * Undecodable payloads are dropped (ST8 per-record isolation).
+    */
+  def resizeImages(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0, "output dims must be positive")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val idIdx = media.schema.fieldIndex("doc_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](payloadIdx)))
+        if (img == null) None
+        else {
+          val out = new java.awt.image.BufferedImage(
+            outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < outH) {
+            val sy = y * img.getHeight / outH
+            var x = 0
+            while (x < outW) {
+              out.setRGB(x, y, img.getRGB(x * img.getWidth / outW, sy))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some(Row(r.getLong(idIdx), bos.toByteArray))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Per-partition featurization: byte histogram (2^4 buckets) — the
     * imperative batch path where a real model/codec would run. One task
     * per partition; no data moves to the driver.

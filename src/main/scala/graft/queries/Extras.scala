@@ -58,6 +58,23 @@ object Extras extends QueryPack {
       |  CAST((doc_id * 2654435761) % 16777216 AS INTEGER) AS rgb0
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- MM4: real resize chain --------------------------------------------
+  // decode → nearest-neighbor resample to 4×4 → re-encode → decode
+  // again: the full transcode chain through the actual JDK codec, with
+  // an oracle that predicts the post-resize metadata from doc_id alone
+  // (solid-color fills survive any resample).
+  private def mm4Resize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageMeta(Multimodal.resizeImages(
+      Multimodal.pngTable(Tables.load(s, dir, "documents")), 4, 4))
+      .orderBy(col("doc_id"))
+
+  private val mm4Sql =
+    """SELECT doc_id,
+      |  CAST(4 AS INTEGER) AS width,
+      |  CAST(4 AS INTEGER) AS height,
+      |  CAST((doc_id * 2654435761) % 16777216 AS INTEGER) AS rgb0
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- SK1: salted join on a deliberately skewed key ---------------------
   // ~1/3 of events collapse onto hot key 7; the salted join spreads that
   // key over 8 shuffle partitions (salt derived from event_id) while the
@@ -230,6 +247,7 @@ object Extras extends QueryPack {
     Q("mm1_media_meta", "multimodal: typed metadata over binary payloads", mm1MediaMeta, Some(mm1Sql)),
     Q("mm2_frame_hashes", "multimodal: fixed-size frame sampling", mm2FrameHashes, Some(mm2Sql)),
     Q("mm3_png_decode", "multimodal: real JDK PNG encode→decode round trip", mm3PngDecode, Some(mm3Sql)),
+    Q("mm4_resize", "multimodal: decode → nearest-neighbor resize → re-encode → decode", mm4Resize, Some(mm4Sql)),
     Q("sk1_salted_join", "salted join spreads a deliberately hot key", sk1SaltedJoin, Some(sk1Sql)),
     Q("p7_debezium_decimal", "P7 VariableScaleDecimal custom Expression", p7DebeziumDecimal, Some(p7Sql)),
     Q("js1_json_extract", "JSON field extraction + aggregation", js1JsonExtract, Some(js1Sql)),
