@@ -176,6 +176,48 @@ object TextQuality {
       .limit(k)
   }
 
+  /** BM25 top-k keyword retrieval over the corpus — the ranked-search
+    * counterpart to [[invertedIndex]]. Classic Okapi shape with k1=1.2,
+    * b=0.75, but a log-free rational IDF `(N - df + ½)/(df + ½)` so
+    * every arithmetic step is IEEE-exact across engines (`ln` is not
+    * correctly rounded across libms — same trade [[cooccurrenceLift]]
+    * makes; swap the log in at deploy if classical BM25 weights are
+    * required). Per-term scores quantize to 10⁻⁶ fixed point before the
+    * per-doc sum, so the distributed summation is order-independent.
+    *
+    * Scale shape: document lengths and corpus stats come from one
+    * narrow scan (no shuffle); term frequencies shuffle ONLY documents
+    * containing a query term (map-side `isin` filter before the
+    * exchange); df and corpus stats broadcast. Nothing is proportional
+    * to |vocabulary| — only to |matching docs| · |terms|.
+    */
+  def bm25TopK(df0: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val docs = df0.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("w"))
+    val lens = docs.select(col(idCol), size(col("w")).cast("long").as("dl"))
+    // avgdl enters as the exact rational dl·N/S — no double division
+    // until the final score expression, which both engines evaluate on
+    // identical operand trees
+    val stats = lens.agg(sum(col("dl")).as("s_dl"), count(lit(1)).as("n_docs"))
+    val tf = docs.select(col(idCol), explode(col("w")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(lens, Seq(idCol))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        floor((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25)
+            + lit(0.75) * col("dl") * col("n_docs") / col("s_dl")))
+          * 1000000.0 + 0.5).cast("long").as("s6"))
+      .groupBy(col(idCol))
+      .agg(sum(col("s6")).as("score6"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score6").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Adjacent-token-pair counts — the candidate-merge counting step of a
     * BPE trainer. Same word-count shape as vocabTopK.
     */

@@ -433,6 +433,27 @@ object PipelineQueries extends QueryPack {
       |        THEN 1 END) AS n_sampled
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- WS1: deterministic weighted sampling ------------------------------
+  // Importance sampling by document length: p(keep) = min(1,
+  // n_chars·2000/10⁶), decided by the doc-id hash — per-row
+  // probabilities where sm1 has per-group rates. The verification
+  // aggregates kept-count and kept-mass per source so the oracle row
+  // set stays small while every per-row keep decision feeds it.
+  private def ws1WeightedSample(s: SparkSession, dir: String): DataFrame =
+    Stats.weightedHashSample(Tables.load(s, dir, "documents"),
+        "doc_id", "n_chars", scale = 2000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+      .orderBy(col("source"))
+
+  private val ws1Sql =
+    """SELECT source, COUNT(*) AS n_kept,
+      |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+      |FROM documents
+      |WHERE ('0x' || substr(md5('wsamp|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+      |      < least(n_chars * 2000, 1000000)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ---- SP1: stratified exact-N sampling ----------------------------------
   // Exactly 5 docs per language, selected by deterministic hash rank —
   // the "equal representation" sampling mode (vs sm1's rate-based
@@ -595,6 +616,7 @@ object PipelineQueries extends QueryPack {
     Q("dc1_decontaminate", "train/eval n-gram containment (inverted-index join)", dc1Decontaminate, Some(dc1Sql)),
     Q("pk1_sequence_packing", "greedy packing into 2048-token context windows", pk1SequencePacking, Some(pk1Sql)),
     Q("sm1_hash_sample", "deterministic hash-mod sampling, lang-stratified", sm1HashSample, Some(sm1Sql)),
+    Q("ws1_weighted_sample", "deterministic weighted Bernoulli sampling by doc length", ws1WeightedSample, Some(ws1Sql)),
     Q("mx1_mixture_weights", "deterministic corpus-mixture reweighting by source", mx1Mixture, Some(mx1Sql)),
     Q("qc1_source_cap", "per-source contribution cap keeping best-quality docs", qc1SourceCap, Some(qc1Sql)),
     Q("sim1_brute_topk", "brute-force cosine top-k", sim1BruteTopk, Some(sim1Sql)),

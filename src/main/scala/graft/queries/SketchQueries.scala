@@ -200,6 +200,35 @@ object SketchQueries extends QueryPack {
       |GROUP BY q.event_type, s2.n
       |ORDER BY event_type""".stripMargin
 
+  // ---- MAD1: robust median/MAD outliers ----------------------------------
+  // The heavy-tail-safe counterpart of an1: medians instead of moments.
+  // Values quantize to 10⁻³ fixed point first so both engines
+  // interpolate integer-valued doubles (exact at p=0.5 — the
+  // interpolation fraction is 0 or exactly 0.5), making the unrounded
+  // median/MAD and every threshold comparison bit-identical.
+  private def mad1Outliers(s: SparkSession, dir: String): DataFrame =
+    Stats.madOutliers(Tables.load(s, dir, "events"), "event_type", "value",
+        cut = 3.0, scale = 1000L)
+      .orderBy(col("event_type"))
+
+  private val mad1Sql =
+    """WITH q AS (
+      |  SELECT event_type,
+      |    CAST(floor(CAST(value AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS q
+      |  FROM events),
+      |m AS (SELECT event_type, COUNT(*) AS n, quantile_cont(q, 0.5) AS med
+      |      FROM q GROUP BY event_type),
+      |d AS (SELECT q.event_type, abs(q.q - med) AS adev
+      |      FROM q JOIN m USING (event_type)),
+      |md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      |       FROM d GROUP BY event_type)
+      |SELECT d.event_type AS event_type, m.n AS n,
+      |  med / 1000.0 AS med, mad / 1000.0 AS mad,
+      |  CAST(SUM(CASE WHEN adev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM d JOIN m USING (event_type) JOIN md USING (event_type)
+      |GROUP BY d.event_type, m.n, med, mad
+      |ORDER BY event_type""".stripMargin
+
   // ---- PF1: per-column profile -------------------------------------------
   // One-scan null/distinct profile of the events table. The oracle
   // restates ts-distinct through the same ns→µs truncation Tables.load
@@ -253,6 +282,7 @@ object SketchQueries extends QueryPack {
     Q("cm1_countmin", "count-min sketch table + top-10 vocabulary probe (md5 rows, exact-integer cells)", cm1CountMin, Some(cm1Sql)),
     Q("bl1_bloom", "Bloom filter build + probe with deterministic false-positive band", bl1Bloom, Some(bl1Sql)),
     Q("an1_z_outliers", "per-group z-score outlier counts (fixed-point moments; sqrt is correctly-rounded IEEE)", an1Outliers, Some(an1Sql)),
+    Q("mad1_robust_outliers", "per-group median/MAD robust outlier counts (exact fixed-point medians)", mad1Outliers, Some(mad1Sql)),
     Q("hll1_distinct_sketch", "deterministic HyperLogLog-256 cardinality estimate (md5 registers, exact-integer register sum)", hll1Sketch, Some(hll1Sql)),
     Q("qz1_quantize_int8", "symmetric int8 embedding quantization digest", qz1Quantize, Some(qz1Sql)),
     Q("dim1_dim_stats", "per-dimension embedding mean/variance in overflow-safe fixed-point", dim1DimStats, Some(dim1Sql)))

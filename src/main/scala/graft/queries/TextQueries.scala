@@ -107,6 +107,39 @@ object TextQueries extends QueryPack {
       |      GROUP BY token)
       |ORDER BY n DESC, token LIMIT 100""".stripMargin
 
+  // ---- BM1: BM25 ranked retrieval ----------------------------------------
+  // Okapi BM25 top-25 for a 3-term query (log-free rational IDF keeps
+  // every arithmetic step engine-exact; per-term scores quantize to
+  // 10⁻⁶ before the per-doc sum so summation order can't matter). The
+  // oracle's DOUBLE casts are load-bearing: DuckDB decimal literals
+  // would otherwise run the scoring in DECIMAL arithmetic.
+  private def bm1Bm25(s: SparkSession, dir: String): DataFrame =
+    TextQuality.bm25TopK(Tables.load(s, dir, "documents"), "doc_id", "text",
+      terms = Seq("spark", "join", "window"), k = 25)
+
+  private val bm1Sql =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs),
+      |stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS s_dl, COUNT(*) AS n_docs FROM lens),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(w) AS term FROM docs)
+      |  WHERE term IN ('spark', 'join', 'window')
+      |  GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |s AS (
+      |  SELECT tf.doc_id,
+      |    CAST(floor((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
+      |      * (tf * CAST(2.2 AS DOUBLE))
+      |      / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+      |        + CAST(0.75 AS DOUBLE) * dl * n_docs / s_dl))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS s6
+      |  FROM tf JOIN lens USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats)
+      |SELECT doc_id, CAST(SUM(s6) AS BIGINT) AS score6, COUNT(*) AS n_terms
+      |FROM s GROUP BY doc_id
+      |ORDER BY score6 DESC, doc_id LIMIT 25""".stripMargin
+
   // ---- BP1: BPE adjacent-pair counts -------------------------------------
   private def bp1BpePairs(s: SparkSession, dir: String): DataFrame =
     TextQuality.adjacentPairCounts(Tables.load(s, dir, "documents"), "text", k = 50)
@@ -207,5 +240,6 @@ object TextQueries extends QueryPack {
     Q("tf1_tfidf_keywords", "top-3 keywords per doc by log-free TF-IDF", tf1Keywords, Some(tf1Sql)),
     Q("pii1_redact", "PII redaction pass with removal counts (planted deterministic contacts)", pii1Redact, Some(pii1Sql)),
     Q("vb1_vocab_topk", "corpus top-100 vocabulary with counts", vb1Vocab, Some(vb1Sql)),
-    Q("bp1_bpe_pairs", "BPE trainer step: adjacent-token-pair counts, top-50", bp1BpePairs, Some(bp1Sql)))
+    Q("bp1_bpe_pairs", "BPE trainer step: adjacent-token-pair counts, top-50", bp1BpePairs, Some(bp1Sql)),
+    Q("bm1_bm25_topk", "Okapi BM25 top-25 retrieval (log-free rational IDF, fixed-point sum)", bm1Bm25, Some(bm1Sql)))
 }
