@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -45,10 +46,25 @@ object VectorOps {
     case _ => false
   }
 
+  /** Both kernels select float vs double accessors at plan time, so any
+    * other element type must be an ANALYSIS error — without this check
+    * the SQL-registered forms would read garbage through the wrong
+    * accessor (e.g. array<int> via getFloat).
+    */
+  private def checkNumericArray(name: String, e: Expression): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<float> or array<double> input, got ${other.sql}")
+    }
+
   case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = left.nullable || right.nullable
     override def prettyName: String = "dot_product"
+    override def checkInputDataTypes(): TypeCheckResult =
+      Seq(left, right).map(checkNumericArray(prettyName, _))
+        .find(!_.isSuccess).getOrElse(TypeCheckResult.TypeCheckSuccess)
     override def nullSafeEval(a: Any, b: Any): Any =
       dotSeq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
         elemIsFloat(left), elemIsFloat(right))
@@ -90,13 +106,13 @@ object VectorOps {
     * each time). Per-plane sums keep strict index order, so signs — and
     * therefore buckets — are bit-identical to the DSL form.
     */
-  def srpBucket(emb: ArrayData, planes: Int, dims: Int): Int = {
+  def srpBucket(emb: ArrayData, planes: Int, dims: Int, isFloat: Boolean): Int = {
     val ws = planeWeights(planes, dims)
     val accs = new Array[Double](planes)
     val n = Math.min(emb.numElements(), dims)
     var i = 0
     while (i < n) {
-      val x = emb.getFloat(i).toDouble
+      val x = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
       var p = 0
       while (p < planes) { accs(p) += x * ws(p)(i); p += 1 }
       i += 1
@@ -110,11 +126,19 @@ object VectorOps {
   case class SrpBucket(child: Expression, planes: Int, dims: Int) extends UnaryExpression {
     override def dataType: DataType = IntegerType
     override def prettyName: String = "srp_bucket"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (planes < 1 || planes > 31)
+        // the bucket is an int bitmask: plane p sets bit (1 << p), so
+        // p > 30 silently overflows — reject at analysis, not runtime
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires 1 <= planes <= 31, got $planes")
+      else checkNumericArray(prettyName, child)
     override def nullSafeEval(in: Any): Any =
-      srpBucket(in.asInstanceOf[ArrayData], planes, dims)
+      srpBucket(in.asInstanceOf[ArrayData], planes, dims, elemIsFloat(child))
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val m = "graft.functions.VectorOps$.MODULE$"
-      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $m.srpBucket($c, $planes, $dims);")
+      val f = elemIsFloat(child)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $m.srpBucket($c, $planes, $dims, $f);")
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }

@@ -54,12 +54,18 @@ object Profile {
     * top edge closed (v == max lands in the last bin). Constant-width
     * degenerate input (min == max) puts everything in bin 0. Output:
     * (bin, n) for non-empty bins.
+    *
+    * NULL values are excluded (min/max skip them already; without the
+    * explicit filter a null v would silently land in the top bin,
+    * because `least(null, bins-1)` skips the null). Callers needing a
+    * null count should run [[profile]] alongside.
     */
   def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
     require(bins > 0, "bins must be positive")
     val mm = df.agg(min(col(valueCol).cast("double")).as("lo"),
       max(col(valueCol).cast("double")).as("hi"))
     df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
       .crossJoin(broadcast(mm))
       .select(when(col("hi") === col("lo"), lit(0L))
         .otherwise(least(

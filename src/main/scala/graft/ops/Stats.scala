@@ -70,12 +70,20 @@ object Stats {
     * same no-rand() contract as [[mixtureSample]], but per-row
     * probabilities instead of per-group rates). Narrow map-side
     * filter; no shuffle, no state.
+    *
+    * The weight multiplies BEFORE truncating to fixed point, so
+    * fractional weights keep their probability (weight 0.5 → keep-prob
+    * 0.5·scale/10⁶, not 0). NULL-weight rows are dropped — an unknown
+    * importance must not default to always-kept (Spark's least() skips
+    * nulls, which would otherwise silently do exactly that).
     */
   def weightedHashSample(df: DataFrame, idCol: String, weightCol: String,
       scale: Long): DataFrame = {
     val u = pmod(Dedup.hash32(concat_ws("|", lit("wsamp"), col(idCol).cast("string"))),
       lit(1000000L))
-    df.filter(u < least(col(weightCol).cast("long") * scale, lit(1000000L)))
+    df.filter(col(weightCol).isNotNull &&
+      u < least((col(weightCol).cast("double") * scale.toDouble).cast("long"),
+        lit(1000000L)))
   }
 
   /** Per-group robust (median/MAD) outlier detection — the

@@ -37,7 +37,10 @@ object LevenshteinThresholdRule extends Rule[LogicalPlan] {
   }
 
   private def bounded(lev: Levenshtein, n: Int): Expression = {
+    // the threshold variant never returns a value above n, so `t >= 0`
+    // alone is the full predicate — a second `t <= n` conjunct would
+    // re-evaluate the banded DP per row absent CSE
     val t = Levenshtein(lev.left, lev.right, Some(Literal(n)))
-    And(GreaterThanOrEqual(t, Literal(0)), LessThanOrEqual(t, Literal(n)))
+    GreaterThanOrEqual(t, Literal(0))
   }
 }

@@ -100,4 +100,39 @@ class FunctionsSpec extends SparkSpec {
       dslBits.as("dsl")).collect()
     rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
+
+  test("vector kernels accept array<double> and reject non-numeric arrays at analysis") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // double input goes through the double accessor — same buckets and
+    // dot products as the float path on the same values
+    val df = Seq((Array(1.0f, -2.0f, 3.0f), Array(1.0, -2.0, 3.0)))
+      .toDF("ef", "ed")
+    val r = df.select(
+      VectorOps.dot_product(col("ef"), col("ef")).as("ff"),
+      VectorOps.dot_product(col("ed"), col("ed")).as("dd"),
+      VectorOps.srp_bucket(col("ef"), 4, 3).as("bf"),
+      VectorOps.srp_bucket(col("ed"), 4, 3).as("bd")).head()
+    assert(r.getDouble(0) == r.getDouble(1))
+    assert(r.getInt(2) == r.getInt(3))
+
+    val bad = Seq(Tuple1(Array(1, 2, 3))).toDF("e")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(VectorOps.srp_bucket(col("e"), 4, 3)).head()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(VectorOps.dot_product(col("e"), col("e"))).head()
+    }
+  }
+
+  test("srp_bucket rejects planes outside [1, 31] at analysis") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(Tuple1(Array(1.0f, 2.0f))).toDF("e")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorOps.srp_bucket(col("e"), 32, 2)).head()
+    }
+    // 31 planes is the top of the int bitmask range and must plan fine
+    assert(df.select(VectorOps.srp_bucket(col("e"), 31, 2)).head().getInt(0) >= 0)
+  }
 }

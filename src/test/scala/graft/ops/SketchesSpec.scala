@@ -108,6 +108,30 @@ class SketchesSpec extends SparkSpec {
     assert(hc.length == 1 && hc.head.getLong(0) == 0L && hc.head.getLong(1) == 3L)
   }
 
+  test("histogram: null values are excluded, not binned into the top bin") {
+    val d = Seq[java.lang.Double](0.0, 1.0, 2.0, null, null).toDF("v")
+    val h = Profile.histogram(d, "v", 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pre-fix, least(null, bins-1) silently put both nulls in bin 1;
+    // bins over [0,2]: 0 -> bin 0, 1 and 2 (closed top edge) -> bin 1
+    assert(h.values.sum == 3L)
+    assert(h == Map(0L -> 1L, 1L -> 2L))
+  }
+
+  test("weightedHashSample: fractional weights keep their probability; null weights drop") {
+    val d = (0 until 2000).map(i => (i.toLong, 0.5)).toDF("id", "w")
+    // p(keep) = 0.5·500000/10⁶ = 0.25 — the pre-fix long-cast truncated
+    // the weight to 0 and kept NOTHING
+    val kept = Stats.weightedHashSample(d, "id", "w", scale = 500000L).count()
+    assert(kept > 2000 * 0.20 && kept < 2000 * 0.30, s"kept $kept of 2000")
+    val withNulls = Seq[(java.lang.Long, java.lang.Double)]((1L, null), (2L, 1.0))
+      .toDF("id", "w")
+    // null weight must not default to always-kept
+    val keptIds = Stats.weightedHashSample(withNulls, "id", "w", scale = 1000000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIds == Set(2L))
+  }
+
   test("quantizeInt8 digest: max-magnitude element maps to ±127") {
     val d = Seq((1L, Array(0.5f, -1.0f, 0.25f)), (2L, Array(0f, 0f, 0f)))
       .toDF("vec_id", "embedding")
