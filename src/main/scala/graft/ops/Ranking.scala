@@ -37,6 +37,21 @@ object Ranking {
   def withGlobalRank(df: DataFrame, rankCol: String, sort: Seq[Column]): DataFrame =
     rankAndCount(df, rankCol, sort)._1
 
+  /** Global rank for an input the CALLER knows is bounded — typically
+    * the k rows surviving a `limit(k)`. One coalesced partition + a
+    * pid-partitioned window: a single job instead of
+    * [[withGlobalRank]]'s three (range exchange, count pass, rank
+    * pass), which is pure overhead on k rows. Only safe BECAUSE the
+    * input is bounded; unbounded inputs must use [[withGlobalRank]] —
+    * and the window still declares a partition key, so the engine
+    * plans no unpartitioned WindowExec on any path.
+    */
+  def withBoundedRank(df: DataFrame, rankCol: String, sort: Seq[Column]): DataFrame = {
+    val one = df.coalesce(1).withColumn("__br_pid", spark_partition_id())
+    val w = Window.partitionBy(col("__br_pid")).orderBy(sort: _*)
+    one.withColumn(rankCol, row_number().over(w)).drop("__br_pid")
+  }
+
   /** Exact SQL NTILE(n) semantics — first (N mod n) tiles get
     * ceil(N/n) rows — computed from the distributed global rank plus
     * two driver-side constants (N div n, N mod n), not from an

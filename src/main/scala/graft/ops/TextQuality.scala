@@ -15,6 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object TextQuality {
 
+  /** Spread rows across cores when the source planned few partitions
+    * (single-file test parquet scans as ONE split) WITHOUT hashing
+    * document text as a shuffle key: a round-robin exchange moves the
+    * same bytes but computes no multi-KB key hashes and cannot skew on
+    * duplicate texts — and it is skipped entirely when the scan
+    * already has enough splits, which at 100 TB it always does.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Per-document repetition signals (the Gopher/C4-style quality
     * filters): fraction of tokens that are the single most frequent
     * token, and fraction of trigram occurrences belonging to a trigram
@@ -93,17 +105,15 @@ object TextQuality {
     * TakeOrderedAndProject — no full sort.
     */
   def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame =
-    df.select(col(textCol)).repartition(col(textCol))
+    spread(df.select(col(textCol)))
       .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
-      // rank via the distributed ranking operator: input is already
-      // limit(k)-bounded so this is cheap, and it keeps every rank in
-      // the engine free of unpartitioned windows (a constant
-      // partitionBy key would be folded away and single-partition the
-      // window anyway — measured, not guessed)
-      .transform(Ranking.withGlobalRank(_, "rank",
+      // post-limit(k) the input is bounded: the single-job bounded rank
+      // replaces withGlobalRank's 3-pass machinery, and still windows
+      // over a declared partition key
+      .transform(Ranking.withBoundedRank(_, "rank",
         Seq(col("n").desc, col("token").asc)))
 
   /** Tokenize against a broadcast top-k vocabulary (rank = token id,
@@ -132,15 +142,42 @@ object TextQuality {
     * a digest (df + md5 of the comma-joined postings) so wide lists stay
     * hash-comparable. One (term, doc) distinct + one term shuffle;
     * `minDf` bounds output to terms worth indexing.
+    *
+    * `maxDf` is the hot-term guard (the same one
+    * [[Dedup.ngramContainmentPairs]] uses): without it a stop-word term
+    * aggregates ~|corpus| doc ids into ONE grouped row — a
+    * single-reducer hot key holding a corpus-sized array before the
+    * digest. A first constant-state count pass finds terms with
+    * df > maxDf (a tiny set by construction — only boilerplate terms
+    * exceed any sane cap), and a broadcast anti-join drops their rows
+    * MAP-SIDE, before the exchange — so the hot keys never reach the
+    * collect shuffle at all, and every surviving posting list is
+    * ≤ maxDf by checked precondition, not by hope.
     */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
-      minDf: Long): DataFrame =
-    df.select(col(idCol), explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))
+      minDf: Long, maxDf: Long = Long.MaxValue): DataFrame =
+    invertedIndexTerms(df, idCol,
+      array_distinct(TextAnalysis.tokens(col(textCol))), minDf, maxDf)
+
+  /** [[invertedIndex]] over an arbitrary per-document term array —
+    * unigram tokens, n-gram shingles (a phrase index), normalized
+    * entities, whatever the caller extracts. `terms` must already be
+    * distinct per document.
+    */
+  def invertedIndexTerms(df: DataFrame, idCol: String, terms: Column,
+      minDf: Long, maxDf: Long = Long.MaxValue): DataFrame = {
+    val td = df.select(col(idCol), explode(terms).as("term"))
+    val hot = td.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("term")
+    val pruned = if (maxDf == Long.MaxValue) td // unguarded: skip the count pass
+      else td.join(broadcast(hot), Seq("term"), "left_anti")
+    pruned
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"),
         md5(array_join(transform(sort_array(collect_list(col(idCol))),
           x => x.cast("string")), ",")).as("postings_md5"))
       .filter(col("df") >= minDf)
+  }
 
   /** Adjacent-pair co-occurrence lift: n_ab·N / (n_a·n_b) — PMI without
     * the log (identical ranking, and integer-ratio arithmetic keeps the
@@ -155,7 +192,7 @@ object TextQuality {
       transform(sequence(lit(1), size(t) - 1),
         i => struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b"))))
       .otherwise(array().cast("array<struct<a:string,b:string>>"))
-    val toks = df.select(col(textCol)).repartition(col(textCol))
+    val toks = spread(df.select(col(textCol)))
       .select(graft.functions.ArrayHashes.opaque(TextAnalysis.tokens(col(textCol))).as("w"))
       .localCheckpoint(true)
     val unigrams = toks.select(explode(col("w")).as("tok"))
@@ -229,14 +266,14 @@ object TextQuality {
       transform(sequence(lit(1), size(t) - 1),
         i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
       .otherwise(array().cast("array<string>"))
-    df.select(col(textCol)).repartition(col(textCol))
+    spread(df.select(col(textCol)))
       .select(graft.functions.ArrayHashes.opaque(TextAnalysis.tokens(col(textCol))).as("w"))
       .select(explode(pairs).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
       // bounded post-limit rank through ops.Ranking (see vocabTopK)
-      .transform(Ranking.withGlobalRank(_, "rank",
+      .transform(Ranking.withBoundedRank(_, "rank",
         Seq(col("n").desc, col("pair").asc)))
   }
 }

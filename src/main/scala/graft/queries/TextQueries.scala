@@ -174,16 +174,31 @@ object TextQueries extends QueryPack {
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
   // ---- II1: inverted index -----------------------------------------------
-  private def ii1InvertedIndex(s: SparkSession, dir: String): DataFrame =
-    TextQuality.invertedIndex(Tables.load(s, dir, "documents"), "doc_id", "text", minDf = 10L)
+  // A bigram PHRASE index (the corpus vocabulary is ~31 template words,
+  // so every unigram is stop-word-hot; bigrams give a real term space).
+  // maxDf=250 is the hot-term guard: boilerplate shingles are dropped
+  // map-side BEFORE the posting-list collect, so no group ever
+  // aggregates a corpus-sized id array (the 100 TB OOM shape) — at
+  // sf0.1 this prunes ~880 hot shingles for real.
+  private def ii1InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"),
+      graft.functions.ArrayHashes.opaque(
+        graft.ops.TextAnalysis.tokens(col("text"))).as("w"))
+    TextQuality.invertedIndexTerms(docs, "doc_id",
+        array_distinct(graft.ops.TextAnalysis.shinglesOf(col("w"), 2)),
+        minDf = 10L, maxDf = 250L)
       .orderBy(col("term"))
+  }
 
   private val ii1Sql =
-    """SELECT term, COUNT(*) AS df,
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |td AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 2
+      |         THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+      |         ELSE [array_to_string(w, ' ')] END)) AS term
+      |       FROM t)
+      |SELECT term, COUNT(*) AS df,
       |  md5(array_to_string(list(doc_id ORDER BY doc_id), ',')) AS postings_md5
-      |FROM (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
-      |      FROM documents)
-      |GROUP BY term HAVING COUNT(*) >= 10
+      |FROM td GROUP BY term HAVING COUNT(*) BETWEEN 10 AND 250
       |ORDER BY term""".stripMargin
 
   // ---- CO1: co-occurrence lift -------------------------------------------
@@ -233,7 +248,7 @@ object TextQueries extends QueryPack {
 
   override def all: Seq[Q] = Seq(
     Q("to1_tokenize_ids", "tokenizer id-mapping vs broadcast top-20 vocab (OOV=0, id-sequence digest)", to1TokenizeIds, Some(to1Sql)),
-    Q("ii1_inverted_index", "inverted index build: term -> sorted postings digest", ii1InvertedIndex, Some(ii1Sql)),
+    Q("ii1_inverted_index", "bigram phrase index: term -> sorted postings digest, maxDf hot-term guard", ii1InvertedIndex, Some(ii1Sql)),
     Q("co1_cooccur_lift", "adjacent-pair co-occurrence lift (log-free PMI ranking)", co1CooccurLift, Some(co1Sql)),
     Q("ck1_chunking", "overlapping context-window chunking (32-token windows, stride 24)", ck1Chunking, Some(ck1Sql)),
     Q("rq1_repetition", "Gopher-style repetition quality signals (top-unigram / dup-trigram fractions)", rq1Repetition, Some(rq1Sql)),

@@ -65,6 +65,23 @@ class RankingSpec extends SparkSpec {
     assert(unpartitionedWindows(got).isEmpty)
   }
 
+  test("withBoundedRank equals withGlobalRank on a bounded input and keeps a partition key") {
+    val bounded = fixture.orderBy(col("v").asc, col("id").asc).limit(37)
+    val got = Ranking.withBoundedRank(bounded, "rk", Seq(col("v").asc, col("id").asc))
+    val want = Ranking.withGlobalRank(bounded, "rk", Seq(col("v").asc, col("id").asc))
+      .withColumn("rk", col("rk").cast("int"))
+    assert(sameRows(got, want))
+    // the fast path must not reintroduce the unpartitioned-window shape
+    assert(unpartitionedWindows(got).isEmpty)
+  }
+
+  test("vb1/bp1 (bounded-rank consumers) plan no unpartitioned window") {
+    for (q <- Seq("vb1_vocab_topk", "bp1_bpe_pairs")) {
+      val df = graft.SparkEntry.queries(q)(spark, sfSmoke)
+      assert(unpartitionedWindows(df).isEmpty, s"$q has an unpartitioned window")
+    }
+  }
+
   test("rfm1_segments plans no unpartitioned window") {
     val df = graft.SparkEntry.queries("rfm1_segments")(spark, sfSmoke)
     assert(unpartitionedWindows(df).isEmpty)

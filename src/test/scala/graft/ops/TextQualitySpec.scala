@@ -96,6 +96,23 @@ class TextQualitySpec extends SparkSpec {
     assert(out("x")._2 == expected)
   }
 
+  test("invertedIndex maxDf drops a planted stop word before the posting collect") {
+    // "the" appears in EVERY doc (df = 60 > maxDf = 10): pre-guard it
+    // would collect the whole corpus into one grouped row
+    val d = (1 to 60).map(i => (i.toLong, s"the tok${i % 20} word"))
+      .toDF("doc_id", "text")
+    val out = TextQuality.invertedIndex(d, "doc_id", "text", minDf = 2L, maxDf = 10L)
+    val terms = out.select("term").as[String].collect().toSet
+    assert(!terms.contains("the"), "stop word survived the maxDf guard")
+    assert(!terms.contains("word"), "df=60 term survived the maxDf guard")
+    assert(terms == (0 until 20).map(i => s"tok$i").toSet) // df=3 each
+    // the guard must prune BEFORE the collect aggregate: a broadcast
+    // left-anti join below the final aggregation, so hot-term rows
+    // never enter the posting-list shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"no anti-join in plan:\n$plan")
+  }
+
   test("cooccurrenceLift ranks exclusive pairs above promiscuous ones") {
     // "p q" always together (lift high); "x" pairs with many partners
     val d = Seq((1L, "p q"), (2L, "p q"), (3L, "p q"), (4L, "p q"), (5L, "p q"),
