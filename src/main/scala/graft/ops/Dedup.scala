@@ -105,12 +105,21 @@ object Dedup {
     */
   def minHashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 32, bands: Int = 8, threshold: Double = 0.9): DataFrame = {
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.9): DataFrame =
+    minHashPairsFromSignatures(minHashSignatures(df, idCol, textCol, k, bands), threshold)
+
+  /** Stage 1 of MinHash-LSH dedup, exposed so a pipeline computing BOTH
+    * the pair list and its canonicalization (or several thresholds)
+    * materializes signatures exactly once. Output: (id, wh, band_keys),
+    * eagerly localCheckpointed.
+    */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 8): DataFrame =
     // hash-partition by id first: spreads signature hashing across all
     // cores even when the source is one parquet file; the eager
     // localCheckpoint computes signatures exactly once — they feed the
-    // slim band join AND both verification probes below
-    val sigs = df.select(
+    // slim band join AND both verification probes in stage 2
+    df.select(
       col(idCol).as("id"),
       graft.functions.ArrayHashes.shingle_hash_set(
         TextAnalysis.tokens(col(textCol)), 1).as("wh"),
@@ -118,6 +127,11 @@ object Dedup {
         array_distinct(TextAnalysis.tokens(col(textCol))), k, bands).as("band_keys"))
       .repartition(col("id"))
       .localCheckpoint(true)
+
+  /** Stage 2: banded candidate generation + exact-Jaccard verification
+    * over [[minHashSignatures]] output.
+    */
+  def minHashPairsFromSignatures(sigs: DataFrame, threshold: Double): DataFrame = {
     // ONE slim band-position join (not one join per band): explode band
     // keys WITHOUT the heavy word-hash arrays, so the band shuffle
     // carries 8 short strings per doc instead of the whole hashed word

@@ -82,6 +82,54 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** The `nProbe` SRP buckets a query should inspect, most-likely
+    * first: its own sign bucket, then the buckets reached by flipping
+    * the lowest-|margin| planes one at a time (margin = the raw
+    * projection — a near-zero projection means the true neighbors
+    * straddle that hyperplane, the classic multi-probe LSH heuristic).
+    * Ties on |margin| break by plane index, so probe sets are
+    * deterministic and engine-reproducible.
+    */
+  def lshProbeBuckets(emb: Column, planes: Int, dims: Int, nProbe: Int): Column = {
+    require(nProbe >= 1 && nProbe <= planes + 1,
+      s"nProbe must be in [1, planes+1], got $nProbe")
+    val ws = planeWeights(planes, dims)
+    val base = lshBucket(emb, planes, dims)
+    val margins = array((0 until planes).map { p =>
+      struct(abs(dot(emb, typedlit(ws(p)))).as("m"), lit(p).as("p"))
+    }: _*)
+    // struct sort = (|margin| asc, plane asc); flip the nProbe-1 planes
+    // most likely to separate a query from its true neighbors
+    val flips = slice(transform(array_sort(margins), x => x.getField("p")), 1, nProbe - 1)
+    concat(array(base),
+      transform(flips, p => base.bitwiseXOR(pow(lit(2), p).cast("int"))))
+  }
+
+  /** Multi-probe ANN top-k: each query inspects its own bucket plus the
+    * `nProbe - 1` lowest-margin bit-flip buckets. Candidate volume
+    * scales as nProbe·|corpus|/2^planes, so planes can grow (smaller,
+    * more selective buckets) without the recall collapse single-probe
+    * suffers — the standard multi-probe LSH trade. Corpus vectors still
+    * live in exactly ONE bucket (the probe side explodes, the corpus
+    * side does not), so no candidate pair is generated twice and no
+    * dedup shuffle is needed.
+    */
+  def lshTopKMultiProbe(
+      corpus: DataFrame, queries: DataFrame, k: Int, planes: Int, dims: Int,
+      nProbe: Int, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"),
+      explode(lshProbeBuckets(col(embCol), planes, dims, nProbe)).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"),
+      lshBucket(col(embCol), planes, dims).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineRounded(col("qe"), col("ce")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** IVF-style ANN: vectors are assigned to their nearest of C
     * centroids; a query probes its `nProbe` nearest centroid lists
     * only. The standard inverted-file trade: candidate set shrinks

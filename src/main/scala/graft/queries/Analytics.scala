@@ -167,6 +167,51 @@ object Analytics extends QueryPack {
       |FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 5
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- ER1: entity-resolution composition --------------------------------
+  // The full fuzzy-match stack as ONE dataflow: sorted-neighborhood
+  // blocking (distributed rank + banded equi-join) -> bounded-DP
+  // Levenshtein verification on the candidates -> min-label connected
+  // components as the canonical entity id. Every stage is an existing
+  // operator (Dedup.sortedNeighborhoodPairs / levenshtein threshold /
+  // Dedup.minLabelComponents) and the oracle restates each stage
+  // independently — the composition proof, like cp1 for the curation
+  // stack. Plan: one rank exchange + one bucket join + two id joins +
+  // the label-prop iterations; nothing is O(n²).
+  private def er1EntityResolution(s: SparkSession, dir: String): DataFrame = {
+    val recs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("t"))
+    val cands = graft.ops.Dedup.sortedNeighborhoodPairs(
+      recs, "doc_id", col("t"), window = 5)
+    val ta = recs.select(col("doc_id").as("id_a"), col("t").as("ta"))
+    val tb = recs.select(col("doc_id").as("id_b"), col("t").as("tb"))
+    val pairs = cands.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= 5)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb"), 5).as("dist"))
+      .filter(col("dist") >= 0) // threshold variant yields -1 above maxDist
+    graft.ops.Dedup.minLabelComponents(pairs, recs, "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private val er1Sql =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, substr(text, 1, 24) AS t FROM documents),
+      |r AS (SELECT doc_id, t, ROW_NUMBER() OVER (ORDER BY t, doc_id) AS rk FROM d),
+      |cands AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.t AS ta, b.t AS tb
+      |  FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 5),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cands
+      |  WHERE abs(length(ta) - length(tb)) <= 5 AND levenshtein(ta, tb) <= 5),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+      |SELECT id AS doc_id, MIN(lbl) AS canonical_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   // ---- RFM1: RFM segmentation --------------------------------------------
   // Recency/frequency/monetary quartiles per user (anchor = corpus max
   // ts so the result is re-runnable), combined into a 3-digit segment.
@@ -225,5 +270,6 @@ object Analytics extends QueryPack {
     Q("rt1_retention", "weekly retention cohorts (first-event week x offset)", rt1Retention, Some(rt1Sql)),
     Q("ed1_edit_distance", "Levenshtein near-pairs over prefixes in a bounded block", ed1EditDistance, Some(ed1Sql)),
     Q("ed2_near_strings", "blocked fuzzy-match operator with planted near-pairs (nonzero matches)", ed2NearStrings, Some(ed2Sql)),
-    Q("sn1_sorted_neighborhood", "sorted-neighborhood blocking pairs (banded rank join)", sn1SortedNeighborhood, Some(sn1Sql)))
+    Q("sn1_sorted_neighborhood", "sorted-neighborhood blocking pairs (banded rank join)", sn1SortedNeighborhood, Some(sn1Sql)),
+    Q("er1_entity_resolution", "entity resolution: SN blocking -> bounded Levenshtein -> components", er1EntityResolution, Some(er1Sql)))
 }

@@ -94,9 +94,23 @@ object PipelineQueries extends QueryPack {
       |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
 
   // ---- DD2: MinHash + LSH near-dup pairs ---------------------------------
+  // dd2 and dd6 share ONE signature+pair computation per (session, dir):
+  // a pipeline running pair detection AND canonicalization must not
+  // regenerate the banded pair stage, so the verified pairs are eagerly
+  // localCheckpointed and the second consumer starts from materialized
+  // blocks. (Same-session reuse only — the checkpoint dies with the
+  // session, and so does the cache entry's usefulness.)
+  private val minhashPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private def sharedMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsCache.computeIfAbsent((s, dir), _ =>
+      Dedup.minHashNearDupPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", k = 32, bands = 8, threshold = 0.9)
+        .localCheckpoint(true))
+
   private def dd2MinhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.minHashNearDupPairs(Tables.load(s, dir, "documents"),
-        "doc_id", "text", k = 32, bands = 8, threshold = 0.9)
+    sharedMinhashPairs(s, dir)
       .orderBy(col("id_a"), col("id_b"))
 
   private val dd2Sql =
@@ -130,9 +144,7 @@ object PipelineQueries extends QueryPack {
   // oracle computes the same fixpoint with a recursive CTE.
   private def dd6NeardupCanonical(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text",
-      k = 32, bands = 8, threshold = 0.9)
-    Dedup.minLabelComponents(pairs, docs, "doc_id")
+    Dedup.minLabelComponents(sharedMinhashPairs(s, dir), docs, "doc_id")
       .orderBy(col("doc_id"))
   }
 
@@ -287,6 +299,50 @@ object PipelineQueries extends QueryPack {
       |      ORDER BY round(list_dot_product(q.e, c.e), 6) DESC, c.vec_id) AS rank
       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
       |  WHERE q.vec_id < 5)
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // ---- SIM4: multi-probe SRP-LSH ANN top-k -------------------------------
+  // Single-probe LSH (sim2) misses true neighbors across a hyperplane;
+  // multi-probe also inspects the 2 lowest-|projection| bit-flip
+  // buckets per query. The oracle restates probe selection with a
+  // ROW_NUMBER over (|projection| asc, plane asc) — identical doubles
+  // on both engines because every projection is the same sequential
+  // fold sim2 already certifies.
+  private def sim4LshMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    Similarity.lshTopKMultiProbe(emb, emb.filter(col("vec_id") < 5),
+        k = 10, planes = 6, dims = 64, nProbe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val sim4Sql =
+    """WITH pl AS (
+      |  SELECT p, [((('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+      |               % 2001 - 1000) / 1000.0) for i in range(0, 64)] AS w
+      |  FROM range(0, 6) t(p)),
+      |b AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |    SUM(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), w) >= 0
+      |             THEN 1 << p ELSE 0 END) AS bucket
+      |  FROM embeddings, pl GROUP BY vec_id, embedding),
+      |qm AS (
+      |  SELECT vec_id, p,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY abs(pr), p) AS r
+      |  FROM (SELECT b.vec_id, pl.p, list_dot_product(b.e, pl.w) AS pr
+      |        FROM b, pl WHERE b.vec_id < 5)),
+      |probes AS (
+      |  SELECT vec_id, bucket FROM b WHERE vec_id < 5
+      |  UNION ALL
+      |  SELECT q.vec_id, xor(b.bucket, 1 << q.p)
+      |  FROM qm q JOIN b ON b.vec_id = q.vec_id WHERE q.r <= 2)
+      |SELECT query_id, neighbor_id, score, rank FROM (
+      |  SELECT qv.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_dot_product(qv.e, c.e), 6) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY qv.vec_id
+      |      ORDER BY round(list_dot_product(qv.e, c.e), 6) DESC, c.vec_id) AS rank
+      |  FROM probes p
+      |  JOIN b qv ON qv.vec_id = p.vec_id
+      |  JOIN b c ON c.bucket = p.bucket AND c.vec_id <> qv.vec_id)
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   // ---- SIM3: IVF-probed ANN top-k ----------------------------------------
@@ -621,5 +677,6 @@ object PipelineQueries extends QueryPack {
     Q("qc1_source_cap", "per-source contribution cap keeping best-quality docs", qc1SourceCap, Some(qc1Sql)),
     Q("sim1_brute_topk", "brute-force cosine top-k", sim1BruteTopk, Some(sim1Sql)),
     Q("sim2_lsh_topk", "SRP-LSH bucketed ANN top-k", sim2LshTopk, Some(sim2Sql)),
+    Q("sim4_lsh_multiprobe", "multi-probe SRP-LSH: lowest-margin bit-flip buckets", sim4LshMultiprobe, Some(sim4Sql)),
   )
 }

@@ -180,6 +180,43 @@ class OpsSpec extends SparkSpec {
       s"k-means refinement lost recall: $refinedHits < $seedHits")
   }
 
+  test("multi-probe LSH beats single-probe recall@10 at equal candidate budget") {
+    // equal expected candidate volume: single-probe at 4 planes inspects
+    // ~N/16 of the corpus; multi-probe at 6 planes × 4 probes inspects
+    // ~4N/64 = N/16 — same budget, spent on more selective buckets
+    val emb = graft.Tables.load(spark, sfSmoke, "embeddings")
+    val q = emb.filter(col("vec_id") < 50)
+    val brute = Similarity.bruteTopK(emb, q, 10).select("query_id", "neighbor_id")
+    val nBrute = brute.count()
+    val single = brute.intersect(Similarity.lshTopK(emb, q, 10, planes = 4, dims = 64)
+      .select("query_id", "neighbor_id")).count()
+    val multi = brute.intersect(
+      Similarity.lshTopKMultiProbe(emb, q, 10, planes = 6, dims = 64, nProbe = 4)
+        .select("query_id", "neighbor_id")).count()
+    info(s"recall@10: single(4 planes)=${single.toDouble / nBrute}, " +
+      s"multi(6 planes × 4 probes)=${multi.toDouble / nBrute} over $nBrute brute pairs")
+    assert(multi >= single,
+      s"multi-probe lost recall at equal budget: $multi < $single")
+    // the fixture's vectors are near-random, so absolute recall is
+    // fixture-bound: a random N/16 candidate sample would land ~0.06 —
+    // the floor asserts LSH stays well above chance, not near-exactness
+    assert(multi.toDouble / nBrute >= 0.10, s"multi-probe recall floor: $multi/$nBrute")
+  }
+
+  test("probe buckets: first is the sign bucket, rest are single-bit flips, all distinct") {
+    val emb = graft.Tables.load(spark, sfSmoke, "embeddings").limit(20)
+    val rows = emb.select(
+      Similarity.lshBucket(col("embedding"), 6, 64).as("base"),
+      Similarity.lshProbeBuckets(col("embedding"), 6, 64, 4).as("probes")).collect()
+    rows.foreach { r =>
+      val base = r.getInt(0)
+      val probes = r.getSeq[Int](1)
+      assert(probes.length == 4 && probes.head == base)
+      assert(probes.tail.forall(p => Integer.bitCount(p ^ base) == 1))
+      assert(probes.distinct.length == 4)
+    }
+  }
+
   test("plane weights are deterministic and within [-1,1]") {
     val w1 = Similarity.planeWeights(3, 16)
     val w2 = Similarity.planeWeights(3, 16)
