@@ -34,7 +34,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // streaming micro-bench: events/s through the stateful CDC path
+    // (regressions there are invisible to batch query timing)
+    val streaming =
+      try StreamBench.jsonFragment(spark)
+      catch { case _: Throwable => "\"streaming\":{}" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$streaming,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

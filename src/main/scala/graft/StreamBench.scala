@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** Streaming throughput probes for the bench line: batch query timing
+  * says nothing about the CDC path's micro-batch cost, so a regression
+  * in the stateful operators would have been invisible round over
+  * round. Each probe drives a MemoryStream through the REAL
+  * operator/pipeline (no mocks) over a fixed event volume and reports
+  * events/s; numbers land in the same JSON line the driver records.
+  */
+object StreamBench {
+
+  /** Raw transformWithState dedup cost: 5 batches × 20k fresh hashes
+    * through [[graft.streaming.LoopDedupTws]] into a noop sink.
+    * Returns (events/s, state rows after the run) — the state count
+    * guards against an eviction regression silently inflating RocksDB.
+    */
+  def twsThroughput(spark: SparkSession): (Double, Long) = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = Files.createTempDirectory("graft-bench-tws").toString
+    val input = MemoryStream[(String, java.sql.Timestamp)](spark)
+    val deduped = graft.streaming.LoopDedupTws(
+      input.toDF().toDF("change_hash", "event_ts")
+        .withWatermark("event_ts", "0 seconds"),
+      windowMs = 60000L, ttlMs = 120000L)
+    val q = deduped.writeStream.format("noop")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      val t0 = 1768284000000L
+      val keysPerBatch = 20000
+      val batches = 5
+      val start = System.nanoTime()
+      (0 until batches).foreach { i =>
+        input.addData((0 until keysPerBatch).map(j =>
+          (s"k${i}_$j", new java.sql.Timestamp(t0 + i * 60000L))))
+        q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - start) / 1e9
+      val state = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      (batches * keysPerBatch / secs, state)
+    } finally q.stop()
+  }
+
+  private val regMs = 1768280000000L
+
+  private def envelope(op: String, id: Int, title: String, tsMs: Long): String = {
+    val img = s"""{"BOOK_ID":"$id","BOOK_TITLE":"$title","AUTHOR":"a","CATEGORY":"01","STATUS":"Y","REG_DATE":$regMs,"MOD_DATE":null}"""
+    val (before, after) = if (op == "d") (img, "null") else ("null", img)
+    s"""{"payload":{"op":"$op","before":$before,"after":$after,"source":{"schema":"ASIS_USER","table":"BOOK_INFO"},"ts_ms":$tsMs}}"""
+  }
+
+  /** Full CDC slice (envelope parse → config-driven transform → loop
+    * dedup → ordered apply + audit into the snapshot store): 5 batches
+    * × 2000 distinct inserts. Events/s here is the pipeline's
+    * micro-batch throughput ceiling at this parallelism.
+    */
+  def syncThroughput(spark: SparkSession): Double = {
+    val dir = Files.createTempDirectory("graft-bench-sync").toString
+    val store = new graft.streaming.SnapshotStore(spark, s"$dir/store")
+    val pipeline = new graft.streaming.SyncPipeline(spark, store,
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    val mem = MemoryStream[String](spark)(spark.sqlContext.implicits.newStringEncoder)
+    val source = mem.toDF().withColumn("topic", lit("asis.ASIS_USER.BOOK_INFO"))
+    val q = pipeline.start(source, graft.cdc.Registry.book,
+      graft.cdc.Direction.AsisToTobe, s"$dir/ckpt")
+    try {
+      val t0 = 1768284000000L
+      val perBatch = 2000
+      val batches = 5
+      val start = System.nanoTime()
+      (0 until batches).foreach { i =>
+        mem.addData((0 until perBatch).map { j =>
+          val id = i * perBatch + j
+          envelope("c", id, s"title-$id", t0 + i * 1000L)
+        })
+        q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - start) / 1e9
+      batches * perBatch / secs
+    } finally q.stop()
+  }
+
+  /** One JSON fragment for the bench line. */
+  def jsonFragment(spark: SparkSession): String = {
+    val (twsEps, twsState) = twsThroughput(spark)
+    val syncEps = syncThroughput(spark)
+    f""""streaming":{"tws_events_per_s":${twsEps}%.0f,"tws_state_rows":$twsState,"sync_events_per_s":${syncEps}%.0f}"""
+  }
+}

@@ -39,6 +39,61 @@ class LayoutSpec extends SparkSpec {
     assert(zy < ly / 2, s"z-order did not beat linear on the trailing dim: $zy vs $ly")
   }
 
+  /** Rows the parquet reader actually materialized for a filtered read:
+    * row groups whose min/max stats fail the pushed predicate are never
+    * decoded, so the scan node's numOutputRows IS the pruning metric.
+    * (AQE wraps the plan; unwrap before collecting scan nodes.)
+    */
+  private def scannedRows(df: DataFrame): Long = {
+    // collect() executes THIS queryExecution (count() would plan and
+    // run a separate tree whose metrics we can't reach)
+    df.collect()
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    exec.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numOutputRows").value
+    }.sum
+  }
+
+  test("written z-order layout prunes parquet row groups on BOTH predicate dims") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toFile
+    try {
+      val zdir = new java.io.File(tmp, "z").getAbsolutePath
+      val ldir = new java.io.File(tmp, "linear").getAbsolutePath
+      // 16 output partitions → 16 files, one row group each (625 rows
+      // ≪ the default group size), so row-group stats = file stats
+      Layout.zorderBy(grid, "x", "y", bits = 4, numPartitions = 16)
+        .write.mode("overwrite").parquet(zdir)
+      grid.repartitionByRange(16, col("x"), col("y"))
+        .sortWithinPartitions(col("x"), col("y"))
+        .write.mode("overwrite").parquet(ldir)
+
+      def read(dir: String, pred: org.apache.spark.sql.Column) =
+        spark.read.parquet(dir).filter(pred)
+
+      // predicate on the TRAILING dim only — the case linear layout
+      // cannot prune at all (every file spans all of y)
+      val yPred = col("y").between(10L, 19L)
+      val zy = scannedRows(read(zdir, yPred))
+      val ly = scannedRows(read(ldir, yPred))
+      assert(read(zdir, yPred).count() == read(ldir, yPred).count()) // same answer
+      assert(ly >= 9000L, s"fixture broken: linear should scan ~everything for y-only: $ly")
+      assert(zy <= 5000L, s"z-order failed to prune row groups on y: scanned $zy of 10000")
+
+      // predicate on the leading dim — z-order must also prune here
+      // (that's the 'a little of each' trade, not a loss of x pruning)
+      val xPred = col("x").between(10L, 19L)
+      val zx = scannedRows(read(zdir, xPred))
+      assert(zx <= 5000L, s"z-order failed to prune row groups on x: scanned $zx of 10000")
+      info(s"scanned rows of 10000 — y-only: z=$zy linear=$ly; x-only: z=$zx")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+  }
+
   test("zValue2 interleaves bits (Morton order)") {
     import spark.implicits._
     val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 3L))
