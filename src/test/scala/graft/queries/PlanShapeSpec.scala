@@ -52,10 +52,20 @@ class PlanShapeSpec extends SparkSpec {
 
   test("banded pair operators never degrade to cartesian/nested-loop joins") {
     for (q <- Seq("dd2_minhash_pairs", "dd3_simhash_pairs", "sn1_sorted_neighborhood",
-      "ed2_near_strings", "cp1_curation_pipeline")) {
+      "ed2_near_strings", "cp1_curation_pipeline", "er1_entity_resolution")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
     }
+  }
+
+  test("sim4: the probe side broadcasts; the corpus side never explodes") {
+    // the multi-probe query set (5 vectors × 3 probes) is the broadcast
+    // side of an equi-join on bucket — a regression that shuffles the
+    // corpus or cross-joins probes would pass row checks and die at scale
+    val p = plan("sim4_lsh_multiprobe")
+    assert(p.contains("BroadcastHashJoin"), s"sim4 lost its broadcast bucket join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"sim4 degraded to an unbucketed join:\n$p")
   }
 }
