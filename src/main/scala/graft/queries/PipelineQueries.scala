@@ -109,6 +109,18 @@ object PipelineQueries extends QueryPack {
           "doc_id", "text", k = 32, bands = 8, threshold = 0.9)
         .localCheckpoint(true))
 
+  // dd6 and dd7 both consume the component assignment; the label
+  // propagation runs once per (session, dir), same contract as the
+  // pair cache above
+  private val componentsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private def sharedComponents(s: SparkSession, dir: String): DataFrame =
+    componentsCache.computeIfAbsent((s, dir), _ =>
+      Dedup.minLabelComponents(sharedMinhashPairs(s, dir),
+          Tables.load(s, dir, "documents"), "doc_id")
+        .localCheckpoint(true))
+
   private def dd2MinhashPairs(s: SparkSession, dir: String): DataFrame =
     sharedMinhashPairs(s, dir)
       .orderBy(col("id_a"), col("id_b"))
@@ -142,11 +154,8 @@ object PipelineQueries extends QueryPack {
   // ---- DD6: near-dup canonicalization (connected components) -------------
   // Assign every doc the min doc_id of its ≥0.9-Jaccard component; the
   // oracle computes the same fixpoint with a recursive CTE.
-  private def dd6NeardupCanonical(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
-    Dedup.minLabelComponents(sharedMinhashPairs(s, dir), docs, "doc_id")
-      .orderBy(col("doc_id"))
-  }
+  private def dd6NeardupCanonical(s: SparkSession, dir: String): DataFrame =
+    sharedComponents(s, dir).orderBy(col("doc_id"))
 
   private val dd6Sql =
     s"""WITH RECURSIVE t AS (SELECT doc_id, $wordsSql AS words FROM documents),
@@ -180,6 +189,72 @@ object PipelineQueries extends QueryPack {
       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
       |SELECT id AS doc_id, MIN(lbl) AS canonical_id
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  // ---- DD7: best-of-component canonical selection ------------------------
+  // The production "which copy do we keep" policy: instead of dd6's
+  // min-id, keep each near-dup component's HIGHEST-QUALITY member
+  // (rule-7 pre-rounded score, doc_id tie-break). Composition over the
+  // same shared pair stage as dd2/dd6 plus the quality scorer — one
+  // extra component-partitioned window after the label propagation.
+  private def dd7ComponentBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val comp = sharedComponents(s, dir)
+    val q = docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    comp.join(q, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("canonical_id"))
+          .orderBy(col("quality").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("canonical_id"), col("doc_id").as("best_id"), col("quality"))
+      .orderBy(col("canonical_id"))
+  }
+
+  private val dd7Sql =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    [('0x' || substr(md5(w), 1, 15))::BIGINT for w in words] AS wh,
+      |    [list_min([((('0x' || substr(md5('a' || chr(124) || CAST(i AS VARCHAR)), 1, 5))::BIGINT | 1)
+      |                 * ('0x' || substr(md5(w), 1, 8))::BIGINT
+      |                 + ('0x' || substr(md5('b' || chr(124) || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 4294967291
+      |                ) % 4294967291
+      |               for w in words]) for i in range(0, 32)] AS sig
+      |  FROM t),
+      |bands AS (
+      |  SELECT doc_id,
+      |    unnest([('0x' || substr(md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], '|')), 1, 15))::BIGINT
+      |            for b in range(0, 8)]) AS band_key
+      |  FROM sigs),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cands
+      |  JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
+      |  WHERE floor(CAST(len(list_intersect(sa.wh, sb.wh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(sa.wh, sb.wh))) * 1000000.0 + 0.5) / 1000000.0 >= 0.9),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      |comp AS (SELECT id AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY id),
+      |q AS (
+      |  SELECT doc_id,
+      |    floor((0.4 * least(1.0, CAST(len(w) AS DOUBLE) / 50.0)
+      |        + 0.3 * (floor(CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 1000000.0 + 0.5) / 1000000.0)
+      |        + 0.2 * least(1.0, (floor(CAST(list_sum([length(x) for x in w]) AS DOUBLE) / len(w) * 1000000.0 + 0.5) / 1000000.0) / 8.0)
+      |        + 0.1 * (1.0 - floor(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+      |            / greatest(length(text), 1) * 1000000.0 + 0.5) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0 AS quality
+      |  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM documents))
+      |SELECT canonical_id, best_id, quality FROM (
+      |  SELECT comp.canonical_id, q.doc_id AS best_id, q.quality,
+      |    ROW_NUMBER() OVER (PARTITION BY comp.canonical_id
+      |      ORDER BY q.quality DESC, q.doc_id) AS rn
+      |  FROM comp JOIN q ON comp.doc_id = q.doc_id)
+      |WHERE rn = 1 ORDER BY canonical_id""".stripMargin
 
   // ---- DD3: SimHash near-dup pairs ---------------------------------------
   private def dd3SimhashPairs(s: SparkSession, dir: String): DataFrame =
@@ -666,6 +741,7 @@ object PipelineQueries extends QueryPack {
     Q("sp1_stratified_exact", "stratified exact-N sampling by deterministic hash rank", sp1StratifiedExact, Some(sp1Sql)),
     Q("dd2_minhash_pairs", "MinHash+LSH near-dup pairs, Jaccard-verified", dd2MinhashPairs, Some(dd2Sql)),
     Q("dd6_neardup_canonical", "near-dup canonicalization via min-label components", dd6NeardupCanonical, Some(dd6Sql)),
+    Q("dd7_component_best", "best-quality canonical pick per near-dup component", dd7ComponentBest, Some(dd7Sql)),
     Q("dd3_simhash_pairs", "SimHash near-dup pairs, Hamming-verified", dd3SimhashPairs, Some(dd3Sql)),
     Q("dd4_ngram_jaccard", "3-gram Jaccard dedup, blocked by source+lang", dd4NgramJaccard, Some(dd4Sql)),
     Q("dd5_cosine_neardup", "embedding-cosine near-dup, label-blocked", dd5CosineNearDup, Some(dd5Sql)),

@@ -222,6 +222,33 @@ object TextQueries extends QueryPack {
       |FROM pc JOIN uni ua ON pc.a = ua.tok JOIN uni ub ON pc.b = ub.tok CROSS JOIN n
       |ORDER BY lift DESC, a, b LIMIT 20""".stripMargin
 
+  // ---- TX5: URL/domain extraction + per-domain rollup --------------------
+  // The web-corpus curation staple: group documents by source domain
+  // and URL section to apply per-domain policies (caps, blocklists).
+  // The corpus has no URL column, so the query plants deterministic
+  // URLs from (source, lang, doc_id) — the pii1 pattern — and proves
+  // the extraction machinery: Spark parses with parse_url (codegen'd
+  // HOST/PATH extraction), the oracle re-derives both fields with
+  // regexes. Narrow projection + one rollup shuffle.
+  private def tx5DomainStats(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://www."), col("source"), lit(".example.com/"),
+      col("lang"), lit("/doc-"), col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), url.as("url"))
+      .select(col("n_chars"),
+        parse_url(col("url"), lit("HOST")).as("domain"),
+        regexp_extract(parse_url(col("url"), lit("PATH")), "^/([a-z]+)/", 1).as("section"))
+      .groupBy(col("domain"), col("section"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("domain"), col("section"))
+  }
+
+  private val tx5Sql =
+    """SELECT 'www.' || source || '.example.com' AS domain, lang AS section,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |GROUP BY 1, 2 ORDER BY domain, section""".stripMargin
+
   // ---- TO1: tokenizer id mapping -----------------------------------------
   private def to1TokenizeIds(s: SparkSession, dir: String): DataFrame =
     TextQuality.tokenizeIds(Tables.load(s, dir, "documents"), "doc_id", "text", vocabK = 20)
@@ -256,5 +283,6 @@ object TextQueries extends QueryPack {
     Q("pii1_redact", "PII redaction pass with removal counts (planted deterministic contacts)", pii1Redact, Some(pii1Sql)),
     Q("vb1_vocab_topk", "corpus top-100 vocabulary with counts", vb1Vocab, Some(vb1Sql)),
     Q("bp1_bpe_pairs", "BPE trainer step: adjacent-token-pair counts, top-50", bp1BpePairs, Some(bp1Sql)),
-    Q("bm1_bm25_topk", "Okapi BM25 top-25 retrieval (log-free rational IDF, fixed-point sum)", bm1Bm25, Some(bm1Sql)))
+    Q("bm1_bm25_topk", "Okapi BM25 top-25 retrieval (log-free rational IDF, fixed-point sum)", bm1Bm25, Some(bm1Sql)),
+    Q("tx5_domain_stats", "URL domain/section extraction + per-domain rollup (planted URLs)", tx5DomainStats, Some(tx5Sql)))
 }
