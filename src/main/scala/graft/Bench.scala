@@ -35,10 +35,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // streaming micro-bench: events/s through the stateful CDC path
-    // (regressions there are invisible to batch query timing)
+    // (regressions there are invisible to batch query timing). A probe
+    // failure must stay VISIBLE in the line — an empty object would
+    // read as an unremarkable missing field, hiding exactly the class
+    // of regression the probe exists to surface. Fatal errors propagate.
     val streaming =
       try StreamBench.jsonFragment(spark)
-      catch { case _: Throwable => "\"streaming\":{}" }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          s""""streaming":{"error":"${e.getClass.getSimpleName}"}"""
+      }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$streaming,"sf":"$sfDir"}""")
     spark.stop()
   }

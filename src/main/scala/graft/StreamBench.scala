@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import java.nio.file.Files
 
+import org.apache.commons.io.FileUtils
+
 /** Streaming throughput probes for the bench line: batch query timing
   * says nothing about the CDC path's micro-batch cost, so a regression
   * in the stateful operators would have been invisible round over
@@ -22,16 +24,19 @@ object StreamBench {
     */
   def twsThroughput(spark: SparkSession): (Double, Long) = {
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // the provider switch must not leak into the caller's session
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val ckpt = Files.createTempDirectory("graft-bench-tws").toString
+    val ckpt = Files.createTempDirectory("graft-bench-tws").toFile
     val input = MemoryStream[(String, java.sql.Timestamp)](spark)
     val deduped = graft.streaming.LoopDedupTws(
       input.toDF().toDF("change_hash", "event_ts")
         .withWatermark("event_ts", "0 seconds"),
       windowMs = 60000L, ttlMs = 120000L)
     val q = deduped.writeStream.format("noop")
-      .option("checkpointLocation", ckpt).outputMode("append").start()
+      .option("checkpointLocation", ckpt.toString).outputMode("append").start()
     try {
       val t0 = 1768284000000L
       val keysPerBatch = 20000
@@ -46,7 +51,22 @@ object StreamBench {
       val state = Option(q.lastProgress)
         .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
       (batches * keysPerBatch / secs, state)
-    } finally q.stop()
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+      deleteWithRetry(ckpt)
+    }
+  }
+
+  /** State-store maintenance threads can still be flushing when the
+    * query reports stopped; one short retry catches the race.
+    */
+  private def deleteWithRetry(dir: java.io.File): Unit = {
+    FileUtils.deleteQuietly(dir)
+    if (dir.exists()) { Thread.sleep(500); FileUtils.deleteQuietly(dir); () }
   }
 
   private val regMs = 1768280000000L
@@ -63,7 +83,11 @@ object StreamBench {
     * micro-batch throughput ceiling at this parallelism.
     */
   def syncThroughput(spark: SparkSession): Double = {
-    val dir = Files.createTempDirectory("graft-bench-sync").toString
+    // SyncPipeline.start sets the RocksDB provider on the session; put
+    // the caller's value back afterward, and remove the temp store
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    val dir = Files.createTempDirectory("graft-bench-sync").toFile
     val store = new graft.streaming.SnapshotStore(spark, s"$dir/store")
     val pipeline = new graft.streaming.SyncPipeline(spark, store,
       trigger = Trigger.ProcessingTime("0 seconds"))
@@ -85,7 +109,14 @@ object StreamBench {
       }
       val secs = (System.nanoTime() - start) / 1e9
       batches * perBatch / secs
-    } finally q.stop()
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+      deleteWithRetry(dir)
+    }
   }
 
   /** One JSON fragment for the bench line. */

@@ -91,6 +91,7 @@ object Similarity {
     * deterministic and engine-reproducible.
     */
   def lshProbeBuckets(emb: Column, planes: Int, dims: Int, nProbe: Int): Column = {
+    require(planes >= 1 && planes <= 31, s"planes must be in [1, 31], got $planes")
     require(nProbe >= 1 && nProbe <= planes + 1,
       s"nProbe must be in [1, planes+1], got $nProbe")
     val ws = planeWeights(planes, dims)
@@ -99,7 +100,13 @@ object Similarity {
       struct(abs(dot(emb, typedlit(ws(p)))).as("m"), lit(p).as("p"))
     }: _*)
     // struct sort = (|margin| asc, plane asc); flip the nProbe-1 planes
-    // most likely to separate a query from its true neighbors
+    // most likely to separate a query from its true neighbors.
+    // Per-row cost note: this walks the vector once per plane (margins)
+    // plus the fused srp_bucket pass — fine by contract, because probe
+    // expansion runs on the BROADCAST query side only, never the
+    // corpus. pow(2,p) is exact in double for p ≤ 30 (planes ≤ 31);
+    // shiftleft takes only a literal shift so it can't express a
+    // column-valued flip.
     val flips = slice(transform(array_sort(margins), x => x.getField("p")), 1, nProbe - 1)
     concat(array(base),
       transform(flips, p => base.bitwiseXOR(pow(lit(2), p).cast("int"))))

@@ -21,10 +21,19 @@ object TextQuality {
     * same bytes but computes no multi-KB key hashes and cannot skew on
     * duplicate texts — and it is skipped entirely when the scan
     * already has enough splits, which at 100 TB it always does.
+    *
+    * The split estimate uses metadata only (leaf file list + catalyst
+    * size stats / the 128 MB split default) — `df.rdd` would finalize
+    * the adaptive plan and EXECUTE any upstream exchanges just to read
+    * a partition count, running the caller's pipeline twice.
     */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val splitBytes = 128L * 1024 * 1024
+    val estSplits = math.max(
+      df.inputFiles.length.toLong,
+      (df.queryExecution.analyzed.stats.sizeInBytes / splitBytes).toLong)
+    if (estSplits >= target) df else df.repartition(target)
   }
 
   /** Per-document repetition signals (the Gopher/C4-style quality

@@ -103,23 +103,36 @@ object PipelineQueries extends QueryPack {
   private val minhashPairsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
-  private def sharedMinhashPairs(s: SparkSession, dir: String): DataFrame =
-    minhashPairsCache.computeIfAbsent((s, dir), _ =>
-      Dedup.minHashNearDupPairs(Tables.load(s, dir, "documents"),
-          "doc_id", "text", k = 32, bands = 8, threshold = 0.9)
-        .localCheckpoint(true))
-
   // dd6 and dd7 both consume the component assignment; the label
   // propagation runs once per (session, dir), same contract as the
   // pair cache above
   private val componentsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
+  /** computeIfAbsent plus eviction of entries whose session has been
+    * stopped — a long-lived JVM (the test runner spins up one session
+    * per suite) must not pin dead sessions' checkpointed plans forever.
+    */
+  private def cachedPerSession(
+      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
+      s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    cache.computeIfAbsent((s, dir), _ => build)
+  }
+
+  private def sharedMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    cachedPerSession(minhashPairsCache, s, dir) {
+      Dedup.minHashNearDupPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", k = 32, bands = 8, threshold = 0.9)
+        .localCheckpoint(true)
+    }
+
   private def sharedComponents(s: SparkSession, dir: String): DataFrame =
-    componentsCache.computeIfAbsent((s, dir), _ =>
+    cachedPerSession(componentsCache, s, dir) {
       Dedup.minLabelComponents(sharedMinhashPairs(s, dir),
           Tables.load(s, dir, "documents"), "doc_id")
-        .localCheckpoint(true))
+        .localCheckpoint(true)
+    }
 
   private def dd2MinhashPairs(s: SparkSession, dir: String): DataFrame =
     sharedMinhashPairs(s, dir)

@@ -51,12 +51,24 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("banded pair operators never degrade to cartesian/nested-loop joins") {
-    for (q <- Seq("dd2_minhash_pairs", "dd3_simhash_pairs", "sn1_sorted_neighborhood",
+    for (q <- Seq("dd3_simhash_pairs", "sn1_sorted_neighborhood",
       "ed2_near_strings", "cp1_curation_pipeline", "er1_entity_resolution")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
     }
+  }
+
+  test("minhash band join (behind dd2's cache) never degrades to cartesian/nested-loop") {
+    // dd2_minhash_pairs serves from an eagerly-checkpointed cache, so
+    // ITS executed plan is just a scan of materialized blocks — the
+    // join shape must be asserted on the operator directly or the
+    // guard is vacuous
+    val p = graft.ops.Dedup.minHashNearDupPairs(
+        graft.Tables.load(spark, sfSmoke, "documents"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"minhash pair join plans a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"minhash pair join plans a nested loop:\n$p")
   }
 
   test("sim4: the probe side broadcasts; the corpus side never explodes") {
