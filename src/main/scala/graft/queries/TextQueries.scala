@@ -140,6 +140,61 @@ object TextQueries extends QueryPack {
       |FROM s GROUP BY doc_id
       |ORDER BY score6 DESC, doc_id LIMIT 25""".stripMargin
 
+  // ---- VB2: vocabulary coverage ------------------------------------------
+  // The tokenizer-design metric: what fraction of all token
+  // OCCURRENCES does the top-k vocabulary cover? (Decides k before
+  // committing to a vocab.) Reuses vocabTopK; one extra scalar agg.
+  private def vb2VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val covered = TextQuality.vocabTopK(docs, "text", k = 20)
+      .agg(sum(col("n")).as("covered"))
+    val total = docs
+      .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("t"))
+      .agg(count(lit(1)).as("total"))
+    covered.crossJoin(total)
+      .select(lit(20L).as("k"), col("covered"), col("total"),
+        graft.ops.TextAnalysis.round6(
+          col("covered").cast("double") / col("total")).as("coverage6"))
+  }
+
+  private val vb2Sql =
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+      |top AS (SELECT COUNT(*) AS n FROM toks GROUP BY t ORDER BY n DESC, t LIMIT 20)
+      |SELECT CAST(20 AS BIGINT) AS k,
+      |  (SELECT CAST(SUM(n) AS BIGINT) FROM top) AS covered,
+      |  (SELECT COUNT(*) FROM toks) AS total,
+      |  floor((SELECT CAST(SUM(n) AS DOUBLE) FROM top)
+      |        / (SELECT COUNT(*) FROM toks) * 1000000.0 + 0.5) / 1000000.0 AS coverage6""".stripMargin
+
+  // ---- LB1: length-bucketed batching -------------------------------------
+  // Training batchers group documents into length buckets so a batch
+  // wastes minimal padding. Equal-COUNT buckets via the distributed
+  // exact NTILE (value-skew-proof — equal-width buckets collapse when
+  // lengths are zipfian), then per-bucket stats that directly give the
+  // padding overhead: bucket_max − mean ≈ wasted tokens per doc.
+  private def lb1LengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"),
+      graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    graft.ops.Ranking.withNtile(docs, 8, "bucket",
+        Seq(col("n_tokens").asc, col("doc_id").asc))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"), max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("bucket"))
+  }
+
+  private val lb1Sql =
+    """SELECT bucket, COUNT(*) AS n_docs,
+      |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM (SELECT doc_id, n_tokens,
+      |        CAST(ntile(8) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS bucket
+      |      FROM (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      |            FROM documents))
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   // ---- BP1: BPE adjacent-pair counts -------------------------------------
   private def bp1BpePairs(s: SparkSession, dir: String): DataFrame =
     TextQuality.adjacentPairCounts(Tables.load(s, dir, "documents"), "text", k = 50)
@@ -284,5 +339,7 @@ object TextQueries extends QueryPack {
     Q("vb1_vocab_topk", "corpus top-100 vocabulary with counts", vb1Vocab, Some(vb1Sql)),
     Q("bp1_bpe_pairs", "BPE trainer step: adjacent-token-pair counts, top-50", bp1BpePairs, Some(bp1Sql)),
     Q("bm1_bm25_topk", "Okapi BM25 top-25 retrieval (log-free rational IDF, fixed-point sum)", bm1Bm25, Some(bm1Sql)),
-    Q("tx5_domain_stats", "URL domain/section extraction + per-domain rollup (planted URLs)", tx5DomainStats, Some(tx5Sql)))
+    Q("tx5_domain_stats", "URL domain/section extraction + per-domain rollup (planted URLs)", tx5DomainStats, Some(tx5Sql)),
+    Q("vb2_vocab_coverage", "top-k vocabulary occurrence coverage (tokenizer design metric)", vb2VocabCoverage, Some(vb2Sql)),
+    Q("lb1_length_buckets", "length-bucketed batching stats via distributed exact NTILE", lb1LengthBuckets, Some(lb1Sql)))
 }
