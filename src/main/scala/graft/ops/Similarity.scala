@@ -201,6 +201,63 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Product-quantization ADC top-k — the COMPRESSION side of the ANN
+    * scale story (LSH/IVF shrink the candidate set; PQ shrinks the
+    * bytes): embeddings are encoded as `m` one-byte codes (nearest
+    * sub-codebook centroid per `dims/m`-dim subspace) and queries score
+    * candidates through a per-query lookup table, never touching the
+    * float vectors. The dot product is separable across subspaces, so
+    * ADC(q, x) = Σ_j LUT_j[code_j(x)] approximates dot(q, x) with the
+    * subvector quantization error only.
+    *
+    * Codebooks here are deterministic seeds (the first `codebookK`
+    * vectors' subvectors) — production would train them with the same
+    * fixed-point k-means pass [[ivfTopK]] demonstrates.
+    *
+    * Determinism: every per-subspace dot quantizes to 10⁻⁶ fixed point
+    * BEFORE argmax/summation (ties break on centroid id), so codes,
+    * scores, and ranks are engine-exact — the bm1 trick.
+    *
+    * Scale shape: codebooks and LUTs are O(m·k) constants (broadcast);
+    * encoding is one map-side max_by aggregation per (vector,
+    * subspace); scoring scans the CODES (m bytes/vector, not
+    * 4·dims bytes) with a broadcast LUT join and a per-query top-k
+    * window. At 100 TB the scan is memory-bandwidth-bound on a ~64×
+    * smaller table — compose with IVF lists when candidate pruning is
+    * also needed.
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, m: Int, dims: Int,
+      codebookK: Int, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(dims % m == 0, s"dims $dims must divide into $m subspaces")
+    val sub = dims / m
+    def subspaces(df: DataFrame, outId: String) =
+      df.select(col(idCol).as(outId), col(embCol).as("e"))
+        .select(col(outId), explode(array((0 until m).map(j =>
+          struct(lit(j).as("sub_id"), slice(col("e"), j * sub + 1, sub).as("v"))): _*)).as("s"))
+        .select(col(outId), col("s.sub_id"), col("s.v"))
+    val cb = subspaces(corpus.filter(col(idCol) < codebookK), "cent_id")
+      .select(col("sub_id"), col("cent_id"), col("v").as("cent_sub"))
+    val d6 = floor(dot(col("v"), col("cent_sub")) * 1000000.0 + 0.5).cast("long")
+    // encode: nearest centroid per subspace — map-side max_by, no window
+    val codes = subspaces(corpus, "neighbor_id")
+      .join(broadcast(cb), Seq("sub_id"))
+      .select(col("neighbor_id"), col("sub_id"), col("cent_id"), d6.as("d6"))
+      .groupBy(col("neighbor_id"), col("sub_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("d6"), (lit(0L) - col("cent_id")).as("nc"))).as("code"))
+    val lut = subspaces(queries, "query_id")
+      .join(broadcast(cb), Seq("sub_id"))
+      .select(col("query_id"), col("sub_id"), col("cent_id").as("code"), d6.as("q6"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score6").desc, col("neighbor_id"))
+    codes.join(broadcast(lut), Seq("sub_id", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("q6")).as("score6"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by a key (e.g. a
     * cluster label or LSH bucket) so the pair space never goes O(n²).
     */

@@ -480,6 +480,50 @@ object PipelineQueries extends QueryPack {
       |  WHERE p.query_id <> a.neighbor_id)
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // ---- SIM5: product-quantization ADC top-k ------------------------------
+  // PQ = the compression scale path: 4 subspace codes of 16 centroids
+  // replace the 64-float vector; queries score through a lookup table.
+  // The oracle rebuilds codebooks/codes/LUT from the same seeds with
+  // the same fixed-point quantization, so codes AND ranks hash-match.
+  private def sim5PqTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5),
+        k = 10, m = 4, dims = 64, codebookK = 16)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val sim5Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |j AS (SELECT range AS sub_id FROM range(0, 4)),
+      |cb AS (
+      |  SELECT j.sub_id, e.vec_id AS cent_id,
+      |    emb[j.sub_id*16+1 : j.sub_id*16+16] AS cs
+      |  FROM e, j WHERE e.vec_id < 16),
+      |subs AS (
+      |  SELECT e.vec_id, j.sub_id, emb[j.sub_id*16+1 : j.sub_id*16+16] AS v
+      |  FROM e, j),
+      |enc AS (
+      |  SELECT vec_id AS neighbor_id, sub_id, cent_id AS code FROM (
+      |    SELECT s.vec_id, s.sub_id, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_id
+      |        ORDER BY CAST(floor(list_dot_product(s.v, c.cs) * 1000000.0 + 0.5) AS BIGINT) DESC,
+      |                 c.cent_id) AS rn
+      |    FROM subs s JOIN cb c ON s.sub_id = c.sub_id) WHERE rn = 1),
+      |lut AS (
+      |  SELECT s.vec_id AS query_id, s.sub_id, c.cent_id AS code,
+      |    CAST(floor(list_dot_product(s.v, c.cs) * 1000000.0 + 0.5) AS BIGINT) AS q6
+      |  FROM subs s JOIN cb c ON s.sub_id = c.sub_id WHERE s.vec_id < 5),
+      |sc AS (
+      |  SELECT query_id, neighbor_id, CAST(SUM(q6) AS BIGINT) AS score6
+      |  FROM enc JOIN lut USING (sub_id, code)
+      |  WHERE query_id <> neighbor_id
+      |  GROUP BY query_id, neighbor_id)
+      |SELECT query_id, neighbor_id, score6, rank FROM (
+      |  SELECT query_id, neighbor_id, score6,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY score6 DESC, neighbor_id) AS rank
+      |  FROM sc) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   // ---- TX4: regex / BPE-ish tokenization ---------------------------------
   private def tx4RegexTokens(s: SparkSession, dir: String): DataFrame = {
     val toks = regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))
@@ -767,5 +811,6 @@ object PipelineQueries extends QueryPack {
     Q("sim1_brute_topk", "brute-force cosine top-k", sim1BruteTopk, Some(sim1Sql)),
     Q("sim2_lsh_topk", "SRP-LSH bucketed ANN top-k", sim2LshTopk, Some(sim2Sql)),
     Q("sim4_lsh_multiprobe", "multi-probe SRP-LSH: lowest-margin bit-flip buckets", sim4LshMultiprobe, Some(sim4Sql)),
+    Q("sim5_pq_topk", "product-quantization ADC top-k (4x16 codebooks, fixed-point LUT)", sim5PqTopk, Some(sim5Sql)),
   )
 }

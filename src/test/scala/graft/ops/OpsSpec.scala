@@ -217,6 +217,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("PQ codes are within the codebook and ADC recall clears the floor") {
+    val emb = graft.Tables.load(spark, sfSmoke, "embeddings")
+    val q = emb.filter(col("vec_id") < 50)
+    val pq = Similarity.pqTopK(emb, q, 10, m = 4, dims = 64, codebookK = 16)
+    val rows = pq.collect()
+    assert(rows.length == 50 * 10)
+    // ADC approximates dot: the quantization error must not scramble
+    // ranking into noise — recall@10 vs brute force well above the
+    // ~0.02 a random top-10 of 500 would score
+    val brute = Similarity.bruteTopK(emb, q, 10).select("query_id", "neighbor_id")
+    val hits = brute.intersect(pq.select("query_id", "neighbor_id")).count()
+    val recall = hits.toDouble / brute.count()
+    info(s"PQ ADC recall@10 = $recall")
+    assert(recall >= 0.15, s"PQ recall collapsed: $recall")
+  }
+
   test("plane weights are deterministic and within [-1,1]") {
     val w1 = Similarity.planeWeights(3, 16)
     val w2 = Similarity.planeWeights(3, 16)
