@@ -269,6 +269,78 @@ object PipelineQueries extends QueryPack {
       |  FROM comp JOIN q ON comp.doc_id = q.doc_id)
       |WHERE rn = 1 ORDER BY canonical_id""".stripMargin
 
+  // ---- QP1: quality propagation over the near-dup graph ------------------
+  // Graph signal smoothing for curation: a document's effective quality
+  // is averaged with its near-duplicate neighborhood (a doc surrounded
+  // by low-quality copies is suspect even if its own score is high).
+  // One step of smoothing = one edge join + one aggregation over the
+  // SHARED pair stage; all arithmetic in integer fixed point with
+  // integer division, so the smoothed scores are engine-exact.
+  private def qp1QualityProp(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val q6 = docs.select(col("doc_id"),
+      floor(TextAnalysis.qualityScore(col("text")) * 1000000.0 + 0.5)
+        .cast("long").as("q6"))
+    val pairs = sharedMinhashPairs(s, dir)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val nbr = edges
+      .join(q6.select(col("doc_id").as("src"), col("q6").as("nq6")), Seq("src"))
+      .groupBy(col("dst").as("doc_id"))
+      .agg(count(lit(1)).as("n_neighbors"), sum(col("nq6")).as("sq6"))
+    q6.join(nbr, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("q6"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        when(col("n_neighbors").isNull, col("q6"))
+          .otherwise(expr("(q6 + (sq6 div n_neighbors)) div 2")).as("smoothed6"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qp1Sql =
+    s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    [('0x' || substr(md5(w), 1, 15))::BIGINT for w in words] AS wh,
+      |    [list_min([((('0x' || substr(md5('a' || chr(124) || CAST(i AS VARCHAR)), 1, 5))::BIGINT | 1)
+      |                 * ('0x' || substr(md5(w), 1, 8))::BIGINT
+      |                 + ('0x' || substr(md5('b' || chr(124) || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 4294967291
+      |                ) % 4294967291
+      |               for w in words]) for i in range(0, 32)] AS sig
+      |  FROM t),
+      |bands AS (
+      |  SELECT doc_id,
+      |    unnest([('0x' || substr(md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], '|')), 1, 15))::BIGINT
+      |            for b in range(0, 8)]) AS band_key
+      |  FROM sigs),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cands
+      |  JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
+      |  WHERE floor(CAST(len(list_intersect(sa.wh, sb.wh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(sa.wh, sb.wh))) * 1000000.0 + 0.5) / 1000000.0 >= 0.9),
+      |q AS (
+      |  SELECT doc_id, CAST(floor(
+      |    floor((0.4 * least(1.0, CAST(len(w) AS DOUBLE) / 50.0)
+      |        + 0.3 * (floor(CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 1000000.0 + 0.5) / 1000000.0)
+      |        + 0.2 * least(1.0, (floor(CAST(list_sum([length(x) for x in w]) AS DOUBLE) / len(w) * 1000000.0 + 0.5) / 1000000.0) / 8.0)
+      |        + 0.1 * (1.0 - floor(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+      |            / greatest(length(text), 1) * 1000000.0 + 0.5) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0
+      |    * 1000000.0 + 0.5) AS BIGINT) AS q6
+      |  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM documents)),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |nbr AS (
+      |  SELECT e.dst AS doc_id, COUNT(*) AS n_neighbors, SUM(q.q6) AS sq6
+      |  FROM edges e JOIN q ON q.doc_id = e.src GROUP BY e.dst)
+      |SELECT q.doc_id, q.q6,
+      |  COALESCE(n.n_neighbors, 0) AS n_neighbors,
+      |  CAST(CASE WHEN n.n_neighbors IS NULL THEN q.q6
+      |       ELSE (q.q6 + (n.sq6 // n.n_neighbors)) // 2 END AS BIGINT) AS smoothed6
+      |FROM q LEFT JOIN nbr n ON n.doc_id = q.doc_id
+      |ORDER BY q.doc_id""".stripMargin
+
   // ---- DD3: SimHash near-dup pairs ---------------------------------------
   private def dd3SimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashNearDupPairs(Tables.load(s, dir, "documents"),
@@ -799,6 +871,7 @@ object PipelineQueries extends QueryPack {
     Q("dd2_minhash_pairs", "MinHash+LSH near-dup pairs, Jaccard-verified", dd2MinhashPairs, Some(dd2Sql)),
     Q("dd6_neardup_canonical", "near-dup canonicalization via min-label components", dd6NeardupCanonical, Some(dd6Sql)),
     Q("dd7_component_best", "best-quality canonical pick per near-dup component", dd7ComponentBest, Some(dd7Sql)),
+    Q("qp1_quality_propagation", "quality smoothing over the near-dup graph (fixed-point)", qp1QualityProp, Some(qp1Sql)),
     Q("dd3_simhash_pairs", "SimHash near-dup pairs, Hamming-verified", dd3SimhashPairs, Some(dd3Sql)),
     Q("dd4_ngram_jaccard", "3-gram Jaccard dedup, blocked by source+lang", dd4NgramJaccard, Some(dd4Sql)),
     Q("dd5_cosine_neardup", "embedding-cosine near-dup, label-blocked", dd5CosineNearDup, Some(dd5Sql)),
