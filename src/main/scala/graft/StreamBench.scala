@@ -79,8 +79,10 @@ object StreamBench {
 
   /** Full CDC slice (envelope parse → config-driven transform → loop
     * dedup → ordered apply + audit into the snapshot store): 5 batches
-    * × 2000 distinct inserts. Events/s here is the pipeline's
-    * micro-batch throughput ceiling at this parallelism.
+    * × 20k distinct inserts — the SAME event volume as the tws probe,
+    * so sync/tws directly reads as "what the sink+apply adds on top of
+    * the dedup stage". Events/s here is the pipeline's micro-batch
+    * throughput ceiling at this parallelism.
     */
   def syncThroughput(spark: SparkSession): Double = {
     // SyncPipeline.start sets the RocksDB provider on the session; put
@@ -97,7 +99,7 @@ object StreamBench {
       graft.cdc.Direction.AsisToTobe, s"$dir/ckpt")
     try {
       val t0 = 1768284000000L
-      val perBatch = 2000
+      val perBatch = 20000
       val batches = 5
       val start = System.nanoTime()
       (0 until batches).foreach { i =>

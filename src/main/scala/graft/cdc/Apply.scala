@@ -32,13 +32,17 @@ object Apply {
     * @param pk       primary-key column name
     * @param seqCol   arrival-order column (CDC_SEQ)
     * @param dataCols non-pk payload columns
+    * @param auditPassthrough extra `changes` columns carried verbatim
+    *                 into the audit frame (e.g. `change_hash`), saving
+    *                 the caller a re-join by seq
     */
   def applyBatch(
       base: DataFrame,
       changes: DataFrame,
       pk: String,
       seqCol: String,
-      dataCols: Seq[String]): ApplyResult = {
+      dataCols: Seq[String],
+      auditPassthrough: Seq[String] = Nil): ApplyResult = {
 
     val inBase = base.select(col(pk), lit(true).as("__in_base")).distinct()
     val ch = changes
@@ -67,11 +71,12 @@ object Apply {
         col("operation") === "INSERT" && col("__exists_at"))
 
     val audit = flagged.select(
-      col(seqCol).as("cdc_seq"),
-      col(pk).cast("string").as("pk_value"),
-      col("operation"),
-      when(col("__applied"), "SUCCESS").otherwise("TARGET_NOT_FOUND").as("status"),
-      col("__upsert_converted").as("upsert_converted"))
+      col(seqCol).as("cdc_seq") +:
+        col(pk).cast("string").as("pk_value") +:
+        col("operation") +:
+        when(col("__applied"), "SUCCESS").otherwise("TARGET_NOT_FOUND").as("status") +:
+        col("__upsert_converted").as("upsert_converted") +:
+        auditPassthrough.map(col): _*)
 
     // ---- target path: ONE hash aggregate, no sort. The key insight:
     // whenever a key finally exists, its LAST event necessarily applied

@@ -2,46 +2,124 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, to_date}
+import org.apache.spark.sql.functions.{col, lit, struct, to_date}
 import org.apache.spark.sql.types.StructType
+import graft.cdc.Apply
 
-/** Versioned parquet snapshot store — the engine's local stand-in for a
-  * MERGE-capable sink (Delta / JDBC MERGE in production, SURVEY §2.8 ST5).
+/** Versioned merge-on-read parquet store — the engine's local stand-in
+  * for a MERGE-capable sink (Delta / JDBC MERGE in production, SURVEY
+  * §2.8 ST5).
   *
-  * Each apply writes a new `v<N>` directory and then atomically flips a
-  * `_current` pointer file, so a snapshot read never races a write (the
-  * same read-version/write-new-version/commit protocol Delta uses, minus
-  * the transaction log). Audit rows append to `_audit` (CDC_SYNC_LOG).
+  * Two kinds of committed version, in one monotonically increasing
+  * sequence per table:
+  *
+  *  - `v<N>`: a full BASE snapshot (an explicit [[commit]], or a
+  *    compaction).
+  *  - `d<N>`: a DELTA — the batch's raw change events (`seq`,
+  *    `operation`, pk, payload), appended by [[commitDelta]] in
+  *    O(|batch|), never O(|table|).
+  *
+  * A read at version V reconstructs `base ⊕ deltas`: the latest base
+  * `v<B>` with B ≤ V plus every delta in (B, V], replayed through
+  * [[graft.cdc.Apply.applyBatch]] ordered by `(version, seq)` — the
+  * same per-key sequential semantics the apply path defines, so
+  * "commit the events, merge on read" and "merge then commit the
+  * snapshot" produce identical tables (applyBatch's last-INSERT/DELETE
+  * existence rule composes across batches). Every `compactEvery`-th
+  * commit folds the outstanding deltas into a new base, bounding both
+  * read fan-in and replay depth. Writes happen BEFORE the `_current`
+  * pointer flips, so a snapshot read never races a write (the
+  * read-version/write-new-version/commit protocol Delta uses, minus the
+  * transaction log). Replaying a crashed micro-batch appends a
+  * duplicate delta whose events are row-identical, which applyBatch's
+  * max_by/last-op semantics absorb — delta commits are
+  * value-idempotent. Audit rows append to `_audit` (CDC_SYNC_LOG).
+  *
+  * Scale: this is the fix for the full-snapshot-rewrite ceiling — per
+  * 5 s trigger the sink now writes O(|batch|) bytes; the O(|table|)
+  * cost moves to one columnar-pruned read (the apply's pk-membership
+  * check) and an amortized 1/compactEvery compaction write.
   */
-final class SnapshotStore(spark: SparkSession, basePath: String) {
+final class SnapshotStore(
+    spark: SparkSession, basePath: String, compactEvery: Int = 8) {
 
   private def tableDir(table: String) = s"$basePath/$table"
   private def pointer(table: String) = Paths.get(tableDir(table), "_current")
+  private def baseDir(table: String, v: Int) = s"${tableDir(table)}/v$v"
+  private def deltaDir(table: String, v: Int) = s"${tableDir(table)}/d$v"
 
   def currentVersion(table: String): Int =
     if (Files.exists(pointer(table)))
       new String(Files.readAllBytes(pointer(table))).trim.toInt
     else 0
 
-  /** Current snapshot; empty DataFrame with the given schema at v0. */
-  def snapshot(table: String, schema: StructType): DataFrame =
-    snapshotAt(table, currentVersion(table), schema)
-
-  /** Time travel: read any committed version (0 = empty). */
-  def snapshotAt(table: String, version: Int, schema: StructType = null): DataFrame =
-    if (version == 0)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.parquet(s"${tableDir(table)}/v$version")
-
-  /** Write the next snapshot version and flip the pointer. */
-  def commit(table: String, df: DataFrame): Int = {
-    val next = currentVersion(table) + 1
-    df.write.mode(SaveMode.Overwrite).parquet(s"${tableDir(table)}/v$next")
+  private def flipPointer(table: String, next: Int): Int = {
     Files.createDirectories(Paths.get(tableDir(table)))
     Files.write(pointer(table), next.toString.getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.WRITE,
       StandardOpenOption.TRUNCATE_EXISTING)
     next
+  }
+
+  /** Latest base version ≤ v (0 = none; bounded scan — bases recur at
+    * least every `compactEvery` versions).
+    */
+  private def baseAtOrBefore(table: String, v: Int): Int =
+    (v to 1 by -1).find(i => Files.exists(Paths.get(baseDir(table, i)))).getOrElse(0)
+
+  /** Current snapshot; empty DataFrame with the given schema at v0. */
+  def snapshot(table: String, schema: StructType): DataFrame =
+    snapshotAt(table, currentVersion(table), schema)
+
+  /** Time travel: reconstruct any committed version (0 = empty). */
+  def snapshotAt(table: String, version: Int, schema: StructType = null): DataFrame = {
+    if (version == 0)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val b = baseAtOrBefore(table, version)
+    if (b == version) return spark.read.parquet(baseDir(table, b))
+    val deltas = ((b + 1) to version)
+      .filter(i => Files.exists(Paths.get(deltaDir(table, i))))
+      .map(i => spark.read.parquet(deltaDir(table, i)).withColumn("__v", lit(i)))
+      .reduce(_ unionByName _)
+    // delta layout contract (commitDelta): [seqCol, operation, pk, data…]
+    val fields = deltas.schema.fields.filterNot(_.name == "__v")
+    val seqCol = fields(0).name
+    val pk = fields(2).name
+    val dataCols = fields.drop(3).map(_.name).toSeq
+    val base =
+      if (b == 0) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        if (schema != null) schema else StructType(fields.drop(2)))
+      else spark.read.parquet(baseDir(table, b))
+    val ordered = deltas.withColumn("__ord", struct(col("__v"), col(seqCol)))
+    Apply.applyBatch(base, ordered, pk, "__ord", dataCols).target
+  }
+
+  /** Write a full base snapshot version and flip the pointer. */
+  def commit(table: String, df: DataFrame): Int = {
+    val next = currentVersion(table) + 1
+    df.write.mode(SaveMode.Overwrite).parquet(baseDir(table, next))
+    flipPointer(table, next)
+  }
+
+  /** Append one batch of change events as a delta version — O(|batch|).
+    *
+    * `changes` must carry `seqCol`, `operation`, `pk`, `dataCols`; the
+    * delta file stores them in exactly that order (readers recover the
+    * roles positionally). Folds deltas into a fresh base when the chain
+    * since the last base reaches `compactEvery`.
+    */
+  def commitDelta(
+      table: String, changes: DataFrame,
+      pk: String, seqCol: String, dataCols: Seq[String]): Int = {
+    val next = currentVersion(table) + 1
+    changes.select((Seq(seqCol, "operation", pk) ++ dataCols).map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(deltaDir(table, next))
+    if (next - baseAtOrBefore(table, next - 1) >= compactEvery)
+      snapshotAt(table, next) // d<next> exists; pointer not yet flipped
+        .write.mode(SaveMode.Overwrite).parquet(baseDir(table, next))
+    flipPointer(table, next)
   }
 
   /** Audit rows append partitioned by `log_date`: the audit table is
@@ -57,7 +135,13 @@ final class SnapshotStore(spark: SparkSession, basePath: String) {
 
   def audit(): DataFrame = {
     val p = s"$basePath/_audit"
-    if (Files.exists(Paths.get(p))) spark.read.parquet(p)
-    else spark.emptyDataFrame
+    // an all-blocked-free EMPTY micro-batch appends zero rows, leaving a
+    // directory with no parquet files — treat that as "no audit yet"
+    // rather than letting schema inference fail
+    val hasFiles = Files.exists(Paths.get(p)) && {
+      val s = Files.walk(Paths.get(p))
+      try s.anyMatch(f => f.toString.endsWith(".parquet")) finally s.close()
+    }
+    if (hasFiles) spark.read.parquet(p) else spark.emptyDataFrame
   }
 }

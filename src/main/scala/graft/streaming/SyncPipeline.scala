@@ -88,9 +88,18 @@ final class SyncPipeline(
       .start()
   }
 
-  /** One micro-batch: split blocked/live, apply live in order, audit all.
-    * Also the batch-replay entry point (processing a backlog parquet of
+  /** One micro-batch: split blocked/live, audit all events against the
+    * pre-batch snapshot, then commit the live events as a DELTA —
+    * O(|batch|) written per trigger, never O(|table|) (the snapshot
+    * store merges on read and compacts in the background path). Also
+    * the batch-replay entry point (processing a backlog parquet of
     * events uses exactly this code path).
+    *
+    * Per-trigger job budget: ONE audit append (whose `observe` metrics
+    * double as the live/blocked counters, so no separate counting or
+    * isEmpty job) plus one delta write when live events exist — the
+    * audit's only O(|table|) touch is the column-pruned pk-membership
+    * read inside `applyBatch`'s existence check.
     */
   def applyMicroBatch(
       batch: DataFrame,
@@ -101,17 +110,19 @@ final class SyncPipeline(
     val valueCols = targetCols.filterNot(_ == target.pk)
     val cached = batch.cache()
     try {
-      if (cached.isEmpty) return // empty micro-batch: no snapshot churn
       val blocked = cached.filter(col("loop_blocked"))
       val live = cached.filter(!col("loop_blocked"))
 
       val schema = org.apache.spark.sql.types.StructType(
         Registry.targetSchema(target).filter(f => targetCols.contains(f.name)))
+      // audit statuses (TARGET_NOT_FOUND / upsert conversion) are
+      // defined against the table as of BEFORE this batch; snapshot()
+      // pins the current version eagerly, so the later delta commit
+      // can't leak into this frame.
       val base = store.snapshot(target.table, schema)
       val result = Apply.applyBatch(
-        base, live.select((Seq("seq", "operation") ++ targetCols).map(col): _*),
-        target.pk, "seq", valueCols)
-      store.commit(target.table, result.target)
+        base, live.select((Seq("seq", "operation") ++ targetCols :+ "change_hash").map(col): _*),
+        target.pk, "seq", valueCols, auditPassthrough = Seq("change_hash"))
 
       val dirName = if (direction == Direction.AsisToTobe) "ASIS_TO_TOBE" else "TOBE_TO_ASIS"
       // error-code taxonomy (docs/02-설계/05_에러코드_체계.md, designed-only
@@ -133,14 +144,18 @@ final class SyncPipeline(
         col("change_hash"),
         current_timestamp().as("log_time"))
 
-      val liveAudit = auditCols(
-        result.audit.withColumnRenamed("cdc_seq", "seq").join(
-          live.select(col("seq"), col("change_hash")), Seq("seq"), "left"),
-        col("status"), col("upsert_converted"))
+      val liveAudit = auditCols(result.audit, col("status"), col("upsert_converted"))
       val blockedAudit = auditCols(
         blocked.withColumn("pk_value", col(target.pk).cast("string")),
         lit("LOOP_BLOCKED"), lit(false))
-      store.appendAudit(liveAudit.unionByName(blockedAudit))
+      val obs = org.apache.spark.sql.Observation()
+      store.appendAudit(liveAudit.unionByName(blockedAudit).observe(obs,
+        count(when(col("status") =!= "LOOP_BLOCKED", 1)).as("live")))
+
+      if (obs.get("live").asInstanceOf[Long] > 0L)
+        store.commitDelta(target.table,
+          live.select((Seq("seq", "operation") ++ targetCols).map(col): _*),
+          target.pk, "seq", valueCols)
     } finally cached.unpersist()
   }
 }

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** Merge-on-read semantics of the snapshot store: delta commits are
+  * O(|batch|); reads reconstruct base⊕deltas with the apply semantics;
+  * every `compactEvery`-th commit folds deltas into a fresh base;
+  * replayed (crash-duplicated) deltas change nothing.
+  */
+class SnapshotStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def delta(rows: (Long, String, Int, String)*) =
+    rows.toDF("seq", "operation", "ID", "VAL")
+
+  private def newStore(compactEvery: Int) = {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    (new SnapshotStore(spark, dir, compactEvery), dir)
+  }
+
+  private def commit(store: SnapshotStore, rows: (Long, String, Int, String)*): Int =
+    store.commitDelta("T", delta(rows: _*), "ID", "seq", Seq("VAL"))
+
+  test("delta commits merge on read: insert, update, delete across versions") {
+    val (store, _) = newStore(compactEvery = 100)
+    commit(store, (1L, "INSERT", 1, "a"), (2L, "INSERT", 2, "b"))
+    commit(store, (1L, "UPDATE", 1, "a2"), (2L, "DELETE", 2, "b"))
+    commit(store, (1L, "INSERT", 3, "c"))
+
+    val now = store.snapshot("T", null).as[(Int, String)].collect().toMap
+    assert(now == Map(1 -> "a2", 3 -> "c"))
+    // time travel into the middle of the delta chain
+    assert(store.snapshotAt("T", 1).as[(Int, String)].collect().toMap ==
+      Map(1 -> "a", 2 -> "b"))
+    assert(store.snapshotAt("T", 2).as[(Int, String)].collect().toMap ==
+      Map(1 -> "a2"))
+  }
+
+  test("compaction folds the delta chain into a base and preserves the table") {
+    val (store, dir) = newStore(compactEvery = 3)
+    commit(store, (1L, "INSERT", 1, "a"))
+    commit(store, (2L, "UPDATE", 1, "a2"), (3L, "INSERT", 2, "b"))
+    assert(!Files.exists(Paths.get(s"$dir/T/v2")))
+    commit(store, (4L, "DELETE", 2, "b")) // 3rd commit since base ⇒ compact
+    assert(Files.exists(Paths.get(s"$dir/T/v3")), "compaction must write a base")
+    assert(store.snapshot("T", null).as[(Int, String)].collect().toMap ==
+      Map(1 -> "a2"))
+    // post-compaction deltas chain off the new base
+    commit(store, (5L, "INSERT", 9, "z"))
+    assert(store.snapshot("T", null).as[(Int, String)].collect().toMap ==
+      Map(1 -> "a2", 9 -> "z"))
+  }
+
+  test("a replayed duplicate delta is value-idempotent") {
+    val (store, _) = newStore(compactEvery = 100)
+    commit(store, (1L, "INSERT", 1, "a"), (2L, "UPDATE", 1, "a2"))
+    val before = store.snapshot("T", null).as[(Int, String)].collect().toMap
+    // crash-replay: the identical batch lands again as a new delta
+    commit(store, (1L, "INSERT", 1, "a"), (2L, "UPDATE", 1, "a2"))
+    assert(store.snapshot("T", null).as[(Int, String)].collect().toMap == before)
+  }
+
+  test("full commit() versions interleave with deltas as bases") {
+    val (store, _) = newStore(compactEvery = 100)
+    store.commit("T", Seq((1, "x"), (2, "y")).toDF("ID", "VAL"))
+    commit(store, (1L, "UPDATE", 1, "x2"), (2L, "INSERT", 3, "z"))
+    assert(store.snapshot("T", null).as[(Int, String)].collect().toMap ==
+      Map(1 -> "x2", 2 -> "y", 3 -> "z"))
+    assert(store.snapshotAt("T", 1).as[(Int, String)].collect().toMap ==
+      Map(1 -> "x", 2 -> "y"))
+  }
+}
