@@ -97,7 +97,7 @@ object Similarity {
     val ws = planeWeights(planes, dims)
     val base = lshBucket(emb, planes, dims)
     val margins = array((0 until planes).map { p =>
-      struct(abs(dot(emb, typedlit(ws(p)))).as("m"), lit(p).as("p"))
+      struct(abs(dot(slice(emb, 1, dims), typedlit(ws(p)))).as("m"), lit(p).as("p"))
     }: _*)
     // struct sort = (|margin| asc, plane asc); flip the nProbe-1 planes
     // most likely to separate a query from its true neighbors.
@@ -107,6 +107,9 @@ object Similarity {
     // corpus. pow(2,p) is exact in double for p ≤ 30 (planes ≤ 31);
     // shiftleft takes only a literal shift so it can't express a
     // column-valued flip.
+    // margins read the same dims-prefix srp_bucket hashes, so the flip
+    // ranking and the bucket bits share one basis even when the stored
+    // vector is longer than dims
     val flips = slice(transform(array_sort(margins), x => x.getField("p")), 1, nProbe - 1)
     concat(array(base),
       transform(flips, p => base.bitwiseXOR(pow(lit(2), p).cast("int"))))
@@ -137,48 +140,63 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** IVF-style ANN: vectors are assigned to their nearest of C
-    * centroids; a query probes its `nProbe` nearest centroid lists
-    * only. The standard inverted-file trade: candidate set shrinks
-    * ~C/nProbe-fold; recall depends on how often true neighbors live
-    * in unprobed lists.
-    *
-    * Centroids start as deterministic seeds (the first C vectors) and
-    * go through `refine` k-means update passes — assignment to the
-    * current centroids, then an element-wise mean per cluster — which
-    * moves the Voronoi cells toward the data's actual clusters
-    * (seed-only centroids sit wherever the first C vectors happened to
-    * be; measured recall@10 vs brute force improves with the update,
-    * asserted in OpsSpec's recall spec). The mean runs in fixed-point
-    * (×10⁶ integer sums, exact in int64) so refined centroids —
-    * which feed further dot products and ranks — are order-independent
-    * and engine-reproducible, like Embeddings.dimStats.
-    *
-    * Scale: assignment is a broadcast join + per-key top-1 window
-    * (map-side); refinement shuffles |C|·dims fixed-point partial
-    * sums, not the corpus; the probe join shuffles only by the
-    * (small-cardinality) centroid id.
+  /** Deterministic seed rows: the n lowest-id vectors, selected by RANK
+    * over `idCol` (TakeOrderedAndProject — O(n) heap per partition,
+    * never a full sort), not by an `id < n` domain assumption, so
+    * string or sparse ids still yield exactly n seeds.
     */
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame, k: Int, nCentroids: Int, nProbe: Int,
-      idCol: String = "vec_id", embCol: String = "embedding",
-      refine: Int = 1): DataFrame = {
-    val seeds = corpus.filter(col(idCol) < nCentroids)
-      .select(col(idCol).as("cent_id"), col(embCol).as("cent_e"))
-    def nearestCentroids(cents: DataFrame, df: DataFrame,
-        outId: String, outEmb: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col(outId))
-        .orderBy(col("cent_sim").desc, col("cent_id"))
-      df.select(col(idCol).as(outId), col(embCol).as(outEmb))
-        .join(broadcast(cents))
-        .withColumn("cent_sim", cosineRounded(col(outEmb), col("cent_e")))
-        .withColumn("cent_rank", row_number().over(w))
-        .filter(col("cent_rank") <= n)
-        .select(col(outId), col(outEmb), col("cent_id"))
-    }
-    // k-means update: per-cluster element-wise mean in exact fixed-point
-    val cents = (1 to refine).foldLeft(seeds) { (cur, _) =>
-      nearestCentroids(cur, corpus, "m_id", "me", 1)
+  private def seedRows(corpus: DataFrame, n: Int, idCol: String): DataFrame =
+    corpus.orderBy(col(idCol)).limit(n)
+
+  /** Nearest-centroid assignment as ONE map-side `max_by` partial
+    * aggregation: the corpus×C scored rows never shuffle — only the
+    * one-row-per-vector partials do (the corpus×C exchange+sort a
+    * per-key `row_number` window would pay; pinned in PlanShapeSpec).
+    * Ties break on the lower (numeric) centroid id, matching the
+    * window formulation `ORDER BY sim DESC, cent_id`.
+    */
+  def assignToCentroids(
+      df: DataFrame, cents: DataFrame, outId: String, outEmb: String,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    df.select(col(idCol).as(outId), col(embCol).as(outEmb))
+      .join(broadcast(cents))
+      .select(col(outId), col(outEmb), col("cent_id"),
+        cosineRounded(col(outEmb), col("cent_e")).as("cent_sim"))
+      .groupBy(col(outId))
+      .agg(max_by(struct(col("cent_id"), col(outEmb).as("e")),
+        struct(col("cent_sim"), (lit(0L) - col("cent_id")).as("nc"))).as("m"))
+      .select(col(outId), col("m.e").as(outEmb), col("m.cent_id").as("cent_id"))
+
+  /** Top-n nearest centroids (probe selection) — window-ranked; runs on
+    * the (small, broadcastable) QUERY side only, where an exchange+sort
+    * over |queries|·C rows is noise.
+    */
+  private def probeCentroids(
+      df: DataFrame, cents: DataFrame, outId: String, outEmb: String, n: Int,
+      idCol: String, embCol: String): DataFrame = {
+    val w = Window.partitionBy(col(outId))
+      .orderBy(col("cent_sim").desc, col("cent_id"))
+    df.select(col(idCol).as(outId), col(embCol).as(outEmb))
+      .join(broadcast(cents))
+      .withColumn("cent_sim", cosineRounded(col(outEmb), col("cent_e")))
+      .withColumn("cent_rank", row_number().over(w))
+      .filter(col("cent_rank") <= n)
+      .select(col(outId), col(outEmb), col("cent_id"))
+  }
+
+  /** `refine` k-means update passes over deterministic seeds: assign
+    * every vector to its nearest current centroid (map-side `max_by`),
+    * then take the per-cluster element-wise mean in fixed point (×10⁶
+    * integer sums, exact in int64) so refined centroids — which feed
+    * further dot products and ranks — are order-independent and
+    * engine-reproducible, like Embeddings.dimStats. Refinement
+    * shuffles |C|·dims fixed-point partial sums, not the corpus.
+    */
+  private def refineCentroids(
+      seeds: DataFrame, corpus: DataFrame, refine: Int,
+      idCol: String, embCol: String): DataFrame =
+    (1 to refine).foldLeft(seeds) { (cur, _) =>
+      assignToCentroids(corpus, cur, "m_id", "me", idCol, embCol)
         .select(col("cent_id"), posexplode(col("me")).as(Seq("pos", "v")))
         .groupBy(col("cent_id"), col("pos"))
         .agg(count(lit(1)).as("n"),
@@ -189,8 +207,27 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("cent_e"))
     }
-    val assigned = nearestCentroids(cents, corpus, "neighbor_id", "ce", 1)
-    val probes = nearestCentroids(cents, queries, "query_id", "qe", nProbe)
+
+  /** IVF-style ANN: vectors are assigned to their nearest of C
+    * centroids; a query probes its `nProbe` nearest centroid lists
+    * only. The standard inverted-file trade: candidate set shrinks
+    * ~C/nProbe-fold; recall depends on how often true neighbors live
+    * in unprobed lists (measured recall@10 vs brute force improves
+    * with the k-means update, asserted in OpsSpec's recall spec).
+    *
+    * Scale: assignment is a broadcast join + map-side `max_by` (no
+    * corpus-sized exchange); the probe join shuffles only by the
+    * (small-cardinality) centroid id.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, nCentroids: Int, nProbe: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      refine: Int = 1): DataFrame = {
+    val seeds = seedRows(corpus, nCentroids, idCol)
+      .select(col(idCol).as("cent_id"), col(embCol).as("cent_e"))
+    val cents = refineCentroids(seeds, corpus, refine, idCol, embCol)
+    val assigned = assignToCentroids(corpus, cents, "neighbor_id", "ce", idCol, embCol)
+    val probes = probeCentroids(queries, cents, "query_id", "qe", nProbe, idCol, embCol)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     probes.join(assigned, Seq("cent_id"))
@@ -210,9 +247,12 @@ object Similarity {
     * ADC(q, x) = Σ_j LUT_j[code_j(x)] approximates dot(q, x) with the
     * subvector quantization error only.
     *
-    * Codebooks here are deterministic seeds (the first `codebookK`
-    * vectors' subvectors) — production would train them with the same
-    * fixed-point k-means pass [[ivfTopK]] demonstrates.
+    * Codebooks start as deterministic seeds (the `codebookK` lowest-id
+    * vectors' subvectors) and go through `refine` per-subspace k-means
+    * update passes — the same fixed-point assignment/mean loop
+    * [[ivfTopK]] runs, independently in each of the m subspaces; a
+    * cluster that captures no vectors keeps its seed centroid, so the
+    * codebook stays exactly m·codebookK rows by construction.
     *
     * Determinism: every per-subspace dot quantizes to 10⁻⁶ fixed point
     * BEFORE argmax/summation (ties break on centroid id), so codes,
@@ -223,36 +263,134 @@ object Similarity {
     * subspace); scoring scans the CODES (m bytes/vector, not
     * 4·dims bytes) with a broadcast LUT join and a per-query top-k
     * window. At 100 TB the scan is memory-bandwidth-bound on a ~64×
-    * smaller table — compose with IVF lists when candidate pruning is
-    * also needed.
+    * smaller table — [[ivfPqTopK]] composes with IVF lists when
+    * candidate pruning is also needed.
     */
   def pqTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, m: Int, dims: Int,
-      codebookK: Int, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    require(dims % m == 0, s"dims $dims must divide into $m subspaces")
-    val sub = dims / m
-    def subspaces(df: DataFrame, outId: String) =
-      df.select(col(idCol).as(outId), col(embCol).as("e"))
-        .select(col(outId), explode(array((0 until m).map(j =>
-          struct(lit(j).as("sub_id"), slice(col("e"), j * sub + 1, sub).as("v"))): _*)).as("s"))
-        .select(col(outId), col("s.sub_id"), col("s.v"))
-    val cb = subspaces(corpus.filter(col(idCol) < codebookK), "cent_id")
-      .select(col("sub_id"), col("cent_id"), col("v").as("cent_sub"))
-    val d6 = floor(dot(col("v"), col("cent_sub")) * 1000000.0 + 0.5).cast("long")
-    // encode: nearest centroid per subspace — map-side max_by, no window
-    val codes = subspaces(corpus, "neighbor_id")
-      .join(broadcast(cb), Seq("sub_id"))
-      .select(col("neighbor_id"), col("sub_id"), col("cent_id"), d6.as("d6"))
-      .groupBy(col("neighbor_id"), col("sub_id"))
-      .agg(max_by(col("cent_id"),
-        struct(col("d6"), (lit(0L) - col("cent_id")).as("nc"))).as("code"))
-    val lut = subspaces(queries, "query_id")
-      .join(broadcast(cb), Seq("sub_id"))
-      .select(col("query_id"), col("sub_id"), col("cent_id").as("code"), d6.as("q6"))
+      codebookK: Int, idCol: String = "vec_id", embCol: String = "embedding",
+      refine: Int = 1): DataFrame = {
+    val cb = pqCodebooks(corpus, m, dims, codebookK, refine, idCol, embCol)
+    val codes = pqEncode(corpus, cb, "neighbor_id", m, dims, idCol, embCol)
+    val lut = pqLut(queries, cb, "query_id", m, dims, idCol, embCol)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score6").desc, col("neighbor_id"))
     codes.join(broadcast(lut), Seq("sub_id", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("q6")).as("score6"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** One row per (vector, subspace): `outId, sub_id, v` with v the
+    * `dims/m`-length subvector.
+    */
+  private def subspaces(
+      df: DataFrame, outId: String, m: Int, dims: Int,
+      idCol: String, embCol: String): DataFrame = {
+    require(dims % m == 0, s"dims $dims must divide into $m subspaces")
+    val sub = dims / m
+    df.select(col(idCol).as(outId), col(embCol).as("e"))
+      .select(col(outId), explode(array((0 until m).map(j =>
+        struct(lit(j).as("sub_id"), slice(col("e"), j * sub + 1, sub).as("v"))): _*)).as("s"))
+      .select(col(outId), col("s.sub_id"), col("s.v"))
+  }
+
+  private def pqD6(v: Column, centSub: Column): Column =
+    floor(dot(v, centSub) * 1000000.0 + 0.5).cast("long")
+
+  /** m sub-codebooks of `codebookK` centroids: deterministic seeds +
+    * `refine` fixed-point k-means update passes per subspace (see
+    * [[pqTopK]]). Output: `sub_id, cent_id, cent_sub`.
+    */
+  def pqCodebooks(
+      corpus: DataFrame, m: Int, dims: Int, codebookK: Int, refine: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cb0 = subspaces(seedRows(corpus, codebookK, idCol), "cent_id", m, dims, idCol, embCol)
+      .select(col("sub_id"), col("cent_id"), col("v").as("cent_sub"))
+    (1 to refine).foldLeft(cb0) { (cb, _) =>
+      val assigned = subspaces(corpus, "vid", m, dims, idCol, embCol)
+        .join(broadcast(cb), Seq("sub_id"))
+        .select(col("vid"), col("sub_id"), col("cent_id"), col("v"),
+          pqD6(col("v"), col("cent_sub")).as("d6"))
+        .groupBy(col("vid"), col("sub_id"))
+        .agg(max_by(struct(col("cent_id"), col("v").as("v")),
+          struct(col("d6"), (lit(0L) - col("cent_id")).as("nc"))).as("m"))
+        .select(col("sub_id"), col("m.cent_id").as("cent_id"), col("m.v").as("v"))
+      val updated = assigned
+        .select(col("sub_id"), col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("sub_id"), col("cent_id"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("x").cast("double") * 1000000.0 + 0.5).cast("long")).as("qsum"))
+        .select(col("sub_id"), col("cent_id"), col("pos"),
+          (col("qsum").cast("double") / col("n") / 1000000.0).as("mv"))
+        .groupBy(col("sub_id"), col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          x => x.getField("mv")).as("cs_new"))
+      // empty cluster ⇒ keep the seed centroid (codebook size invariant)
+      cb.join(updated, Seq("sub_id", "cent_id"), "left")
+        .select(col("sub_id"), col("cent_id"),
+          coalesce(col("cs_new"), col("cent_sub").cast("array<double>")).as("cent_sub"))
+    }
+  }
+
+  /** PQ codes: nearest sub-codebook centroid per (vector, subspace) —
+    * map-side max_by, no window. Output: `outId, sub_id, code`.
+    */
+  def pqEncode(
+      corpus: DataFrame, cb: DataFrame, outId: String, m: Int, dims: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    subspaces(corpus, outId, m, dims, idCol, embCol)
+      .join(broadcast(cb), Seq("sub_id"))
+      .select(col(outId), col("sub_id"), col("cent_id"),
+        pqD6(col("v"), col("cent_sub")).as("d6"))
+      .groupBy(col(outId), col("sub_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("d6"), (lit(0L) - col("cent_id")).as("nc"))).as("code"))
+
+  /** Per-query ADC lookup table: quantized partial dot against every
+    * sub-codebook centroid. Output: `outId, sub_id, code, q6`.
+    */
+  def pqLut(
+      queries: DataFrame, cb: DataFrame, outId: String, m: Int, dims: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    subspaces(queries, outId, m, dims, idCol, embCol)
+      .join(broadcast(cb), Seq("sub_id"))
+      .select(col(outId), col("sub_id"), col("cent_id").as("code"),
+        pqD6(col("v"), col("cent_sub")).as("q6"))
+
+  /** IVF×PQ — the composed 100 TB serving shape: IVF list pruning cuts
+    * the candidate set ~C/nProbe-fold, then PQ ADC scores the survivors
+    * through their m-byte codes and the query's broadcast LUT; the full
+    * float vectors are touched only at index-build time (assignment,
+    * codebooks, codes), never per query.
+    *
+    * Scale: candidates = inverted-list join on `cent_id` against the
+    * broadcast probe set (map-side); code fetch is one join keyed on
+    * the vector id; scoring/rank shuffles only candidate·m rows.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, nCentroids: Int, nProbe: Int,
+      m: Int, dims: Int, codebookK: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      refine: Int = 1, refinePq: Int = 1): DataFrame = {
+    val seeds = seedRows(corpus, nCentroids, idCol)
+      .select(col(idCol).as("cent_id"), col(embCol).as("cent_e"))
+    val cents = refineCentroids(seeds, corpus, refine, idCol, embCol)
+    val assigned = assignToCentroids(corpus, cents, "neighbor_id", "ce", idCol, embCol)
+      .select(col("neighbor_id"), col("cent_id"))
+    val probes = probeCentroids(queries, cents, "query_id", "qe", nProbe, idCol, embCol)
+      .select(col("query_id"), col("cent_id"))
+    val cb = pqCodebooks(corpus, m, dims, codebookK, refinePq, idCol, embCol)
+    val codes = pqEncode(corpus, cb, "neighbor_id", m, dims, idCol, embCol)
+    val lut = pqLut(queries, cb, "query_id", m, dims, idCol, embCol)
+    val candidates = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score6").desc, col("neighbor_id"))
+    candidates.join(codes, Seq("neighbor_id"))
+      .join(broadcast(lut), Seq("query_id", "sub_id", "code"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("q6")).as("score6"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -555,8 +555,10 @@ object PipelineQueries extends QueryPack {
   // ---- SIM5: product-quantization ADC top-k ------------------------------
   // PQ = the compression scale path: 4 subspace codes of 16 centroids
   // replace the 64-float vector; queries score through a lookup table.
-  // The oracle rebuilds codebooks/codes/LUT from the same seeds with
-  // the same fixed-point quantization, so codes AND ranks hash-match.
+  // Codebooks are TRAINED: seeds + one fixed-point k-means update pass
+  // per subspace (empty clusters keep their seed). The oracle rebuilds
+  // codebooks/codes/LUT with the same quantization, so codes AND ranks
+  // hash-match.
   private def sim5PqTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
     Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5),
@@ -564,16 +566,37 @@ object PipelineQueries extends QueryPack {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private val sim5Sql =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-      |j AS (SELECT range AS sub_id FROM range(0, 4)),
-      |cb AS (
+  /** The PQ CTE stack (shared verbatim by sim5 and sim6): seed
+    * codebooks → one k-means pass → trained `cb` → codes + LUT.
+    */
+  private val pqCtes =
+    """j AS (SELECT range AS sub_id FROM range(0, 4)),
+      |cb0 AS (
       |  SELECT j.sub_id, e.vec_id AS cent_id,
       |    emb[j.sub_id*16+1 : j.sub_id*16+16] AS cs
       |  FROM e, j WHERE e.vec_id < 16),
       |subs AS (
       |  SELECT e.vec_id, j.sub_id, emb[j.sub_id*16+1 : j.sub_id*16+16] AS v
       |  FROM e, j),
+      |asg AS (
+      |  SELECT sub_id, cent_id, v FROM (
+      |    SELECT s.sub_id, c.cent_id, s.v,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_id
+      |        ORDER BY CAST(floor(list_dot_product(s.v, c.cs) * 1000000.0 + 0.5) AS BIGINT) DESC,
+      |                 c.cent_id) AS rn
+      |    FROM subs s JOIN cb0 c ON s.sub_id = c.sub_id) WHERE rn = 1),
+      |upd AS (
+      |  SELECT sub_id, cent_id, list(mv ORDER BY pos) AS cs_new FROM (
+      |    SELECT sub_id, cent_id, pos,
+      |      (CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      |        / COUNT(*)) / 1000000.0 AS mv
+      |    FROM (SELECT sub_id, cent_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+      |          FROM asg)
+      |    GROUP BY sub_id, cent_id, pos)
+      |  GROUP BY sub_id, cent_id),
+      |cb AS (
+      |  SELECT c.sub_id, c.cent_id, COALESCE(u.cs_new, c.cs) AS cs
+      |  FROM cb0 c LEFT JOIN upd u ON c.sub_id = u.sub_id AND c.cent_id = u.cent_id),
       |enc AS (
       |  SELECT vec_id AS neighbor_id, sub_id, cent_id AS code FROM (
       |    SELECT s.vec_id, s.sub_id, c.cent_id,
@@ -584,12 +607,76 @@ object PipelineQueries extends QueryPack {
       |lut AS (
       |  SELECT s.vec_id AS query_id, s.sub_id, c.cent_id AS code,
       |    CAST(floor(list_dot_product(s.v, c.cs) * 1000000.0 + 0.5) AS BIGINT) AS q6
-      |  FROM subs s JOIN cb c ON s.sub_id = c.sub_id WHERE s.vec_id < 5),
+      |  FROM subs s JOIN cb c ON s.sub_id = c.sub_id WHERE s.vec_id < 5)""".stripMargin
+
+  private val sim5Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |$pqCtes,
       |sc AS (
       |  SELECT query_id, neighbor_id, CAST(SUM(q6) AS BIGINT) AS score6
       |  FROM enc JOIN lut USING (sub_id, code)
       |  WHERE query_id <> neighbor_id
       |  GROUP BY query_id, neighbor_id)
+      |SELECT query_id, neighbor_id, score6, rank FROM (
+      |  SELECT query_id, neighbor_id, score6,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY score6 DESC, neighbor_id) AS rank
+      |  FROM sc) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // ---- SIM6: IVF×PQ composed ANN -----------------------------------------
+  // The 100 TB serving shape: IVF list pruning (sim3's centroid stack)
+  // selects candidates, PQ ADC (sim5's trained-codebook stack) scores
+  // them through m-byte codes — float vectors touched only at
+  // index-build time. The oracle restates BOTH stacks and the composed
+  // join, so candidates, scores and ranks hash-match.
+  private def sim6IvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
+        k = 10, nCentroids = 8, nProbe = 2, m = 4, dims = 64, codebookK = 16)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val sim6Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |seeds AS (SELECT vec_id AS cent_id, emb AS cent_e FROM e WHERE vec_id < 8),
+      |seed_assign AS (
+      |  SELECT vec_id, emb, cent_id FROM (
+      |    SELECT e.vec_id, e.emb, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_dot_product(e.emb, c.cent_e), 6) DESC, c.cent_id) AS r
+      |    FROM e CROSS JOIN seeds c) WHERE r <= 1),
+      |cents AS (
+      |  SELECT cent_id, list(m ORDER BY pos) AS cent_e FROM (
+      |    SELECT cent_id, pos,
+      |      (CAST(SUM(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      |        / COUNT(*)) / 1000000.0 AS m
+      |    FROM (SELECT cent_id, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v
+      |          FROM seed_assign)
+      |    GROUP BY cent_id, pos)
+      |  GROUP BY cent_id),
+      |assigned AS (
+      |  SELECT vec_id AS neighbor_id, cent_id FROM (
+      |    SELECT e.vec_id, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_dot_product(e.emb, c.cent_e), 6) DESC, c.cent_id) AS r
+      |    FROM e CROSS JOIN cents c) WHERE r <= 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cent_id FROM (
+      |    SELECT e.vec_id, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_dot_product(e.emb, c.cent_e), 6) DESC, c.cent_id) AS r
+      |    FROM e CROSS JOIN cents c WHERE e.vec_id < 5) WHERE r <= 2),
+      |$pqCtes,
+      |cand AS (
+      |  SELECT p.query_id, a.neighbor_id
+      |  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+      |  WHERE p.query_id <> a.neighbor_id),
+      |sc AS (
+      |  SELECT c.query_id, c.neighbor_id, CAST(SUM(l.q6) AS BIGINT) AS score6
+      |  FROM cand c
+      |  JOIN enc n ON n.neighbor_id = c.neighbor_id
+      |  JOIN lut l ON l.query_id = c.query_id AND l.sub_id = n.sub_id AND l.code = n.code
+      |  GROUP BY c.query_id, c.neighbor_id)
       |SELECT query_id, neighbor_id, score6, rank FROM (
       |  SELECT query_id, neighbor_id, score6,
       |    ROW_NUMBER() OVER (PARTITION BY query_id
@@ -884,6 +971,7 @@ object PipelineQueries extends QueryPack {
     Q("sim1_brute_topk", "brute-force cosine top-k", sim1BruteTopk, Some(sim1Sql)),
     Q("sim2_lsh_topk", "SRP-LSH bucketed ANN top-k", sim2LshTopk, Some(sim2Sql)),
     Q("sim4_lsh_multiprobe", "multi-probe SRP-LSH: lowest-margin bit-flip buckets", sim4LshMultiprobe, Some(sim4Sql)),
-    Q("sim5_pq_topk", "product-quantization ADC top-k (4x16 codebooks, fixed-point LUT)", sim5PqTopk, Some(sim5Sql)),
+    Q("sim5_pq_topk", "product-quantization ADC top-k (trained 4x16 codebooks, fixed-point LUT)", sim5PqTopk, Some(sim5Sql)),
+    Q("sim6_ivf_pq", "IVF candidate pruning + PQ ADC scoring (composed ANN serving shape)", sim6IvfPq, Some(sim6Sql)),
   )
 }

@@ -233,6 +233,41 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.15, s"PQ recall collapsed: $recall")
   }
 
+  test("PQ codebook training: k-means pass meets the floor and beats seed-only") {
+    val emb = graft.Tables.load(spark, sfSmoke, "embeddings")
+    val q = emb.filter(col("vec_id") < 50)
+    val brute = Similarity.bruteTopK(emb, q, 10).select("query_id", "neighbor_id")
+    val nBrute = brute.count()
+    def hits(refine: Int): Long =
+      brute.intersect(Similarity.pqTopK(emb, q, 10, m = 4, dims = 64,
+        codebookK = 16, refine = refine).select("query_id", "neighbor_id")).count()
+    val seedHits = hits(0)
+    val trainedHits = hits(1)
+    info(s"PQ recall@10: seed=${seedHits.toDouble / nBrute}, " +
+      s"trained=${trainedHits.toDouble / nBrute} over $nBrute brute pairs")
+    assert(trainedHits >= seedHits,
+      s"codebook training lost recall: $trainedHits < $seedHits")
+    assert(trainedHits.toDouble / nBrute >= 0.15,
+      s"trained PQ recall below floor: $trainedHits/$nBrute")
+  }
+
+  test("IVF×PQ composed ANN: full top-k per query, recall clears the floor") {
+    val emb = graft.Tables.load(spark, sfSmoke, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val ivfpq = Similarity.ivfPqTopK(emb, q, 10, nCentroids = 8, nProbe = 2,
+      m = 4, dims = 64, codebookK = 16)
+    val rows = ivfpq.collect()
+    assert(rows.length == 5 * 10)
+    assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    val brute = Similarity.bruteTopK(emb, q, 10).select("query_id", "neighbor_id")
+    val nBrute = brute.count()
+    val hits = brute.intersect(ivfpq.select("query_id", "neighbor_id")).count()
+    info(s"IVF×PQ recall@10 = ${hits.toDouble / nBrute} over $nBrute brute pairs")
+    // list pruning (IVF) and quantization error (PQ) stack, so the
+    // composed floor sits between PQ-alone (0.15) and IVF-alone (0.5)
+    assert(hits.toDouble / nBrute >= 0.15, s"IVF×PQ recall collapsed: $hits/$nBrute")
+  }
+
   test("plane weights are deterministic and within [-1,1]") {
     val w1 = Similarity.planeWeights(3, 16)
     val w2 = Similarity.planeWeights(3, 16)

@@ -71,6 +71,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"minhash pair join plans a nested loop:\n$p")
   }
 
+  test("ivf assignment: corpus×centroid scoring is a map-side max_by — one exchange, no window") {
+    // the corpus×C scored rows must aggregate to one partial per vector
+    // BEFORE any shuffle; a row_number regression would re-introduce a
+    // corpus×C exchange+sort that row checks can't see
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.load(spark, sfSmoke, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_e"))
+    val exec = graft.ops.Similarity.assignToCentroids(emb, cents, "m_id", "me")
+      .queryExecution.executedPlan
+    val inner = exec match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = inner.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(shuffles.size == 1,
+      s"assignment should shuffle only the per-vector partials:\n$inner")
+    assert(inner.toString.contains("partial_max_by"),
+      s"assignment lost its map-side partial aggregation:\n$inner")
+    assert(!inner.toString.contains("Window"),
+      s"assignment regressed to a window:\n$inner")
+  }
+
   test("sim4: the probe side broadcasts; the corpus side never explodes") {
     // the multi-probe query set (5 vectors × 3 probes) is the broadcast
     // side of an equi-join on bucket — a regression that shuffles the
