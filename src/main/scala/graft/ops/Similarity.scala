@@ -171,7 +171,7 @@ object Similarity {
     * the (small, broadcastable) QUERY side only, where an exchange+sort
     * over |queries|·C rows is noise.
     */
-  private def probeCentroids(
+  private[graft] def probeCentroids(
       df: DataFrame, cents: DataFrame, outId: String, outEmb: String, n: Int,
       idCol: String, embCol: String): DataFrame = {
     val w = Window.partitionBy(col(outId))
@@ -219,13 +219,36 @@ object Similarity {
     * corpus-sized exchange); the probe join shuffles only by the
     * (small-cardinality) centroid id.
     */
+  /** Seeds + `refine` k-means passes — the centroid set shared by
+    * [[ivfTopK]], [[ivfPqTopK]] and the persisted index build
+    * ([[graft.sources.AnnIndex]]).
+    */
+  def ivfCentroids(
+      corpus: DataFrame, nCentroids: Int, refine: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    refineCentroids(
+      seedRows(corpus, nCentroids, idCol)
+        .select(col(idCol).as("cent_id"), col(embCol).as("cent_e")),
+      corpus, refine, idCol, embCol)
+
+  /** Shared ANN tail: drop self-pairs, score via the native dot, keep
+    * each query's top k (score desc, neighbor asc). Expects columns
+    * `query_id, neighbor_id, qe, ce`.
+    */
+  private[graft] def rankTopK(cands: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    cands.filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineRounded(col("qe"), col("ce")).as("score"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, nCentroids: Int, nProbe: Int,
       idCol: String = "vec_id", embCol: String = "embedding",
       refine: Int = 1): DataFrame = {
-    val seeds = seedRows(corpus, nCentroids, idCol)
-      .select(col(idCol).as("cent_id"), col(embCol).as("cent_e"))
-    val cents = refineCentroids(seeds, corpus, refine, idCol, embCol)
+    val cents = ivfCentroids(corpus, nCentroids, refine, idCol, embCol)
     val assigned = assignToCentroids(corpus, cents, "neighbor_id", "ce", idCol, embCol)
     val probes = probeCentroids(queries, cents, "query_id", "qe", nProbe, idCol, embCol)
     val w = Window.partitionBy(col("query_id"))

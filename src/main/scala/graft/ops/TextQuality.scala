@@ -30,9 +30,14 @@ object TextQuality {
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val splitBytes = 128L * 1024 * 1024
-    val estSplits = math.max(
-      df.inputFiles.length.toLong,
-      (df.queryExecution.analyzed.stats.sizeInBytes / splitBytes).toLong)
+    // no leaf files ⇒ no trustworthy estimate: plan-level sizeInBytes on
+    // non-file sources is the Long.MaxValue-ish default sentinel, which
+    // would silently skip the repartition this helper exists to apply
+    val estSplits =
+      if (df.inputFiles.isEmpty) 0L
+      else math.max(
+        df.inputFiles.length.toLong,
+        (df.queryExecution.analyzed.stats.sizeInBytes / splitBytes).toLong)
     if (estSplits >= target) df else df.repartition(target)
   }
 
@@ -284,5 +289,52 @@ object TextQuality {
       // bounded post-limit rank through ops.Ranking (see vocabTopK)
       .transform(Ranking.withBoundedRank(_, "rank",
         Seq(col("n").desc, col("pair").asc)))
+  }
+
+  /** BPE trainer loop ([[adjacentPairCounts]] is one round's counting
+    * step): `rounds` greedy merges — each round counts adjacent token
+    * pairs, picks the most frequent (count desc, then pair), and merges
+    * its non-overlapping occurrences left-to-right in every document.
+    * Returns the MERGE TABLE (round, pair, n) — the artifact a real
+    * tokenizer trainer emits, word-level over whitespace tokens: a
+    * merged token keeps an internal space; the working sequence is a
+    * U+0001-joined string so the merge is one left fold per document
+    * (identical fold in the DuckDB oracle's `list_reduce` restatement).
+    *
+    * Scale: every round is the same word-count shape as bp1 — a narrow
+    * per-document fold plus ONE pair-count shuffle; the chosen pair
+    * rejoins as a broadcast 1-row crossJoin, so only pair counts ever
+    * shuffle. Rounds are inherently sequential (a real trainer runs
+    * thousands of them the same way, one agg per round).
+    */
+  def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val SEP = "\u0001"
+    def words(s: Column) = split(s, SEP)
+    def lastTok(acc: Column) = regexp_extract(acc, s"[^$SEP]*$$", 0)
+    var cur = spread(df.select(col(textCol)))
+      .select(array_join(TextAnalysis.tokens(col(textCol)), SEP).as("s"))
+    val table = (1 to rounds).map { r =>
+      val w = words(col("s"))
+      val adj = when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => struct(element_at(w, i).as("a"), element_at(w, i + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      val top1 = cur.select(explode(adj).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1)
+      cur = cur.crossJoin(broadcast(top1)).select(
+        aggregate(
+          slice(words(col("s")), lit(2), greatest(size(words(col("s"))) - 1, lit(0))),
+          element_at(words(col("s")), 1),
+          (acc, x) => when(lastTok(acc) === col("a") && x === col("b"),
+            concat(acc.substr(lit(1), length(acc) - length(lastTok(acc))),
+              col("a"), lit(" "), col("b")))
+            .otherwise(concat(acc, lit(SEP), x))).as("s"))
+      top1.select(lit(r).as("round"),
+        concat_ws(" ", col("a"), col("b")).as("pair"), col("n"))
+    }
+    table.reduce(_ unionByName _).orderBy(col("round"))
   }
 }

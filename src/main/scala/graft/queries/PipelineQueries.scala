@@ -101,23 +101,38 @@ object PipelineQueries extends QueryPack {
   // blocks. (Same-session reuse only — the checkpoint dies with the
   // session, and so does the cache entry's usefulness.)
   private val minhashPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]
 
   // dd6 and dd7 both consume the component assignment; the label
   // propagation runs once per (session, dir), same contract as the
   // pair cache above
   private val componentsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]
+
+  /** Snapshot token for the documents table under `dir`: the max leaf
+    * mtime. Part of the cache key, so a same-session rewrite of the
+    * data misses the cache instead of silently serving stale
+    * checkpointed pairs. Metadata-only (one directory walk).
+    */
+  private def dirToken(dir: String): Long = {
+    val p = java.nio.file.Paths.get(dir, "documents.parquet")
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try s.mapToLong(f => f.toFile.lastModified).max.orElse(0L)
+      finally s.close()
+    }
+  }
 
   /** computeIfAbsent plus eviction of entries whose session has been
     * stopped — a long-lived JVM (the test runner spins up one session
     * per suite) must not pin dead sessions' checkpointed plans forever.
     */
   private def cachedPerSession(
-      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
+      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame],
       s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
     cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    cache.computeIfAbsent((s, dir), _ => build)
+    cache.computeIfAbsent((s, dir, dirToken(dir)), _ => build)
   }
 
   private def sharedMinhashPairs(s: SparkSession, dir: String): DataFrame =
@@ -460,6 +475,30 @@ object PipelineQueries extends QueryPack {
       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
       |  WHERE q.vec_id < 5)
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // ---- ANN1/ANN2: persisted-index build + serve --------------------------
+  // The index-build vs query-serve split: build writes the hashed/
+  // assigned corpus as a BUCKETED table (one shuffle, paid once); serve
+  // joins the stored partition column. Results are identical to the
+  // inline sim2/sim3 computations, so those oracles certify the round
+  // trip through the persisted index byte-for-byte.
+  private def ann1LshIndex(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val t = graft.sources.AnnIndex.tableFor("lsh", dir)
+    graft.sources.AnnIndex.buildLsh(emb, t, planes = 6, dims = 64, buckets = 8)
+    graft.sources.AnnIndex.lshServe(s, t, emb.filter(col("vec_id") < 5),
+        k = 10, planes = 6, dims = 64)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def ann2IvfIndex(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val t = graft.sources.AnnIndex.tableFor("ivf", dir)
+    graft.sources.AnnIndex.buildIvf(emb, t, nCentroids = 8, refine = 1, buckets = 8)
+    graft.sources.AnnIndex.ivfServe(s, t, emb.filter(col("vec_id") < 5),
+        k = 10, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   // ---- SIM4: multi-probe SRP-LSH ANN top-k -------------------------------
   // Single-probe LSH (sim2) misses true neighbors across a hyperplane;
@@ -973,5 +1012,7 @@ object PipelineQueries extends QueryPack {
     Q("sim4_lsh_multiprobe", "multi-probe SRP-LSH: lowest-margin bit-flip buckets", sim4LshMultiprobe, Some(sim4Sql)),
     Q("sim5_pq_topk", "product-quantization ADC top-k (trained 4x16 codebooks, fixed-point LUT)", sim5PqTopk, Some(sim5Sql)),
     Q("sim6_ivf_pq", "IVF candidate pruning + PQ ADC scoring (composed ANN serving shape)", sim6IvfPq, Some(sim6Sql)),
+    Q("ann1_lsh_index", "persisted LSH index: bucketed build + stored-bucket serve", ann1LshIndex, Some(sim2Sql)),
+    Q("ann2_ivf_index", "persisted IVF index: bucketed lists build + stored-list serve", ann2IvfIndex, Some(sim3Sql)),
   )
 }

@@ -208,6 +208,37 @@ object TextQueries extends QueryPack {
       |      GROUP BY pair)
       |ORDER BY n DESC, pair LIMIT 50""".stripMargin
 
+  // ---- BPE2: BPE trainer loop --------------------------------------------
+  // bp1 counts ONE round of pairs; this runs the actual trainer loop:
+  // 3 rounds of count-pairs → pick top merge → greedily apply it in
+  // every document, emitting the merge table. The oracle restates every
+  // round (pair counts + the same left fold via list_reduce).
+  private def bpe2Merges(s: SparkSession, dir: String): DataFrame =
+    TextQuality.bpeMerges(Tables.load(s, dir, "documents"), "text", rounds = 3)
+
+  private def bpe2Round(i: Int): String = {
+    val prev = s"w${i - 1}"
+    s"""p$i AS (SELECT u['a'] AS a, u['b'] AS b, COUNT(*) AS n FROM (
+       |     SELECT unnest([{'a': w[i], 'b': w[i+1]} for i in range(1, len(w))]) AS u FROM $prev)
+       |   GROUP BY 1, 2),
+       |m$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+       |w$i AS (SELECT string_split(list_reduce(w, (acc, x) ->
+       |     CASE WHEN regexp_extract(acc, '[^' || chr(1) || ']*$$') = m.a AND x = m.b
+       |          THEN substr(acc, 1, len(acc) - len(regexp_extract(acc, '[^' || chr(1) || ']*$$'))) || m.a || ' ' || m.b
+       |          ELSE acc || chr(1) || x END), chr(1)) AS w
+       |   FROM $prev, m$i m)""".stripMargin
+  }
+
+  private val bpe2Sql =
+    s"""WITH w0 AS (SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents),
+      |${bpe2Round(1)},
+      |${bpe2Round(2)},
+      |${bpe2Round(3)}
+      |SELECT 1 AS round, a || ' ' || b AS pair, n FROM m1
+      |UNION ALL SELECT 2, a || ' ' || b, n FROM m2
+      |UNION ALL SELECT 3, a || ' ' || b, n FROM m3
+      |ORDER BY round""".stripMargin
+
   // ---- CK1: context-window chunking --------------------------------------
   private def ck1Chunking(s: SparkSession, dir: String): DataFrame =
     graft.ops.Packing.chunkTokens(Tables.load(s, dir, "documents"),
@@ -338,6 +369,7 @@ object TextQueries extends QueryPack {
     Q("pii1_redact", "PII redaction pass with removal counts (planted deterministic contacts)", pii1Redact, Some(pii1Sql)),
     Q("vb1_vocab_topk", "corpus top-100 vocabulary with counts", vb1Vocab, Some(vb1Sql)),
     Q("bp1_bpe_pairs", "BPE trainer step: adjacent-token-pair counts, top-50", bp1BpePairs, Some(bp1Sql)),
+    Q("bpe2_merge_table", "BPE trainer loop: 3 count-merge-apply rounds, the merge table", bpe2Merges, Some(bpe2Sql)),
     Q("bm1_bm25_topk", "Okapi BM25 top-25 retrieval (log-free rational IDF, fixed-point sum)", bm1Bm25, Some(bm1Sql)),
     Q("tx5_domain_stats", "URL domain/section extraction + per-domain rollup (planted URLs)", tx5DomainStats, Some(tx5Sql)),
     Q("vb2_vocab_coverage", "top-k vocabulary occurrence coverage (tokenizer design metric)", vb2VocabCoverage, Some(vb2Sql)),

@@ -9,13 +9,29 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
+  /** Make `table` writable by CTAS: drop any catalog entry AND delete a
+    * leftover warehouse location. A fresh session's in-memory catalog
+    * doesn't know about directories a PREVIOUS JVM left in the
+    * warehouse, so a bare Overwrite saveAsTable fails with
+    * LOCATION_ALREADY_EXISTS on every re-run.
+    */
+  def resetTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(wh, table.toLowerCase)
+    if (java.nio.file.Files.exists(loc))
+      org.apache.commons.io.FileUtils.deleteQuietly(loc.toFile)
+  }
+
   /** Write `df` as a bucketed+sorted managed table on `key`. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    resetTable(df.sparkSession, table)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their shared bucket key — planner
     * recognizes compatible `HashClusteredDistribution`s and elides both

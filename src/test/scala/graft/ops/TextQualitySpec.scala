@@ -133,4 +133,21 @@ class TextQualitySpec extends SparkSpec {
       .collect().sorted.toSeq
     assert(out == Seq((1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 4L), (2L, 0L, 2L)))
   }
+
+  test("bpeMerges: greedy non-overlapping merges, tie-break, cross-round growth") {
+    // "a a a a b": round 1 counts (a,a)=3 but greedy left-to-right can
+    // only MERGE two non-overlapping occurrences; round 2 then pairs
+    // the merged tokens, with the (n=1) tie broken by pair ordering
+    val d = Seq("a a a a b").toDF("text")
+    val out = graft.ops.TextQuality.bpeMerges(d, "text", rounds = 2)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(out == Seq((1, "a a", 3L), (2, "a a a a", 1L)))
+  }
+
+  test("bpeMerges: single-token and cross-doc pairs count per document") {
+    val d = Seq("x", "p q", "p q r").toDF("text") // 1-token doc must not crash
+    val out = graft.ops.TextQuality.bpeMerges(d, "text", rounds = 1)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(out == Seq((1, "p q", 2L)))
+  }
 }
