@@ -305,7 +305,11 @@ object TextQuality {
     * per-document fold plus ONE pair-count shuffle; the chosen pair
     * rejoins as a broadcast 1-row crossJoin, so only pair counts ever
     * shuffle. Rounds are inherently sequential (a real trainer runs
-    * thousands of them the same way, one agg per round).
+    * thousands of them the same way, one agg per round); the merged
+    * sequence is CHECKPOINTED between rounds — lazy chaining would
+    * re-run every earlier fold each round (O(rounds²) total work),
+    * exactly like a real trainer materializing the re-tokenized corpus
+    * after each merge batch.
     */
   def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val SEP = "\u0001"
@@ -324,14 +328,17 @@ object TextQuality {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("a").asc, col("b").asc)
         .limit(1)
-      cur = cur.crossJoin(broadcast(top1)).select(
-        aggregate(
-          slice(words(col("s")), lit(2), greatest(size(words(col("s"))) - 1, lit(0))),
-          element_at(words(col("s")), 1),
-          (acc, x) => when(lastTok(acc) === col("a") && x === col("b"),
-            concat(acc.substr(lit(1), length(acc) - length(lastTok(acc))),
-              col("a"), lit(" "), col("b")))
-            .otherwise(concat(acc, lit(SEP), x))).as("s"))
+        .localCheckpoint(true) // 1 row; both consumers reuse it
+      if (r < rounds) // the last round's merged corpus has no consumer
+        cur = cur.crossJoin(broadcast(top1)).select(
+          aggregate(
+            slice(words(col("s")), lit(2), greatest(size(words(col("s"))) - 1, lit(0))),
+            element_at(words(col("s")), 1),
+            (acc, x) => when(lastTok(acc) === col("a") && x === col("b"),
+              concat(acc.substr(lit(1), length(acc) - length(lastTok(acc))),
+                col("a"), lit(" "), col("b")))
+              .otherwise(concat(acc, lit(SEP), x))).as("s"))
+          .localCheckpoint(true)
       top1.select(lit(r).as("round"),
         concat_ws(" ", col("a"), col("b")).as("pair"), col("n"))
     }
