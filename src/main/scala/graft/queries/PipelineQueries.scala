@@ -179,6 +179,51 @@ object PipelineQueries extends QueryPack {
       |  FROM cands JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b)
       |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin
 
+  // ---- DI1: persisted dedup index (incremental build/serve) --------------
+  // Incremental dedup's build/serve split: the corpus (every non-src0
+  // source) pays signature hashing + one bucketed shuffle at build
+  // time; the "new batch" (src0) hashes only itself and probes the
+  // stored band rows — the per-ingest dedup-against-reference shape a
+  // production pipeline runs every batch. The oracle restates the dd2
+  // CTE stack cross-side, so candidates AND verified pairs hash-match
+  // through the persisted index.
+  private def di1DedupIndex(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val t = graft.sources.DedupIndex.tableFor(dir)
+    graft.sources.DedupIndex.build(
+      docs.filter(col("source") =!= "src0"), t, "doc_id", "text")
+    graft.sources.DedupIndex.probe(
+        s, t, docs.filter(col("source") === "src0"), "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val di1Sql =
+    s"""WITH t AS (SELECT doc_id, source, $wordsSql AS words FROM documents),
+      |sigs AS (
+      |  SELECT doc_id, source,
+      |    [('0x' || substr(md5(w), 1, 15))::BIGINT for w in words] AS wh,
+      |    [list_min([((('0x' || substr(md5('a' || chr(124) || CAST(i AS VARCHAR)), 1, 5))::BIGINT | 1)
+      |                 * ('0x' || substr(md5(w), 1, 8))::BIGINT
+      |                 + ('0x' || substr(md5('b' || chr(124) || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 4294967291
+      |                ) % 4294967291
+      |               for w in words]) for i in range(0, 32)] AS sig
+      |  FROM t),
+      |bands AS (
+      |  SELECT doc_id, source,
+      |    unnest([('0x' || substr(md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], '|')), 1, 15))::BIGINT
+      |            for b in range(0, 8)]) AS band_key
+      |  FROM sigs),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.band_key = b.band_key
+      |  WHERE a.source <> 'src0' AND b.source = 'src0')
+      |SELECT id_a, id_b, jaccard FROM (
+      |  SELECT id_a, id_b,
+      |    floor(CAST(len(list_intersect(sa.wh, sb.wh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(sa.wh, sb.wh))) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+      |  FROM cands JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b)
+      |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin
+
   // ---- DD6: near-dup canonicalization (connected components) -------------
   // Assign every doc the min doc_id of its ≥0.9-Jaccard component; the
   // oracle computes the same fixpoint with a recursive CTE.
@@ -1014,5 +1059,6 @@ object PipelineQueries extends QueryPack {
     Q("sim6_ivf_pq", "IVF candidate pruning + PQ ADC scoring (composed ANN serving shape)", sim6IvfPq, Some(sim6Sql)),
     Q("ann1_lsh_index", "persisted LSH index: bucketed build + stored-bucket serve", ann1LshIndex, Some(sim2Sql)),
     Q("ann2_ivf_index", "persisted IVF index: bucketed lists build + stored-list serve", ann2IvfIndex, Some(sim3Sql)),
+    Q("di1_dedup_index", "persisted MinHash dedup index: corpus build + new-batch probe", di1DedupIndex, Some(di1Sql)),
   )
 }

@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** Persisted MinHash-LSH dedup index — incremental dedup's build/serve
+  * split: the corpus pays signature hashing and ONE bucketed shuffle at
+  * build time; each new document batch computes only ITS OWN signatures
+  * and probes the stored band rows. At 100 TB this is the difference
+  * between re-hashing the whole corpus per ingest batch and touching
+  * only the (bucket-pruned, exchange-free on the index side) colliding
+  * band rows — the decontamination / dedup-against-reference serving
+  * shape (a production ingest runs this every batch; dc1 is the
+  * one-shot analytic variant).
+  *
+  * Layout: `table` holds exploded band rows (band_pos, band_key,
+  * band_keys, id), bucketed+sorted on `band_key` — band keys hash their
+  * band index into the key ([[Dedup.minHashSignatures]]), so a 1-column
+  * bucket join is position-exact; `<table>_wh` holds (id, wh) hashed
+  * word sets bucketed on `id` for the verification fetch.
+  */
+object DedupIndex {
+
+  def tableFor(dir: String): String =
+    s"graft_dedup_idx_${java.lang.Integer.toHexString(dir.hashCode)}"
+
+  /** Build: signatures → exploded band rows bucketed by band_key, plus
+    * the word-hash side table for exact-Jaccard verification.
+    */
+  def build(
+      corpus: DataFrame, table: String, idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 8, buckets: Int = 8): Unit = {
+    val sigs = Dedup.minHashSignatures(corpus, idCol, textCol, k, bands)
+    Bucketing.writeBucketed(
+      sigs.select(col("id"), col("band_keys"),
+        posexplode(col("band_keys")).as(Seq("band_pos", "band_key")))
+        .select(col("band_pos"), col("band_key"), col("band_keys"), col("id")),
+      table, "band_key", buckets)
+    Bucketing.writeBucketed(sigs.select(col("id"), col("wh")),
+      s"${table}_wh", "id", buckets)
+  }
+
+  /** Probe: near-dup pairs (indexed id_a, new id_b, jaccard ≥
+    * threshold) between the stored corpus and a NEW batch. Only the
+    * batch is hashed; the index side of the band join reads its stored
+    * bucketing (no exchange — `DedupIndexSpec` pins it). Each pair is
+    * verified once via first-colliding-band semantics (no DISTINCT
+    * shuffle), exactly like the inline operator. In-batch duplicates
+    * are [[Dedup.minHashNearDupPairs]] on the batch itself — a probe
+    * compares across sides only.
+    */
+  def probe(
+      spark: SparkSession, table: String, batch: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.9): DataFrame = {
+    val sigs = Dedup.minHashSignatures(batch, idCol, textCol, k, bands)
+    val probeRows = sigs.select(col("id").as("id_b"), col("band_keys").as("bkb"),
+      posexplode(col("band_keys")).as(Seq("bp_b", "band_key")))
+      .select(col("band_key"), col("id_b"), col("bkb"))
+    val idx = spark.table(table).select(col("band_pos"), col("band_key"),
+      col("band_keys").as("bka"), col("id").as("id_a"))
+    // band keys embed their band index, so equal keys ⇒ equal positions:
+    // band_pos is valid for BOTH sides of a colliding pair
+    val earlierAllDiffer = !graft.functions.ArrayHashes.prefix_any_equal(
+      col("bka"), col("bkb"), col("band_pos"))
+    val cands = idx.join(probeRows, Seq("band_key"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(earlierAllDiffer)
+      .select(col("id_a"), col("id_b"))
+    val wa = spark.table(s"${table}_wh").select(col("id").as("id_a"), col("wh").as("wa"))
+    val wb = sigs.select(col("id").as("id_b"), col("wh").as("wb"))
+    cands.join(wa, Seq("id_a")).join(wb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.jaccardSorted(col("wa"), col("wb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}
