@@ -78,11 +78,12 @@ object StreamBench {
   }
 
   /** Full CDC slice (envelope parse → config-driven transform → loop
-    * dedup → ordered apply + audit into the snapshot store): 5 batches
-    * × 20k distinct inserts — the SAME event volume as the tws probe,
+    * dedup → ordered apply + audit into the snapshot store): 8 batches
+    * × 20k distinct inserts — per-batch volume matches the tws probe,
     * so sync/tws directly reads as "what the sink+apply adds on top of
-    * the dedup stage". Events/s here is the pipeline's micro-batch
-    * throughput ceiling at this parallelism.
+    * the dedup stage", and 8 triggers crosses the store's compactEvery
+    * boundary so the measured number INCLUDES one delta-chain
+    * compaction (the amortized cost a long-running pipeline pays).
     */
   def syncThroughput(spark: SparkSession): Double = {
     // SyncPipeline.start sets the RocksDB provider on the session; put
@@ -100,7 +101,7 @@ object StreamBench {
     try {
       val t0 = 1768284000000L
       val perBatch = 20000
-      val batches = 5
+      val batches = 8
       val start = System.nanoTime()
       (0 until batches).foreach { i =>
         mem.addData((0 until perBatch).map { j =>
