@@ -121,4 +121,36 @@ object Sketches {
         col("used").cast("long").as("buckets_used"),
         col("maxr").cast("long").as("max_register"))
   }
+
+  /** Mergeable binned-quantile sketch — the fourth standard sketch next
+    * to HLL / count-min / Bloom: values histogram into fixed-width bins
+    * (one count shuffle, constant-size state, bin counts merge by
+    * addition across any partitioning), and a quantile p reads off the
+    * upper bound of the first bin whose cumulative count reaches p·N.
+    * Error is bounded by `width` by construction. Engine-exact: IEEE
+    * double division + floor for binning, integer cumulative counts,
+    * and the p·N threshold compares integer cum against the same double
+    * on every engine. The cumulative pass runs on the BOUNDED bin table
+    * (|range|/width rows), one coalesced partition with a declared
+    * partition key — the withBoundedRank pattern, never an
+    * unpartitioned window over data-sized input.
+    */
+  def binQuantiles(
+      df: DataFrame, valueCol: String, width: Double, ps: Seq[Double]): DataFrame = {
+    val bins = df
+      .select(floor(col(valueCol).cast("double") / width).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    val one = bins.coalesce(1).withColumn("__bq_pid", spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__bq_pid"))
+      .orderBy(col("bin")).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = one.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(bins.agg(sum(col("c")).cast("double").as("n"))))
+    ps.map { p =>
+      cum.filter(col("cum") >= lit(p) * col("n"))
+        .agg(min(col("bin")).as("bin"))
+        .select(lit(p).as("p"),
+          ((col("bin") + 1).cast("double") * width).as("estimate"))
+    }.reduce(_ unionByName _)
+  }
 }

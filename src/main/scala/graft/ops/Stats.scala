@@ -37,6 +37,25 @@ object Stats {
     df.filter(pct < rate)
   }
 
+  /** Temperature-based mixture reweighting (α = 0.5): the data-mixing
+    * step an LLM training run uses to flatten source skew — weight_s ∝
+    * √n_s, so a 100× bigger source gets only 10× the weight. α = 0.5
+    * keeps the op engine-exact: sqrt is IEEE correctly-rounded
+    * (arbitrary pow is not), and each √n quantizes to 10⁻⁶ fixed point
+    * BEFORE the cross-source sum so the normalizer is an
+    * order-independent integer (the bm1 trick). One count shuffle +
+    * a broadcast scalar; weights feed [[mixtureSample]]-style rates.
+    */
+  def temperatureWeights(df: DataFrame, groupCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("q",
+        floor(sqrt(col("n_docs").cast("double")) * 1000000.0 + 0.5).cast("long"))
+    val tot = counts.agg(sum(col("q")).as("qtot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"),
+        TextAnalysis.round6(col("q").cast("double") / col("qtot")).as("weight6"))
+  }
+
   def zOutliers(df: DataFrame, groupCol: String, valueCol: String,
       zThresh: Double, scale: Long = 1000L): DataFrame = {
     val q = floor(col(valueCol).cast("double") * scale.toDouble + 0.5).cast("long")

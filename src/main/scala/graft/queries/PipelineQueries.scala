@@ -937,6 +937,23 @@ object PipelineQueries extends QueryPack {
       |             THEN 1 END) AS BIGINT) AS n_kept
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- MX2: temperature-based mixture reweighting ------------------------
+  // mx1 applies GIVEN per-source rates; this COMPUTES them: weight_s ∝
+  // √n_s (α = 0.5 temperature mixing — the flattening step before a
+  // training run). √n quantizes to fixed point before the cross-source
+  // sum, so the normalizer is an order-independent integer.
+  private def mx2Temperature(s: SparkSession, dir: String): DataFrame =
+    Stats.temperatureWeights(Tables.load(s, dir, "documents"), "source")
+      .orderBy(col("source"))
+
+  private val mx2Sql =
+    """WITH c AS (SELECT source, COUNT(*) AS n_docs,
+      |    CAST(floor(sqrt(COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) AS q
+      |  FROM documents GROUP BY source)
+      |SELECT source, n_docs,
+      |  floor(q / (SELECT CAST(SUM(q) AS DOUBLE) FROM c) * 1000000.0 + 0.5) / 1000000.0 AS weight6
+      |FROM c ORDER BY source""".stripMargin
+
   // ---- CP1: end-to-end curation pipeline (composition proof) -------------
   // The whole corpus-prep chain as ONE dataflow: exact dedup → token
   // quality gate → per-source mixture downsampling → (source, lang)
@@ -1051,6 +1068,7 @@ object PipelineQueries extends QueryPack {
     Q("sm1_hash_sample", "deterministic hash-mod sampling, lang-stratified", sm1HashSample, Some(sm1Sql)),
     Q("ws1_weighted_sample", "deterministic weighted Bernoulli sampling by doc length", ws1WeightedSample, Some(ws1Sql)),
     Q("mx1_mixture_weights", "deterministic corpus-mixture reweighting by source", mx1Mixture, Some(mx1Sql)),
+    Q("mx2_temperature_weights", "temperature (alpha=0.5) mixture weights from source counts", mx2Temperature, Some(mx2Sql)),
     Q("qc1_source_cap", "per-source contribution cap keeping best-quality docs", qc1SourceCap, Some(qc1Sql)),
     Q("sim1_brute_topk", "brute-force cosine top-k", sim1BruteTopk, Some(sim1Sql)),
     Q("sim2_lsh_topk", "SRP-LSH bucketed ANN top-k", sim2LshTopk, Some(sim2Sql)),

@@ -276,7 +276,28 @@ object SketchQueries extends QueryPack {
       |  FROM orders, mm)
       |GROUP BY bin ORDER BY bin""".stripMargin
 
+  // ---- QS1: mergeable binned-quantile sketch -----------------------------
+  // The fourth standard sketch (HLL / count-min / Bloom / quantiles):
+  // fixed-width bin counts merge by addition across any partitioning;
+  // a quantile reads the upper bound of the first bin reaching p·N.
+  // The oracle restates binning, the cumulative scan and the p·N pick.
+  private def qs1BinQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.binQuantiles(Tables.load(s, dir, "orders"),
+        "o_totalprice", width = 1000.0, ps = Seq(0.5, 0.9, 0.99))
+      .orderBy(col("p"))
+
+  private val qs1Sql =
+    """WITH b AS (SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) / 1000.0) AS BIGINT) AS bin,
+      |                  COUNT(*) AS c
+      |           FROM orders GROUP BY 1),
+      |n AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM b),
+      |cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum FROM b),
+      |ps AS (SELECT unnest([0.5, 0.9, 0.99]) AS p)
+      |SELECT p, CAST(MIN(bin) + 1 AS DOUBLE) * 1000.0 AS estimate
+      |FROM ps, cum, n WHERE cum >= p * n GROUP BY p ORDER BY p""".stripMargin
+
   override def all: Seq[Q] = Seq(
+    Q("qs1_bin_quantiles", "mergeable binned-quantile sketch (p50/p90/p99 from additive bin counts)", qs1BinQuantiles, Some(qs1Sql)),
     Q("pf1_column_profile", "one-scan per-column null/distinct profile", pf1Profile, Some(pf1Sql)),
     Q("hg1_histogram", "equal-width 20-bin histogram over order totals", hg1Histogram, Some(hg1Sql)),
     Q("cm1_countmin", "count-min sketch table + top-10 vocabulary probe (md5 rows, exact-integer cells)", cm1CountMin, Some(cm1Sql)),

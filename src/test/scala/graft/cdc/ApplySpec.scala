@@ -78,4 +78,30 @@ class ApplySpec extends SparkSpec {
     assert(valid.count() == 1 && dead.count() == 1)
     assert(dead.head().getAs[String]("error_msg") == "null value")
   }
+
+  test("audit-only consumption prunes the base scan to the pk column") {
+    // the micro-batch audit's one O(|table|) touch is the existence
+    // check; Catalyst must prune the base read to the pk — a regression
+    // here silently reads every payload column per trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    Seq((1L, "a", "b", "c")).toDF("id", "c1", "c2", "c3")
+      .write.parquet(s"$dir/base")
+    val base = spark.read.parquet(s"$dir/base")
+    val changes = Seq((1L, 1L, "UPDATE", "x", "y", "z"))
+      .toDF("seq", "id", "operation", "c1", "c2", "c3")
+    val audit = Apply.applyBatch(base, changes, "id", "seq",
+      Seq("c1", "c2", "c3")).audit
+    val exec = audit.queryExecution.executedPlan
+    val inner = exec match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val readSchemas = inner.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.requiredSchema
+    }
+    assert(readSchemas.nonEmpty)
+    readSchemas.foreach(sch =>
+      assert(sch.fieldNames.toSeq == Seq("id"),
+        s"base scan should read only the pk, got ${sch.fieldNames.mkString(",")}"))
+  }
 }

@@ -96,6 +96,13 @@ class PlanShapeSpec extends SparkSpec {
       s"assignment regressed to a window:\n$inner")
   }
 
+  test("sim6/ann/di query family never degrades to cartesian/nested-loop joins") {
+    for (q <- Seq("sim6_ivf_pq", "ann1_lsh_index", "ann2_ivf_index", "di1_dedup_index")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
   test("sim4: the probe side broadcasts; the corpus side never explodes") {
     // the multi-probe query set (5 vectors × 3 probes) is the broadcast
     // side of an equi-join on bucket — a regression that shuffles the
