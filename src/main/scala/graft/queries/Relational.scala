@@ -532,6 +532,75 @@ object Relational extends QueryPack {
       |  FROM events
       |) WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // ---- Q4 shape: EXISTS semi-join with a cross-table predicate -----------
+  // Orders having at least one line shipped >60 days after the order
+  // date, counted by priority — the TPC-H Q4 plan shape (fact⋈fact
+  // LEFT SEMI on the key plus a non-key condition; Spark keeps the scan
+  // pruned to the three columns the condition needs, and the semi join
+  // stops probing an order on its first late line).
+  private def q4LateSemi(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val l = Tables.load(s, dir, "lineitem")
+    o.join(l,
+        o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > date_add(o("o_orderdate"), 60),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q4Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- Q21 shape: semi + anti self-join chain over the fact --------------
+  // Suppliers who were the SOLE returning supplier on a multi-supplier
+  // order — TPC-H Q21's plan shape: a shuffled LEFT ANTI self-join on
+  // the fact (no other supplier returned on the order) composed with a
+  // LEFT SEMI against an aggregated derivation (order has >1 supplier),
+  // then a broadcast dim join and a total-order top-K. The anti/semi
+  // pair shuffles ONCE each on l_orderkey; nothing is O(n²).
+  private def q21SoleReturns(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val returned = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val multi = li.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+      .filter(col("n_supp") > 1).select(col("l_orderkey"))
+    val sole = returned.as("a").join(returned.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") =!= col("b.l_suppkey"),
+        "left_anti")
+      .join(multi, Seq("l_orderkey"), "left_semi")
+    sole.join(broadcast(Tables.load(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("n_sole_return_orders"))
+      .orderBy(col("n_sole_return_orders").desc, col("s_name"))
+      .limit(20)
+  }
+
+  private val q21Sql =
+    """WITH returned AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+      |multi AS (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING COUNT(DISTINCT l_suppkey) > 1),
+      |sole AS (
+      |  SELECT a.l_orderkey, a.l_suppkey FROM returned a
+      |  WHERE NOT EXISTS (SELECT 1 FROM returned b
+      |                    WHERE b.l_orderkey = a.l_orderkey
+      |                      AND b.l_suppkey <> a.l_suppkey)
+      |    AND EXISTS (SELECT 1 FROM multi m WHERE m.l_orderkey = a.l_orderkey))
+      |SELECT s_name, COUNT(*) AS n_sole_return_orders
+      |FROM sole JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name
+      |ORDER BY n_sole_return_orders DESC, s_name LIMIT 20""".stripMargin
+
   // ---- Q18 shape: large-order customers (join + HAVING + top-K) ----------
   private def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
@@ -600,6 +669,8 @@ object Relational extends QueryPack {
 
   override val all: Seq[Q] = Seq(
     Q("q18_large_orders", "join + HAVING + top-K (large-order customers)", q18LargeOrders, Some(q18Sql)),
+    Q("q4_late_orders", "EXISTS semi-join with cross-table predicate (TPC-H Q4 shape)", q4LateSemi, Some(q4Sql)),
+    Q("q21_sole_supplier", "semi + anti self-join chain over the fact (TPC-H Q21 shape)", q21SoleReturns, Some(q21Sql)),
     Q("cd1_distinct_users", "distinct aggregation per group", cd1DistinctUsers, Some(cd1Sql)),
     Q("pc1_value_percentiles", "exact interpolated percentiles per group", pc1ValuePercentiles, Some(pc1Sql)),
     Q("gs1_rollup", "ROLLUP grouping sets with subtotals", gs1Rollup, Some(gs1Sql)),

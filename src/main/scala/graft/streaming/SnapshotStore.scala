@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, struct, to_date}
 import org.apache.spark.sql.types.StructType
@@ -120,6 +121,48 @@ final class SnapshotStore(
       snapshotAt(table, next) // d<next> exists; pointer not yet flipped
         .write.mode(SaveMode.Overwrite).parquet(baseDir(table, next))
     flipPointer(table, next)
+  }
+
+  /** Manual compaction — fold the current delta chain into a base NOW
+    * (maintenance hook; the automatic path folds every `compactEvery`
+    * commits). Runs as a NEW version so the pointer-flip protocol keeps
+    * readers off the partially-written base. No-op at v0 or when the
+    * current version already is a base.
+    */
+  def compact(table: String): Int = {
+    val v = currentVersion(table)
+    if (v == 0 || baseAtOrBefore(table, v) == v) v
+    else {
+      val next = v + 1
+      snapshotAt(table, v).write.mode(SaveMode.Overwrite).parquet(baseDir(table, next))
+      flipPointer(table, next)
+    }
+  }
+
+  /** Fold each audit date partition's append-per-trigger files into one
+    * file — a 5 s trigger writes ~17k files/day, and monitoring scans
+    * pay per-file open costs forever without this. Maintenance-window
+    * operation: per-date rewrite (data lands in the replacement dir
+    * BEFORE the original is removed), not safe concurrent with an
+    * in-flight [[appendAudit]] on the same date — run it on closed
+    * (past) dates or with the pipeline quiesced.
+    */
+  def compactAudit(): Unit = {
+    val root = Paths.get(s"$basePath/_audit")
+    if (!Files.exists(root)) return
+    val dates = {
+      val s = Files.list(root)
+      try s.filter(p => p.getFileName.toString.startsWith("log_date="))
+        .iterator().asScala.toList
+      finally s.close()
+    }
+    dates.foreach { d =>
+      val tmp = d.resolveSibling(d.getFileName.toString + "._compacting")
+      spark.read.parquet(d.toString).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+      Files.move(tmp, d)
+    }
   }
 
   /** Audit rows append partitioned by `log_date`: the audit table is

@@ -96,6 +96,17 @@ class PlanShapeSpec extends SparkSpec {
       s"assignment regressed to a window:\n$inner")
   }
 
+  test("q4/q21: semi and anti joins stay keyed — no cartesian/nested-loop") {
+    for (q <- Seq("q4_late_orders", "q21_sole_supplier")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
+      assert(p.contains("LeftSemi"), s"$q lost its semi join:\n$p")
+    }
+    assert(plan("q21_sole_supplier").contains("LeftAnti"),
+      "q21 lost its anti self-join")
+  }
+
   test("sim6/ann/di query family never degrades to cartesian/nested-loop joins") {
     for (q <- Seq("sim6_ivf_pq", "ann1_lsh_index", "ann2_ivf_index", "di1_dedup_index")) {
       val p = plan(q)

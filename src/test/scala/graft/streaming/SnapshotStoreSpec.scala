@@ -61,6 +61,32 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.snapshot("T", null).as[(Int, String)].collect().toMap == before)
   }
 
+  test("manual compact folds the chain as a new version; audit compaction merges files") {
+    val (store, dir) = newStore(compactEvery = 100)
+    commit(store, (1L, "INSERT", 1, "a"))
+    commit(store, (2L, "UPDATE", 1, "a2"))
+    val v = store.compact("T")
+    assert(v == 3 && Files.exists(Paths.get(s"$dir/T/v3")))
+    assert(store.compact("T") == 3) // already a base: no-op
+    assert(store.snapshot("T", null).as[(Int, String)].collect().toMap == Map(1 -> "a2"))
+
+    import spark.implicits._
+    def audit(n: Int) = store.appendAudit(Seq.tabulate(n)(i =>
+      (s"op$i", java.sql.Timestamp.valueOf("2026-01-13 10:00:00")))
+      .toDF("operation", "log_time"))
+    audit(3); audit(2) // two appends ⇒ multiple files in the partition
+    def files() = {
+      val p = java.nio.file.Paths.get(s"$dir/_audit")
+      val s = Files.walk(p)
+      try s.filter(f => f.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    assert(files() > 1)
+    store.compactAudit()
+    assert(files() == 1, "expected one parquet file per date after compaction")
+    assert(store.audit().count() == 5)
+  }
+
   test("full commit() versions interleave with deltas as bases") {
     val (store, _) = newStore(compactEvery = 100)
     store.commit("T", Seq((1, "x"), (2, "y")).toDF("ID", "VAL"))
