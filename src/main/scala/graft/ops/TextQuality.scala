@@ -300,6 +300,9 @@ object TextQuality {
     * merged token keeps an internal space; the working sequence is a
     * U+0001-joined string so the merge is one left fold per document
     * (identical fold in the DuckDB oracle's `list_reduce` restatement).
+    * Input contract: document text must not contain U+0001 (the
+    * reserved separator — the same reserved-byte trick real tokenizers
+    * use); a violating token would re-split identically nowhere else.
     *
     * Scale: every round is the same word-count shape as bp1 — a narrow
     * per-document fold plus ONE pair-count shuffle; the chosen pair

@@ -157,7 +157,9 @@ final class SnapshotStore(
       finally s.close()
     }
     dates.foreach { d =>
-      val tmp = d.resolveSibling(d.getFileName.toString + "._compacting")
+      // dot-prefixed ⇒ invisible to Spark's partition discovery, so a
+      // crash between write and swap can never double-count the date
+      val tmp = d.resolveSibling("." + d.getFileName.toString + "._compacting")
       spark.read.parquet(d.toString).coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
