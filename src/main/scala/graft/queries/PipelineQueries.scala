@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Dedup, Similarity, Stats, TextAnalysis}
+import graft.ops.{Dedup, Incremental, Similarity, Stats, TextAnalysis}
 
 /** Training-data pipeline operators over `documents` / `embeddings`
   * (dedup, similarity search, text analysis) wired into the driver
@@ -937,6 +937,31 @@ object PipelineQueries extends QueryPack {
       |             THEN 1 END) AS BIGINT) AS n_kept
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- MV1: incremental aggregate maintenance ----------------------------
+  // The materialized-view side of CDC: per-status count/total states
+  // built from a BASE slice and a DELTA slice separately, then merged —
+  // the oracle recomputes the aggregate over the full table, certifying
+  // state(base)⊕state(delta) == state(all). At 100 TB the refresh
+  // aggregates only the ingest batch and merges O(|keys|) state rows.
+  private def mv1IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val cut = "1997-01-01"
+    val base = Incremental.aggState(
+      orders.filter(col("o_orderdate") < lit(cut)), Seq("o_orderstatus"), "o_totalprice")
+    val delta = Incremental.aggState(
+      orders.filter(col("o_orderdate") >= lit(cut)), Seq("o_orderstatus"), "o_totalprice")
+    Incremental.finish(
+        Incremental.merge(Seq("o_orderstatus"), base, delta), Seq("o_orderstatus"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val mv1Sql =
+    """SELECT o_orderstatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_value,
+      |  floor(CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+      |        / COUNT(*) / 100 * 1000000.0 + 0.5) / 1000000.0 AS mean_value
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ---- MX2: temperature-based mixture reweighting ------------------------
   // mx1 applies GIVEN per-source rates; this COMPUTES them: weight_s ∝
   // √n_s (α = 0.5 temperature mixing — the flattening step before a
@@ -1069,6 +1094,7 @@ object PipelineQueries extends QueryPack {
     Q("ws1_weighted_sample", "deterministic weighted Bernoulli sampling by doc length", ws1WeightedSample, Some(ws1Sql)),
     Q("mx1_mixture_weights", "deterministic corpus-mixture reweighting by source", mx1Mixture, Some(mx1Sql)),
     Q("mx2_temperature_weights", "temperature (alpha=0.5) mixture weights from source counts", mx2Temperature, Some(mx2Sql)),
+    Q("mv1_incremental_agg", "mergeable aggregate state: base+delta merge equals full recompute", mv1IncrementalAgg, Some(mv1Sql)),
     Q("qc1_source_cap", "per-source contribution cap keeping best-quality docs", qc1SourceCap, Some(qc1Sql)),
     Q("sim1_brute_topk", "brute-force cosine top-k", sim1BruteTopk, Some(sim1Sql)),
     Q("sim2_lsh_topk", "SRP-LSH bucketed ANN top-k", sim2LshTopk, Some(sim2Sql)),
