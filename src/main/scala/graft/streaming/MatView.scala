@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ops.Incremental
+
+/** Streaming materialized view — per-key aggregates maintained over a
+  * CDC change stream: each micro-batch folds into the stored state via
+  * [[Incremental]]'s mergeable/retractable algebra, O(|batch| + |keys|)
+  * per trigger, never a base-table rescan. INSERTs add, DELETEs
+  * retract; an UPDATE is the standard retract+insert pair (emit the
+  * before-image as DELETE and the after-image as INSERT — exactly what
+  * a Debezium `u` envelope carries).
+  *
+  * The state table is the AGGREGATE (O(|keys|) rows), so each epoch
+  * commits a full tiny snapshot — the right call where the sync path's
+  * data tables need the delta machinery. Exactly-once per epoch: the
+  * batch id commits atomically with the version (inside the version
+  * dir, before the pointer flip), so a crash-replayed `foreachBatch`
+  * sees its own id and skips instead of double-counting.
+  */
+object MatView {
+
+  /** Fold one micro-batch into the stored state (idempotent per
+    * `batchId`). Batch columns: `opCol` (INSERT/UPDATE-as-pair/DELETE),
+    * `keys`, `valueCol`.
+    */
+  def applyBatch(
+      store: SnapshotStore, table: String, batch: DataFrame, batchId: Long,
+      keys: Seq[String], valueCol: String, opCol: String): Unit = {
+    if (store.currentMeta(table).exists(_.toLong >= batchId)) return // replay
+    val signed = batch.withColumn("__sign",
+      when(col(opCol) === "DELETE", -1L).otherwise(1L))
+    val delta = Incremental.aggState(signed, keys, valueCol, signCol = Some("__sign"))
+    val current = store.snapshot(table, delta.schema)
+    store.commit(table, Incremental.merge(keys, current, delta),
+      meta = Some(batchId.toString))
+  }
+
+  /** Run the view over a change stream. */
+  def start(
+      changes: DataFrame, store: SnapshotStore, table: String,
+      keys: Seq[String], valueCol: String, opCol: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyBatch(store, table, b, id, keys, valueCol, opCol); ()
+      }
+      .start()
+}

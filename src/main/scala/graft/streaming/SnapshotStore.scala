@@ -97,11 +97,27 @@ final class SnapshotStore(
     Apply.applyBatch(base, ordered, pk, "__ord", dataCols).target
   }
 
-  /** Write a full base snapshot version and flip the pointer. */
-  def commit(table: String, df: DataFrame): Int = {
+  /** Write a full base snapshot version and flip the pointer. `meta`
+    * (e.g. a streaming epoch id) lands INSIDE the version directory
+    * before the pointer flips, so version and marker commit atomically
+    * — the underscore prefix keeps parquet reads blind to it.
+    */
+  def commit(table: String, df: DataFrame, meta: Option[String] = None): Int = {
     val next = currentVersion(table) + 1
     df.write.mode(SaveMode.Overwrite).parquet(baseDir(table, next))
+    meta.foreach(m => Files.write(
+      Paths.get(baseDir(table, next), "_graft_meta"), m.getBytes))
     flipPointer(table, next)
+  }
+
+  /** The current version's commit marker, if any. */
+  def currentMeta(table: String): Option[String] = {
+    val v = currentVersion(table)
+    if (v == 0) None
+    else {
+      val p = Paths.get(baseDir(table, v), "_graft_meta")
+      if (Files.exists(p)) Some(new String(Files.readAllBytes(p))) else None
+    }
   }
 
   /** Append one batch of change events as a delta version — O(|batch|).

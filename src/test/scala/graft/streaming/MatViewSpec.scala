@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** Streaming materialized view: inserts add, updates fold as
+  * retract+insert pairs, deletes retract keys away, and a crash-replayed
+  * epoch is a no-op (the batch id commits atomically with the version).
+  */
+class MatViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("insert/update/delete stream maintains the per-key aggregate") {
+    val dir = Files.createTempDirectory("graft-matview").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    val mem = MemoryStream[(String, String, Double)](spark)
+    val q = MatView.start(mem.toDF().toDF("op", "k", "v"), store, "MV",
+      Seq("k"), "v", "op", s"$dir/ckpt", Trigger.ProcessingTime("0 seconds"))
+    try {
+      def state() = store.snapshot("MV", null)
+        .as[(String, Long, Long)].collect()
+        .map { case (k, n, q6) => (k, n, q6 / 100.0) }.toSet
+
+      mem.addData(("INSERT", "a", 1.00), ("INSERT", "a", 2.00), ("INSERT", "b", 9.00))
+      q.processAllAvailable()
+      assert(state() == Set(("a", 2L, 3.00), ("b", 1L, 9.00)))
+
+      // UPDATE b: 9.00 → 4.00 as the retract+insert pair
+      mem.addData(("DELETE", "b", 9.00), ("INSERT", "b", 4.00))
+      q.processAllAvailable()
+      assert(state() == Set(("a", 2L, 3.00), ("b", 1L, 4.00)))
+
+      // DELETE a twice: key fully retracted, disappears
+      mem.addData(("DELETE", "a", 1.00), ("DELETE", "a", 2.00))
+      q.processAllAvailable()
+      assert(state() == Set(("b", 1L, 4.00)))
+
+      // crash replay: re-applying the last epoch must be a no-op
+      val v = store.currentVersion("MV")
+      MatView.applyBatch(store, "MV",
+        Seq(("DELETE", "a", 1.00), ("DELETE", "a", 2.00)).toDF("op", "k", "v"),
+        batchId = v - 1, Seq("k"), "v", "op")
+      assert(store.currentVersion("MV") == v, "replayed epoch must not commit")
+      assert(state() == Set(("b", 1L, 4.00)))
+    } finally q.stop()
+  }
+}
