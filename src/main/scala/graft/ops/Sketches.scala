@@ -100,13 +100,44 @@ object Sketches {
       .agg(min(col("c")).as("cm_estimate"))
   }
 
-  def hllDistinct(df: DataFrame, valueCol: Column): DataFrame = {
-    val regs = df
-      .select(Dedup.hash60(valueCol.cast("string")).as("h"))
+  /** Per-row (bucket, rho) leading-zero observations. */
+  private def hllObservations(df: DataFrame, valueCol: Column): DataFrame =
+    df.select(Dedup.hash60(valueCol.cast("string")).as("h"))
       .select(pmod(col("h"), lit(M.toLong)).as("bucket"), expr(s"h div $M").as("rest"))
       .select(col("bucket"), when(col("rest") === 0, lit(RestBits))
         .otherwise(lit(RestBits) - length(bin(col("rest")))).as("rho"))
+
+  /** Per-group register tables: (g, bucket, max rho) — the shippable
+    * sketch state, ≤ M rows per group, mergeable by bucket-wise max.
+    */
+  def hllGroupedRegisters(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame =
+    df.select(groupCol.as("g"), Dedup.hash60(valueCol.cast("string")).as("h"))
+      .select(col("g"), pmod(col("h"), lit(M.toLong)).as("bucket"), expr(s"h div $M").as("rest"))
+      .select(col("g"), col("bucket"), when(col("rest") === 0, lit(RestBits))
+        .otherwise(lit(RestBits) - length(bin(col("rest")))).as("rho"))
+      .groupBy(col("g"), col("bucket")).agg(max(col("rho")).as("r"))
+
+  /** THE HLL merge: bucket-wise max across register tables — the
+    * property that lets per-partition / per-day sketches roll up
+    * without re-reading data.
+    */
+  def hllMergeRegisters(regs: DataFrame): DataFrame =
+    regs.groupBy(col("bucket")).agg(max(col("r")).as("r"))
+
+  /** Estimate via grouped sketches + merge — by the merge property,
+    * identical output to [[hllDistinct]] on the same data.
+    */
+  def hllMergedDistinct(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame =
+    hllFinish(hllMergeRegisters(hllGroupedRegisters(df, groupCol, valueCol)))
+
+  def hllDistinct(df: DataFrame, valueCol: Column): DataFrame = {
+    val regs = hllObservations(df, valueCol)
       .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
+    hllFinish(regs)
+  }
+
+  /** Finalize a register table into the estimate row. */
+  private def hllFinish(regs: DataFrame): DataFrame = {
     val alpha = 0.7213 / (1.0 + 1.079 / M)
     regs.agg(
         count(lit(1)).as("used"),

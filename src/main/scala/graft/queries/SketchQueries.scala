@@ -276,6 +276,20 @@ object SketchQueries extends QueryPack {
       |  FROM orders, mm)
       |GROUP BY bin ORDER BY bin""".stripMargin
 
+  // ---- HLL2: grouped sketches + merge ------------------------------------
+  // The property that makes HLL matter at 100 TB: per-event_type
+  // register tables (built independently, e.g. per partition or per
+  // day) merge by bucket-wise max into EXACTLY the sketch a direct
+  // global pass builds — so hll1's own oracle certifies the merged
+  // path bit-for-bit.
+  private def hll2MergedSketch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val exact = ev.agg(count_distinct(col("event_id")).as("n_exact"))
+    Sketches.hllMergedDistinct(ev, col("event_type"), col("event_id"))
+      .crossJoin(broadcast(exact))
+      .select(col("n_exact"), col("hll_estimate"), col("buckets_used"), col("max_register"))
+  }
+
   // ---- QS1: mergeable binned-quantile sketch -----------------------------
   // The fourth standard sketch (HLL / count-min / Bloom / quantiles):
   // fixed-width bin counts merge by addition across any partitioning;
@@ -305,6 +319,7 @@ object SketchQueries extends QueryPack {
     Q("an1_z_outliers", "per-group z-score outlier counts (fixed-point moments; sqrt is correctly-rounded IEEE)", an1Outliers, Some(an1Sql)),
     Q("mad1_robust_outliers", "per-group median/MAD robust outlier counts (exact fixed-point medians)", mad1Outliers, Some(mad1Sql)),
     Q("hll1_distinct_sketch", "deterministic HyperLogLog-256 cardinality estimate (md5 registers, exact-integer register sum)", hll1Sketch, Some(hll1Sql)),
+    Q("hll2_merged_sketch", "per-group HLL register tables merged by bucket-wise max == direct sketch", hll2MergedSketch, Some(hll1Sql)),
     Q("qz1_quantize_int8", "symmetric int8 embedding quantization digest", qz1Quantize, Some(qz1Sql)),
     Q("dim1_dim_stats", "per-dimension embedding mean/variance in overflow-safe fixed-point", dim1DimStats, Some(dim1Sql)))
 }
