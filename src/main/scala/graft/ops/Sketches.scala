@@ -83,6 +83,18 @@ object Sketches {
       .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
 
+  /** Count-min merge: cell-wise ADD — per-partition / per-day tables
+    * roll up into exactly the table a global pass builds.
+    */
+  def countMinMerge(tables: DataFrame*): DataFrame =
+    tables.reduce(_ unionByName _)
+      .groupBy(col("r"), col("bucket")).agg(sum(col("c")).as("c"))
+
+  /** Bloom merge: word-wise bit OR — the union filter of the inputs. */
+  def bloomMerge(filters: DataFrame*): DataFrame =
+    filters.reduce(_ unionByName _)
+      .groupBy(col("word")).agg(bit_or(col("bits")).as("bits"))
+
   /** Point estimates from a count-min table for the given probe values:
     * min over the d rows of the probed bucket counts (classic CM upper
     * bound; exact when no collisions). `probes` must be small (it is

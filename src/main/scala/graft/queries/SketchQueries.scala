@@ -276,6 +276,40 @@ object SketchQueries extends QueryPack {
       |  FROM orders, mm)
       |GROUP BY bin ORDER BY bin""".stripMargin
 
+  // ---- CM2/BL2: sketch merges (cell-add / bit-union) ---------------------
+  // Disjoint slices sketched independently then merged must equal the
+  // one-pass sketch — certified by reusing cm1/bl1's own oracles.
+  private def cm2MergedCountMin(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    def toks(d: DataFrame) = d.select(explode(
+      graft.ops.TextAnalysis.tokens(col("text"))).as("token"))
+    val table = Sketches.countMinMerge(
+      Sketches.countMinTable(toks(docs.filter(col("source") < "src2")), col("token"), d = 4, w = 64),
+      Sketches.countMinTable(toks(docs.filter(col("source") >= "src2")), col("token"), d = 4, w = 64))
+    val top10 = TextQuality.vocabTopK(docs, "text", 10)
+    Sketches.countMinEstimate(table, top10.select("token"), "token", d = 4, w = 64)
+      .join(top10, Seq("token"))
+      .select(col("rank").cast("long"), col("token"), col("n"), col("cm_estimate"))
+      .orderBy(col("rank"))
+  }
+
+  private def bl2MergedBloom(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val members = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id")).distinct()
+    val filter = Sketches.bloomMerge(
+      Sketches.bloomBuild(members.filter(col("event_id") % 2 === 0), col("event_id"), mBits = 16384, k = 3),
+      Sketches.bloomBuild(members.filter(col("event_id") % 2 =!= 0), col("event_id"), mBits = 16384, k = 3))
+    val probes = ev.filter(col("event_id") < 5000).select(col("event_id")).distinct()
+    val flags = Sketches.bloomProbe(filter, probes, "event_id", mBits = 16384, k = 3)
+    flags.join(members.withColumn("is_member", lit(true)), Seq("event_id"), "left")
+      .agg(count(lit(1)).as("n_probed"),
+        sum(when(col("maybe_member"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("is_member").isNotNull, 1L).otherwise(0L)).as("n_members"),
+        sum(when(col("maybe_member") && col("is_member").isNull, 1L).otherwise(0L))
+          .as("n_false_pos"))
+  }
+
   // ---- HLL2: grouped sketches + merge ------------------------------------
   // The property that makes HLL matter at 100 TB: per-event_type
   // register tables (built independently, e.g. per partition or per
@@ -320,6 +354,8 @@ object SketchQueries extends QueryPack {
     Q("mad1_robust_outliers", "per-group median/MAD robust outlier counts (exact fixed-point medians)", mad1Outliers, Some(mad1Sql)),
     Q("hll1_distinct_sketch", "deterministic HyperLogLog-256 cardinality estimate (md5 registers, exact-integer register sum)", hll1Sketch, Some(hll1Sql)),
     Q("hll2_merged_sketch", "per-group HLL register tables merged by bucket-wise max == direct sketch", hll2MergedSketch, Some(hll1Sql)),
+    Q("cm2_merged_countmin", "per-slice count-min tables merged by cell-wise add == direct table", cm2MergedCountMin, Some(cm1Sql)),
+    Q("bl2_merged_bloom", "per-slice Bloom filters merged by bit union == direct filter", bl2MergedBloom, Some(bl1Sql)),
     Q("qz1_quantize_int8", "symmetric int8 embedding quantization digest", qz1Quantize, Some(qz1Sql)),
     Q("dim1_dim_stats", "per-dimension embedding mean/variance in overflow-safe fixed-point", dim1DimStats, Some(dim1Sql)))
 }
