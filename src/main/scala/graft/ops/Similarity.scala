@@ -152,8 +152,10 @@ object Similarity {
     * aggregation: the corpus×C scored rows never shuffle — only the
     * one-row-per-vector partials do (the corpus×C exchange+sort a
     * per-key `row_number` window would pay; pinned in PlanShapeSpec).
-    * Ties break on the lower (numeric) centroid id, matching the
-    * window formulation `ORDER BY sim DESC, cent_id`.
+    * Ties break on the lower centroid id via `min_by` over
+    * (−sim, cent_id) — the negation sits on the DOUBLE score, not the
+    * id, so string/any-orderable centroid ids work; matches the window
+    * formulation `ORDER BY sim DESC, cent_id`.
     */
   def assignToCentroids(
       df: DataFrame, cents: DataFrame, outId: String, outEmb: String,
@@ -163,8 +165,8 @@ object Similarity {
       .select(col(outId), col(outEmb), col("cent_id"),
         cosineRounded(col(outEmb), col("cent_e")).as("cent_sim"))
       .groupBy(col(outId))
-      .agg(max_by(struct(col("cent_id"), col(outEmb).as("e")),
-        struct(col("cent_sim"), (lit(0L) - col("cent_id")).as("nc"))).as("m"))
+      .agg(min_by(struct(col("cent_id"), col(outEmb).as("e")),
+        struct((lit(0d) - col("cent_sim")).as("ns"), col("cent_id"))).as("m"))
       .select(col(outId), col("m.e").as(outEmb), col("m.cent_id").as("cent_id"))
 
   /** Top-n nearest centroids (probe selection) — window-ranked; runs on
@@ -251,14 +253,7 @@ object Similarity {
     val cents = ivfCentroids(corpus, nCentroids, refine, idCol, embCol)
     val assigned = assignToCentroids(corpus, cents, "neighbor_id", "ce", idCol, embCol)
     val probes = probeCentroids(queries, cents, "query_id", "qe", nProbe, idCol, embCol)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    probes.join(assigned, Seq("cent_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosineRounded(col("qe"), col("ce")).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(probes.join(assigned, Seq("cent_id")), k)
   }
 
   /** Product-quantization ADC top-k — the COMPRESSION side of the ANN
@@ -337,8 +332,8 @@ object Similarity {
         .select(col("vid"), col("sub_id"), col("cent_id"), col("v"),
           pqD6(col("v"), col("cent_sub")).as("d6"))
         .groupBy(col("vid"), col("sub_id"))
-        .agg(max_by(struct(col("cent_id"), col("v").as("v")),
-          struct(col("d6"), (lit(0L) - col("cent_id")).as("nc"))).as("m"))
+        .agg(min_by(struct(col("cent_id"), col("v").as("v")),
+          struct((lit(0L) - col("d6")).as("nd"), col("cent_id"))).as("m"))
         .select(col("sub_id"), col("m.cent_id").as("cent_id"), col("m.v").as("v"))
       val updated = assigned
         .select(col("sub_id"), col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -368,8 +363,8 @@ object Similarity {
       .select(col(outId), col("sub_id"), col("cent_id"),
         pqD6(col("v"), col("cent_sub")).as("d6"))
       .groupBy(col(outId), col("sub_id"))
-      .agg(max_by(col("cent_id"),
-        struct(col("d6"), (lit(0L) - col("cent_id")).as("nc"))).as("code"))
+      .agg(min_by(col("cent_id"),
+        struct((lit(0L) - col("d6")).as("nd"), col("cent_id"))).as("code"))
 
   /** Per-query ADC lookup table: quantized partial dot against every
     * sub-codebook centroid. Output: `outId, sub_id, code, q6`.

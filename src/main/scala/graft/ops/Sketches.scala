@@ -112,21 +112,24 @@ object Sketches {
       .agg(min(col("c")).as("cm_estimate"))
   }
 
-  /** Per-row (bucket, rho) leading-zero observations. */
-  private def hllObservations(df: DataFrame, valueCol: Column): DataFrame =
-    df.select(Dedup.hash60(valueCol.cast("string")).as("h"))
-      .select(pmod(col("h"), lit(M.toLong)).as("bucket"), expr(s"h div $M").as("rest"))
-      .select(col("bucket"), when(col("rest") === 0, lit(RestBits))
-        .otherwise(lit(RestBits) - length(bin(col("rest")))).as("rho"))
+  /** Per-row (…carry, bucket, rho) leading-zero observations — ONE
+    * derivation shared by the direct and grouped register builders, so
+    * the merged-equals-direct invariant can't drift.
+    */
+  private def hllObservations(
+      df: DataFrame, valueCol: Column, carry: Seq[Column] = Nil): DataFrame =
+    df.select(carry :+ Dedup.hash60(valueCol.cast("string")).as("h"): _*)
+      .select(carry ++ Seq(pmod(col("h"), lit(M.toLong)).as("bucket"),
+        expr(s"h div $M").as("rest")): _*)
+      .select(carry ++ Seq(col("bucket"), when(col("rest") === 0, lit(RestBits))
+        .otherwise(lit(RestBits) - length(bin(col("rest")))).as("rho")): _*)
 
   /** Per-group register tables: (g, bucket, max rho) — the shippable
     * sketch state, ≤ M rows per group, mergeable by bucket-wise max.
     */
   def hllGroupedRegisters(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame =
-    df.select(groupCol.as("g"), Dedup.hash60(valueCol.cast("string")).as("h"))
-      .select(col("g"), pmod(col("h"), lit(M.toLong)).as("bucket"), expr(s"h div $M").as("rest"))
-      .select(col("g"), col("bucket"), when(col("rest") === 0, lit(RestBits))
-        .otherwise(lit(RestBits) - length(bin(col("rest")))).as("rho"))
+    hllObservations(df.select(groupCol.as("g"), valueCol.as("__v")),
+        col("__v"), carry = Seq(col("g")))
       .groupBy(col("g"), col("bucket")).agg(max(col("rho")).as("r"))
 
   /** THE HLL merge: bucket-wise max across register tables — the
@@ -180,9 +183,13 @@ object Sketches {
     */
   def binQuantiles(
       df: DataFrame, valueCol: String, width: Double, ps: Seq[Double]): DataFrame = {
+    // the source is scanned ONCE: the bounded bin table materializes
+    // eagerly, and every quantile branch (plus the total) reads the
+    // checkpointed bins, not the input
     val bins = df
       .select(floor(col(valueCol).cast("double") / width).cast("long").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val one = bins.coalesce(1).withColumn("__bq_pid", spark_partition_id())
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__bq_pid"))
       .orderBy(col("bin")).rowsBetween(

@@ -131,8 +131,13 @@ object PipelineQueries extends QueryPack {
   private def cachedPerSession(
       cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame],
       s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
-    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    cache.computeIfAbsent((s, dir, dirToken(dir)), _ => build)
+    val token = dirToken(dir)
+    // evict dead sessions AND superseded tokens — a rewrite must not
+    // leave the old entry pinning its checkpoint blocks for the rest
+    // of the session's life
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped ||
+      (k._1 == s && k._2 == dir && k._3 != token))
+    cache.computeIfAbsent((s, dir, token), _ => build)
   }
 
   private def sharedMinhashPairs(s: SparkSession, dir: String): DataFrame =

@@ -81,8 +81,13 @@ object AnnIndex {
     val cents = Similarity.ivfCentroids(corpus, nCentroids, refine, idCol, embCol)
     Bucketing.resetTable(corpus.sparkSession, s"${table}_cents")
     cents.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(s"${table}_cents")
+    // assign against the PERSISTED centroids: skips re-running the
+    // k-means refinement (a corpus scan + shuffle per pass) and
+    // guarantees the lists derive from byte-identical stored centroids
     Bucketing.writeBucketed(
-      Similarity.assignToCentroids(corpus, cents, "vec_id", "embedding", idCol, embCol),
+      Similarity.assignToCentroids(corpus,
+        corpus.sparkSession.table(s"${table}_cents"), "vec_id", "embedding",
+        idCol, embCol),
       table, "cent_id", buckets)
   }
 

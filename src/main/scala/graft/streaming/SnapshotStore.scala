@@ -62,6 +62,17 @@ final class SnapshotStore(
     next
   }
 
+  /** Version dirs at `next` with the pointer still below it are debris
+    * from a crash between write and flip. They MUST go before reuse:
+    * a stale base at `next` would otherwise shadow the delta committed
+    * there (baseAtOrBefore prefers bases), silently dropping the batch.
+    */
+  private def clearUncommitted(table: String, next: Int): Unit =
+    Seq(baseDir(table, next), deltaDir(table, next)).foreach { d =>
+      val p = Paths.get(d)
+      if (Files.exists(p)) org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+    }
+
   /** Latest base version ≤ v (0 = none; bounded scan — bases recur at
     * least every `compactEvery` versions).
     */
@@ -104,20 +115,21 @@ final class SnapshotStore(
     */
   def commit(table: String, df: DataFrame, meta: Option[String] = None): Int = {
     val next = currentVersion(table) + 1
+    clearUncommitted(table, next)
     df.write.mode(SaveMode.Overwrite).parquet(baseDir(table, next))
     meta.foreach(m => Files.write(
       Paths.get(baseDir(table, next), "_graft_meta"), m.getBytes))
     flipPointer(table, next)
   }
 
-  /** The current version's commit marker, if any. */
+  /** The current version's commit marker, if any (delta or base). */
   def currentMeta(table: String): Option[String] = {
     val v = currentVersion(table)
     if (v == 0) None
-    else {
-      val p = Paths.get(baseDir(table, v), "_graft_meta")
-      if (Files.exists(p)) Some(new String(Files.readAllBytes(p))) else None
-    }
+    else Seq(deltaDir(table, v), baseDir(table, v))
+      .map(d => Paths.get(d, "_graft_meta"))
+      .find(Files.exists(_))
+      .map(p => new String(Files.readAllBytes(p)))
   }
 
   /** Append one batch of change events as a delta version — O(|batch|).
@@ -129,10 +141,14 @@ final class SnapshotStore(
     */
   def commitDelta(
       table: String, changes: DataFrame,
-      pk: String, seqCol: String, dataCols: Seq[String]): Int = {
+      pk: String, seqCol: String, dataCols: Seq[String],
+      meta: Option[String] = None): Int = {
     val next = currentVersion(table) + 1
+    clearUncommitted(table, next)
     changes.select((Seq(seqCol, "operation", pk) ++ dataCols).map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(deltaDir(table, next))
+    meta.foreach(m => Files.write(
+      Paths.get(deltaDir(table, next), "_graft_meta"), m.getBytes))
     if (next - baseAtOrBefore(table, next - 1) >= compactEvery)
       snapshotAt(table, next) // d<next> exists; pointer not yet flipped
         .write.mode(SaveMode.Overwrite).parquet(baseDir(table, next))
@@ -166,20 +182,34 @@ final class SnapshotStore(
   def compactAudit(): Unit = {
     val root = Paths.get(s"$basePath/_audit")
     if (!Files.exists(root)) return
-    val dates = {
+    def children(prefix: String) = {
       val s = Files.list(root)
-      try s.filter(p => p.getFileName.toString.startsWith("log_date="))
+      try s.filter(p => p.getFileName.toString.startsWith(prefix))
         .iterator().asScala.toList
       finally s.close()
     }
-    dates.foreach { d =>
-      // dot-prefixed ⇒ invisible to Spark's partition discovery, so a
-      // crash between write and swap can never double-count the date
-      val tmp = d.resolveSibling("." + d.getFileName.toString + "._compacting")
+    // recovery sweep: a crash between the two moves below leaves the
+    // date only in its .…_old dir — restore it before compacting
+    children(".log_date=").filter(_.getFileName.toString.endsWith("._old"))
+      .foreach { old =>
+        val orig = old.resolveSibling(old.getFileName.toString
+          .stripPrefix(".").stripSuffix("._old"))
+        if (!Files.exists(orig)) Files.move(old, orig)
+        else org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+      }
+    children("log_date=").foreach { d =>
+      // dot-prefixed dirs are invisible to Spark's partition discovery,
+      // so no crash point double-counts the date: data lands in tmp
+      // first, the original steps aside (recoverable, above), the
+      // replacement moves in, and only then does the original die
+      val name = d.getFileName.toString
+      val tmp = d.resolveSibling("." + name + "._compacting")
+      val old = d.resolveSibling("." + name + "._old")
       spark.read.parquet(d.toString).coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+      Files.move(d, old)
       Files.move(tmp, d)
+      org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
     }
   }
 

@@ -82,8 +82,8 @@ final class SyncPipeline(
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyMicroBatch(batch, mapping, direction); ()
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyMicroBatch(batch, mapping, direction, id); ()
       }
       .start()
   }
@@ -104,10 +104,20 @@ final class SyncPipeline(
   def applyMicroBatch(
       batch: DataFrame,
       mapping: TableMapping,
-      direction: Direction.Value): Unit = {
+      direction: Direction.Value,
+      batchId: Long = -1L): Unit = {
     val target = mapping.targetFor(direction)
     val targetCols = mapping.specsFor(direction).map(_._1)
     val valueCols = targetCols.filterNot(_ == target.pk)
+    // foreachBatch is at-least-once: the epoch id commits atomically
+    // with the delta version (inside the dir, before the pointer flip),
+    // so a crash-replayed epoch that already landed skips entirely —
+    // no duplicate delta, no duplicate audit. The only remaining
+    // at-least-once window is a crash BETWEEN the audit append and the
+    // delta commit, which can duplicate that epoch's audit rows (the
+    // data table itself stays exact; deltas are value-idempotent).
+    if (batchId >= 0 &&
+      store.currentMeta(target.table).exists(_.toLong >= batchId)) return
     val cached = batch.cache()
     try {
       val blocked = cached.filter(col("loop_blocked"))
@@ -150,12 +160,16 @@ final class SyncPipeline(
         lit("LOOP_BLOCKED"), lit(false))
       val obs = org.apache.spark.sql.Observation()
       store.appendAudit(liveAudit.unionByName(blockedAudit).observe(obs,
-        count(when(col("status") =!= "LOOP_BLOCKED", 1)).as("live")))
+        count(when(col("status") =!= "LOOP_BLOCKED", 1)).as("live"),
+        count(lit(1)).as("events")))
 
-      if (obs.get("live").asInstanceOf[Long] > 0L)
+      // any non-empty batch commits (a blocked-only batch commits an
+      // empty delta) so the epoch marker always advances past it
+      if (obs.get("events").asInstanceOf[Long] > 0L)
         store.commitDelta(target.table,
           live.select((Seq("seq", "operation") ++ targetCols).map(col): _*),
-          target.pk, "seq", valueCols)
+          target.pk, "seq", valueCols,
+          meta = if (batchId >= 0) Some(batchId.toString) else None)
     } finally cached.unpersist()
   }
 }

@@ -90,7 +90,7 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(shuffles.size == 1,
       s"assignment should shuffle only the per-vector partials:\n$inner")
-    assert(inner.toString.contains("partial_max_by"),
+    assert(inner.toString.contains("partial_min_by"),
       s"assignment lost its map-side partial aggregation:\n$inner")
     assert(!inner.toString.contains("Window"),
       s"assignment regressed to a window:\n$inner")

@@ -87,6 +87,19 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.audit().count() == 5)
   }
 
+  test("a crashed compaction's orphan base cannot shadow the next delta") {
+    val (store, dir) = newStore(compactEvery = 100)
+    commit(store, (1L, "INSERT", 1, "a"))
+    // crash debris: a base for version 2 was written but the pointer
+    // never flipped — the next commit must clear it, or reads at v2
+    // would prefer the stale base and silently drop the delta
+    Seq((99, "stale")).toDF("ID", "VAL")
+      .write.parquet(s"$dir/T/v2")
+    commit(store, (2L, "UPDATE", 1, "a2"))
+    assert(store.snapshot("T", null).as[(Int, String)].collect().toMap ==
+      Map(1 -> "a2"))
+  }
+
   test("full commit() versions interleave with deltas as bases") {
     val (store, _) = newStore(compactEvery = 100)
     store.commit("T", Seq((1, "x"), (2, "y")).toDF("ID", "VAL"))
