@@ -109,6 +109,56 @@ object ArrayHashes {
     GraftBridge.column(PrefixAnyEqual(
       GraftBridge.expression(a), GraftBridge.expression(b), GraftBridge.expression(n)))
 
+  // ---- greedy BPE pair merge (tokenizer trainer inner loop) ---------------
+
+  private val bpeSpace = UTF8String.fromString(" ")
+
+  /** Greedy left-to-right merge of adjacent (a, b) token pairs: the
+    * merged token is `a + " " + b` (word-level BPE keeps an internal
+    * space, which also guarantees a merged token never equals a plain
+    * whitespace-split token, so re-merging can't cascade within one
+    * pass). One linear array pass per document — the Column-DSL fold
+    * this replaces re-ran two regexes and an O(len) string copy per
+    * token (O(len²) per document, interpreted).
+    */
+  def bpeMergePair(words: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    val n = words.numElements()
+    val out = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val w = words.getUTF8String(i)
+      if (!out.isEmpty && out.get(out.size - 1).equals(a) && w.equals(b))
+        out.set(out.size - 1, UTF8String.concat(a, bpeSpace, b))
+      else out.add(w)
+      i += 1
+    }
+    new GenericArrayData(out.toArray(new Array[UTF8String](out.size)))
+  }
+
+  case class BpeMergePair(arr: Expression, pa: Expression, pb: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def first: Expression = arr
+    override def second: Expression = pa
+    override def third: Expression = pb
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = arr.nullable || pa.nullable || pb.nullable
+    override def prettyName: String = "bpe_merge_pair"
+    override def nullSafeEval(w: Any, a: Any, b: Any): Any =
+      bpeMergePair(w.asInstanceOf[ArrayData],
+        a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = "graft.functions.ArrayHashes$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (w, a, b) => s"${ev.value} = $m.bpeMergePair($w, $a, $b);")
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(arr = f, pa = s, pb = t)
+  }
+
+  def bpe_merge_pair(words: Column, a: Column, b: Column): Column =
+    GraftBridge.column(BpeMergePair(
+      GraftBridge.expression(words), GraftBridge.expression(a), GraftBridge.expression(b)))
+
   // ---- optimizer barrier ---------------------------------------------------
 
   /** Identity expression flagged non-deterministic: an optimizer

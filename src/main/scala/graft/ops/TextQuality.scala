@@ -297,31 +297,28 @@ object TextQuality {
     * its non-overlapping occurrences left-to-right in every document.
     * Returns the MERGE TABLE (round, pair, n) — the artifact a real
     * tokenizer trainer emits, word-level over whitespace tokens: a
-    * merged token keeps an internal space; the working sequence is a
-    * U+0001-joined string so the merge is one left fold per document
-    * (identical fold in the DuckDB oracle's `list_reduce` restatement).
-    * Input contract: document text must not contain U+0001 (the
-    * reserved separator — the same reserved-byte trick real tokenizers
-    * use); a violating token would re-split identically nowhere else.
+    * merged token keeps an internal space. The merge itself is the
+    * native codegen'd [[graft.functions.ArrayHashes.bpe_merge_pair]] —
+    * one linear array pass per document (the Column-DSL fold it
+    * replaced was interpreted and O(len²) per document); the DuckDB
+    * oracle restates the identical left-to-right scan via
+    * `list_reduce`.
     *
     * Scale: every round is the same word-count shape as bp1 — a narrow
-    * per-document fold plus ONE pair-count shuffle; the chosen pair
+    * per-document merge plus ONE pair-count shuffle; the chosen pair
     * rejoins as a broadcast 1-row crossJoin, so only pair counts ever
     * shuffle. Rounds are inherently sequential (a real trainer runs
     * thousands of them the same way, one agg per round); the merged
-    * sequence is CHECKPOINTED between rounds — lazy chaining would
-    * re-run every earlier fold each round (O(rounds²) total work),
+    * corpus is CHECKPOINTED between rounds — lazy chaining would
+    * re-run every earlier merge each round (O(rounds²) total work),
     * exactly like a real trainer materializing the re-tokenized corpus
     * after each merge batch.
     */
   def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    val SEP = "\u0001"
-    def words(s: Column) = split(s, SEP)
-    def lastTok(acc: Column) = regexp_extract(acc, s"[^$SEP]*$$", 0)
     var cur = spread(df.select(col(textCol)))
-      .select(array_join(TextAnalysis.tokens(col(textCol)), SEP).as("s"))
+      .select(TextAnalysis.tokens(col(textCol)).as("w"))
     val table = (1 to rounds).map { r =>
-      val w = words(col("s"))
+      val w = col("w")
       val adj = when(size(w) >= 2,
         transform(sequence(lit(1), size(w) - 1),
           i => struct(element_at(w, i).as("a"), element_at(w, i + 1).as("b"))))
@@ -333,14 +330,9 @@ object TextQuality {
         .limit(1)
         .localCheckpoint(true) // 1 row; both consumers reuse it
       if (r < rounds) // the last round's merged corpus has no consumer
-        cur = cur.crossJoin(broadcast(top1)).select(
-          aggregate(
-            slice(words(col("s")), lit(2), greatest(size(words(col("s"))) - 1, lit(0))),
-            element_at(words(col("s")), 1),
-            (acc, x) => when(lastTok(acc) === col("a") && x === col("b"),
-              concat(acc.substr(lit(1), length(acc) - length(lastTok(acc))),
-                col("a"), lit(" "), col("b")))
-              .otherwise(concat(acc, lit(SEP), x))).as("s"))
+        cur = cur.crossJoin(broadcast(top1))
+          .select(graft.functions.ArrayHashes.bpe_merge_pair(
+            col("w"), col("a"), col("b")).as("w"))
           .localCheckpoint(true)
       top1.select(lit(r).as("round"),
         concat_ws(" ", col("a"), col("b")).as("pair"), col("n"))
