@@ -145,13 +145,19 @@ object Sketches {
   def hllMergedDistinct(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame =
     hllFinish(hllMergeRegisters(hllGroupedRegisters(df, groupCol, valueCol)))
 
-  def hllDistinct(df: DataFrame, valueCol: Column): DataFrame = {
-    val regs = hllObservations(df, valueCol)
+  /** One slice's register table (bucket, r) — merge with
+    * [[hllMergeRegisters]], finalize with [[hllEstimate]].
+    */
+  def hllRegisters(df: DataFrame, valueCol: Column): DataFrame =
+    hllObservations(df, valueCol)
       .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
-    hllFinish(regs)
-  }
+
+  def hllDistinct(df: DataFrame, valueCol: Column): DataFrame =
+    hllFinish(hllRegisters(df, valueCol))
 
   /** Finalize a register table into the estimate row. */
+  def hllEstimate(regs: DataFrame): DataFrame = hllFinish(regs)
+
   private def hllFinish(regs: DataFrame): DataFrame = {
     val alpha = 0.7213 / (1.0 + 1.079 / M)
     regs.agg(

@@ -38,6 +38,41 @@ object MatView {
       meta = Some(batchId.toString))
   }
 
+  /** Fold one micro-batch into a stored HLL register table — a
+    * DISTINCT-COUNT view whose state is ≤256 rows no matter how many
+    * ids the stream has ever carried: batch registers merge into the
+    * stored table by bucket-wise max, so the estimate after any prefix
+    * of the stream is BIT-IDENTICAL to a batch sketch over the same
+    * data (the merge property `hll2` certifies). Same epoch-marker
+    * idempotence as [[applyBatch]].
+    */
+  def applySketchBatch(
+      store: SnapshotStore, table: String, batch: DataFrame, batchId: Long,
+      valueCol: String): Unit = {
+    if (store.currentMeta(table).exists(_.toLong >= batchId)) return // replay
+    val delta = graft.ops.Sketches.hllRegisters(batch, col(valueCol))
+    val current = store.snapshot(table, delta.schema)
+    store.commit(table,
+      graft.ops.Sketches.hllMergeRegisters(current.unionByName(delta)),
+      meta = Some(batchId.toString))
+  }
+
+  /** Run a distinct-count (HLL) view over a stream; read the estimate
+    * with `Sketches.hllEstimate(store.snapshot(table, null))`.
+    */
+  def startDistinct(
+      stream: DataFrame, store: SnapshotStore, table: String, valueCol: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applySketchBatch(store, table, b, id, valueCol); ()
+      }
+      .start()
+
   /** Run the view over a change stream. */
   def start(
       changes: DataFrame, store: SnapshotStore, table: String,

@@ -46,4 +46,26 @@ class MatViewSpec extends SparkSpec {
       assert(state() == Set(("b", 1L, 4.00)))
     } finally q.stop()
   }
+
+  test("streaming distinct-count view: estimate equals the batch sketch") {
+    val dir = Files.createTempDirectory("graft-hllview").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    val mem = MemoryStream[Long](spark)
+    val q = MatView.startDistinct(mem.toDF().toDF("id"), store, "DC", "id",
+      s"$dir/ckpt", Trigger.ProcessingTime("0 seconds"))
+    try {
+      mem.addData(1L to 400L: _*); q.processAllAvailable()
+      mem.addData(201L to 700L: _*); q.processAllAvailable() // overlap on purpose
+      val streamed = graft.ops.Sketches
+        .hllEstimate(store.snapshot("DC", null))
+        .head().getAs[Double]("hll_estimate")
+      val batch = graft.ops.Sketches
+        .hllDistinct((1L to 700L).toDF("id"), org.apache.spark.sql.functions.col("id"))
+        .head().getAs[Double]("hll_estimate")
+      assert(streamed == batch,
+        s"streamed sketch must equal batch sketch: $streamed vs $batch")
+      // state is the register table: bounded regardless of id volume
+      assert(store.snapshot("DC", null).count() <= 256)
+    } finally q.stop()
+  }
 }
