@@ -500,6 +500,28 @@ object PipelineQueries extends QueryPack {
       |  FROM q JOIN c ON query_id <> neighbor_id)
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // ---- SIM7: top-k via bounded aggregation (the no-window rank path) -----
+  // Identical results to sim1 (same oracle certifies both), but the
+  // per-query rank is a typed bounded-heap AGGREGATOR: partial buffers
+  // of ≤ k rows aggregate map-side, so the exchange carries k·partials
+  // instead of the full scored candidate set a row_number window sorts
+  // — the formulation that survives millions of candidates per query.
+  private def sim7AggTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosineRounded(col("qe"), col("ce")).as("score"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topKByScore(10)(col("score"), col("neighbor_id")).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("t"))
+      .select(col("query_id"), col("t._1").as("neighbor_id"),
+        col("t._2").as("score"), col("t._3").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---- SIM2: SRP-LSH bucketed ANN top-k ----------------------------------
   private def sim2LshTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
@@ -1107,6 +1129,7 @@ object PipelineQueries extends QueryPack {
     Q("sim5_pq_topk", "product-quantization ADC top-k (trained 4x16 codebooks, fixed-point LUT)", sim5PqTopk, Some(sim5Sql)),
     Q("sim6_ivf_pq", "IVF candidate pruning + PQ ADC scoring (composed ANN serving shape)", sim6IvfPq, Some(sim6Sql)),
     Q("ann1_lsh_index", "persisted LSH index: bucketed build + stored-bucket serve", ann1LshIndex, Some(sim2Sql)),
+    Q("sim7_agg_topk", "top-k via bounded-heap aggregation (k-row partials, no window sort)", sim7AggTopk, Some(sim1Sql)),
     Q("ann2_ivf_index", "persisted IVF index: bucketed lists build + stored-list serve", ann2IvfIndex, Some(sim3Sql)),
     Q("di1_dedup_index", "persisted MinHash dedup index: corpus build + new-batch probe", di1DedupIndex, Some(di1Sql)),
   )

@@ -114,6 +114,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("sim7: top-k rank is a bounded PARTIAL aggregation, not a window sort") {
+    // the exchange must carry k-row partial buffers, not the full
+    // scored candidate set — the property that lets per-query top-k
+    // survive millions of candidates
+    val exec = SparkEntry.queries("sim7_agg_topk")(spark, sfSmoke)
+      .queryExecution.executedPlan
+    val inner = exec match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val p = inner.toString
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"sim7 lost its typed aggregation:\n$p")
+    assert(p.contains("partial_topkbyscore"),
+      s"sim7 lost the map-side partial top-k:\n$p")
+    assert(!p.contains("Window"), s"sim7 regressed to a window:\n$p")
+  }
+
   test("sim4: the probe side broadcasts; the corpus side never explodes") {
     // the multi-probe query set (5 vectors × 3 probes) is the broadcast
     // side of an equi-join on bucket — a regression that shuffles the
