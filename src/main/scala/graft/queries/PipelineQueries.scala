@@ -989,6 +989,31 @@ object PipelineQueries extends QueryPack {
       |        / COUNT(*) / 100 * 1000000.0 + 0.5) / 1000000.0 AS mean_value
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---- MV2: retraction-maintained aggregate ------------------------------
+  // The delete path of matview maintenance, oracle-certified: start
+  // from the full-table state, feed every 'F'-status order back as a
+  // RETRACTION (sign −1), and the maintained state must equal a direct
+  // recompute over the surviving (non-F) rows — including 'F' vanishing
+  // entirely (count reaches zero ⇒ key drops out).
+  private def mv2Retraction(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val base = Incremental.aggState(orders, Seq("o_orderstatus"), "o_totalprice")
+    val retractions = Incremental.aggState(
+      orders.filter(col("o_orderstatus") === "F").withColumn("__sign", lit(-1L)),
+      Seq("o_orderstatus"), "o_totalprice", signCol = Some("__sign"))
+    Incremental.finish(
+        Incremental.merge(Seq("o_orderstatus"), base, retractions), Seq("o_orderstatus"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val mv2Sql =
+    """SELECT o_orderstatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_value,
+      |  floor(CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+      |        / COUNT(*) / 100 * 1000000.0 + 0.5) / 1000000.0 AS mean_value
+      |FROM orders WHERE o_orderstatus <> 'F'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ---- MX2: temperature-based mixture reweighting ------------------------
   // mx1 applies GIVEN per-source rates; this COMPUTES them: weight_s ∝
   // √n_s (α = 0.5 temperature mixing — the flattening step before a
@@ -1122,6 +1147,7 @@ object PipelineQueries extends QueryPack {
     Q("mx1_mixture_weights", "deterministic corpus-mixture reweighting by source", mx1Mixture, Some(mx1Sql)),
     Q("mx2_temperature_weights", "temperature (alpha=0.5) mixture weights from source counts", mx2Temperature, Some(mx2Sql)),
     Q("mv1_incremental_agg", "mergeable aggregate state: base+delta merge equals full recompute", mv1IncrementalAgg, Some(mv1Sql)),
+    Q("mv2_retraction_agg", "retraction-maintained aggregate equals recompute over survivors", mv2Retraction, Some(mv2Sql)),
     Q("qc1_source_cap", "per-source contribution cap keeping best-quality docs", qc1SourceCap, Some(qc1Sql)),
     Q("sim1_brute_topk", "brute-force cosine top-k", sim1BruteTopk, Some(sim1Sql)),
     Q("sim2_lsh_topk", "SRP-LSH bucketed ANN top-k", sim2LshTopk, Some(sim2Sql)),
