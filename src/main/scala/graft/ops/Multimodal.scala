@@ -214,4 +214,93 @@ object Multimodal {
     }: _*)
     media.select(col("doc_id").as("vec_id"), vec.as("embedding"))
   }
+
+  /** Gradient gray value at (x, y) for gradient class `cls` — the
+    * shared arithmetic between [[gradientPngTable]]'s pixel fill and
+    * the oracle's prediction.
+    */
+  def gradientValue(cls: Long, x: Int, y: Int): Int =
+    (((1 + cls % 7) * x * x + (1 + cls % 11) * y * y + (cls % 13) * x * y
+      + cls * 17) % 256).toInt
+
+  /** Deterministic 16×16 grayscale-gradient PNGs: docs sharing
+    * `doc_id % 50` render the IDENTICAL image (a quadratic gradient per
+    * class), so perceptual-hash dedup downstream has planted duplicate
+    * structure an oracle can predict arithmetically — while the bytes
+    * each task handles are genuine codec output.
+    */
+  def gradientPngTable(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val cls = id % 50
+        val img = new java.awt.image.BufferedImage(
+          16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val v = gradientValue(cls, x, y)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** 64-bit perceptual difference hash (dHash) over the REAL decoded
+    * pixels: nearest-neighbor downsample to 9×8 grays (the same
+    * integer index math as [[resizeImages]]: src = dst·size/out), then
+    * bit (x, y) = gray(x+1, y) > gray(x, y) — the standard
+    * brightness-gradient fingerprint image dedup pipelines use (robust
+    * to re-encoding and resampling; equal hashes ⇒ perceptual dups).
+    * Codec seam via mapPartitions like every Multimodal decode.
+    */
+  def dHash64(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("phash", LongType)))
+    val idIdx = media.schema.fieldIndex("doc_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](payloadIdx)))
+        if (img == null) None
+        else {
+          val g = Array.ofDim[Int](8, 9)
+          var y = 0
+          while (y < 8) {
+            val sy = y * img.getHeight / 8
+            var x = 0
+            while (x < 9) {
+              val rgb = img.getRGB(x * img.getWidth / 9, sy)
+              g(y)(x) = ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3
+              x += 1
+            }
+            y += 1
+          }
+          var hash = 0L
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              if (g(yy)(xx + 1) > g(yy)(xx)) hash |= 1L << (yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          Some(Row(r.getLong(idIdx), hash))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 }

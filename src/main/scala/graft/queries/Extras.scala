@@ -75,6 +75,42 @@ object Extras extends QueryPack {
       |  CAST((doc_id * 2654435761) % 16777216 AS INTEGER) AS rgb0
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- MM5: perceptual-hash image dedup (REAL codec) ---------------------
+  // The image half of dedup: every doc renders a deterministic 16×16
+  // gradient PNG (docs sharing doc_id % 50 render the identical image),
+  // the REAL JDK codec decodes it, and a 64-bit dHash (9×8
+  // nearest-neighbor gray downsample, right-neighbor-brighter bits)
+  // groups perceptual duplicates. The oracle predicts every hash bit
+  // from the gradient arithmetic alone — a match certifies codec
+  // round-trip + downsample + bit packing end to end. (Bit 63 lands as
+  // the two's-complement sign term on both engines.)
+  private def mm5PhashDedup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.dHash64(Multimodal.gradientPngTable(Tables.load(s, dir, "documents")))
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("phash"))
+
+  private val mm5Sql =
+    """WITH g AS (SELECT doc_id, doc_id % 50 AS cls FROM documents),
+      |grid AS (SELECT x.range AS x, y.range AS y FROM range(0, 8) x, range(0, 8) y),
+      |s AS (
+      |  SELECT doc_id, cls, x, y,
+      |    ((x + 1) * 16) // 9 AS sx1, (x * 16) // 9 AS sx0, y * 2 AS sy
+      |  FROM g, grid),
+      |bits AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN
+      |        ((1 + cls % 7) * sx1 * sx1 + (1 + cls % 11) * sy * sy
+      |          + (cls % 13) * sx1 * sy + cls * 17) % 256
+      |      > ((1 + cls % 7) * sx0 * sx0 + (1 + cls % 11) * sy * sy
+      |          + (cls % 13) * sx0 * sy + cls * 17) % 256
+      |      THEN CASE WHEN y * 8 + x = 63 THEN -9223372036854775807 - 1
+      |                ELSE CAST(1 AS BIGINT) << CAST(y * 8 + x AS INTEGER) END
+      |      ELSE 0 END) AS BIGINT) AS phash
+      |  FROM s GROUP BY doc_id)
+      |SELECT phash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+      |FROM bits GROUP BY phash ORDER BY phash""".stripMargin
+
   // ---- SK1: salted join on a deliberately skewed key ---------------------
   // ~1/3 of events collapse onto hot key 7; the salted join spreads that
   // key over 8 shuffle partitions (salt derived from event_id) while the
@@ -248,6 +284,7 @@ object Extras extends QueryPack {
     Q("mm2_frame_hashes", "multimodal: fixed-size frame sampling", mm2FrameHashes, Some(mm2Sql)),
     Q("mm3_png_decode", "multimodal: real JDK PNG encode→decode round trip", mm3PngDecode, Some(mm3Sql)),
     Q("mm4_resize", "multimodal: decode → nearest-neighbor resize → re-encode → decode", mm4Resize, Some(mm4Sql)),
+    Q("mm5_phash_dedup", "multimodal: perceptual dHash dedup over real decoded pixels", mm5PhashDedup, Some(mm5Sql)),
     Q("sk1_salted_join", "salted join spreads a deliberately hot key", sk1SaltedJoin, Some(sk1Sql)),
     Q("p7_debezium_decimal", "P7 VariableScaleDecimal custom Expression", p7DebeziumDecimal, Some(p7Sql)),
     Q("js1_json_extract", "JSON field extraction + aggregation", js1JsonExtract, Some(js1Sql)),
