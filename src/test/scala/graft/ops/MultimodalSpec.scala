@@ -65,4 +65,17 @@ class MultimodalSpec extends SparkSpec {
     val top = Similarity.bruteTopK(emb, emb.filter($"vec_id" < 2), 3)
     assert(top.count() == 6)
   }
+
+  test("dHash survives a full transcode (decode → resample → re-encode)") {
+    // the perceptual-dedup claim: the hash is a function of the image,
+    // not its encoding — a second trip through the codec (same-size
+    // nearest-neighbor resample = identity mapping) must not flip a bit
+    val docs = graft.Tables.load(spark, sfSmoke, "documents").limit(50)
+    val pngs = Multimodal.gradientPngTable(docs)
+    val direct = Multimodal.dHash64(pngs)
+      .as[(Long, Long)].collect().toMap
+    val transcoded = Multimodal.dHash64(Multimodal.resizeImages(pngs, 16, 16))
+      .as[(Long, Long)].collect().toMap
+    assert(direct.nonEmpty && direct == transcoded)
+  }
 }
