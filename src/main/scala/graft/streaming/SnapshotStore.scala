@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, struct, to_date}
+import org.apache.spark.sql.functions.{coalesce, col, lit, max, struct, to_date, when}
 import org.apache.spark.sql.types.StructType
 import graft.cdc.Apply
 
@@ -79,6 +79,25 @@ final class SnapshotStore(
   private def baseAtOrBefore(table: String, v: Int): Int =
     (v to 1 by -1).find(i => Files.exists(Paths.get(baseDir(table, i)))).getOrElse(0)
 
+  /** All delta versions in [from, to] as ONE read with a `__v` version
+    * column. One multi-path `spark.read` instead of one per delta: each
+    * separate read costs a driver-side file listing + footer schema
+    * inference (~100-200 ms), which at a 5 s trigger with up to
+    * `compactEvery-1` outstanding deltas was the bulk of the trigger's
+    * fixed cost. Delta schemas are identical by the commitDelta layout
+    * contract, so a positional union is safe; the version is recovered
+    * from the file path (`…/d<N>/part-….parquet`).
+    */
+  private def readDeltas(table: String, from: Int, to: Int): DataFrame = {
+    val paths = (from to to)
+      .filter(i => Files.exists(Paths.get(deltaDir(table, i))))
+      .map(i => deltaDir(table, i))
+    spark.read.parquet(paths: _*)
+      .withColumn("__v",
+        org.apache.spark.sql.functions.regexp_extract(
+          col("_metadata.file_path"), "/d(\\d+)/[^/]+$", 1).cast("int"))
+  }
+
   /** Current snapshot; empty DataFrame with the given schema at v0. */
   def snapshot(table: String, schema: StructType): DataFrame =
     snapshotAt(table, currentVersion(table), schema)
@@ -90,10 +109,7 @@ final class SnapshotStore(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val b = baseAtOrBefore(table, version)
     if (b == version) return spark.read.parquet(baseDir(table, b))
-    val deltas = ((b + 1) to version)
-      .filter(i => Files.exists(Paths.get(deltaDir(table, i))))
-      .map(i => spark.read.parquet(deltaDir(table, i)).withColumn("__v", lit(i)))
-      .reduce(_ unionByName _)
+    val deltas = readDeltas(table, b + 1, version)
     // delta layout contract (commitDelta): [seqCol, operation, pk, data…]
     val fields = deltas.schema.fields.filterNot(_.name == "__v")
     val seqCol = fields(0).name
@@ -106,6 +122,51 @@ final class SnapshotStore(
       else spark.read.parquet(baseDir(table, b))
     val ordered = deltas.withColumn("__ord", struct(col("__v"), col(seqCol)))
     Apply.applyBatch(base, ordered, pk, "__ord", dataCols).target
+  }
+
+  /** Column-pruned pk membership at the current version: the set of
+    * pks that exist, computed from the base's pk column plus the
+    * outstanding deltas' (seq, operation, pk) columns ONLY — the
+    * payload never leaves the parquet footer. This is the audit path's
+    * per-trigger existence read: between compactions a full
+    * [[snapshotAt]] reconstruction computes `max_by(struct(dataCols))`
+    * and drags the whole base width through the scan; membership is
+    * decidable from the existence algebra alone (last INSERT/DELETE op
+    * wins; only-UPDATEs defer to base membership — the same state
+    * machine [[graft.cdc.Apply.applyBatch]] runs).
+    *
+    * Scale: one pk-column base scan + O(|deltas|) slim delta scans +
+    * one hash aggregate on pk — vs the full-width read this replaces.
+    */
+  def existingPks(table: String, schema: StructType, pkName: String): DataFrame = {
+    val pkOnly = StructType(schema.filter(_.name == pkName))
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pkOnly)
+    val version = currentVersion(table)
+    if (version == 0) return empty
+    val b = baseAtOrBefore(table, version)
+    val basePks =
+      if (b == 0) empty
+      else spark.read.parquet(baseDir(table, b)).select(col(pkName))
+    if (b == version) return basePks
+    val all = readDeltas(table, b + 1, version)
+    // delta layout contract (commitDelta): [seqCol, operation, pk, data…]
+    val f = all.schema.fields.filterNot(_.name == "__v")
+    val deltas = all.select(col(f(2).name).as(pkName), col(f(1).name).as("__op"),
+      struct(col("__v"), col(f(0).name).as("__seq")).as("__ord"))
+    // per pk: the last existence-deciding (non-UPDATE) op across the
+    // outstanding chain, ordered by (version, seq) — null means only
+    // UPDATEs touched it, so the base decides
+    val decided = deltas.groupBy(col(pkName)).agg(
+      max(when(col("__op") =!= "UPDATE", struct(col("__ord"), col("__op"))))
+        .as("__last"))
+    basePks.withColumn("__in_base", lit(true))
+      .join(decided, Seq(pkName), "full_outer")
+      .filter(
+        when(col("__last").isNotNull,
+          col("__last").getField("__op") === "INSERT")
+        .otherwise(coalesce(col("__in_base"), lit(false))))
+      .select(col(pkName))
   }
 
   /** Write a full base snapshot version and flip the pointer. `meta`
@@ -160,13 +221,28 @@ final class SnapshotStore(
     * commits). Runs as a NEW version so the pointer-flip protocol keeps
     * readers off the partially-written base. No-op at v0 or when the
     * current version already is a base.
+    *
+    * Single-writer assumption (same as every committing entry point):
+    * not safe concurrent with an in-flight [[commit]]/[[commitDelta]]
+    * on the same table — both would claim version `v+1`. Run it on a
+    * quiesced table, like [[compactAudit]].
+    *
+    * The current version's `_graft_meta` epoch marker carries forward
+    * into the new base: compaction changes the table's representation,
+    * not its stream position, so a crash-restart right after a manual
+    * compact must still see the last applied epoch (else the replay
+    * guard re-applies it and duplicates audit rows).
     */
   def compact(table: String): Int = {
     val v = currentVersion(table)
     if (v == 0 || baseAtOrBefore(table, v) == v) v
     else {
       val next = v + 1
+      val meta = currentMeta(table)
+      clearUncommitted(table, next)
       snapshotAt(table, v).write.mode(SaveMode.Overwrite).parquet(baseDir(table, next))
+      meta.foreach(m => Files.write(
+        Paths.get(baseDir(table, next), "_graft_meta"), m.getBytes))
       flipPointer(table, next)
     }
   }

@@ -98,8 +98,9 @@ final class SyncPipeline(
     * Per-trigger job budget: ONE audit append (whose `observe` metrics
     * double as the live/blocked counters, so no separate counting or
     * isEmpty job) plus one delta write when live events exist — the
-    * audit's only O(|table|) touch is the column-pruned pk-membership
-    * read inside `applyBatch`'s existence check.
+    * audit's only O(|table|) touch is `SnapshotStore.existingPks`, a
+    * pk/op-column-only membership read (pruned even between
+    * compactions, when deltas are outstanding).
     */
   def applyMicroBatch(
       batch: DataFrame,
@@ -126,13 +127,15 @@ final class SyncPipeline(
       val schema = org.apache.spark.sql.types.StructType(
         Registry.targetSchema(target).filter(f => targetCols.contains(f.name)))
       // audit statuses (TARGET_NOT_FOUND / upsert conversion) are
-      // defined against the table as of BEFORE this batch; snapshot()
+      // defined against the table as of BEFORE this batch; existingPks
       // pins the current version eagerly, so the later delta commit
-      // can't leak into this frame.
-      val base = store.snapshot(target.table, schema)
-      val result = Apply.applyBatch(
-        base, live.select((Seq("seq", "operation") ++ targetCols :+ "change_hash").map(col): _*),
-        target.pk, "seq", valueCols, auditPassthrough = Seq("change_hash"))
+      // can't leak into this frame. Membership comes from the
+      // column-pruned pk/op read — the full base⊕delta reconstruction
+      // never runs on the trigger path.
+      val existing = store.existingPks(target.table, schema, target.pk)
+      val liveAuditRaw = Apply.auditBatch(
+        existing, live.select((Seq("seq", "operation") ++ targetCols :+ "change_hash").map(col): _*),
+        target.pk, "seq", auditPassthrough = Seq("change_hash"))
 
       val dirName = if (direction == Direction.AsisToTobe) "ASIS_TO_TOBE" else "TOBE_TO_ASIS"
       // error-code taxonomy (docs/02-설계/05_에러코드_체계.md, designed-only
@@ -154,7 +157,7 @@ final class SyncPipeline(
         col("change_hash"),
         current_timestamp().as("log_time"))
 
-      val liveAudit = auditCols(result.audit, col("status"), col("upsert_converted"))
+      val liveAudit = auditCols(liveAuditRaw, col("status"), col("upsert_converted"))
       val blockedAudit = auditCols(
         blocked.withColumn("pk_value", col(target.pk).cast("string")),
         lit("LOOP_BLOCKED"), lit(false))

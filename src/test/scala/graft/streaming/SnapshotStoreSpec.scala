@@ -100,6 +100,76 @@ class SnapshotStoreSpec extends SparkSpec {
       Map(1 -> "a2"))
   }
 
+  test("manual compact carries the epoch marker forward and clears debris") {
+    val (store, dir) = newStore(compactEvery = 100)
+    store.commitDelta("T", delta((1L, "INSERT", 1, "a")), "ID", "seq",
+      Seq("VAL"), meta = Some("0"))
+    store.commitDelta("T", delta((2L, "UPDATE", 1, "a2")), "ID", "seq",
+      Seq("VAL"), meta = Some("1"))
+    // crash debris at the compaction's target version must not survive
+    Seq((99, "stale")).toDF("ID", "VAL").write.parquet(s"$dir/T/v3")
+    val v = store.compact("T")
+    assert(v == 3)
+    assert(store.currentMeta("T").contains("1"),
+      "compaction must not lose the stream-position marker — a restart " +
+        "would replay the last epoch and duplicate audit rows")
+    assert(store.snapshot("T", null).as[(Int, String)].collect().toMap ==
+      Map(1 -> "a2"))
+  }
+
+  test("existingPks matches the reconstructed snapshot's pk set") {
+    val (store, _) = newStore(compactEvery = 100)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ID",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("VAL",
+        org.apache.spark.sql.types.StringType)))
+    def check() = {
+      val want = store.snapshot("T", schema).select("ID")
+        .as[Int].collect().toSet
+      val got = store.existingPks("T", schema, "ID").as[Int].collect().toSet
+      assert(got == want, s"membership drifted: got $got want $want")
+    }
+    check() // v0: empty
+    store.commit("T", Seq((1, "x"), (2, "y")).toDF("ID", "VAL"))
+    check() // pure base
+    commit(store, (1L, "UPDATE", 1, "x2"), (3L, "INSERT", 3, "z"))
+    check() // base + delta: UPDATE defers to base, INSERT adds
+    commit(store, (4L, "DELETE", 2, "y"), (5L, "INSERT", 4, "w"),
+      (6L, "DELETE", 4, "w"))
+    check() // DELETE removes base pk; INSERT-then-DELETE nets out
+    commit(store, (7L, "UPDATE", 9, "ghost"))
+    check() // UPDATE on a never-existing pk stays non-existent
+    commit(store, (8L, "INSERT", 2, "y2"))
+    check() // re-insert after delete
+  }
+
+  test("existingPks reads only pk/op/seq columns, even with deltas outstanding") {
+    val (store, _) = newStore(compactEvery = 100)
+    store.commit("T", Seq((1, "x")).toDF("ID", "VAL"))
+    commit(store, (1L, "UPDATE", 1, "x2"), (2L, "INSERT", 2, "b"))
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ID",
+        org.apache.spark.sql.types.IntegerType)))
+    val pks = store.existingPks("T", sch, "ID")
+    val exec = pks.queryExecution.executedPlan
+    val inner = exec match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val readSchemas = inner.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.requiredSchema.fieldNames.toSet
+    }
+    assert(readSchemas.nonEmpty)
+    readSchemas.foreach(cols =>
+      assert(!cols.contains("VAL"),
+        s"membership read must never touch payload columns, got $cols"))
+    assert(readSchemas.exists(_ == Set("ID")),
+      "the base scan should be pruned to the pk column alone")
+  }
+
   test("full commit() versions interleave with deltas as bases") {
     val (store, _) = newStore(compactEvery = 100)
     store.commit("T", Seq((1, "x"), (2, "y")).toDF("ID", "VAL"))
