@@ -19,14 +19,23 @@ object TopK {
   /** Keep the k best (score desc, id asc) pairs; emit (id, score, rank)
     * rank-ascending — identical ordering to the window formulation
     * `row_number() OVER (ORDER BY score DESC, id)`.
+    *
+    * `reduce` appends unsorted and only sorts/truncates once the buffer
+    * exceeds 2k — the classic amortized-heap trick: O(log k) amortized
+    * per row instead of the O(k log k) full re-sort a prune-per-row
+    * pays. The map-side buffer (what the exchange serializes) is
+    * therefore ≤ 2k entries rather than exactly k — same asymptotics,
+    * and `merge`/`finish` prune to k so the result is hash-identical.
     */
   final class TopKByScore(k: Int)
       extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Long, Double, Int)]] {
     private def prune(b: Seq[(Double, Long)]): Seq[(Double, Long)] =
       b.sortBy(x => (-x._1, x._2)).take(k)
     override def zero: Seq[(Double, Long)] = Nil
-    override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
-      prune(a +: b)
+    override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] = {
+      val grown = a +: b
+      if (grown.length > 2 * k) prune(grown) else grown
+    }
     override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
       prune(x ++ y)
     override def finish(r: Seq[(Double, Long)]): Seq[(Long, Double, Int)] =

@@ -236,14 +236,36 @@ object Similarity {
   /** Shared ANN tail: drop self-pairs, score via the native dot, keep
     * each query's top k (score desc, neighbor asc). Expects columns
     * `query_id, neighbor_id, qe, ce`.
+    *
+    * Two row-identical rank shapes (PLANS.md §10):
+    *  - `viaAggregator = false`: `row_number` window — the scored
+    *    candidate set flows through an exchange + sort per query
+    *    partition. Cheapest at toy candidate counts.
+    *  - `viaAggregator = true`: the bounded-heap typed Aggregator
+    *    ([[graft.functions.TopK.TopKByScore]]) — partial buffers of
+    *    ≤ 2k rows aggregate map-side, so the exchange carries
+    *    k·partials, never the candidate set. The only shape that
+    *    survives unbounded candidate volume, hence the default on the
+    *    persisted-index serve paths ([[graft.sources.AnnIndex]]).
+    *    Requires a long-compatible `neighbor_id` (the aggregator's
+    *    input encoder) — true of every serve path.
     */
-  private[graft] def rankTopK(cands: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    cands.filter(col("query_id") =!= col("neighbor_id"))
+  private[graft] def rankTopK(
+      cands: DataFrame, k: Int, viaAggregator: Boolean = false): DataFrame = {
+    val scored = cands.filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineRounded(col("qe"), col("ce")).as("score"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    if (viaAggregator)
+      scored.groupBy(col("query_id"))
+        .agg(graft.functions.TopK.topKByScore(k)(col("score"), col("neighbor_id")).as("tk"))
+        .select(col("query_id"), explode(col("tk")).as("t"))
+        .select(col("query_id"), col("t._1").as("neighbor_id"),
+          col("t._2").as("score"), col("t._3").as("rank"))
+    else {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
   }
 
   def ivfTopK(

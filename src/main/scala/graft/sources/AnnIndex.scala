@@ -25,10 +25,12 @@ import graft.ops.Similarity
 object AnnIndex {
 
   /** Deterministic per-dataset table name (managed tables are global to
-    * the warehouse, so two datasets must not collide).
+    * the warehouse, so two datasets must not collide —
+    * [[Bucketing.dirSuffix]] is a 48-bit digest, not a 32-bit
+    * hashCode, so distinct dataset dirs don't silently share an index).
     */
   def tableFor(kind: String, dir: String): String =
-    s"graft_ann_${kind}_${java.lang.Integer.toHexString(dir.hashCode)}"
+    s"graft_ann_${kind}_${Bucketing.dirSuffix(dir)}"
 
   /** Build: corpus → (vec_id, embedding, bucket), bucketed+sorted on
     * `bucket` so every serve-side join starts pre-partitioned.
@@ -49,12 +51,13 @@ object AnnIndex {
   def lshServe(
       spark: SparkSession, table: String, queries: DataFrame, k: Int,
       planes: Int, dims: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      aggRank: Boolean = true): DataFrame = {
     val c = spark.table(table).select(
       col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"),
       Similarity.lshBucket(col(embCol), planes, dims).as("bucket"))
-    Similarity.rankTopK(c.join(broadcast(q), Seq("bucket")), k)
+    Similarity.rankTopK(c.join(broadcast(q), Seq("bucket")), k, aggRank)
   }
 
   /** Bucket-co-located batch serve: both sides are bucketed tables on
@@ -63,12 +66,13 @@ object AnnIndex {
     * probe set itself is too big to broadcast.
     */
   def lshServeBucketed(
-      spark: SparkSession, corpusTable: String, probeTable: String, k: Int): DataFrame = {
+      spark: SparkSession, corpusTable: String, probeTable: String, k: Int,
+      aggRank: Boolean = true): DataFrame = {
     val c = spark.table(corpusTable).select(
       col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("bucket"))
     val q = spark.table(probeTable).select(
       col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
-    Similarity.rankTopK(c.join(q, Seq("bucket")), k)
+    Similarity.rankTopK(c.join(q, Seq("bucket")), k, aggRank)
   }
 
   /** Build: trained centroids → per-vector nearest-centroid assignment,
@@ -96,12 +100,13 @@ object AnnIndex {
     */
   def ivfServe(
       spark: SparkSession, table: String, queries: DataFrame, k: Int, nProbe: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      aggRank: Boolean = true): DataFrame = {
     val cents = spark.table(s"${table}_cents")
     val probes = Similarity.probeCentroids(
       queries, cents, "query_id", "qe", nProbe, idCol, embCol)
     val lists = spark.table(table).select(
       col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("cent_id"))
-    Similarity.rankTopK(broadcast(probes).join(lists, Seq("cent_id")), k)
+    Similarity.rankTopK(broadcast(probes).join(lists, Seq("cent_id")), k, aggRank)
   }
 }

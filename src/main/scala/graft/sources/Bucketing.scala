@@ -9,18 +9,37 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
+  /** Collision-safe table-name suffix for a dataset directory: 12 hex
+    * chars of md5 (48 bits) — managed tables are global to the
+    * warehouse, and the 32-bit `String.hashCode` this replaces made two
+    * datasets silently share (and overwrite) one index table on a
+    * collision.
+    */
+  def dirSuffix(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+
   /** Make `table` writable by CTAS: drop any catalog entry AND delete a
-    * leftover warehouse location. A fresh session's in-memory catalog
-    * doesn't know about directories a PREVIOUS JVM left in the
-    * warehouse, so a bare Overwrite saveAsTable fails with
-    * LOCATION_ALREADY_EXISTS on every re-run.
+    * leftover location. A fresh session's in-memory catalog doesn't
+    * know about directories a PREVIOUS JVM left in the warehouse, so a
+    * bare Overwrite saveAsTable fails with LOCATION_ALREADY_EXISTS on
+    * every re-run. The location is resolved through the catalog
+    * (existing table metadata, else the default path for the parsed
+    * identifier) and deleted via the Hadoop FileSystem — correct for
+    * qualified names and non-local warehouses, where reconstructing
+    * `warehouse.dir/<name>` would silently miss.
     */
   def resetTable(spark: SparkSession, table: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc: java.net.URI =
+      if (catalog.tableExists(ident)) catalog.getTableMetadata(ident).location
+      else catalog.defaultTablePath(ident)
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val loc = java.nio.file.Paths.get(wh, table.toLowerCase)
-    if (java.nio.file.Files.exists(loc))
-      org.apache.commons.io.FileUtils.deleteQuietly(loc.toFile)
+    val path = new org.apache.hadoop.fs.Path(loc)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) fs.delete(path, true)
   }
 
   /** Write `df` as a bucketed+sorted managed table on `key`. */

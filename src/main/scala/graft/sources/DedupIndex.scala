@@ -23,7 +23,7 @@ import graft.ops.Dedup
 object DedupIndex {
 
   def tableFor(dir: String): String =
-    s"graft_dedup_idx_${java.lang.Integer.toHexString(dir.hashCode)}"
+    s"graft_dedup_idx_${Bucketing.dirSuffix(dir)}"
 
   /** Build: signatures → exploded band rows bucketed by band_key, plus
     * the word-hash side table for exact-Jaccard verification.

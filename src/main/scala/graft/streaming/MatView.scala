@@ -30,8 +30,16 @@ object MatView {
       store: SnapshotStore, table: String, batch: DataFrame, batchId: Long,
       keys: Seq[String], valueCol: String, opCol: String): Unit = {
     if (store.currentMeta(table).exists(_.toLong >= batchId)) return // replay
+    // Raw UPDATE envelopes would silently double-count (+1 with no
+    // retraction of the before-image), so any op outside the documented
+    // INSERT/DELETE contract fails the batch instead of corrupting state.
     val signed = batch.withColumn("__sign",
-      when(col(opCol) === "DELETE", -1L).otherwise(1L))
+      when(col(opCol) === "DELETE", -1L)
+        .when(col(opCol) === "INSERT", 1L)
+        .otherwise(raise_error(concat(
+          lit("MatView.applyBatch: unsupported op '"), col(opCol),
+          lit("' — deliver UPDATEs as retract(DELETE) + insert(INSERT) pairs")))
+          .cast("long")))
     val delta = Incremental.aggState(signed, keys, valueCol, signCol = Some("__sign"))
     val current = store.snapshot(table, delta.schema)
     store.commit(table, Incremental.merge(keys, current, delta),

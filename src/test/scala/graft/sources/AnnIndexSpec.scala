@@ -13,6 +13,23 @@ class AnnIndexSpec extends SparkSpec {
 
   private lazy val emb = graft.Tables.load(spark, sfSmoke, "embeddings")
 
+  /** The serve tails must rank through the bounded-heap aggregator —
+    * never a Window, whose exchange would carry the (unbounded at
+    * serve time) scored candidate set instead of k·partials.
+    */
+  private def assertNoWindow(df: org.apache.spark.sql.DataFrame): Unit = {
+    val exec = df.queryExecution.executedPlan
+    val inner = exec match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val windows = inner.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      s"serve tail must rank via bounded aggregation, found a Window:\n$inner")
+  }
+
   test("lshServe over the stored index equals inline lshTopK") {
     AnnIndex.buildLsh(emb, "annspec_lsh", planes = 6, dims = 64, buckets = 4)
     val served = AnnIndex.lshServe(spark, "annspec_lsh",
@@ -20,6 +37,7 @@ class AnnIndexSpec extends SparkSpec {
     val inline = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
       k = 10, planes = 6, dims = 64)
     assert(served.collect().toSet == inline.collect().toSet)
+    assertNoWindow(served)
   }
 
   test("ivfServe over stored lists + stored centroids equals inline ivfTopK") {
@@ -29,6 +47,7 @@ class AnnIndexSpec extends SparkSpec {
     val inline = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
       k = 10, nCentroids = 8, nProbe = 2)
     assert(served.collect().toSet == inline.collect().toSet)
+    assertNoWindow(served)
   }
 
   test("co-bucketed batch serve: the candidate join plans ZERO exchanges") {
@@ -55,6 +74,7 @@ class AnnIndexSpec extends SparkSpec {
       }
       assert(shuffles.isEmpty,
         s"co-bucketed serve join must not exchange either side:\n${joins.head}")
+      assertNoWindow(served)
       // and the bucketed path returns the same rows as the inline operator
       val inline = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
         k = 10, planes = 6, dims = 64)

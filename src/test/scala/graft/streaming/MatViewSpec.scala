@@ -47,6 +47,27 @@ class MatViewSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a raw UPDATE envelope fails the batch instead of double-counting") {
+    val dir = Files.createTempDirectory("graft-matview-upd").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    MatView.applyBatch(store, "MV",
+      Seq(("INSERT", "a", 1.00)).toDF("op", "k", "v"),
+      batchId = 0, Seq("k"), "v", "op")
+    val ex = intercept[Exception] {
+      MatView.applyBatch(store, "MV",
+        Seq(("UPDATE", "a", 5.00)).toDF("op", "k", "v"),
+        batchId = 1, Seq("k"), "v", "op")
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.toString +: causes(t.getCause)
+    assert(causes(ex).exists(_.contains("unsupported op")),
+      s"contract violation must surface, got: ${causes(ex)}")
+    // the failed batch must not have committed anything
+    assert(store.currentMeta("MV").contains("0"))
+    assert(store.snapshot("MV", null).as[(String, Long, Long)].collect().toSet ==
+      Set(("a", 1L, 100L)))
+  }
+
   test("streaming distinct-count view: estimate equals the batch sketch") {
     val dir = Files.createTempDirectory("graft-hllview").toString
     val store = new SnapshotStore(spark, s"$dir/store")
