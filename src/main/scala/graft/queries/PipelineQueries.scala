@@ -572,6 +572,19 @@ object PipelineQueries extends QueryPack {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // The composed serving index: sim6's oracle certifies the full round
+  // trip — stored centroids, stored codebooks, stored lists+codes —
+  // because serve touches ONLY those artifacts, never the floats.
+  private def ann3IvfPqIndex(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val t = graft.sources.AnnIndex.tableFor("ivfpq", dir)
+    graft.sources.AnnIndex.buildIvfPq(emb, t, nCentroids = 8, refine = 1,
+      m = 4, dims = 64, codebookK = 16, refinePq = 1, buckets = 8)
+    graft.sources.AnnIndex.ivfPqServe(s, t, emb.filter(col("vec_id") < 5),
+        k = 10, nProbe = 2, m = 4, dims = 64)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---- SIM4: multi-probe SRP-LSH ANN top-k -------------------------------
   // Single-probe LSH (sim2) misses true neighbors across a hyperplane;
   // multi-probe also inspects the 2 lowest-|projection| bit-flip
@@ -1157,6 +1170,7 @@ object PipelineQueries extends QueryPack {
     Q("ann1_lsh_index", "persisted LSH index: bucketed build + stored-bucket serve", ann1LshIndex, Some(sim2Sql)),
     Q("sim7_agg_topk", "top-k via bounded-heap aggregation (k-row partials, no window sort)", sim7AggTopk, Some(sim1Sql)),
     Q("ann2_ivf_index", "persisted IVF index: bucketed lists build + stored-list serve", ann2IvfIndex, Some(sim3Sql)),
+    Q("ann3_ivfpq_index", "persisted IVF-PQ index: lists+codes build, code-only ADC serve", ann3IvfPqIndex, Some(sim6Sql)),
     Q("di1_dedup_index", "persisted MinHash dedup index: corpus build + new-batch probe", di1DedupIndex, Some(di1Sql)),
   )
 }

@@ -95,6 +95,86 @@ object AnnIndex {
       table, "cent_id", buckets)
   }
 
+  /** Build the composed IVF×PQ serving index — at 100 TB the PQ codes
+    * and codebooks ARE the index: float vectors are touched here (IVF
+    * assignment, codebook training, encoding) and never again at serve
+    * time. Persists:
+    *
+    *  - `<table>_cents`: trained IVF centroids (tiny),
+    *  - `<table>_cb`: trained PQ sub-codebooks (m·codebookK rows),
+    *  - `table`: the inverted lists WITH the codes inline —
+    *    (cent_id, neighbor_id, codes[m] ordered by sub_id),
+    *    bucketed+sorted on `cent_id` — so one stored-list scan yields
+    *    both the candidate set and the bytes to score it.
+    */
+  def buildIvfPq(
+      corpus: DataFrame, table: String, nCentroids: Int, refine: Int,
+      m: Int, dims: Int, codebookK: Int, refinePq: Int, buckets: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val cents = Similarity.ivfCentroids(corpus, nCentroids, refine, idCol, embCol)
+    Bucketing.resetTable(spark, s"${table}_cents")
+    cents.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(s"${table}_cents")
+    val cb = Similarity.pqCodebooks(corpus, m, dims, codebookK, refinePq, idCol, embCol)
+    Bucketing.resetTable(spark, s"${table}_cb")
+    cb.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(s"${table}_cb")
+    // assignment + encoding both run against the PERSISTED artifacts so
+    // the lists/codes derive from byte-identical stored trained state
+    val assigned = Similarity.assignToCentroids(corpus,
+        spark.table(s"${table}_cents"), "neighbor_id", "ce", idCol, embCol)
+      .select(col("neighbor_id"), col("cent_id"))
+    val codes = Similarity.pqEncode(corpus,
+        spark.table(s"${table}_cb"), "neighbor_id", m, dims, idCol, embCol)
+      .groupBy(col("neighbor_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub_id"), col("code")))),
+        x => x.getField("code")).as("codes"))
+    Bucketing.writeBucketed(
+      assigned.join(codes, Seq("neighbor_id"))
+        .select(col("cent_id"), col("neighbor_id"), col("codes")),
+      table, "cent_id", buckets)
+  }
+
+  /** Serve top-k from the persisted IVF×PQ index: probe selection runs
+    * against the stored centroids, ADC scoring against the stored codes
+    * through the query's broadcast LUT (stored codebooks) — the
+    * full-precision corpus vectors are never read. Results are
+    * row-identical to [[Similarity.ivfPqTopK]] with the same
+    * parameters; the rank tail is the bounded-heap aggregator
+    * (`score6` is an exact ≤2⁵³ fixed-point long, so the double
+    * round-trip through the aggregator is lossless).
+    */
+  def ivfPqServe(
+      spark: SparkSession, table: String, queries: DataFrame, k: Int,
+      nProbe: Int, m: Int, dims: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      aggRank: Boolean = true): DataFrame = {
+    val cents = spark.table(s"${table}_cents")
+    val probes = Similarity.probeCentroids(
+        queries, cents, "query_id", "qe", nProbe, idCol, embCol)
+      .select(col("query_id"), col("cent_id"))
+    val lut = Similarity.pqLut(queries,
+      spark.table(s"${table}_cb"), "query_id", m, dims, idCol, embCol)
+    val cand = spark.table(table).join(broadcast(probes), Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub_id", "code")))
+    val scored = cand.join(broadcast(lut), Seq("query_id", "sub_id", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("q6")).as("score6"))
+    if (aggRank)
+      scored.groupBy(col("query_id"))
+        .agg(graft.functions.TopK.topKByScore(k)(
+          col("score6").cast("double"), col("neighbor_id")).as("tk"))
+        .select(col("query_id"), explode(col("tk")).as("t"))
+        .select(col("query_id"), col("t._1").as("neighbor_id"),
+          col("t._2").cast("long").as("score6"), col("t._3").as("rank"))
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("score6").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+  }
+
   /** Serve top-k from a persisted IVF index: rank the stored centroids
     * per query (nProbe probes), then scan only the probed stored lists.
     */

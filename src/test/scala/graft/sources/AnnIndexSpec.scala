@@ -13,21 +13,42 @@ class AnnIndexSpec extends SparkSpec {
 
   private lazy val emb = graft.Tables.load(spark, sfSmoke, "embeddings")
 
-  /** The serve tails must rank through the bounded-heap aggregator —
-    * never a Window, whose exchange would carry the (unbounded at
-    * serve time) scored candidate set instead of k·partials.
+  /** Full physical traversal that DESCENDS INTO AQE query stages —
+    * `plan.collect` stops at stage boundaries, which silently turns
+    * any node assertion on an adaptive plan into a vacuous pass.
     */
-  private def assertNoWindow(df: org.apache.spark.sql.DataFrame): Unit = {
-    val exec = df.queryExecution.executedPlan
-    val inner = exec match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case other => other.children
     }
-    val windows = inner.collect {
+    p +: kids.flatMap(allNodes)
+  }
+
+  /** The serve tails must rank the CANDIDATE set through the
+    * bounded-heap aggregator — never a Window, whose exchange would
+    * carry the (unbounded at serve time) scored candidates instead of
+    * k·partials. The only windows allowed are the `probeWindows`
+    * query-side probe-selection ranks (tiny: |queries|·C rows).
+    */
+  private def assertAggRankTail(
+      df: org.apache.spark.sql.DataFrame, probeWindows: Int): Unit = {
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val windows = nodes.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    assert(windows.isEmpty,
-      s"serve tail must rank via bounded aggregation, found a Window:\n$inner")
+    assert(windows.length == probeWindows,
+      s"expected $probeWindows probe-selection window(s), got ${windows.length}:\n" +
+        windows.mkString("\n"))
+    windows.foreach(w => assert(
+      w.orderSpec.exists(_.child.toString.contains("cent_sim")),
+      s"the only allowed window is centroid probe selection, found:\n$w"))
+    assert(nodes.exists(_.toString.contains("topkbyscore")),
+      "serve tail must rank via the bounded-heap aggregator")
   }
 
   test("lshServe over the stored index equals inline lshTopK") {
@@ -37,7 +58,7 @@ class AnnIndexSpec extends SparkSpec {
     val inline = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
       k = 10, planes = 6, dims = 64)
     assert(served.collect().toSet == inline.collect().toSet)
-    assertNoWindow(served)
+    assertAggRankTail(served, probeWindows = 0)
   }
 
   test("ivfServe over stored lists + stored centroids equals inline ivfTopK") {
@@ -47,7 +68,62 @@ class AnnIndexSpec extends SparkSpec {
     val inline = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
       k = 10, nCentroids = 8, nProbe = 2)
     assert(served.collect().toSet == inline.collect().toSet)
-    assertNoWindow(served)
+    assertAggRankTail(served, probeWindows = 1)
+  }
+
+  test("ivfPqServe over stored lists+codes+codebooks equals inline ivfPqTopK") {
+    AnnIndex.buildIvfPq(emb, "annspec_ivfpq", nCentroids = 8, refine = 1,
+      m = 4, dims = 64, codebookK = 16, refinePq = 1, buckets = 4)
+    val served = AnnIndex.ivfPqServe(spark, "annspec_ivfpq",
+      emb.filter(col("vec_id") < 5), k = 10, nProbe = 2, m = 4, dims = 64)
+    val inline = Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
+      k = 10, nCentroids = 8, nProbe = 2, m = 4, dims = 64, codebookK = 16)
+    assert(served.collect().toSet == inline.collect().toSet)
+    assertAggRankTail(served, probeWindows = 1)
+    // the stored-list side of the candidate join must stream straight
+    // off its bucketed scan — no exchange, and no embedding column:
+    // serve reads codes + the tiny trained artifacts, never the floats
+    // streamed path only: broadcast BUILD subtrees (tiny probes/LUT —
+    // their internal probe-selection shuffle is |queries|-sized and
+    // intentional) are excluded from the no-exchange claim
+    def streamedPath(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike => Seq(b)
+      case q: org.apache.spark.sql.execution.adaptive.BroadcastQueryStageExec => Seq(q)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a +: streamedPath(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: streamedPath(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        r +: streamedPath(r.child)
+      case other => other +: other.children.flatMap(streamedPath)
+    }
+    def hasListScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      streamedPath(p).exists {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.tableIdentifier.exists(_.table == "annspec_ivfpq")
+        case _ => false
+      }
+    // topmost scoring join streaming over the stored lists: from the
+    // bucketed scan through candidate pruning + LUT scoring, not one
+    // exchange — the first shuffle anywhere above carries aggregated
+    // partials, never raw list rows
+    val joins = allNodes(served.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if hasListScan(j) => j
+    }
+    assert(joins.nonEmpty,
+      "the stored-list scan must stream into a broadcast candidate join")
+    val path = streamedPath(joins.head)
+    assert(!path.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+      s"no exchange allowed between the stored-list scan and scoring:\n${joins.head}")
+    val scanned = path.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.requiredSchema.fieldNames.toSet
+    }
+    assert(scanned.forall(cols => !cols.contains("embedding")),
+      s"the corpus side must read codes, never the float vectors: $scanned")
   }
 
   test("co-bucketed batch serve: the candidate join plans ZERO exchanges") {
@@ -74,7 +150,7 @@ class AnnIndexSpec extends SparkSpec {
       }
       assert(shuffles.isEmpty,
         s"co-bucketed serve join must not exchange either side:\n${joins.head}")
-      assertNoWindow(served)
+      assertAggRankTail(served, probeWindows = 0)
       // and the bucketed path returns the same rows as the inline operator
       val inline = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
         k = 10, planes = 6, dims = 64)
