@@ -202,6 +202,26 @@ object PipelineQueries extends QueryPack {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ---- DI2: incremental index append (build → append → probe) ------------
+  // The production ingest loop: build the index on the older sources,
+  // append src1 as a later batch (O(|batch|) hashing + one bucketed
+  // append, no corpus re-hash), probe src0. Signatures are
+  // per-document, so the appended index is EXACTLY the rebuilt one —
+  // di1's oracle certifies it unchanged: any dropped/duplicated append
+  // row would shift candidates or pairs.
+  private def di2IndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val t = s"${graft.sources.DedupIndex.tableFor(dir)}_ap"
+    graft.sources.DedupIndex.build(
+      docs.filter(col("source") =!= "src0" && col("source") =!= "src1"),
+      t, "doc_id", "text")
+    graft.sources.DedupIndex.append(
+      s, t, docs.filter(col("source") === "src1"), "doc_id", "text")
+    graft.sources.DedupIndex.probe(
+        s, t, docs.filter(col("source") === "src0"), "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   private val di1Sql =
     s"""WITH t AS (SELECT doc_id, source, $wordsSql AS words FROM documents),
       |sigs AS (
@@ -1172,5 +1192,6 @@ object PipelineQueries extends QueryPack {
     Q("ann2_ivf_index", "persisted IVF index: bucketed lists build + stored-list serve", ann2IvfIndex, Some(sim3Sql)),
     Q("ann3_ivfpq_index", "persisted IVF-PQ index: lists+codes build, code-only ADC serve", ann3IvfPqIndex, Some(sim6Sql)),
     Q("di1_dedup_index", "persisted MinHash dedup index: corpus build + new-batch probe", di1DedupIndex, Some(di1Sql)),
+    Q("di2_index_append", "incremental index append: build older sources, append src1, probe src0", di2IndexAppend, Some(di1Sql)),
   )
 }

@@ -95,6 +95,59 @@ object AnnIndex {
       table, "cent_id", buckets)
   }
 
+  /** Append a new vector batch to a stored LSH index without
+    * rebuilding: SRP buckets are a pure function of each vector, so the
+    * append is EXACT — append-then-serve ≡ rebuild-over-the-union-
+    * then-serve (`AnnIndexSpec` proves row identity). O(|batch|)
+    * hashing + one bucketed append per ingest batch.
+    */
+  def appendLsh(
+      batch: DataFrame, table: String, planes: Int, dims: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit =
+    Bucketing.appendBucketed(
+      batch.select(col(idCol).as("vec_id"), col(embCol).as("embedding"),
+        Similarity.lshBucket(col(embCol), planes, dims).as("bucket")),
+      table)
+
+  /** Append a new vector batch to a stored IVF index: assign against
+    * the STORED trained centroids (no retrain — the standard IVF ingest
+    * contract; centroid drift is handled by periodic rebuild), append
+    * the list rows. Serve after append ≡ serve over a rebuild that
+    * assigns the union against the same centroids.
+    */
+  def appendIvf(
+      batch: DataFrame, table: String,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    Bucketing.appendBucketed(
+      Similarity.assignToCentroids(batch, spark.table(s"${table}_cents"),
+        "vec_id", "embedding", idCol, embCol),
+      table)
+  }
+
+  /** Append a new vector batch to a stored IVF×PQ index: assignment
+    * against the stored centroids, encoding against the stored
+    * codebooks — the batch's floats are read once here and never at
+    * serve time, like [[buildIvfPq]].
+    */
+  def appendIvfPq(
+      batch: DataFrame, table: String, m: Int, dims: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val assigned = Similarity.assignToCentroids(batch,
+        spark.table(s"${table}_cents"), "neighbor_id", "ce", idCol, embCol)
+      .select(col("neighbor_id"), col("cent_id"))
+    val codes = Similarity.pqEncode(batch,
+        spark.table(s"${table}_cb"), "neighbor_id", m, dims, idCol, embCol)
+      .groupBy(col("neighbor_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub_id"), col("code")))),
+        x => x.getField("code")).as("codes"))
+    Bucketing.appendBucketed(
+      assigned.join(codes, Seq("neighbor_id"))
+        .select(col("cent_id"), col("neighbor_id"), col("codes")),
+      table)
+  }
+
   /** Build the composed IVF×PQ serving index — at 100 TB the PQ codes
     * and codebooks ARE the index: float vectors are touched here (IVF
     * assignment, codebook training, encoding) and never again at serve

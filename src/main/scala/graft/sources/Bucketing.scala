@@ -52,6 +52,33 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Append rows to an EXISTING bucketed table, inheriting its bucket
+    * spec from the catalog (a hand-passed spec that drifted from the
+    * table's would corrupt bucket pruning silently). The appended files
+    * hash into the same buckets, so reads keep the exchange-free join
+    * property; ingest batches pay one O(|batch|) bucketed write, never
+    * a table rewrite — the index-append primitive
+    * ([[AnnIndex]]/[[DedupIndex]] `append*`).
+    */
+  def appendBucketed(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"$table has no bucket spec to inherit"))
+    val w = df.write.mode(SaveMode.Append)
+      .bucketBy(spec.numBuckets,
+        spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
+    val sorted =
+      if (spec.sortColumnNames.isEmpty) w
+      else w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+    sorted.format("parquet").saveAsTable(table)
+    // a session that scanned the table BEFORE this append holds a
+    // cached file listing; standard Spark semantics, but within the
+    // writing session we can invalidate it ourselves
+    spark.catalog.refreshTable(table)
+  }
+
   /** Join two bucketed tables on their shared bucket key — planner
     * recognizes compatible `HashClusteredDistribution`s and elides both
     * exchanges (verify with `.explain`: no Exchange under the join).

@@ -41,6 +41,27 @@ object DedupIndex {
       s"${table}_wh", "id", buckets)
   }
 
+  /** Append a new batch to the stored index WITHOUT rebuilding —
+    * signatures are per-document (independent of the rest of the
+    * corpus), so appending the batch's band rows and word hashes is
+    * EXACT: append-then-probe ≡ rebuild-over-the-union-then-probe
+    * (`DedupIndexSpec` proves row identity). This is the ingest loop a
+    * production pipeline runs: each batch pays O(|batch|) hashing + one
+    * bucketed append, never a corpus re-hash.
+    */
+  def append(
+      spark: SparkSession, table: String, batch: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 8): Unit = {
+    val sigs = Dedup.minHashSignatures(batch, idCol, textCol, k, bands)
+    Bucketing.appendBucketed(
+      sigs.select(col("id"), col("band_keys"),
+        posexplode(col("band_keys")).as(Seq("band_pos", "band_key")))
+        .select(col("band_pos"), col("band_key"), col("band_keys"), col("id")),
+      table)
+    Bucketing.appendBucketed(sigs.select(col("id"), col("wh")), s"${table}_wh")
+  }
+
   /** Probe: near-dup pairs (indexed id_a, new id_b, jaccard ≥
     * threshold) between the stored corpus and a NEW batch. Only the
     * batch is hashed; the index side of the band join reads its stored

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ops.Dedup
+import graft.sources.DedupIndex
+
+/** Streaming ingest dedup — the reason the persisted dedup index
+  * exists: a document stream is gated micro-batch by micro-batch
+  * against the stored corpus ([[graft.sources.DedupIndex.probe]] —
+  * only the batch hashes; the index side reads its stored buckets),
+  * and the SURVIVORS append to both the curated output and the index
+  * ([[graft.sources.DedupIndex.append]], O(|batch|)), so every later
+  * batch dedups against everything that ever survived — the streaming
+  * form of `cp1`'s curation gate, and the cdc-sync dedup loop
+  * re-expressed for document ingest (reference behavior:
+  * `poc/.../CdcEventProcessor.java`'s hash-gate, generalized from
+  * exact change-hashes to near-dup similarity).
+  *
+  * Per-trigger cost: O(|batch|) signature hashing + a bucket-pruned
+  * band join against the index + one bucketed append — the corpus is
+  * never re-hashed, so the trigger cost is flat in corpus size (the
+  * property that survives a 100 TB corpus).
+  */
+object IngestDedup {
+
+  /** One micro-batch through the gate (idempotent per `batchId` via a
+    * marker file next to the outputs — same last-applied-epoch guard
+    * the [[SnapshotStore]] sinks use; single writer per gate).
+    *
+    * Rejections (near-dup of an indexed doc, or in-batch near-dup of a
+    * lower-id survivor) land in `rejectDir` with the duplicate's id and
+    * similarity; survivors land in `outDir` AND the index.
+    */
+  def applyBatch(
+      spark: SparkSession, table: String, batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, outDir: String, rejectDir: String,
+      threshold: Double = 0.9): Unit = {
+    val marker = Paths.get(outDir, "_graft_ingest_epoch")
+    if (Files.exists(marker) &&
+      new String(Files.readAllBytes(marker)).trim.toLong >= batchId) return // replay
+    val b = batch.localCheckpoint(true) // probe + pairs + 2 writes reuse it
+    // cross-batch: anything near-dup of an already-indexed doc
+    val crossHits = DedupIndex.probe(spark, table, b, idCol, textCol,
+        threshold = threshold)
+      .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"),
+        max(col("jaccard")).as("similarity"))
+    // in-batch: drop the higher id of every in-batch near-dup pair
+    // (id_a < id_b by construction, so the kept side is deterministic)
+    val inBatchHits = Dedup.minHashNearDupPairs(b, idCol, textCol,
+        threshold = threshold)
+      .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"),
+        max(col("jaccard")).as("similarity"))
+    val rejected = crossHits.withColumn("reason", lit("DUP_OF_CORPUS"))
+      .unionByName(inBatchHits.withColumn("reason", lit("DUP_IN_BATCH")))
+      .groupBy(col("id_b"))
+      .agg(min_by(struct(col("dup_of"), col("similarity"), col("reason")),
+        struct(col("dup_of"), col("reason"))).as("m"))
+      .select(col("id_b"), col("m.dup_of").as("dup_of"),
+        col("m.similarity").as("similarity"), col("m.reason").as("reason"))
+    b.join(rejected, b(idCol) === rejected("id_b"))
+      .select(col(idCol), col("dup_of"), col("similarity"), col("reason"))
+      .write.mode(SaveMode.Append).parquet(rejectDir)
+    val survivors = b.join(rejected, b(idCol) === rejected("id_b"), "left_anti")
+      .localCheckpoint(true) // appended AND written: compute the anti-join once
+    survivors.write.mode(SaveMode.Append).parquet(outDir)
+    DedupIndex.append(spark, table, survivors, idCol, textCol)
+    Files.write(marker, batchId.toString.getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Run the gate over a document stream against an EXISTING index
+    * (build it first with [[graft.sources.DedupIndex.build]]).
+    */
+  def start(
+      docs: DataFrame, table: String, idCol: String, textCol: String,
+      outDir: String, rejectDir: String, checkpoint: String,
+      threshold: Double = 0.9,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyBatch(b.sparkSession, table, b, id, idCol, textCol,
+          outDir, rejectDir, threshold); ()
+      }
+      .start()
+}

@@ -126,6 +126,73 @@ class AnnIndexSpec extends SparkSpec {
       s"the corpus side must read codes, never the float vectors: $scanned")
   }
 
+  test("appendLsh-then-serve is row-identical to rebuild-then-serve") {
+    // SRP buckets are per-vector pure functions, so append is exact
+    AnnIndex.buildLsh(emb.filter(col("vec_id") % 2 === 0), "annspec_lsh_app",
+      planes = 6, dims = 64, buckets = 4)
+    AnnIndex.appendLsh(emb.filter(col("vec_id") % 2 === 1), "annspec_lsh_app",
+      planes = 6, dims = 64)
+    val appended = AnnIndex.lshServe(spark, "annspec_lsh_app",
+      emb.filter(col("vec_id") < 5), k = 10, planes = 6, dims = 64)
+    AnnIndex.buildLsh(emb, "annspec_lsh_reb", planes = 6, dims = 64, buckets = 4)
+    val rebuilt = AnnIndex.lshServe(spark, "annspec_lsh_reb",
+      emb.filter(col("vec_id") < 5), k = 10, planes = 6, dims = 64)
+    assert(appended.collect().toSet == rebuilt.collect().toSet)
+  }
+
+  test("appendIvf assigns against the STORED centroids: serve equals a " +
+      "rebuild that assigns the union to the same centroids") {
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    AnnIndex.buildIvf(half, "annspec_ivf_app", nCentroids = 8, refine = 1, buckets = 4)
+    AnnIndex.appendIvf(emb.filter(col("vec_id") % 2 === 1), "annspec_ivf_app")
+    val appended = AnnIndex.ivfServe(spark, "annspec_ivf_app",
+      emb.filter(col("vec_id") < 5), k = 10, nProbe = 2)
+    // reference: same trained centroids (from the ORIGINAL half), whole
+    // union assigned to them — composed from the public inline pieces
+    val cents = Similarity.ivfCentroids(half, nCentroids = 8, refine = 1)
+    val assigned = Similarity.assignToCentroids(emb, cents, "neighbor_id", "ce")
+    val probes = Similarity.probeCentroids(emb.filter(col("vec_id") < 5), cents,
+      "query_id", "qe", 2, "vec_id", "embedding")
+    val expected = Similarity.rankTopK(
+      broadcast(probes).join(assigned, Seq("cent_id")), 10, viaAggregator = true)
+    assert(appended.collect().toSet == expected.collect().toSet)
+  }
+
+  test("appendIvfPq encodes against the stored codebooks: serve equals a " +
+      "rebuild over the union with the same trained state") {
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    AnnIndex.buildIvfPq(half, "annspec_ivfpq_app", nCentroids = 8, refine = 1,
+      m = 4, dims = 64, codebookK = 16, refinePq = 1, buckets = 4)
+    AnnIndex.appendIvfPq(emb.filter(col("vec_id") % 2 === 1), "annspec_ivfpq_app",
+      m = 4, dims = 64)
+    val appended = AnnIndex.ivfPqServe(spark, "annspec_ivfpq_app",
+      emb.filter(col("vec_id") < 5), k = 10, nProbe = 2, m = 4, dims = 64)
+    // reference: a second index whose lists/codes are built in ONE pass
+    // over the union against the SAME stored trained state — copy the
+    // trained tables, then rebuild lists+codes from them
+    Bucketing.resetTable(spark, "annspec_ivfpq_reb_cents")
+    spark.table("annspec_ivfpq_app_cents").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable("annspec_ivfpq_reb_cents")
+    Bucketing.resetTable(spark, "annspec_ivfpq_reb_cb")
+    spark.table("annspec_ivfpq_app_cb").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable("annspec_ivfpq_reb_cb")
+    val assigned = Similarity.assignToCentroids(emb,
+        spark.table("annspec_ivfpq_reb_cents"), "neighbor_id", "ce")
+      .select(col("neighbor_id"), col("cent_id"))
+    val codes = Similarity.pqEncode(emb,
+        spark.table("annspec_ivfpq_reb_cb"), "neighbor_id", 4, 64)
+      .groupBy(col("neighbor_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub_id"), col("code")))),
+        x => x.getField("code")).as("codes"))
+    Bucketing.writeBucketed(
+      assigned.join(codes, Seq("neighbor_id"))
+        .select(col("cent_id"), col("neighbor_id"), col("codes")),
+      "annspec_ivfpq_reb", "cent_id", 4)
+    val rebuilt = AnnIndex.ivfPqServe(spark, "annspec_ivfpq_reb",
+      emb.filter(col("vec_id") < 5), k = 10, nProbe = 2, m = 4, dims = 64)
+    assert(appended.collect().toSet == rebuilt.collect().toSet)
+  }
+
   test("co-bucketed batch serve: the candidate join plans ZERO exchanges") {
     AnnIndex.buildLsh(emb, "annspec_lsh2", planes = 6, dims = 64, buckets = 4)
     Bucketing.writeBucketed(

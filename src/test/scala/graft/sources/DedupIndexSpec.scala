@@ -38,6 +38,32 @@ class DedupIndexSpec extends SparkSpec {
     assert(probed.nonEmpty, "fixture must contain cross-source near-dups")
   }
 
+  test("append-then-probe is row-identical to rebuild-then-probe") {
+    // build on src2+: src1 arrives later as an ingest batch
+    DedupIndex.build(
+      docs.filter(col("source") =!= "src0" && col("source") =!= "src1"),
+      "dedupspec_app", "doc_id", "text")
+    DedupIndex.append(spark, "dedupspec_app",
+      docs.filter(col("source") === "src1"), "doc_id", "text")
+    val appended = DedupIndex.probe(spark, "dedupspec_app",
+        docs.filter(col("source") === "src0"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    DedupIndex.build(docs.filter(col("source") =!= "src0"),
+      "dedupspec_reb", "doc_id", "text")
+    val rebuilt = DedupIndex.probe(spark, "dedupspec_reb",
+        docs.filter(col("source") === "src0"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(appended == rebuilt,
+      s"append drifted from rebuild: ${appended.size} vs ${rebuilt.size} pairs")
+    assert(appended.nonEmpty, "fixture must contain cross-source near-dups")
+    // the append must have contributed exactly the batch's band rows
+    assert(spark.table("dedupspec_app").count() ==
+      spark.table("dedupspec_reb").count(),
+      "appended index must cover exactly the same corpus as the rebuild")
+  }
+
   test("the index side of the band join reads stored buckets: no exchange") {
     DedupIndex.build(docs.filter(col("source") =!= "src0"), "dedupspec_idx2",
       "doc_id", "text")

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.DedupIndex
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** The streaming curation gate: each micro-batch probes the persisted
+  * dedup index, rejects near-dups of the indexed corpus (and in-batch
+  * dups), and appends only the survivors — so a duplicate arriving in a
+  * LATER batch is blocked by a survivor from an EARLIER one, and the
+  * index grows by exactly the survivor set.
+  */
+class IngestDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(s: String) = s * 6 // ~18 words: non-degenerate shingles
+
+  test("cross-batch dups are blocked; the index grows only by survivors") {
+    val dir = Files.createTempDirectory("graft-ingest").toString
+    val corpus = Seq(
+      (1L, doc("the quick brown fox ")),
+      (2L, doc("pack my box with jugs "))).toDF("doc_id", "text")
+    DedupIndex.build(corpus, "ingestspec_idx", "doc_id", "text")
+    val baseRows = spark.table("ingestspec_idx").count()
+
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = IngestDedup.start(mem.toDF().toDF("doc_id", "text"),
+      "ingestspec_idx", "doc_id", "text",
+      s"$dir/out", s"$dir/reject", s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    try {
+      // batch 1: 10 = dup of corpus doc 1 (blocked), 11 = new (survives),
+      // 12 = in-batch dup of 11 (blocked)
+      mem.addData((10L, doc("the quick brown fox ")),
+        (11L, doc("sphinx of black quartz judge ")),
+        (12L, doc("sphinx of black quartz judge ")))
+      q.processAllAvailable()
+      // batch 2: 20 = dup of batch-1 SURVIVOR 11 (the cross-batch case
+      // the index exists for), 21 = new
+      mem.addData((20L, doc("sphinx of black quartz judge ")),
+        (21L, doc("how vexingly daft zebras jump ")))
+      q.processAllAvailable()
+
+      val out = spark.read.parquet(s"$dir/out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(out == Set(11L, 21L), s"survivors drifted: $out")
+
+      val rejects = spark.read.parquet(s"$dir/reject")
+        .select("doc_id", "dup_of", "reason").as[(Long, Long, String)]
+        .collect().toSet
+      assert(rejects == Set(
+        (10L, 1L, "DUP_OF_CORPUS"),
+        (12L, 11L, "DUP_IN_BATCH"),
+        (20L, 11L, "DUP_OF_CORPUS")), s"rejects drifted: $rejects")
+
+      // index grew by exactly the survivors' band rows (8 bands/doc).
+      // The appends ran in foreachBatch's CLONED session — this session
+      // cached the table's listing at baseRows time, so refresh first
+      // (standard cross-session append visibility semantics).
+      spark.catalog.refreshTable("ingestspec_idx")
+      val grown = spark.table("ingestspec_idx").count() - baseRows
+      assert(grown == 2 * 8, s"index must grow by survivors only, grew $grown rows")
+      // and a replayed epoch is a no-op
+      IngestDedup.applyBatch(spark, "ingestspec_idx",
+        Seq((21L, doc("how vexingly daft zebras jump "))).toDF("doc_id", "text"),
+        batchId = 1, "doc_id", "text", s"$dir/out", s"$dir/reject")
+      assert(spark.table("ingestspec_idx").count() - baseRows == 2 * 8,
+        "replayed batch must not re-append")
+    } finally q.stop()
+  }
+}
