@@ -11,8 +11,11 @@ import org.apache.spark.sql.types._
   * PNG/BMP with zero external codecs — `pngTable`/`decodeImage`/
   * `imageMeta` run a genuine encode→decode round trip inside
   * `mapPartitions` (one task per partition, no driver involvement).
-  * AUDIO/VIDEO decode stays a clearly-marked deterministic STUB
-  * (`decodeImageStub` naming kept for compatibility): those codecs
+  * AUDIO decode is REAL too: `javax.sound.sampled` ships WAV/PCM
+  * support in the JDK — [[wavTable]]/[[wavFrameFeatures]] encode and
+  * decode genuine RIFF/WAVE files through `AudioSystem`. Only VIDEO
+  * decode remains a clearly-marked deterministic STUB
+  * (`decodeImageStub` naming kept for compatibility): video codecs
   * genuinely don't exist in this container. Swapping the stub for
   * ffmpeg bindings changes no plan shape — the mapPartitions batch
   * iterator is exactly where the codec runs.
@@ -63,9 +66,10 @@ object Multimodal {
       .withColumn("frame_md5", md5(col("frame_bytes")))
   }
 
-  /** STUB decode for audio/video — deterministic fake standing in for a
-    * codec (ffmpeg et al. genuinely absent from this container). Image
-    * decode does NOT use this: see `decodeImage`.
+  /** STUB decode for VIDEO — deterministic fake standing in for a codec
+    * (ffmpeg et al. genuinely absent from this container). Image decode
+    * does NOT use this (see `decodeImage`), and audio decode is real
+    * too (see [[wavFrameFeatures]]).
     */
   def decodeImageStub(payload: Array[Byte]): (Int, Int, Long) = {
     val size = payload.length
@@ -252,6 +256,103 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
         Row(id, bos.toByteArray)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  // ---- real audio decode (JDK javax.sound.sampled) -----------------------
+
+  /** The synthesized sample value at index `i` for document `id` — the
+    * shared arithmetic between [[wavTable]]'s PCM fill and the oracle's
+    * prediction. Deterministic pseudo-noise in [-1000, 1000].
+    */
+  def wavSample(id: Long, i: Int): Int =
+    (((id * 31 + i.toLong * i * 7) % 2001) - 1000).toInt
+
+  /** Deterministic WAV per doc: `nSamples` of 16-bit mono PCM at 8 kHz,
+    * sample i = [[wavSample]](doc_id, i), encoded as a REAL RIFF/WAVE
+    * file via `javax.sound.sampled.AudioSystem` — so downstream decode
+    * exercises the actual JDK audio stack, and an oracle predicts every
+    * decoded sample from doc_id alone. Runs inside mapPartitions like
+    * any ingest-side transcode.
+    */
+  def wavTable(docs: DataFrame, nSamples: Int = 640): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val pcm = new Array[Byte](nSamples * 2)
+        var i = 0
+        while (i < nSamples) {
+          val v = wavSample(id, i)
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, bos.toByteArray)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL audio decode + per-frame featurization: parse the WAV through
+    * `AudioSystem.getAudioInputStream` (header, format, endianness all
+    * from the actual decoder — nothing assumed from the synthesis
+    * side), then window the 16-bit PCM stream into `frameSize`-sample
+    * frames and emit the features a speech/audio curation pipeline
+    * keys on: peak amplitude and energy (Σ sample²). Undecodable
+    * payloads are dropped (ST8 per-record isolation). Output:
+    * (doc_id, frame_idx, n_samples, peak, energy).
+    */
+  def wavFrameFeatures(media: DataFrame, frameSize: Int = 160): DataFrame = {
+    require(frameSize > 0, "frameSize must be positive")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", LongType),
+      StructField("n_samples", LongType),
+      StructField("peak", LongType),
+      StructField("energy", LongType)))
+    val idIdx = media.schema.fieldIndex("doc_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](payloadIdx)))
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) Nil
+          else {
+            val bytes = ais.readAllBytes()
+            val step = fmt.getFrameSize // bytes per frame (2·channels)
+            val n = bytes.length / step
+            val frames = Iterator.range(0, n, frameSize).zipWithIndex.map {
+              case (start, idx) =>
+                val end = math.min(start + frameSize, n)
+                var peak = 0L; var energy = 0L
+                var i = start
+                while (i < end) {
+                  // first channel of frame i, per the DECODER's format
+                  val v =
+                    if (fmt.isBigEndian) (bytes(i * step) << 8) | (bytes(i * step + 1) & 0xff)
+                    else (bytes(i * step + 1) << 8) | (bytes(i * step) & 0xff)
+                  val a = math.abs(v.toLong)
+                  if (a > peak) peak = a
+                  energy += v.toLong * v
+                  i += 1
+                }
+                Row(r.getLong(idIdx), idx.toLong, (end - start).toLong, peak, energy)
+            }
+            frames.toVector
+          }
+        } catch { case _: Exception => Nil } // not a WAV → drop, don't fail the task
       }
     }(Encoders.row(outSchema))
   }

@@ -111,6 +111,26 @@ object Extras extends QueryPack {
       |SELECT phash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
       |FROM bits GROUP BY phash ORDER BY phash""".stripMargin
 
+  // ---- MM6: REAL WAV decode (javax.sound.sampled) ------------------------
+  // Encode 640 samples of deterministic 16-bit PCM pseudo-noise per doc
+  // as a genuine RIFF/WAVE file, decode it back through the JDK audio
+  // stack (header, format, endianness all from the real parser), and
+  // emit per-160-sample-frame peak/energy. The oracle predicts every
+  // decoded sample from doc_id alone — a hash match certifies the
+  // codec round trip bit-for-bit.
+  private def mm6WavFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.wavFrameFeatures(Multimodal.wavTable(Tables.load(s, dir, "documents")))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  private val mm6Sql =
+    """WITH s AS (
+      |  SELECT doc_id, i, ((doc_id * 31 + i * i * 7) % 2001) - 1000 AS v
+      |  FROM documents, (SELECT range AS i FROM range(0, 640)))
+      |SELECT doc_id, i // 160 AS frame_idx, COUNT(*) AS n_samples,
+      |  MAX(abs(v)) AS peak, CAST(SUM(v * v) AS BIGINT) AS energy
+      |FROM s GROUP BY doc_id, frame_idx
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   // ---- SK1: salted join on a deliberately skewed key ---------------------
   // ~1/3 of events collapse onto hot key 7; the salted join spreads that
   // key over 8 shuffle partitions (salt derived from event_id) while the
@@ -285,6 +305,7 @@ object Extras extends QueryPack {
     Q("mm3_png_decode", "multimodal: real JDK PNG encode→decode round trip", mm3PngDecode, Some(mm3Sql)),
     Q("mm4_resize", "multimodal: decode → nearest-neighbor resize → re-encode → decode", mm4Resize, Some(mm4Sql)),
     Q("mm5_phash_dedup", "multimodal: perceptual dHash dedup over real decoded pixels", mm5PhashDedup, Some(mm5Sql)),
+    Q("mm6_wav_features", "multimodal: real JDK WAV encode->decode + per-frame audio features", mm6WavFeatures, Some(mm6Sql)),
     Q("sk1_salted_join", "salted join spreads a deliberately hot key", sk1SaltedJoin, Some(sk1Sql)),
     Q("p7_debezium_decimal", "P7 VariableScaleDecimal custom Expression", p7DebeziumDecimal, Some(p7Sql)),
     Q("js1_json_extract", "JSON field extraction + aggregation", js1JsonExtract, Some(js1Sql)),
