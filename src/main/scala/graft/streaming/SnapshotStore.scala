@@ -295,10 +295,23 @@ final class SnapshotStore(
     * when the log is 100× today's volume (`AuditPruneSpec` asserts the
     * partition filter reaches the scan).
     */
-  def appendAudit(df: DataFrame): Unit =
+  /** Synchronized because the audit directory is the ONE path every
+    * (mapping, direction) query appends to: Spark's FileOutputCommitter
+    * stages every job writing to a directory under the SAME
+    * `<dir>/_temporary/0`, so two concurrent appends clobber each
+    * other's staging (observed as FileNotFoundException on commit —
+    * `ConcurrentPipelineSpec` runs all six queries at once). All
+    * queries against one store share this driver-side object, so a JVM
+    * lock fully serializes the (tiny, per-trigger) audit jobs; data
+    * deltas need no lock — each table writes its own version dir. A
+    * multi-driver deployment would put the audit sink on a
+    * transactional table format instead.
+    */
+  def appendAudit(df: DataFrame): Unit = synchronized {
     df.withColumn("log_date", to_date(col("log_time")))
       .write.mode(SaveMode.Append)
       .partitionBy("log_date").parquet(s"$basePath/_audit")
+  }
 
   def audit(): DataFrame = {
     val p = s"$basePath/_audit"
