@@ -137,23 +137,37 @@ final class SnapshotStore(
     *
     * Scale: one pk-column base scan + O(|deltas|) slim delta scans +
     * one hash aggregate on pk — vs the full-width read this replaces.
+    *
+    * `pkBounds = Some((lo, hi))` further restricts membership to pks in
+    * [lo, hi] — sound whenever the caller only consults pks inside the
+    * range (the audit path passes the BATCH's min/max). The bound is a
+    * pushed parquet filter, so row-group statistics prune the base scan
+    * to the groups overlapping the batch's key range: on a big table
+    * with clustered (e.g. recent) keys, the per-trigger read drops from
+    * "whole pk column" to a handful of row groups.
     */
-  def existingPks(table: String, schema: StructType, pkName: String): DataFrame = {
+  def existingPks(table: String, schema: StructType, pkName: String,
+      pkBounds: Option[(Any, Any)] = None): DataFrame = {
     val pkOnly = StructType(schema.filter(_.name == pkName))
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pkOnly)
+    def bounded(df: DataFrame): DataFrame = pkBounds match {
+      case Some((lo, hi)) => df.filter(col(pkName).between(lit(lo), lit(hi)))
+      case None => df
+    }
     val version = currentVersion(table)
     if (version == 0) return empty
     val b = baseAtOrBefore(table, version)
     val basePks =
       if (b == 0) empty
-      else spark.read.parquet(baseDir(table, b)).select(col(pkName))
+      else bounded(spark.read.parquet(baseDir(table, b)).select(col(pkName)))
     if (b == version) return basePks
     val all = readDeltas(table, b + 1, version)
     // delta layout contract (commitDelta): [seqCol, operation, pk, data…]
     val f = all.schema.fields.filterNot(_.name == "__v")
-    val deltas = all.select(col(f(2).name).as(pkName), col(f(1).name).as("__op"),
-      struct(col("__v"), col(f(0).name).as("__seq")).as("__ord"))
+    val deltas = bounded(
+      all.select(col(f(2).name).as(pkName), col(f(1).name).as("__op"),
+        struct(col("__v"), col(f(0).name).as("__seq")).as("__ord")))
     // per pk: the last existence-deciding (non-UPDATE) op across the
     // outstanding chain, ordered by (version, seq) — null means only
     // UPDATEs touched it, so the base decides

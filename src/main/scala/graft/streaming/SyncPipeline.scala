@@ -131,8 +131,19 @@ final class SyncPipeline(
       // pins the current version eagerly, so the later delta commit
       // can't leak into this frame. Membership comes from the
       // column-pruned pk/op read — the full base⊕delta reconstruction
-      // never runs on the trigger path.
-      val existing = store.existingPks(target.table, schema, target.pk)
+      // never runs on the trigger path — RESTRICTED to the batch's pk
+      // range (one tiny agg on the cached batch buys row-group pruning
+      // of the base scan: only groups overlapping the batch's keys are
+      // read, the zone-map property that keeps the 5 s trigger flat as
+      // the table grows).
+      val boundsRow = live.agg(
+        min(col(target.pk)), max(col(target.pk))).head()
+      val existing =
+        if (boundsRow.isNullAt(0)) // no live events: nothing to look up
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(schema.filter(_.name == target.pk)))
+        else store.existingPks(target.table, schema, target.pk,
+          pkBounds = Some((boundsRow.get(0), boundsRow.get(1))))
       val liveAuditRaw = Apply.auditBatch(
         existing, live.select((Seq("seq", "operation") ++ targetCols :+ "change_hash").map(col): _*),
         target.pk, "seq", auditPassthrough = Seq("change_hash"))

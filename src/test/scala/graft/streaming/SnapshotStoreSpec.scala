@@ -144,6 +144,41 @@ class SnapshotStoreSpec extends SparkSpec {
     check() // re-insert after delete
   }
 
+  test("pk-bounded existingPks equals unbounded membership cut to the range, " +
+      "and the bound reaches the base scan as a pushed filter") {
+    val (store, _) = newStore(compactEvery = 100)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ID",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("VAL",
+        org.apache.spark.sql.types.StringType)))
+    store.commit("T", Seq((1, "a"), (2, "b"), (5, "e"), (9, "i")).toDF("ID", "VAL"))
+    commit(store, (1L, "DELETE", 2, "b"), (2L, "INSERT", 3, "c"),
+      (3L, "INSERT", 12, "l"))
+    val all = store.existingPks("T", schema, "ID").as[Int].collect().toSet
+    val cut = store.existingPks("T", schema, "ID", Some((2, 9)))
+    assert(cut.as[Int].collect().toSet == all.filter(id => id >= 2 && id <= 9),
+      "bounded membership must agree with the unbounded one inside the range")
+    cut.collect() // materialize so the adaptive plan is final
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    val pushed = allNodes(cut.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }.mkString("; ")
+    assert(pushed.contains("GreaterThanOrEqual(ID,2)") &&
+      pushed.contains("LessThanOrEqual(ID,9)"),
+      s"pk bound must push into the parquet scans for row-group pruning: $pushed")
+  }
+
   test("existingPks reads only pk/op/seq columns, even with deltas outstanding") {
     val (store, _) = newStore(compactEvery = 100)
     store.commit("T", Seq((1, "x")).toDF("ID", "VAL"))
