@@ -24,11 +24,11 @@ object StreamBench {
     */
   def twsThroughput(spark: SparkSession): (Double, Long) = {
     import spark.implicits._
-    // the provider switch must not leak into the caller's session
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // mirror SyncPipeline.start's production tuning (RocksDB +
+    // changelog checkpointing + trigger-volume-sized partitions) so
+    // sync/tws reads as sink overhead, not config skew; nothing may
+    // leak into the caller's session
+    val restore = pinStreamingConf(spark)
     val ckpt = Files.createTempDirectory("graft-bench-tws").toFile
     val input = MemoryStream[(String, java.sql.Timestamp)](spark)
     val deduped = graft.streaming.LoopDedupTws(
@@ -53,11 +53,28 @@ object StreamBench {
       (batches * keysPerBatch / secs, state)
     } finally {
       q.stop()
-      prevProvider match {
-        case Some(p) => spark.conf.set(providerKey, p)
-        case None => spark.conf.unset(providerKey)
-      }
+      restore()
       deleteWithRetry(ckpt)
+    }
+  }
+
+  /** Apply the streaming-side session tuning ([[graft.streaming.SyncPipeline.start]]
+    * sets the same three), returning a thunk that restores the
+    * caller's values.
+    */
+  private def pinStreamingConf(spark: SparkSession): () => Unit = {
+    val keys = Seq(
+      "spark.sql.streaming.stateStore.providerClass",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "spark.sql.shuffle.partitions")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0),
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(keys(1), "true")
+    spark.conf.set(keys(2), "8")
+    () => prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 
@@ -86,10 +103,9 @@ object StreamBench {
     * compaction (the amortized cost a long-running pipeline pays).
     */
   def syncThroughput(spark: SparkSession): Double = {
-    // SyncPipeline.start sets the RocksDB provider on the session; put
-    // the caller's value back afterward, and remove the temp store
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = spark.conf.getOption(providerKey)
+    // SyncPipeline.start re-sets the same conf pinStreamingConf does;
+    // pin-and-restore here so nothing leaks into the caller's session
+    val restore = pinStreamingConf(spark)
     val dir = Files.createTempDirectory("graft-bench-sync").toFile
     val store = new graft.streaming.SnapshotStore(spark, s"$dir/store")
     val pipeline = new graft.streaming.SyncPipeline(spark, store,
@@ -114,10 +130,7 @@ object StreamBench {
       batches * perBatch / secs
     } finally {
       q.stop()
-      prevProvider match {
-        case Some(p) => spark.conf.set(providerKey, p)
-        case None => spark.conf.unset(providerKey)
-      }
+      restore()
       deleteWithRetry(dir)
     }
   }

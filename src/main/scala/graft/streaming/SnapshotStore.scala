@@ -41,8 +41,18 @@ import graft.cdc.Apply
   * cost moves to one columnar-pruned read (the apply's pk-membership
   * check) and an amortized 1/compactEvery compaction write.
   */
+/** @param deltaWriteParts file count per delta version. Deltas are
+  *   trigger-bounded (5 s of CDC traffic), so one file per version
+  *   keeps the chain's total file count at O(#versions) — the
+  *   membership read lists `compactEvery` files, not
+  *   `compactEvery × shuffle.partitions` (the batch frame arrives
+  *   32-way partitioned from the dedup stage, and writing it as-is
+  *   produced 32 near-empty files per trigger). Raise it if a single
+  *   trigger's volume outgrows one writer task.
+  */
 final class SnapshotStore(
-    spark: SparkSession, basePath: String, compactEvery: Int = 8) {
+    spark: SparkSession, basePath: String, compactEvery: Int = 8,
+    deltaWriteParts: Int = 1) {
 
   private def tableDir(table: String) = s"$basePath/$table"
   private def pointer(table: String) = Paths.get(tableDir(table), "_current")
@@ -145,9 +155,15 @@ final class SnapshotStore(
     * to the groups overlapping the batch's key range: on a big table
     * with clustered (e.g. recent) keys, the per-trigger read drops from
     * "whole pk column" to a handful of row groups.
+    *
+    * `atVersion` pins the read to an explicit committed version (the
+    * audit path reads membership "as of before this batch" even after
+    * the batch's own delta has been staged or committed); default is
+    * the current pointer.
     */
   def existingPks(table: String, schema: StructType, pkName: String,
-      pkBounds: Option[(Any, Any)] = None): DataFrame = {
+      pkBounds: Option[(Any, Any)] = None,
+      atVersion: Option[Int] = None): DataFrame = {
     val pkOnly = StructType(schema.filter(_.name == pkName))
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pkOnly)
@@ -155,7 +171,7 @@ final class SnapshotStore(
       case Some((lo, hi)) => df.filter(col(pkName).between(lit(lo), lit(hi)))
       case None => df
     }
-    val version = currentVersion(table)
+    val version = atVersion.getOrElse(currentVersion(table))
     if (version == 0) return empty
     val b = baseAtOrBefore(table, version)
     val basePks =
@@ -217,18 +233,51 @@ final class SnapshotStore(
   def commitDelta(
       table: String, changes: DataFrame,
       pk: String, seqCol: String, dataCols: Seq[String],
+      meta: Option[String] = None): Int =
+    finalizeDelta(table, stageDelta(table, changes, pk, seqCol, dataCols, meta))
+
+  /** First half of [[commitDelta]]: write the delta's files (and epoch
+    * marker) at the next version WITHOUT flipping the pointer — readers
+    * still see the previous version. Lets the streaming sink run its
+    * audit job between the delta write and the commit point (an
+    * `observe` on `changes` yields the batch's count/pk-bounds for free
+    * in the write job — no separate driver action). Crash before
+    * [[finalizeDelta]] leaves debris that the next stage/commit at this
+    * version clears.
+    */
+  def stageDelta(
+      table: String, changes: DataFrame,
+      pk: String, seqCol: String, dataCols: Seq[String],
       meta: Option[String] = None): Int = {
     val next = currentVersion(table) + 1
     clearUncommitted(table, next)
+    // repartition, not coalesce: coalesce(1) would drag the upstream
+    // parse/transform into a single task; a round-robin shuffle of a
+    // trigger-bounded batch is trivial and keeps the source parallel
     changes.select((Seq(seqCol, "operation", pk) ++ dataCols).map(col): _*)
+      .repartition(deltaWriteParts)
       .write.mode(SaveMode.Overwrite).parquet(deltaDir(table, next))
     meta.foreach(m => Files.write(
       Paths.get(deltaDir(table, next), "_graft_meta"), m.getBytes))
-    if (next - baseAtOrBefore(table, next - 1) >= compactEvery)
-      snapshotAt(table, next) // d<next> exists; pointer not yet flipped
-        .write.mode(SaveMode.Overwrite).parquet(baseDir(table, next))
-    flipPointer(table, next)
+    next
   }
+
+  /** Second half of [[commitDelta]]: fold the chain into a fresh base if
+    * it reached `compactEvery`, then flip the pointer — the commit
+    * point. `staged` must be the value [[stageDelta]] returned.
+    */
+  def finalizeDelta(table: String, staged: Int): Int = {
+    if (staged - baseAtOrBefore(table, staged - 1) >= compactEvery)
+      snapshotAt(table, staged) // d<staged> exists; pointer not yet flipped
+        .write.mode(SaveMode.Overwrite).parquet(baseDir(table, staged))
+    flipPointer(table, staged)
+  }
+
+  /** Drop a staged-but-unfinalized delta (e.g. the batch turned out
+    * empty): delete its directory so the version number is reusable.
+    */
+  def abortDelta(table: String, staged: Int): Unit =
+    clearUncommitted(table, staged)
 
   /** Manual compaction — fold the current delta chain into a base NOW
     * (maintenance hook; the automatic path folds every `compactEvery`
@@ -327,14 +376,89 @@ final class SnapshotStore(
       .partitionBy("log_date").parquet(s"$basePath/_audit")
   }
 
+  // ---- exactly-once per-epoch audit append -------------------------
+  //
+  // [[appendAudit]] is at-least-once under streaming replay (a crash
+  // between append and epoch commit duplicates the epoch's rows) and
+  // serialized under concurrency (every append to the directory shares
+  // one FileOutputCommitter `_temporary/0`, hence the JVM lock above).
+  // The epoch path fixes both: the epoch's rows land in a PRIVATE
+  // dot-directory (invisible to readers and to partition discovery),
+  // then ONE deterministically-named file moves into the date
+  // partition. The move is the commit point — a replay that finds the
+  // file already in place skips, and two pipelines never share a
+  // staging path, so no lock. Epoch audit rows are all stamped with one
+  // driver-side log_time, so an epoch spans exactly one log_date.
+
+  private def epochStagingDir(key: String) = s"$basePath/_audit/.epochs/$key"
+
+  /** Write one epoch's audit rows to its private staging dir
+    * (Overwrite — a replayed crash simply rewrites it). One Spark job;
+    * attach an `observe` to `df` to count rows in the same job.
+    * `log_date` is NOT materialized in the file — the publish step's
+    * partition directory supplies it on read, exactly like
+    * [[appendAudit]]'s `partitionBy` files (a data column shadowing
+    * the partition column would trip COLUMN_ALREADY_EXISTS).
+    */
+  def stageEpochAudit(df: DataFrame, key: String): Unit =
+    df.repartition(1) // keep the audit join/window parallel upstream
+      .write.mode(SaveMode.Overwrite).parquet(epochStagingDir(key))
+
+  /** Commit a staged epoch: move its single part file to
+    * `_audit/log_date=<d>/<key>.parquet`. Idempotent — if the
+    * destination exists (replay after a crash right after the move),
+    * the staged copy is discarded instead.
+    */
+  def publishEpochAudit(key: String, logDate: java.time.LocalDate): Unit = {
+    val staging = Paths.get(epochStagingDir(key))
+    val part = {
+      val s = Files.list(staging)
+      try s.filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow(() =>
+          new IllegalStateException(s"no staged audit file for epoch $key"))
+      finally s.close()
+    }
+    val destDir = Paths.get(s"$basePath/_audit/log_date=$logDate")
+    Files.createDirectories(destDir)
+    val dest = destDir.resolve(s"$key.parquet")
+    if (!Files.exists(dest)) Files.move(part, dest)
+    org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+  }
+
+  /** Did epoch `key`'s audit file ever publish? Replay-only check (the
+    * normal path never calls it), so the directory walk across date
+    * partitions — the file may have published under a different date
+    * than a midnight-straddling replay would stamp — is off the
+    * per-trigger path.
+    */
+  def auditEpochLanded(key: String): Boolean = {
+    val root = Paths.get(s"$basePath/_audit")
+    if (!Files.exists(root)) return false
+    val s = Files.list(root)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("log_date="))
+      .exists(d => Files.exists(d.resolve(s"$key.parquet")))
+    finally s.close()
+  }
+
+  /** Drop a staged epoch that will never publish (empty batch). */
+  def discardEpochAudit(key: String): Unit = {
+    val p = Paths.get(epochStagingDir(key))
+    if (Files.exists(p))
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+  }
+
   def audit(): DataFrame = {
     val p = s"$basePath/_audit"
     // an all-blocked-free EMPTY micro-batch appends zero rows, leaving a
     // directory with no parquet files — treat that as "no audit yet"
     // rather than letting schema inference fail
+    // dot-dirs (.epochs staging, compaction tmp) are invisible to the
+    // Spark read below, so they must not count as "has audit" either
     val hasFiles = Files.exists(Paths.get(p)) && {
       val s = Files.walk(Paths.get(p))
-      try s.anyMatch(f => f.toString.endsWith(".parquet")) finally s.close()
+      try s.anyMatch(f => f.toString.endsWith(".parquet") &&
+        !f.toString.contains("/.")) finally s.close()
     }
     if (hasFiles) spark.read.parquet(p) else spark.emptyDataFrame
   }

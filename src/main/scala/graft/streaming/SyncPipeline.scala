@@ -35,7 +35,19 @@ final class SyncPipeline(
       * RocksDB-backed state with declarative TTL) is the default;
       * `false` falls back to the flatMapGroupsWithState variant.
       */
-    useTws: Boolean = true) {
+    useTws: Boolean = true,
+    /** Shuffle/state partition count for the streaming query, set on
+      * the session at [[start]] (the first micro-batch bakes it into
+      * the checkpoint, so it holds for the query's lifetime). A 5 s
+      * trigger's batch is small BY CONSTRUCTION, so per-trigger cost is
+      * dominated by fixed per-partition work — a state-store
+      * (RocksDB) load+commit per partition per trigger — not by data
+      * volume; 32+ partitions for a ~20k-row trigger is nearly all
+      * overhead. Default 8 suits single-node; on a real cluster size
+      * it to trigger volume (rows per trigger / ~more than 100k), not to
+      * the batch-analytics default. `None` inherits the session value.
+      */
+    statePartitions: Option[Int] = Some(8)) {
 
   private val codeDim = CodeMapping.dim(spark)
 
@@ -70,10 +82,26 @@ final class SyncPipeline(
     val tx = transformed(source, mapping, direction)
       .withWatermark("event_ts", watermarkDelay)
     // transformWithState requires the RocksDB provider; set it once at
-    // query start (it serves every stateful operator equally well)
-    if (useTws) spark.conf.set(
-      "spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // query start (it serves every stateful operator equally well).
+    // Changelog checkpointing makes the per-trigger state commit write
+    // the delta (the batch's changed keys), not a full RocksDB
+    // snapshot — the same O(batch)-not-O(state) argument as the
+    // snapshot store's delta commits, and the single biggest fixed
+    // cost on a 5 s cadence.
+    if (useTws) {
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+    }
+    // only ever LOWER the session value: "size state partitions to
+    // trigger volume" must not widen a caller who already sized down
+    statePartitions.foreach { n =>
+      val cur = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      if (n < cur) spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    }
     val deduped =
       if (useTws) LoopDedupTws(tx, loopWindowMs, loopTtlMs)
       else LoopDedup(tx, loopWindowMs, loopTtlMs)
@@ -88,19 +116,32 @@ final class SyncPipeline(
       .start()
   }
 
-  /** One micro-batch: split blocked/live, audit all events against the
-    * pre-batch snapshot, then commit the live events as a DELTA —
-    * O(|batch|) written per trigger, never O(|table|) (the snapshot
-    * store merges on read and compacts in the background path). Also
-    * the batch-replay entry point (processing a backlog parquet of
-    * events uses exactly this code path).
+  /** One micro-batch: stage the live events as a DELTA (O(|batch|)
+    * written per trigger, never O(|table|)), audit all events against
+    * the pre-batch version, then commit delta and audit. Also the
+    * batch-replay entry point (processing a backlog parquet of events
+    * uses exactly this code path).
     *
-    * Per-trigger job budget: ONE audit append (whose `observe` metrics
-    * double as the live/blocked counters, so no separate counting or
-    * isEmpty job) plus one delta write when live events exist — the
-    * audit's only O(|table|) touch is `SnapshotStore.existingPks`, a
-    * pk/op-column-only membership read (pruned even between
-    * compactions, when deltas are outstanding).
+    * Per-trigger action budget: a single-pass count probe (which
+    * short-circuits the engine's no-data watermark batches and fully
+    * populates the batch cache in one job), the staged delta write
+    * (whose `observe` yields the batch's live count + pk bounds for
+    * free, replacing the separate bounds action) and the audit staging
+    * write (whose only O(|table|) touch is `SnapshotStore.existingPks`,
+    * a pk/op-column-only membership read pinned to the pre-batch
+    * version and pruned to the batch's pk range) — plus the amortized
+    * 1/compactEvery delta-chain compaction. `PerTriggerJobSpec` pins
+    * the counts (3 actions on a data batch, 1 on a no-data batch).
+    *
+    * Delivery: exactly-once for BOTH the data table and the audit log.
+    * foreachBatch replays a crashed epoch; the epoch marker commits
+    * atomically with the delta version (pointer flip), and the audit
+    * file's move-into-place is idempotent per epoch key. Crash windows:
+    * before [[SnapshotStore.finalizeDelta]] → nothing committed, full
+    * redo; between finalize and audit publish → replay sees
+    * `meta == batchId`, recomputes ONLY the audit frame against
+    * `currentVersion - 1` (the pre-batch version) and publishes;
+    * after publish → replay finds the epoch's audit file and no-ops.
     */
   def applyMicroBatch(
       batch: DataFrame,
@@ -110,45 +151,84 @@ final class SyncPipeline(
     val target = mapping.targetFor(direction)
     val targetCols = mapping.specsFor(direction).map(_._1)
     val valueCols = targetCols.filterNot(_ == target.pk)
-    // foreachBatch is at-least-once: the epoch id commits atomically
-    // with the delta version (inside the dir, before the pointer flip),
-    // so a crash-replayed epoch that already landed skips entirely —
-    // no duplicate delta, no duplicate audit. The only remaining
-    // at-least-once window is a crash BETWEEN the audit append and the
-    // delta commit, which can duplicate that epoch's audit rows (the
-    // data table itself stays exact; deltas are value-idempotent).
-    if (batchId >= 0 &&
-      store.currentMeta(target.table).exists(_.toLong >= batchId)) return
+    val dirName = if (direction == Direction.AsisToTobe) "ASIS_TO_TOBE" else "TOBE_TO_ASIS"
+
+    val meta = if (batchId >= 0) store.currentMeta(target.table).map(_.toLong) else None
+    if (meta.exists(_ > batchId)) return // epoch fully applied long ago
+    // delta already committed (crash between pointer flip and audit
+    // publish) — only the audit can still be outstanding
+    val deltaAlready = meta.contains(batchId)
+    val auditKey =
+      if (batchId >= 0) s"${target.table}_${dirName}_e$batchId"
+      else s"${target.table}_${dirName}_${java.util.UUID.randomUUID()}"
+    if (deltaAlready && store.auditEpochLanded(auditKey)) return
+
+    def timed[A](phase: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (sys.env.contains("GRAFT_TRIGGER_TIMING"))
+        System.err.println(f"[trigger] ${(System.nanoTime() - t0) / 1e6}%6.0f ms  $phase")
+      r
+    }
     val cached = batch.cache()
     try {
+      // No-data micro-batches are a steady-state fact of life (the
+      // engine fires one whenever the watermark advances past the last
+      // data batch); without this probe each one paid two empty write
+      // jobs. count(), not take(1): an empty take(1) escalates through
+      // limit-scale-up job waves (1, 4, 16… partitions), each paying a
+      // state-store load per touched partition, while count() is ONE
+      // single-pass job — and on a data batch that pass populates the
+      // whole cache, so the delta and audit writes below are pure
+      // cache reads.
+      val events = timed("probe")(cached.count())
+      if (events == 0L) return
       val blocked = cached.filter(col("loop_blocked"))
       val live = cached.filter(!col("loop_blocked"))
+      val liveSel = live.select((Seq("seq", "operation") ++ targetCols).map(col): _*)
 
+      // Stage (write, don't yet commit) the delta; the SAME job caches
+      // the batch and observes the live count and pk min/max — the
+      // bounds that buy row-group pruning of the membership read below.
+      var staged = -1
+      var (liveCount, lo, hi) = (0L, null: Any, null: Any)
+      if (!deltaAlready) {
+        val obsD = org.apache.spark.sql.Observation()
+        staged = timed("stageDelta")(store.stageDelta(target.table,
+          liveSel.observe(obsD, count(lit(1)).as("n"),
+            min(col(target.pk)).as("lo"), max(col(target.pk)).as("hi")),
+          target.pk, "seq", valueCols,
+          meta = if (batchId >= 0) Some(batchId.toString) else None))
+        val m = obsD.get
+        liveCount = m("n").asInstanceOf[Long]; lo = m("lo"); hi = m("hi")
+      } else { // rare replay path: bounds via an explicit action
+        val r = liveSel.agg(count(lit(1)),
+          min(col(target.pk)), max(col(target.pk))).head()
+        liveCount = r.getLong(0); lo = r.get(1); hi = r.get(2)
+      }
+      // audit statuses (TARGET_NOT_FOUND / upsert conversion) are
+      // defined against the table as of BEFORE this batch: the staged
+      // delta is invisible until finalize, and the replay path pins
+      // `currentVersion - 1` explicitly. Membership comes from the
+      // column-pruned pk/op read — the full base⊕delta reconstruction
+      // never runs on the trigger path — restricted to the batch's pk
+      // range so row-group statistics prune the base scan (the zone-map
+      // property that keeps the 5 s trigger flat as the table grows).
+      val preVersion =
+        if (deltaAlready) store.currentVersion(target.table) - 1
+        else staged - 1
       val schema = org.apache.spark.sql.types.StructType(
         Registry.targetSchema(target).filter(f => targetCols.contains(f.name)))
-      // audit statuses (TARGET_NOT_FOUND / upsert conversion) are
-      // defined against the table as of BEFORE this batch; existingPks
-      // pins the current version eagerly, so the later delta commit
-      // can't leak into this frame. Membership comes from the
-      // column-pruned pk/op read — the full base⊕delta reconstruction
-      // never runs on the trigger path — RESTRICTED to the batch's pk
-      // range (one tiny agg on the cached batch buys row-group pruning
-      // of the base scan: only groups overlapping the batch's keys are
-      // read, the zone-map property that keeps the 5 s trigger flat as
-      // the table grows).
-      val boundsRow = live.agg(
-        min(col(target.pk)), max(col(target.pk))).head()
       val existing =
-        if (boundsRow.isNullAt(0)) // no live events: nothing to look up
+        if (liveCount == 0L)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             org.apache.spark.sql.types.StructType(schema.filter(_.name == target.pk)))
         else store.existingPks(target.table, schema, target.pk,
-          pkBounds = Some((boundsRow.get(0), boundsRow.get(1))))
+          pkBounds = Some((lo, hi)), atVersion = Some(preVersion))
       val liveAuditRaw = Apply.auditBatch(
         existing, live.select((Seq("seq", "operation") ++ targetCols :+ "change_hash").map(col): _*),
         target.pk, "seq", auditPassthrough = Seq("change_hash"))
 
-      val dirName = if (direction == Direction.AsisToTobe) "ASIS_TO_TOBE" else "TOBE_TO_ASIS"
       // error-code taxonomy (docs/02-설계/05_에러코드_체계.md, designed-only
       // in the reference): E_001 missing target, E_002 pk-dup upsert,
       // I_001 loop suppression
@@ -157,6 +237,10 @@ final class SyncPipeline(
           .when(status === "LOOP_BLOCKED", "SYNC_I_001")
           .when(converted, "SYNC_E_002")
           .otherwise(lit(null).cast("string"))
+      // one driver-side stamp for the whole epoch (current_timestamp()
+      // would be per-query-constant anyway); keeps the epoch in exactly
+      // one log_date partition, which the publish step needs
+      val logTime = new java.sql.Timestamp(System.currentTimeMillis())
       def auditCols(df: DataFrame, status: Column, converted: Column) = df.select(
         lit(dirName).as("direction"),
         lit(target.table).as("table_name"),
@@ -166,24 +250,22 @@ final class SyncPipeline(
         converted.as("upsert_converted"),
         errorCode(status, converted).as("error_code"),
         col("change_hash"),
-        current_timestamp().as("log_time"))
+        lit(logTime).as("log_time"))
 
       val liveAudit = auditCols(liveAuditRaw, col("status"), col("upsert_converted"))
       val blockedAudit = auditCols(
         blocked.withColumn("pk_value", col(target.pk).cast("string")),
         lit("LOOP_BLOCKED"), lit(false))
-      val obs = org.apache.spark.sql.Observation()
-      store.appendAudit(liveAudit.unionByName(blockedAudit).observe(obs,
-        count(when(col("status") =!= "LOOP_BLOCKED", 1)).as("live"),
-        count(lit(1)).as("events")))
+      timed("stageAudit")(store.stageEpochAudit(
+        liveAudit.unionByName(blockedAudit), auditKey))
 
       // any non-empty batch commits (a blocked-only batch commits an
-      // empty delta) so the epoch marker always advances past it
-      if (obs.get("events").asInstanceOf[Long] > 0L)
-        store.commitDelta(target.table,
-          live.select((Seq("seq", "operation") ++ targetCols).map(col): _*),
-          target.pk, "seq", valueCols,
-          meta = if (batchId >= 0) Some(batchId.toString) else None)
+      // empty delta) so the epoch marker always advances past it; the
+      // fully-empty case returned at the probe, so the audit frame here
+      // always has `events` (= live + blocked) > 0 rows
+      if (staged >= 0) timed("finalizeDelta")(store.finalizeDelta(target.table, staged))
+      store.publishEpochAudit(auditKey,
+        logTime.toLocalDateTime.toLocalDate)
     } finally cached.unpersist()
   }
 }
