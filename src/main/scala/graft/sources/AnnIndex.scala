@@ -148,6 +148,16 @@ object AnnIndex {
       table)
   }
 
+  /** Maintenance hook: fold an append-accumulated serving index back to
+    * one file per bucket. The list table is the only bucketed half
+    * (`_cents`/`_cb` are tiny write-once artifacts that appends never
+    * touch); all three index kinds (LSH / IVF / IVF×PQ) store their
+    * lists in `table`, so one hook serves them all. See
+    * [[Bucketing.compactTable]] for the crash choreography.
+    */
+  def compact(spark: SparkSession, table: String): Unit =
+    Bucketing.compactTable(spark, table)
+
   /** Build the composed IVF×PQ serving index — at 100 TB the PQ codes
     * and codebooks ARE the index: float vectors are touched here (IVF
     * assignment, codebook training, encoding) and never again at serve

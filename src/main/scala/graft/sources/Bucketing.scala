@@ -79,6 +79,95 @@ object Bucketing {
     spark.catalog.refreshTable(table)
   }
 
+  /** Fold an append-accumulated bucketed table back to ONE file per
+    * bucket. Each [[appendBucketed]] lands a fresh file-set per bucket,
+    * so N ingest batches → N×buckets files; the exchange-free join
+    * property survives but every serve scan pays N× the per-file open
+    * cost. This is the index-table analog of the audit log's
+    * `compactAudit` — a maintenance-window operation, not safe
+    * concurrent with an in-flight append or serve on the same table.
+    *
+    * Mechanics: rewrite into a scratch table with the SAME
+    * catalog-inherited bucket spec via a SHUFFLE-FREE bucketed scan —
+    * with auto-bucketed-scan pinned on, the read yields one task per
+    * bucket (all of the bucket's accumulated files), and the bucketed
+    * writer emits exactly one file from each, so compaction moves bytes
+    * once and never exchanges. (Left to the heuristic, the planner
+    * elides the would-be repartition against the table's declared
+    * hash partitioning and THEN downgrades the scan to size-grouped
+    * file splits — producing tasks that straddle buckets; the pin
+    * closes that trap.) Then swap directories under the unchanged
+    * catalog entry. Crash choreography mirrors `compactAudit`: data
+    * lands in the scratch location BEFORE the original steps aside into
+    * a recoverable `._old` sibling, and a sweep at entry restores a
+    * half-swapped table, so no crash point loses rows.
+    */
+  def compactTable(spark: SparkSession, table: String): Unit = {
+    val autoScanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAutoScan = spark.conf.getOption(autoScanKey)
+    spark.conf.set(autoScanKey, "false")
+    try compactTableInner(spark, table)
+    finally prevAutoScan match {
+      case Some(v) => spark.conf.set(autoScanKey, v)
+      case None => spark.conf.unset(autoScanKey)
+    }
+  }
+
+  private def compactTableInner(spark: SparkSession, table: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = catalog.getTableMetadata(ident)
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"$table has no bucket spec to compact"))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = new org.apache.hadoop.fs.Path(
+      loc.getParent, "." + loc.getName + "._old")
+    // recovery sweep: a crash between the two renames below leaves the
+    // data only in ._old — restore it before doing anything else
+    if (fs.exists(old)) {
+      if (!fs.exists(loc)) fs.rename(old, loc)
+      else fs.delete(old, true)
+    }
+    val scratch = table + "__compacting"
+    resetTable(spark, scratch)
+    val w = spark.table(table)
+      .repartition(spec.numBuckets, spec.bucketColumnNames.map(
+        org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(spec.numBuckets,
+        spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
+    val sorted =
+      if (spec.sortColumnNames.isEmpty) w
+      else w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+    sorted.format("parquet").saveAsTable(scratch)
+    val scratchLoc = new org.apache.hadoop.fs.Path(
+      catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(scratch)).location)
+    fs.rename(loc, old)
+    fs.rename(scratchLoc, loc)
+    fs.delete(old, true)
+    // the scratch table's directory moved out from under its catalog
+    // entry; give DROP an empty dir to delete so it can't throw
+    fs.mkdirs(scratchLoc)
+    spark.sql(s"DROP TABLE IF EXISTS $scratch")
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Per-bucket data-file count histogram — the signal a maintenance
+    * job watches to decide when [[compactTable]] is due. */
+  def fileCount(spark: SparkSession, table: String): Int = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(loc)) 0
+    else fs.listStatus(loc).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   /** Join two bucketed tables on their shared bucket key — planner
     * recognizes compatible `HashClusteredDistribution`s and elides both
     * exchanges (verify with `.explain`: no Exchange under the join).

@@ -62,6 +62,16 @@ object DedupIndex {
     Bucketing.appendBucketed(sigs.select(col("id"), col("wh")), s"${table}_wh")
   }
 
+  /** Maintenance hook: fold each append's accumulated file-sets back to
+    * one file per bucket across BOTH halves of the index (band rows and
+    * word hashes). Run between ingest batches; see
+    * [[Bucketing.compactTable]] for the crash choreography.
+    */
+  def compact(spark: SparkSession, table: String): Unit = {
+    Bucketing.compactTable(spark, table)
+    Bucketing.compactTable(spark, s"${table}_wh")
+  }
+
   /** Probe: near-dup pairs (indexed id_a, new id_b, jaccard ≥
     * threshold) between the stored corpus and a NEW batch. Only the
     * batch is hashed; the index side of the band join reads its stored
