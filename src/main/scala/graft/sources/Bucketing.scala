@@ -154,6 +154,65 @@ object Bucketing {
     spark.catalog.refreshTable(table)
   }
 
+  /** [[appendBucketed]] made VALUE-IDEMPOTENT for replayable (streaming
+    * epoch) appends: the batch's bucket files land under deterministic
+    * names keyed by (`epochKey`, bucket id), so replaying the same
+    * epoch overwrites its own files instead of accumulating duplicates
+    * — the property that closes foreachBatch's crash-between-append-
+    * and-marker window without a transactional table format. A crash
+    * mid-append leaves a strict subset of the epoch's files; the replay
+    * rewrites all of them (same batch + same stored trained state ⇒
+    * byte-identical rows).
+    *
+    * Mechanics: write the batch through Spark's bucketed writer into a
+    * scratch table with the catalog-inherited spec,
+    * `repartition(numBuckets, bucketCols)` first so exactly one file
+    * per non-empty bucket comes out (the source is not a bucketed
+    * table, so this shuffle is real — the [[compactTable]] elision trap
+    * doesn't apply), then move each file into the table under
+    * `part-00000-<epochKey>_<bucket>.c000.snappy.parquet`.
+    */
+  def appendBucketedEpoch(df: DataFrame, table: String, epochKey: String): Unit = {
+    require(epochKey.matches("[A-Za-z0-9-]+"),
+      s"epochKey must be filename-safe, got: $epochKey")
+    val spark = df.sparkSession
+    val catalog = spark.sessionState.catalog
+    val meta = catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"$table has no bucket spec to inherit"))
+    val scratch = table + "__ingest"
+    resetTable(spark, scratch)
+    val w = df.repartition(spec.numBuckets, spec.bucketColumnNames.map(
+        org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(spec.numBuckets,
+        spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
+    val sorted =
+      if (spec.sortColumnNames.isEmpty) w
+      else w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+    sorted.format("parquet").saveAsTable(scratch)
+    val scratchLoc = new org.apache.hadoop.fs.Path(
+      catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(scratch)).location)
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val bucketPat = "_(\\d{5})\\.".r
+    fs.listStatus(scratchLoc).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+        bucketPat.findFirstMatchIn(n).foreach { m =>
+          val dest = new org.apache.hadoop.fs.Path(
+            loc, f"part-00000-${epochKey}_${m.group(1)}.c000.snappy.parquet")
+          fs.delete(dest, false) // replay: replace this epoch's own file
+          fs.rename(st.getPath, dest)
+        }
+    }
+    fs.mkdirs(scratchLoc) // give DROP an empty dir (files moved out)
+    spark.sql(s"DROP TABLE IF EXISTS $scratch")
+    spark.catalog.refreshTable(table)
+  }
+
   /** Per-bucket data-file count histogram — the signal a maintenance
     * job watches to decide when [[compactTable]] is due. */
   def fileCount(spark: SparkSession, table: String): Int = {

@@ -62,6 +62,27 @@ object DedupIndex {
     Bucketing.appendBucketed(sigs.select(col("id"), col("wh")), s"${table}_wh")
   }
 
+  /** [[append]] for replayable (streaming-epoch) callers: identical
+    * rows, but both halves land via
+    * [[Bucketing.appendBucketedEpoch]]'s deterministic epoch-keyed file
+    * names, so a crash-replayed epoch overwrites its own files instead
+    * of duplicating band rows (duplicate band rows are NOT harmless:
+    * each yields a duplicate probe pair downstream).
+    */
+  def appendEpoch(
+      spark: SparkSession, table: String, batch: DataFrame,
+      idCol: String, textCol: String, epochKey: String,
+      k: Int = 32, bands: Int = 8): Unit = {
+    val sigs = Dedup.minHashSignatures(batch, idCol, textCol, k, bands)
+    Bucketing.appendBucketedEpoch(
+      sigs.select(col("id"), col("band_keys"),
+        posexplode(col("band_keys")).as(Seq("band_pos", "band_key")))
+        .select(col("band_pos"), col("band_key"), col("band_keys"), col("id")),
+      table, epochKey)
+    Bucketing.appendBucketedEpoch(
+      sigs.select(col("id"), col("wh")), s"${table}_wh", epochKey)
+  }
+
   /** Maintenance hook: fold each append's accumulated file-sets back to
     * one file per bucket across BOTH halves of the index (band rows and
     * word hashes). Run between ingest batches; see

@@ -26,13 +26,29 @@ import graft.sources.DedupIndex
   */
 object IngestDedup {
 
-  /** One micro-batch through the gate (idempotent per `batchId` via a
-    * marker file next to the outputs — same last-applied-epoch guard
-    * the [[SnapshotStore]] sinks use; single writer per gate).
+  /** One micro-batch through the gate — EXACTLY-ONCE under foreachBatch
+    * replay, for the outputs and the index alike:
+    *
+    *  1. Outputs commit per epoch by ATOMIC DIRECTORY RENAME: rows are
+    *     staged under a dot-dir (invisible to readers), then the whole
+    *     staging dir moves to `<dir>/epoch=<batchId>` in one rename.
+    *     A replay that finds the epoch dir skips recomputation; one
+    *     that doesn't recomputes from scratch (staging debris from the
+    *     crashed attempt is simply overwritten).
+    *  2. The index append runs ONLY after the survivors dir committed,
+    *     and reads the FROZEN survivors — so a replay never recomputes
+    *     the probe against an index this epoch already half-touched —
+    *     and lands via [[DedupIndex.appendEpoch]]'s deterministic
+    *     epoch-keyed file names, so re-appending the same epoch
+    *     replaces its own files instead of duplicating band rows.
+    *
+    * The epoch marker is a fast-path only (skip fully-landed epochs
+    * without touching Spark); correctness never depends on it.
     *
     * Rejections (near-dup of an indexed doc, or in-batch near-dup of a
     * lower-id survivor) land in `rejectDir` with the duplicate's id and
-    * similarity; survivors land in `outDir` AND the index.
+    * similarity; survivors land in `outDir` AND the index. Readers see
+    * `epoch` as a partition column on both output roots.
     */
   def applyBatch(
       spark: SparkSession, table: String, batch: DataFrame, batchId: Long,
@@ -41,34 +57,68 @@ object IngestDedup {
     val marker = Paths.get(outDir, "_graft_ingest_epoch")
     if (Files.exists(marker) &&
       new String(Files.readAllBytes(marker)).trim.toLong >= batchId) return // replay
-    val b = batch.localCheckpoint(true) // probe + pairs + 2 writes reuse it
-    // cross-batch: anything near-dup of an already-indexed doc
-    val crossHits = DedupIndex.probe(spark, table, b, idCol, textCol,
-        threshold = threshold)
-      .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"),
-        max(col("jaccard")).as("similarity"))
-    // in-batch: drop the higher id of every in-batch near-dup pair
-    // (id_a < id_b by construction, so the kept side is deterministic)
-    val inBatchHits = Dedup.minHashNearDupPairs(b, idCol, textCol,
-        threshold = threshold)
-      .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"),
-        max(col("jaccard")).as("similarity"))
-    val rejected = crossHits.withColumn("reason", lit("DUP_OF_CORPUS"))
-      .unionByName(inBatchHits.withColumn("reason", lit("DUP_IN_BATCH")))
-      .groupBy(col("id_b"))
-      .agg(min_by(struct(col("dup_of"), col("similarity"), col("reason")),
-        struct(col("dup_of"), col("reason"))).as("m"))
-      .select(col("id_b"), col("m.dup_of").as("dup_of"),
-        col("m.similarity").as("similarity"), col("m.reason").as("reason"))
-    b.join(rejected, b(idCol) === rejected("id_b"))
-      .select(col(idCol), col("dup_of"), col("similarity"), col("reason"))
-      .write.mode(SaveMode.Append).parquet(rejectDir)
-    val survivors = b.join(rejected, b(idCol) === rejected("id_b"), "left_anti")
-      .localCheckpoint(true) // appended AND written: compute the anti-join once
-    survivors.write.mode(SaveMode.Append).parquet(outDir)
-    DedupIndex.append(spark, table, survivors, idCol, textCol)
+    val outEpoch = Paths.get(outDir, s"epoch=$batchId")
+    if (!Files.exists(outEpoch)) {
+      // the index is guaranteed untouched by this epoch (appends happen
+      // only after this dir commits), so recomputation is deterministic
+      val b = batch.localCheckpoint(true) // probe + pairs + 2 writes reuse it
+      // cross-batch: anything near-dup of an already-indexed doc
+      val crossHits = DedupIndex.probe(spark, table, b, idCol, textCol,
+          threshold = threshold)
+        .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"),
+          max(col("jaccard")).as("similarity"))
+      // in-batch: drop the higher id of every in-batch near-dup pair
+      // (id_a < id_b by construction, so the kept side is deterministic)
+      val inBatchHits = Dedup.minHashNearDupPairs(b, idCol, textCol,
+          threshold = threshold)
+        .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"),
+          max(col("jaccard")).as("similarity"))
+      val rejected = crossHits.withColumn("reason", lit("DUP_OF_CORPUS"))
+        .unionByName(inBatchHits.withColumn("reason", lit("DUP_IN_BATCH")))
+        .groupBy(col("id_b"))
+        .agg(min_by(struct(col("dup_of"), col("similarity"), col("reason")),
+          struct(col("dup_of"), col("reason"))).as("m"))
+        .select(col("id_b"), col("m.dup_of").as("dup_of"),
+          col("m.similarity").as("similarity"), col("m.reason").as("reason"))
+      commitEpoch(
+        b.join(rejected, b(idCol) === rejected("id_b"))
+          .select(col(idCol), col("dup_of"), col("similarity"), col("reason")),
+        rejectDir, batchId)
+      commitEpoch(
+        b.join(rejected, b(idCol) === rejected("id_b"), "left_anti"),
+        outDir, batchId)
+    }
+    // survivors are frozen now; the append is idempotent per epoch key.
+    // An all-rejected epoch commits a dir with no data files — nothing
+    // to append (and nothing for schema inference to choke on).
+    val hasSurvivors = {
+      val s = Files.list(outEpoch)
+      try s.anyMatch(_.getFileName.toString.endsWith(".parquet")) finally s.close()
+    }
+    if (hasSurvivors)
+      DedupIndex.appendEpoch(spark, table,
+        spark.read.parquet(outEpoch.toString), idCol, textCol,
+        epochKey = s"ingest-e$batchId")
     Files.write(marker, batchId.toString.getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Stage `df` under `<root>/.staging/e<batchId>`, then commit it as
+    * `<root>/epoch=<batchId>` with one atomic rename. Idempotent: an
+    * already-committed epoch is left untouched (and any staging debris
+    * from the losing attempt removed).
+    */
+  private def commitEpoch(df: DataFrame, root: String, batchId: Long): Unit = {
+    val dest = Paths.get(root, s"epoch=$batchId")
+    val staging = Paths.get(root, ".staging", s"e$batchId")
+    if (!Files.exists(dest)) {
+      df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      Files.createDirectories(dest.getParent)
+      try Files.move(staging, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    if (Files.exists(staging))
+      org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
   }
 
   /** Run the gate over a document stream against an EXISTING index

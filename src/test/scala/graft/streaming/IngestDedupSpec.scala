@@ -71,4 +71,64 @@ class IngestDedupSpec extends SparkSpec {
         "replayed batch must not re-append")
     } finally q.stop()
   }
+
+  test("crash between survivor commit and index append replays without duplicates") {
+    val dir = Files.createTempDirectory("graft-ingest-crash").toString
+    val corpus = Seq((1L, doc("the quick brown fox "))).toDF("doc_id", "text")
+    DedupIndex.build(corpus, "ingestcrash_idx", "doc_id", "text")
+    val baseRows = spark.table("ingestcrash_idx").count()
+
+    def run(id: Long, docs: Seq[(Long, String)]): Unit =
+      IngestDedup.applyBatch(spark, "ingestcrash_idx",
+        docs.toDF("doc_id", "text"), id, "doc_id", "text",
+        s"$dir/out", s"$dir/reject")
+
+    run(0, Seq((10L, doc("sphinx of black quartz judge ")),
+      (11L, doc("the quick brown fox ")))) // 10 survives, 11 rejected
+    assert(spark.table("ingestcrash_idx").count() - baseRows == 8)
+
+    // epoch 1: land it fully, then recreate the two crash states a
+    // foreachBatch replay can observe and replay into each of them
+    run(1, Seq((20L, doc("how vexingly daft zebras jump "))))
+    val outRows = spark.read.parquet(s"$dir/out")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val idxRows = spark.table("ingestcrash_idx").count()
+    val marker = java.nio.file.Paths.get(s"$dir/out", "_graft_ingest_epoch")
+
+    // crash state A: survivors committed, index append PARTIAL (one of
+    // the epoch's deterministic files missing), marker never written
+    Files.delete(marker)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("ingestcrash_idx"))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val e1Files = fs.listStatus(loc).map(_.getPath)
+      .filter(_.getName.contains("ingest-e1"))
+    assert(e1Files.nonEmpty, "epoch-keyed index files must exist")
+    fs.delete(e1Files.head, false)
+    spark.catalog.refreshTable("ingestcrash_idx")
+
+    run(1, Seq((20L, doc("how vexingly daft zebras jump ")))) // replay
+    spark.catalog.refreshTable("ingestcrash_idx")
+    assert(spark.table("ingestcrash_idx").count() == idxRows,
+      "replay after partial index append must restore, not duplicate")
+    assert(spark.read.parquet(s"$dir/out")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == outRows,
+      "replay must not duplicate output rows")
+
+    // crash state B: staging debris from an attempt that died before
+    // the atomic rename — the replay must overwrite it and commit once
+    Files.delete(marker)
+    val staging = java.nio.file.Paths.get(s"$dir/out", ".staging", "e2")
+    Files.createDirectories(staging)
+    Files.write(staging.resolve("debris"), "junk".getBytes)
+    run(2, Seq((30L, doc("pack my box with jugs again "))))
+    assert(!Files.exists(staging), "staging debris must be swept on commit")
+    val afterB = spark.read.parquet(s"$dir/out")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(afterB == (outRows :+ 30L).sorted,
+      s"epoch 2 must commit exactly once: $afterB")
+    // duplicated epoch column must not appear as data (partition only)
+    assert(spark.read.parquet(s"$dir/out").columns.count(_ == "epoch") == 1)
+  }
 }
