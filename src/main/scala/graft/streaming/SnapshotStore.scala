@@ -89,6 +89,74 @@ final class SnapshotStore(
   private def baseAtOrBefore(table: String, v: Int): Int =
     (v to 1 by -1).find(i => Files.exists(Paths.get(baseDir(table, i)))).getOrElse(0)
 
+  // ---- schema-evolution contract ----------------------------------
+  //
+  // readDeltas unions the outstanding chain in ONE multi-path read and
+  // recovers the (seq, op, pk) roles positionally — sound only while
+  // every delta in a chain segment shares one layout. A target-schema
+  // change mid-chain would otherwise SILENTLY mis-read (parquet's
+  // name-based matching against whichever file's footer won the schema
+  // race drops or null-fills columns nondeterministically). The
+  // contract: each version dir carries a `_graft_schema` fingerprint
+  // (tiny file — no parquet footer inference on the trigger path);
+  // stageDelta compares the incoming layout against the chain's and
+  //  * forces a COMPACTION BOUNDARY on a pure add-column change (the
+  //    old-schema chain folds into a base, so no segment ever mixes
+  //    layouts; the base's missing columns null-fill at read — correct,
+  //    because the column genuinely had no value then), and
+  //  * refuses anything else (drop / rename / reorder / type change)
+  //    with an actionable error instead of a silent mis-bind.
+
+  private def schemaFile(dir: String) = Paths.get(dir, "_graft_schema")
+
+  private def writeFingerprint(dir: String, schema: StructType): Unit =
+    Files.write(schemaFile(dir),
+      schema.fields.map(f => s"${f.name}:${f.dataType.catalogString}")
+        .mkString("\n").getBytes)
+
+  private def readFingerprint(dir: String): Option[Seq[(String, String)]] =
+    if (!Files.exists(schemaFile(dir))) None
+    else Some(new String(Files.readAllBytes(schemaFile(dir))).split("\n").toSeq
+      .filter(_.nonEmpty).map { l =>
+        val i = l.indexOf(':'); (l.substring(0, i), l.substring(i + 1))
+      })
+
+  /** Incoming delta layout vs the chain's: identical → None; pure
+    * add-column (same first-three roles, old layout a strict prefix) →
+    * Some(()) meaning "compaction boundary required"; anything else →
+    * loud error.
+    */
+  private def checkDeltaEvolution(table: String,
+      prev: Seq[(String, String)], incoming: Seq[(String, String)]): Boolean = {
+    if (prev == incoming) return false
+    def fail(what: String) = throw new IllegalStateException(
+      s"Schema change on snapshot table '$table' is not add-column evolution " +
+      s"($what). Chain layout: ${prev.map(_._1).mkString(", ")}; incoming: " +
+      s"${incoming.map(_._1).mkString(", ")}. Only appending new data columns " +
+      "is supported on a live chain; for drops, renames, reorders or type " +
+      "changes, rewrite the table explicitly (snapshot → transform → commit).")
+    if (prev.take(3) != incoming.take(3)) fail("the (seq, operation, pk) roles differ")
+    if (incoming.length <= prev.length || incoming.take(prev.length) != prev)
+      fail("existing columns were dropped, renamed, reordered or retyped")
+    true
+  }
+
+  /** The staged-on-top-of-a-base case: every base column must survive
+    * into the new layout with its type — a vanished one means the
+    * caller dropped/renamed/retyped, which null-fill-at-read would
+    * silently turn into data loss.
+    */
+  private def checkBaseCompat(table: String, baseFp: Seq[(String, String)],
+      incoming: Seq[(String, String)]): Unit = {
+    val have = incoming.drop(2).toMap // pk + data columns of the delta layout
+    val lost = baseFp.filterNot { case (n, t) => have.get(n).contains(t) }
+    if (lost.nonEmpty) throw new IllegalStateException(
+      s"Delta layout for snapshot table '$table' loses base column(s) " +
+      s"${lost.map { case (n, t) => s"$n:$t" }.mkString(", ")} — a read would " +
+      "silently null them. Only appending new data columns is supported; " +
+      "rewrite the table explicitly (snapshot → transform → commit) instead.")
+  }
+
   /** All delta versions in [from, to] as ONE read with a `__v` version
     * column. One multi-path `spark.read` instead of one per delta: each
     * separate read costs a driver-side file listing + footer schema
@@ -112,15 +180,32 @@ final class SnapshotStore(
   def snapshot(table: String, schema: StructType): DataFrame =
     snapshotAt(table, currentVersion(table), schema)
 
+  /** Null-fill `want`ed columns a pre-evolution frame lacks — correct
+    * for add-column evolution (the column genuinely had no value then);
+    * every OTHER shape of change is refused at write time, so this is
+    * the only reconciliation a read ever needs.
+    */
+  private def withMissingAsNull(df: DataFrame,
+      want: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
+    val have = df.columns.toSet
+    want.filterNot(f => have.contains(f.name))
+      .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+  }
+
   /** Time travel: reconstruct any committed version (0 = empty). */
   def snapshotAt(table: String, version: Int, schema: StructType = null): DataFrame = {
     if (version == 0)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val b = baseAtOrBefore(table, version)
-    if (b == version) return spark.read.parquet(baseDir(table, b))
+    if (b == version) {
+      val base = spark.read.parquet(baseDir(table, b))
+      return if (schema == null) base else withMissingAsNull(base, schema.fields.toSeq)
+    }
     val deltas = readDeltas(table, b + 1, version)
     // delta layout contract (commitDelta): [seqCol, operation, pk, data…]
+    // — uniform across the segment (stageDelta forces a compaction
+    // boundary at any layout change)
     val fields = deltas.schema.fields.filterNot(_.name == "__v")
     val seqCol = fields(0).name
     val pk = fields(2).name
@@ -130,8 +215,10 @@ final class SnapshotStore(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         if (schema != null) schema else StructType(fields.drop(2)))
       else spark.read.parquet(baseDir(table, b))
+    // a pre-evolution base lacks columns added later in the chain
+    val reconciled = withMissingAsNull(base, fields.drop(3).toSeq)
     val ordered = deltas.withColumn("__ord", struct(col("__v"), col(seqCol)))
-    Apply.applyBatch(base, ordered, pk, "__ord", dataCols).target
+    Apply.applyBatch(reconciled, ordered, pk, "__ord", dataCols).target
   }
 
   /** Column-pruned pk membership at the current version: the set of
@@ -208,6 +295,7 @@ final class SnapshotStore(
     val next = currentVersion(table) + 1
     clearUncommitted(table, next)
     df.write.mode(SaveMode.Overwrite).parquet(baseDir(table, next))
+    writeFingerprint(baseDir(table, next), df.schema)
     meta.foreach(m => Files.write(
       Paths.get(baseDir(table, next), "_graft_meta"), m.getBytes))
     flipPointer(table, next)
@@ -249,14 +337,30 @@ final class SnapshotStore(
       table: String, changes: DataFrame,
       pk: String, seqCol: String, dataCols: Seq[String],
       meta: Option[String] = None): Int = {
+    val selected = changes.select((Seq(seqCol, "operation", pk) ++ dataCols).map(col): _*)
+    val incoming = selected.schema.fields.toSeq
+      .map(f => f.name -> f.dataType.catalogString)
+    // schema-evolution gate (two tiny marker-file reads, no Spark):
+    // a layout change against the outstanding chain forces a compaction
+    // boundary; a change that loses base columns refuses loudly
+    val v = currentVersion(table)
+    val outstanding = v > baseAtOrBefore(table, v)
+    if (outstanding && readFingerprint(deltaDir(table, v))
+        .exists(checkDeltaEvolution(table, _, incoming)))
+      compact(table) // old-schema chain folds; segment stays uniform
+    val base = baseAtOrBefore(table, currentVersion(table))
+    if (base > 0)
+      readFingerprint(baseDir(table, base))
+        .foreach(checkBaseCompat(table, _, incoming))
     val next = currentVersion(table) + 1
     clearUncommitted(table, next)
     // repartition, not coalesce: coalesce(1) would drag the upstream
     // parse/transform into a single task; a round-robin shuffle of a
     // trigger-bounded batch is trivial and keeps the source parallel
-    changes.select((Seq(seqCol, "operation", pk) ++ dataCols).map(col): _*)
+    selected
       .repartition(deltaWriteParts)
       .write.mode(SaveMode.Overwrite).parquet(deltaDir(table, next))
+    writeFingerprint(deltaDir(table, next), selected.schema)
     meta.foreach(m => Files.write(
       Paths.get(deltaDir(table, next), "_graft_meta"), m.getBytes))
     next
@@ -267,9 +371,11 @@ final class SnapshotStore(
     * point. `staged` must be the value [[stageDelta]] returned.
     */
   def finalizeDelta(table: String, staged: Int): Int = {
-    if (staged - baseAtOrBefore(table, staged - 1) >= compactEvery)
-      snapshotAt(table, staged) // d<staged> exists; pointer not yet flipped
-        .write.mode(SaveMode.Overwrite).parquet(baseDir(table, staged))
+    if (staged - baseAtOrBefore(table, staged - 1) >= compactEvery) {
+      val snap = snapshotAt(table, staged) // d<staged> exists; pointer not yet flipped
+      snap.write.mode(SaveMode.Overwrite).parquet(baseDir(table, staged))
+      writeFingerprint(baseDir(table, staged), snap.schema)
+    }
     flipPointer(table, staged)
   }
 
@@ -303,7 +409,9 @@ final class SnapshotStore(
       val next = v + 1
       val meta = currentMeta(table)
       clearUncommitted(table, next)
-      snapshotAt(table, v).write.mode(SaveMode.Overwrite).parquet(baseDir(table, next))
+      val snap = snapshotAt(table, v)
+      snap.write.mode(SaveMode.Overwrite).parquet(baseDir(table, next))
+      writeFingerprint(baseDir(table, next), snap.schema)
       meta.foreach(m => Files.write(
         Paths.get(baseDir(table, next), "_graft_meta"), m.getBytes))
       flipPointer(table, next)
