@@ -135,10 +135,80 @@ object StreamBench {
     }
   }
 
+  /** Deterministic source image per (entity, direction) — the same
+    * shapes `ConcurrentPipelineSpec` feeds, sized down to one line.
+    */
+  private def imageFor(entity: String, a2t: Boolean, id: Int): String = (entity, a2t) match {
+    case ("BOOK", true) =>
+      s"""{"BOOK_ID":"$id","BOOK_TITLE":"t$id","AUTHOR":"a","CATEGORY":"01","STATUS":"Y","REG_DATE":$regMs,"MOD_DATE":null}"""
+    case ("BOOK", false) =>
+      s"""{"BOOK_ID":"$id","TITLE":"t$id","AUTHOR_NAME":"a","CATEGORY_CD":"SCI","IS_ACTIVE":"1","CREATED_AT":$regMs,"UPDATED_AT":null,"CREATED_BY":"SYNC","UPDATED_BY":"SYNC"}"""
+    case ("MEMBER", true) =>
+      s"""{"MEMBER_ID":"$id","MEMBER_NAME":"m$id","EMAIL":"m@x","MEMBER_TYPE":"A","STATUS":"Y","REG_DATE":$regMs}"""
+    case ("MEMBER", false) =>
+      s"""{"MEMBER_ID":"$id","MEMBER_NAME":"m$id","EMAIL_ADDR":"m@x","MEMBER_TYPE_CD":"USER","IS_ACTIVE":"1","CREATED_AT":$regMs,"UPDATED_AT":null}"""
+    case ("LEGACY_CODE", _) =>
+      s"""{"CODE_ID":"C$id","CODE_NAME":"c$id","USE_YN":"Y","REG_DATE":$regMs}"""
+    case ("NEW_SERVICE", _) =>
+      s"""{"SERVICE_ID":"$id","SERVICE_NAME":"s$id","SERVICE_TYPE_CD":"STD","IS_ACTIVE":"1","CREATED_AT":$regMs}"""
+    case other => throw new IllegalArgumentException(other.toString)
+  }
+
+  /** The production topology under load: ALL six (mapping, direction)
+    * queries running simultaneously against ONE snapshot store — the
+    * number that makes the shared audit path's serialization cost (and
+    * any cross-query driver contention) visible, where the single-
+    * pipeline probe can't. Reports AGGREGATE events/s across the six.
+    */
+  def concurrentThroughput(spark: SparkSession): Double = {
+    val restore = pinStreamingConf(spark)
+    val dir = Files.createTempDirectory("graft-bench-conc").toFile
+    val store = new graft.streaming.SnapshotStore(spark, s"$dir/store")
+    val pipeline = new graft.streaming.SyncPipeline(spark, store,
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    val pairs = graft.cdc.Registry.byTopic.values.toSeq
+      .sortBy(p => p._1.entity + p._2)
+    val feeds = pairs.map { case (m, d) =>
+      val mem = MemoryStream[String](spark)(spark.sqlContext.implicits.newStringEncoder)
+      val a2t = d == graft.cdc.Direction.AsisToTobe
+      val (schema, table) =
+        if (a2t) ("ASIS_USER", m.asis.table) else ("TOBE_USER", m.tobe.table)
+      val src = mem.toDF()
+        .withColumn("topic", lit(graft.cdc.Registry.topicFor(d, m)))
+      val q = pipeline.start(src, m, d, s"$dir/ckpt/${m.entity}-$d")
+      (mem, q, m, a2t, schema, table)
+    }
+    try {
+      val t0 = 1768284000000L
+      val perBatch = 4000
+      val batches = 4
+      val start = System.nanoTime()
+      (0 until batches).foreach { i =>
+        // add every pair's batch FIRST, then drain: all six queries
+        // process trigger i concurrently
+        feeds.foreach { case (mem, _, m, a2t, schema, table) =>
+          mem.addData((0 until perBatch).map { j =>
+            val id = i * perBatch + j
+            s"""{"payload":{"op":"c","before":null,"after":${imageFor(m.entity, a2t, id)},""" +
+              s""""source":{"schema":"$schema","table":"$table"},"ts_ms":${t0 + i * 1000L}}}"""
+          })
+        }
+        feeds.foreach(_._2.processAllAvailable())
+      }
+      val secs = (System.nanoTime() - start) / 1e9
+      pairs.size * batches * perBatch / secs
+    } finally {
+      feeds.foreach(_._2.stop())
+      restore()
+      deleteWithRetry(dir)
+    }
+  }
+
   /** One JSON fragment for the bench line. */
   def jsonFragment(spark: SparkSession): String = {
     val (twsEps, twsState) = twsThroughput(spark)
     val syncEps = syncThroughput(spark)
-    f""""streaming":{"tws_events_per_s":${twsEps}%.0f,"tws_state_rows":$twsState,"sync_events_per_s":${syncEps}%.0f}"""
+    val concEps = concurrentThroughput(spark)
+    f""""streaming":{"tws_events_per_s":${twsEps}%.0f,"tws_state_rows":$twsState,"sync_events_per_s":${syncEps}%.0f,"concurrent_events_per_s":${concEps}%.0f}"""
   }
 }
