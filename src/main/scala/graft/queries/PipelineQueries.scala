@@ -605,6 +605,20 @@ object PipelineQueries extends QueryPack {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // The recall-critical stored-index variant: multi-probe serve against
+  // the SAME persisted bucketed table ann1 serves single-probe. sim4's
+  // oracle certifies it byte-for-byte — probe expansion happens on the
+  // query side only, so the stored index needs nothing beyond its
+  // single-probe layout.
+  private def ann4LshMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val t = graft.sources.AnnIndex.tableFor("lshmp", dir)
+    graft.sources.AnnIndex.buildLsh(emb, t, planes = 6, dims = 64, buckets = 8)
+    graft.sources.AnnIndex.lshServeMultiProbe(s, t, emb.filter(col("vec_id") < 5),
+        k = 10, planes = 6, dims = 64, nProbe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---- SIM4: multi-probe SRP-LSH ANN top-k -------------------------------
   // Single-probe LSH (sim2) misses true neighbors across a hyperplane;
   // multi-probe also inspects the 2 lowest-|projection| bit-flip
@@ -1191,6 +1205,7 @@ object PipelineQueries extends QueryPack {
     Q("sim7_agg_topk", "top-k via bounded-heap aggregation (k-row partials, no window sort)", sim7AggTopk, Some(sim1Sql)),
     Q("ann2_ivf_index", "persisted IVF index: bucketed lists build + stored-list serve", ann2IvfIndex, Some(sim3Sql)),
     Q("ann3_ivfpq_index", "persisted IVF-PQ index: lists+codes build, code-only ADC serve", ann3IvfPqIndex, Some(sim6Sql)),
+    Q("ann4_lsh_multiprobe", "persisted LSH index: multi-probe serve (recall-critical variant)", ann4LshMultiprobe, Some(sim4Sql)),
     Q("di1_dedup_index", "persisted MinHash dedup index: corpus build + new-batch probe", di1DedupIndex, Some(di1Sql)),
     Q("di2_index_append", "incremental index append: build older sources, append src1, probe src0", di2IndexAppend, Some(di1Sql)),
   )

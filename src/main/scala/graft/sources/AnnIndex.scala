@@ -60,6 +60,30 @@ object AnnIndex {
     Similarity.rankTopK(c.join(broadcast(q), Seq("bucket")), k, aggRank)
   }
 
+  /** Multi-probe serve from the persisted LSH index — the
+    * recall-critical variant a production user runs: each query
+    * inspects its own bucket plus the `nProbe - 1` lowest-margin
+    * bit-flip buckets ([[Similarity.lshProbeBuckets]]), against the
+    * STORED corpus buckets. Probe expansion happens on the broadcast
+    * query side only; every stored vector still lives in exactly one
+    * bucket, so no candidate pair is generated twice, no dedup shuffle
+    * is needed, and the index side scans its stored bucketing with no
+    * exchange. Results are identical to
+    * [[Similarity.lshTopKMultiProbe]] over the same corpus.
+    */
+  def lshServeMultiProbe(
+      spark: SparkSession, table: String, queries: DataFrame, k: Int,
+      planes: Int, dims: Int, nProbe: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      aggRank: Boolean = true): DataFrame = {
+    val c = spark.table(table).select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"),
+      explode(Similarity.lshProbeBuckets(col(embCol), planes, dims, nProbe))
+        .as("bucket"))
+    Similarity.rankTopK(c.join(broadcast(q), Seq("bucket")), k, aggRank)
+  }
+
   /** Bucket-co-located batch serve: both sides are bucketed tables on
     * `bucket` with the same bucket count, so the candidate join plans
     * with NO exchange on either side — batch kNN at a scale where the

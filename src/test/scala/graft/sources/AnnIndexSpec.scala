@@ -61,6 +61,25 @@ class AnnIndexSpec extends SparkSpec {
     assertAggRankTail(served, probeWindows = 0)
   }
 
+  test("lshServeMultiProbe over the stored index equals inline lshTopKMultiProbe") {
+    AnnIndex.buildLsh(emb, "annspec_lshmp", planes = 6, dims = 64, buckets = 4)
+    val served = AnnIndex.lshServeMultiProbe(spark, "annspec_lshmp",
+      emb.filter(col("vec_id") < 5), k = 10, planes = 6, dims = 64, nProbe = 3)
+    val inline = Similarity.lshTopKMultiProbe(emb, emb.filter(col("vec_id") < 5),
+      k = 10, planes = 6, dims = 64, nProbe = 3)
+    assert(served.collect().toSet == inline.collect().toSet)
+    assertAggRankTail(served, probeWindows = 0)
+    // multi-probe must actually widen recall over single-probe at the
+    // same stored index (the fixture straddles hyperplanes, so equal
+    // results would mean the probe expansion is dead code)
+    val single = AnnIndex.lshServe(spark, "annspec_lshmp",
+      emb.filter(col("vec_id") < 5), k = 10, planes = 6, dims = 64)
+    assert(served.count() >= single.count(),
+      "multi-probe can never return fewer neighbors than single-probe")
+    assert(served.collect().toSet != single.collect().toSet,
+      "fixture must exercise at least one flipped-bucket hit")
+  }
+
   test("ivfServe over stored lists + stored centroids equals inline ivfTopK") {
     AnnIndex.buildIvf(emb, "annspec_ivf", nCentroids = 8, refine = 1, buckets = 4)
     val served = AnnIndex.ivfServe(spark, "annspec_ivf",
