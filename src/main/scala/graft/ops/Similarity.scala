@@ -160,14 +160,27 @@ object Similarity {
   def assignToCentroids(
       df: DataFrame, cents: DataFrame, outId: String, outEmb: String,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    assignToCentroidsWithSim(df, cents, outId, outEmb, idCol, embCol)
+      .drop("cent_sim")
+
+  /** [[assignToCentroids]] keeping the winner's (rounded) similarity —
+    * the raw material of the centroid-drift signal
+    * ([[graft.sources.AnnIndex.ivfDriftReport]]): same map-side
+    * `min_by` partial aggregation, one extra struct field in flight.
+    */
+  def assignToCentroidsWithSim(
+      df: DataFrame, cents: DataFrame, outId: String, outEmb: String,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
     df.select(col(idCol).as(outId), col(embCol).as(outEmb))
       .join(broadcast(cents))
       .select(col(outId), col(outEmb), col("cent_id"),
         cosineRounded(col(outEmb), col("cent_e")).as("cent_sim"))
       .groupBy(col(outId))
-      .agg(min_by(struct(col("cent_id"), col(outEmb).as("e")),
+      .agg(min_by(struct(col("cent_id"), col(outEmb).as("e"),
+          col("cent_sim").as("s")),
         struct((lit(0d) - col("cent_sim")).as("ns"), col("cent_id"))).as("m"))
-      .select(col(outId), col("m.e").as(outEmb), col("m.cent_id").as("cent_id"))
+      .select(col(outId), col("m.e").as(outEmb), col("m.cent_id").as("cent_id"),
+        col("m.s").as("cent_sim"))
 
   /** Top-n nearest centroids (probe selection) — window-ranked; runs on
     * the (small, broadcastable) QUERY side only, where an exchange+sort

@@ -619,6 +619,75 @@ object PipelineQueries extends QueryPack {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---- ANN5: centroid-drift signal ---------------------------------------
+  // The rebuild-decision input for the no-retrain append contract:
+  // build trains on the even vectors, the odd vectors arrive as an
+  // ingest batch, and the report compares assignment quality (mean
+  // assigned cosine + p10 histogram bin, both from the mergeable
+  // fixed-point summary) between the two scopes. The oracle retrains
+  // the same centroids (sim3's restatement) and recomputes both
+  // distributions from scratch.
+  private def ann5IvfDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val t = graft.sources.AnnIndex.tableFor("ivfdrift", dir)
+    graft.sources.AnnIndex.buildIvf(emb.filter(col("vec_id") % 2 === 0), t,
+      nCentroids = 8, refine = 1, buckets = 8)
+    graft.sources.AnnIndex.appendIvf(emb.filter(col("vec_id") % 2 === 1), t)
+    graft.sources.AnnIndex.ivfDriftReport(s, t).orderBy(col("scope"))
+  }
+
+  private val ann5Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |be AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+      |ae AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+      |seeds AS (SELECT vec_id AS cent_id, emb AS cent_e FROM be WHERE vec_id < 16),
+      |seed_assign AS (
+      |  SELECT vec_id, emb, cent_id FROM (
+      |    SELECT b.vec_id, b.emb, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      |        ORDER BY round(list_dot_product(b.emb, c.cent_e), 6) DESC, c.cent_id) AS r
+      |    FROM be b CROSS JOIN seeds c) WHERE r <= 1),
+      |cents AS (
+      |  SELECT cent_id, list(m ORDER BY pos) AS cent_e FROM (
+      |    SELECT cent_id, pos,
+      |      (CAST(SUM(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      |        / COUNT(*)) / 1000000.0 AS m
+      |    FROM (SELECT cent_id, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v
+      |          FROM seed_assign)
+      |    GROUP BY cent_id, pos)
+      |  GROUP BY cent_id),
+      |sims AS (
+      |  SELECT 'build' AS scope, s FROM (
+      |    SELECT b.vec_id, round(list_dot_product(b.emb, c.cent_e), 6) AS s,
+      |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      |        ORDER BY round(list_dot_product(b.emb, c.cent_e), 6) DESC, c.cent_id) AS r
+      |    FROM be b CROSS JOIN cents c) WHERE r = 1
+      |  UNION ALL
+      |  SELECT 'append' AS scope, s FROM (
+      |    SELECT a.vec_id, round(list_dot_product(a.emb, c.cent_e), 6) AS s,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |        ORDER BY round(list_dot_product(a.emb, c.cent_e), 6) DESC, c.cent_id) AS r
+      |    FROM ae a CROSS JOIN cents c) WHERE r = 1),
+      |hist AS (
+      |  SELECT scope, LEAST(CAST(floor((s + 1.0) * 10) AS INT), 19) AS bin,
+      |    COUNT(*) AS cnt,
+      |    SUM(CAST(floor(s * 1000000.0 + 0.5) AS BIGINT)) AS sum_fp
+      |  FROM sims GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT scope, SUM(cnt) AS n_vectors,
+      |    (CAST(SUM(sum_fp) AS DOUBLE) / SUM(cnt)) / 1000000.0 AS mean_sim
+      |  FROM hist GROUP BY 1),
+      |cum AS (
+      |  SELECT scope, bin, SUM(cnt) OVER (PARTITION BY scope ORDER BY bin) AS cum
+      |  FROM hist),
+      |p10 AS (
+      |  SELECT c.scope, MIN(c.bin) AS p10_bin
+      |  FROM cum c JOIN tot t ON c.scope = t.scope
+      |  WHERE c.cum >= t.n_vectors * 0.1 GROUP BY 1)
+      |SELECT t.scope, CAST(t.n_vectors AS BIGINT) AS n_vectors, t.mean_sim, p.p10_bin
+      |FROM tot t JOIN p10 p ON t.scope = p.scope
+      |ORDER BY t.scope""".stripMargin
+
   // ---- SIM4: multi-probe SRP-LSH ANN top-k -------------------------------
   // Single-probe LSH (sim2) misses true neighbors across a hyperplane;
   // multi-probe also inspects the 2 lowest-|projection| bit-flip
@@ -1206,6 +1275,7 @@ object PipelineQueries extends QueryPack {
     Q("ann2_ivf_index", "persisted IVF index: bucketed lists build + stored-list serve", ann2IvfIndex, Some(sim3Sql)),
     Q("ann3_ivfpq_index", "persisted IVF-PQ index: lists+codes build, code-only ADC serve", ann3IvfPqIndex, Some(sim6Sql)),
     Q("ann4_lsh_multiprobe", "persisted LSH index: multi-probe serve (recall-critical variant)", ann4LshMultiprobe, Some(sim4Sql)),
+    Q("ann5_ivf_drift", "IVF centroid-drift signal: build-vs-append assignment-quality report", ann5IvfDrift, Some(ann5Sql)),
     Q("di1_dedup_index", "persisted MinHash dedup index: corpus build + new-batch probe", di1DedupIndex, Some(di1Sql)),
     Q("di2_index_append", "incremental index append: build older sources, append src1, probe src0", di2IndexAppend, Some(di1Sql)),
   )

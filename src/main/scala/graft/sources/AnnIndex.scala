@@ -106,17 +106,60 @@ object AnnIndex {
   def buildIvf(
       corpus: DataFrame, table: String, nCentroids: Int, refine: Int, buckets: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
     val cents = Similarity.ivfCentroids(corpus, nCentroids, refine, idCol, embCol)
-    Bucketing.resetTable(corpus.sparkSession, s"${table}_cents")
+    Bucketing.resetTable(spark, s"${table}_cents")
     cents.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(s"${table}_cents")
     // assign against the PERSISTED centroids: skips re-running the
     // k-means refinement (a corpus scan + shuffle per pass) and
     // guarantees the lists derive from byte-identical stored centroids
-    Bucketing.writeBucketed(
-      Similarity.assignToCentroids(corpus,
-        corpus.sparkSession.table(s"${table}_cents"), "vec_id", "embedding",
-        idCol, embCol),
-      table, "cent_id", buckets)
+    val assigned = Similarity.assignToCentroidsWithSim(corpus,
+      spark.table(s"${table}_cents"), "vec_id", "embedding", idCol, embCol)
+    Bucketing.writeBucketed(assigned.drop("cent_sim"), table, "cent_id", buckets)
+    Bucketing.resetTable(spark, s"${table}_drift")
+    driftSummary(assigned, "build").write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_drift")
+  }
+
+  /** Constant-size mergeable summary of one assignment pass: a 20-bin
+    * histogram over the assigned cosine in [-1, 1] plus an EXACT
+    * fixed-point similarity sum per bin — two scopes of it (build vs
+    * appends) are the whole drift signal, and rows merge by addition,
+    * so N appends cost N tiny row-sets, never a re-scan.
+    */
+  private def driftSummary(assigned: DataFrame, scope: String): DataFrame =
+    assigned.select(
+        least(floor((col("cent_sim") + lit(1.0d)) * 10).cast("int"), lit(19))
+          .as("bin"),
+        col("cent_sim"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("cent_sim") * 1000000.0 + 0.5).cast("bigint")).as("sum_fp"))
+      .select(lit(scope).as("scope"), col("bin"), col("cnt"), col("sum_fp"))
+
+  /** The data-driven rebuild signal [[appendIvf]]'s no-retrain contract
+    * needs: per scope ('build' vs accumulated 'append'), the vector
+    * count, mean assigned similarity (exact fixed-point sum ⇒ engine-
+    * reproducible), and the 10th-percentile histogram bin. A drifting
+    * corpus shows up as the append scope's mean/p10 sliding below the
+    * build scope's — compare the two rows and rebuild when the gap
+    * crosses your threshold.
+    */
+  def ivfDriftReport(spark: SparkSession, table: String): DataFrame = {
+    val d = spark.table(s"${table}_drift")
+    val tot = d.groupBy(col("scope")).agg(
+      sum(col("cnt")).as("n_vectors"),
+      (sum(col("sum_fp")).cast("double") / sum(col("cnt")) / lit(1000000.0d))
+        .as("mean_sim"))
+    val byBin = d.groupBy(col("scope"), col("bin")).agg(sum(col("cnt")).as("c"))
+    val cum = byBin.withColumn("cum",
+      sum(col("c")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("scope")).orderBy(col("bin"))))
+    val p10 = cum.join(tot.select(col("scope"), col("n_vectors")), Seq("scope"))
+      .filter(col("cum") >= col("n_vectors") * lit(0.1d))
+      .groupBy(col("scope")).agg(min(col("bin")).as("p10_bin"))
+    tot.join(p10, Seq("scope"))
+      .select(col("scope"), col("n_vectors"), col("mean_sim"), col("p10_bin"))
   }
 
   /** Append a new vector batch to a stored LSH index without
@@ -135,18 +178,26 @@ object AnnIndex {
 
   /** Append a new vector batch to a stored IVF index: assign against
     * the STORED trained centroids (no retrain — the standard IVF ingest
-    * contract; centroid drift is handled by periodic rebuild), append
-    * the list rows. Serve after append ≡ serve over a rebuild that
-    * assigns the union against the same centroids.
+    * contract; centroid drift is handled by periodic rebuild, and the
+    * WHEN is data-driven: each append also records its
+    * assignment-quality summary, so [[ivfDriftReport]] shows the
+    * append scope sliding against the build scope), append the list
+    * rows. Serve after append ≡ serve over a rebuild that assigns the
+    * union against the same centroids.
     */
   def appendIvf(
       batch: DataFrame, table: String,
       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
-    Bucketing.appendBucketed(
-      Similarity.assignToCentroids(batch, spark.table(s"${table}_cents"),
-        "vec_id", "embedding", idCol, embCol),
-      table)
+    val assigned = Similarity.assignToCentroidsWithSim(batch,
+      spark.table(s"${table}_cents"), "vec_id", "embedding", idCol, embCol)
+    Bucketing.appendBucketed(assigned.drop("cent_sim"), table)
+    // drift bookkeeping: this batch's assignment-quality summary lands
+    // in the 'append' scope (rows merge by addition across appends —
+    // ivfDriftReport sums them). Advisory signal, so a plain append
+    // suffices; it rides no exactly-once contract.
+    driftSummary(assigned, "append").write.mode(SaveMode.Append)
+      .format("parquet").saveAsTable(s"${table}_drift")
   }
 
   /** Append a new vector batch to a stored IVF×PQ index: assignment

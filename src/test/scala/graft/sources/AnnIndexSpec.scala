@@ -90,6 +90,38 @@ class AnnIndexSpec extends SparkSpec {
     assertAggRankTail(served, probeWindows = 1)
   }
 
+  test("ivfDriftReport flags a drifted append and accumulates across appends") {
+    AnnIndex.buildIvf(emb.filter(col("vec_id") % 2 === 0), "annspec_drift",
+      nCentroids = 8, refine = 1, buckets = 4)
+    def report() = AnnIndex.ivfDriftReport(spark, "annspec_drift")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+
+    // append 1: same distribution (the odd half of the same corpus)
+    AnnIndex.appendIvf(emb.filter(col("vec_id") % 2 === 1), "annspec_drift")
+    val sameDist = report()
+    val (bn, bMean, bP10) = sameDist("build")
+    val (n1, sameMean, _) = sameDist("append")
+    assert(n1 == emb.filter(col("vec_id") % 2 === 1).count())
+
+    // append 2: genuinely drifted vectors — a norm shift (the
+    // new-encoder-version scenario) shrinks every assigned dot 10×
+    AnnIndex.appendIvf(
+      emb.filter(col("vec_id") % 2 === 1)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), v => (v * lit(0.1d)).cast("float"))
+            .as("embedding")),
+      "annspec_drift")
+    val drifted = report()
+    val (n2, driftMean, dP10) = drifted("append")
+    assert(n2 == 2 * n1, "append-scope rows must accumulate across appends")
+    assert(drifted("build") == ((bn, bMean, bP10)), "build scope must not move")
+    assert(driftMean < sameMean,
+      s"drifted append must pull the mean down: $driftMean vs $sameMean")
+    assert(driftMean < bMean && dP10 <= bP10,
+      s"signal must show append ($driftMean, p10=$dP10) below build ($bMean, p10=$bP10)")
+  }
+
   test("ivfPqServe over stored lists+codes+codebooks equals inline ivfPqTopK") {
     AnnIndex.buildIvfPq(emb, "annspec_ivfpq", nCentroids = 8, refine = 1,
       m = 4, dims = 64, codebookK = 16, refinePq = 1, buckets = 4)
