@@ -13,12 +13,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Session config every entry point must set: the testdata `events.ts`
-    * column is parquet TIMESTAMP(NANOS), which Spark 4 only reads as a
-    * long under this legacy flag; `load` converts it back to a timestamp.
+  /** Session config every entry point must set. The testdata timestamps
+    * are parquet `timestamp[us]` with isAdjustedToUTC=false, which
+    * Spark 4 would otherwise infer as TIMESTAMP_NTZ — a type
+    * `unix_millis`/`unix_micros` reject and whose CSV/JSON formatting
+    * silently truncates to millis. Disabling NTZ inference reads the
+    * raw micros as UTC-instant TimestampType — byte-identical to what
+    * the DuckDB oracle sees in the same files. The nanos flag covers
+    * the previous generator's TIMESTAMP(NANOS) `events.ts` encoding,
+    * which `load` converts back to a timestamp.
     */
-  val requiredConf: Map[String, String] =
-    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+  val requiredConf: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // defensive: a caller-provided session (e.g. the driver harness) may
