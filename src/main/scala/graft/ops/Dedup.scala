@@ -350,6 +350,72 @@ object Dedup {
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  // ---- cross-document duplicated-span coverage ---------------------------
+
+  /** Per-document duplicated-span coverage: the fraction of each
+    * document's token positions covered by an `n`-gram that also occurs
+    * in at least `minDocs` distinct documents — the shuffle-native
+    * approximation of exact substring dedup (Lee et al. 2021's
+    * suffix-array pass) at n-gram granularity. A span duplicated across
+    * the corpus shows up as a run of duplicated n-grams, and the
+    * interval-merged coverage of those n-grams recovers the span length
+    * without materializing the span text.
+    *
+    * Output: (id, n_tokens, n_dup_grams, dup_tokens, dup_frac) — one row
+    * per input document, dup_* = 0 where nothing is duplicated.
+    *
+    * Scale shape (the reason this formulation survives 100 TB where a
+    * suffix array does not):
+    *  1. gram occurrences are a narrow posexplode — O(tokens) rows of
+    *     (doc, pos, 60-bit gram hash), no strings past the projection;
+    *  2. ONE groupBy on the gram hash finds cross-doc grams (partial
+    *     aggregation collapses per-partition repeats before the
+    *     exchange);
+    *  3. ONE hash join flags occurrences of duplicated grams — both
+    *     sides keyed on the same gram hash;
+    *  4. coverage is an interval merge inside a doc-partitioned window
+    *     (sorted runs of fixed-width intervals), then a doc-keyed
+    *     aggregate. Nothing is quadratic; no per-pair work exists at
+    *     all, unlike the pair-emitting dedup ops above.
+    */
+  def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("w"))
+    // (doc, 0-based pos, gram hash) — empty for docs shorter than n
+    // (sequence() would count DOWNWARD on a negative span, so guard it)
+    val occ = toks
+      .select(col("id"), size(col("w")).as("n_tokens"),
+        posexplode(when(size(col("w")) >= n,
+          transform(sequence(lit(0), size(col("w")) - n),
+            i => hash60(array_join(slice(col("w"), i + 1, lit(n)), " "))))
+          .otherwise(array())))
+      .toDF("id", "n_tokens", "pos", "g")
+    val dupGrams = occ.groupBy(col("g"))
+      .agg(count_distinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("g"))
+    // interval-merge the fixed-width [pos, pos+n) intervals per doc:
+    // each gram contributes its width minus the overlap with the
+    // furthest-reaching earlier interval
+    val prevEnd = max(col("pos") + n).over(
+      Window.partitionBy(col("id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val perDoc = occ.join(dupGrams, Seq("g"))
+      .withColumn("cov",
+        greatest(lit(0), col("pos") + n -
+          greatest(col("pos"), coalesce(prevEnd, col("pos")))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup_grams"), sum(col("cov")).as("dup_tokens"))
+    toks.select(col("id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"),
+        TextAnalysis.round6(coalesce(col("dup_tokens"), lit(0L))
+          .cast("double") / col("n_tokens")).as("dup_frac"))
+  }
+
   /** SimHash near-dup pairs: candidates share one of 4 8-bit chunks
     * (standard simhash blocking), verified by Hamming ≤ maxDist.
     */

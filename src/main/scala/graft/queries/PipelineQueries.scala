@@ -930,6 +930,41 @@ object PipelineQueries extends QueryPack {
       |                 for t in regexp_extract_all(text, '[a-z0-9]+')]) AS BIGINT) AS n_bpe4_pieces
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- DD8: cross-document duplicated-span coverage ----------------------
+  // Substring-level dedup signal (Lee et al. 2021, approximated at
+  // 8-gram granularity): per doc, how many token positions sit inside
+  // an 8-gram that also occurs in >=2 distinct documents. The coverage
+  // is an interval merge of the duplicated grams' [pos, pos+8) windows,
+  // so a long duplicated span counts its length once, not once per gram.
+  private def dd8DupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpanCoverage(Tables.load(s, dir, "documents"), "doc_id", "text",
+        n = 8, minDocs = 2)
+      .orderBy(col("doc_id"))
+
+  private val dd8Sql =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |           FROM documents),
+      |p AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS pos FROM t),
+      |g AS (SELECT doc_id, pos,
+      |        ('0x' || substr(md5(array_to_string(w[pos:pos+7], ' ')), 1, 15))::BIGINT AS g
+      |      FROM p),
+      |dup AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+      |dp AS (SELECT doc_id, pos FROM g WHERE g IN (SELECT g FROM dup)),
+      |m AS (SELECT doc_id, pos,
+      |        MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |      FROM dp),
+      |c AS (SELECT doc_id, COUNT(*) AS n_dup_grams,
+      |        SUM(GREATEST(0, pos + 8 - GREATEST(pos, COALESCE(prev_end, pos)))) AS dup_tokens
+      |      FROM m GROUP BY doc_id),
+      |nt AS (SELECT doc_id, len(w) AS n_tokens FROM t)
+      |SELECT doc_id, n_tokens,
+      |  COALESCE(n_dup_grams, 0) AS n_dup_grams,
+      |  CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      |  floor(CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / n_tokens * 1000000.0 + 0.5)
+      |    / 1000000.0 AS dup_frac
+      |FROM nt LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ---- DC1: train/eval decontamination (n-gram containment) --------------
   // src0 plays the eval set; every other source is training data. The
   // inverted-index join finds eval docs whose 3-gram sets sit ≥50%
@@ -1256,6 +1291,7 @@ object PipelineQueries extends QueryPack {
     Q("dd3_simhash_pairs", "SimHash near-dup pairs, Hamming-verified", dd3SimhashPairs, Some(dd3Sql)),
     Q("dd4_ngram_jaccard", "3-gram Jaccard dedup, blocked by source+lang", dd4NgramJaccard, Some(dd4Sql)),
     Q("dd5_cosine_neardup", "embedding-cosine near-dup, label-blocked", dd5CosineNearDup, Some(dd5Sql)),
+    Q("dd8_dup_spans", "duplicated-span coverage: interval-merged cross-doc 8-gram runs", dd8DupSpans, Some(dd8Sql)),
     Q("dc1_decontaminate", "train/eval n-gram containment (inverted-index join)", dc1Decontaminate, Some(dc1Sql)),
     Q("pk1_sequence_packing", "greedy packing into 2048-token context windows", pk1SequencePacking, Some(pk1Sql)),
     Q("sm1_hash_sample", "deterministic hash-mod sampling, lang-stratified", sm1HashSample, Some(sm1Sql)),

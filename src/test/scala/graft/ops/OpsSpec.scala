@@ -35,6 +35,31 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("dup-span coverage: interval merge counts overlapping gram runs once") {
+    // doc1/doc2 share exactly one 8-gram ("a..h"); doc5/doc6 are 9-token
+    // exact dups, so BOTH their grams duplicate and the [0,8)+[1,9)
+    // intervals must merge to 9 covered tokens, not 16. doc4 is shorter
+    // than the gram width (no grams, no crash); doc3 shares nothing.
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y a b c d e f g h z w"),
+      (3L, "p q r s t u v n1 n2 n3"),
+      (4L, "a b c"),
+      (5L, "m1 m2 m3 m4 m5 m6 m7 m8 m9"),
+      (6L, "m1 m2 m3 m4 m5 m6 m7 m8 m9")).toDF("doc_id", "text")
+    val rows = Dedup.dupSpanCoverage(d, "doc_id", "text", n = 8, minDocs = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_dup_grams", "dup_tokens", "dup_frac")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(rows == Seq(
+      (1L, 10L, 1L, 8L, 0.8),
+      (2L, 12L, 1L, 8L, 0.666667),
+      (3L, 10L, 0L, 0L, 0.0),
+      (4L, 3L, 0L, 0L, 0.0),
+      (5L, 9L, 2L, 9L, 1.0),
+      (6L, 9L, 2L, 9L, 1.0)))
+  }
+
   test("planted J=0.9 pair is found at default banding (recall regression)") {
     // 18 shared words + 1 unique each: |A∩B|=18, |A∪B|=20 → J=0.9 exactly.
     // With the old bands=2/r=16 default this pair was missed with
