@@ -667,7 +667,158 @@ object Relational extends QueryPack {
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  // ---- TPC-H Q7 shape: nation-pair volume shipping -----------------------
+  // Revenue between two trading nations, by (supplier nation, customer
+  // nation, ship year). Both nation dims come in pre-filtered to the
+  // two partners and broadcast, so the fact chain carries ONE shuffle
+  // per big join and the n1<->n2 pair predicate prunes at the dims —
+  // the plan the classic query exists to exercise.
+  private def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val partners = Seq("NATION_1", "NATION_2")
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val ord = Tables.load(s, dir, "orders")
+    val cust = Tables.load(s, dir, "customer")
+    val sup = Tables.load(s, dir, "supplier")
+    val n1 = Tables.load(s, dir, "nation").filter(col("n_name").isin(partners: _*))
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.load(s, dir, "nation").filter(col("n_name").isin(partners: _*))
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n1), sup("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), cust("c_nationkey") === col("n2_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(dec2(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  private val q7Sql =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS BIGINT) AS l_year, l_extendedprice, l_discount
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      |    AND n2.n_name IN ('NATION_1', 'NATION_2')
+      |    AND n1.n_name <> n2.n_name
+      |    AND l_shipdate >= TIMESTAMP '1995-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1997-01-01')
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // ---- TPC-H Q10 shape: returned-item top customers ----------------------
+  // Revenue lost to returns in one quarter, per customer, top 20. The
+  // deterministic cut needs the c_custkey tiebreak in BOTH engines;
+  // the rank itself is a TakeOrderedAndProject, not a window.
+  private def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val ord = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val cust = Tables.load(s, dir, "customer")
+    val nat = Tables.load(s, dir, "nation")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q10Sql =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // ---- TPC-H Q13 shape: customer order-count distribution ----------------
+  // LEFT join with an ON-clause filter (orders dropped by the predicate
+  // must NOT drop the customer), two stacked aggregations. The join
+  // keeps customers with zero orders — the semantics an inner join
+  // silently gets wrong.
+  private def q13CustomerDistribution(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val ord = Tables.load(s, dir, "orders")
+    val perCust = cust.join(ord,
+        cust("c_custkey") === ord("o_custkey") &&
+          ord("o_orderpriority") =!= "1-URGENT", "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q13Sql =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---- TPC-H Q19 shape: OR-of-ANDs bracket predicate ---------------------
+  // Three (brand, size band, quantity band) brackets OR'd over the
+  // part-lineitem join. The part side prunes to the three brands
+  // BEFORE the join (the disjunction's common p_brand IN (...) factor
+  // is pushed down), so the join build side is small and broadcast;
+  // the residual bracket predicate evaluates post-join in codegen.
+  private def q19BracketRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val part = Tables.load(s, dir, "part")
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+    val bracket =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .filter(bracket)
+      .agg(sum(dec2(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q19Sql =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("q7_volume_shipping", "nation-pair volume shipping by ship year (TPC-H Q7 shape)", q7VolumeShipping, Some(q7Sql)),
+    Q("q10_returned_items", "returned-item revenue top customers (TPC-H Q10 shape)", q10ReturnedItems, Some(q10Sql)),
+    Q("q13_order_distribution", "left-join order-count distribution (TPC-H Q13 shape)", q13CustomerDistribution, Some(q13Sql)),
+    Q("q19_bracket_revenue", "OR-of-ANDs bracket predicate revenue (TPC-H Q19 shape)", q19BracketRevenue, Some(q19Sql)),
     Q("q18_large_orders", "join + HAVING + top-K (large-order customers)", q18LargeOrders, Some(q18Sql)),
     Q("q4_late_orders", "EXISTS semi-join with cross-table predicate (TPC-H Q4 shape)", q4LateSemi, Some(q4Sql)),
     Q("q21_sole_supplier", "semi + anti self-join chain over the fact (TPC-H Q21 shape)", q21SoleReturns, Some(q21Sql)),
