@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.ops.Dedup
@@ -103,23 +103,8 @@ object IngestDedup {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
-  /** Stage `df` under `<root>/.staging/e<batchId>`, then commit it as
-    * `<root>/epoch=<batchId>` with one atomic rename. Idempotent: an
-    * already-committed epoch is left untouched (and any staging debris
-    * from the losing attempt removed).
-    */
-  private def commitEpoch(df: DataFrame, root: String, batchId: Long): Unit = {
-    val dest = Paths.get(root, s"epoch=$batchId")
-    val staging = Paths.get(root, ".staging", s"e$batchId")
-    if (!Files.exists(dest)) {
-      df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-      Files.createDirectories(dest.getParent)
-      try Files.move(staging, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    }
-    if (Files.exists(staging))
-      org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
-  }
+  private def commitEpoch(df: DataFrame, root: String, batchId: Long): Unit =
+    EpochCommit.commitEpoch(df, root, batchId)
 
   /** Run the gate over a document stream against an EXISTING index
     * (build it first with [[graft.sources.DedupIndex.build]]).
