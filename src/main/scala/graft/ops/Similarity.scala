@@ -452,6 +452,33 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs, blocked by a key (e.g. a
     * cluster label or LSH bucket) so the pair space never goes O(n²).
     */
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering the embedding space and dropping,
+    * within each cluster, every item that has a higher-id near-dup —
+    * i.e. item b is removed iff some a < b in the same cluster has
+    * cosine(a, b) ≥ threshold; the min id of each duplicate pair
+    * survives. Output: (id, cent_id) survivor rows.
+    *
+    * The technique's entire reason to exist is the scale shape: the
+    * O(n²) global pairwise comparison becomes per-cluster pairwise —
+    * n²/K work after one broadcast-assign pass — which is exactly how
+    * this composes here: deterministic k-means ([[ivfCentroids]]), a
+    * map-side `min_by` assignment (one exchange), then
+    * [[cosineNearDupPairs]] blocked on `cent_id` and a left-anti join
+    * on the dropped ids. Nothing crosses cluster boundaries.
+    */
+  def semDedup(
+      corpus: DataFrame, nCentroids: Int, refine: Int, threshold: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, nCentroids, refine, idCol, embCol)
+    val assigned = assignToCentroids(corpus, cents, idCol, embCol, idCol, embCol)
+      .localCheckpoint(true) // pairs + survivors both read it; cluster once
+    val dropped = cosineNearDupPairs(assigned, threshold, "cent_id", idCol, embCol)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cent_id"))
+  }
+
   def cosineNearDupPairs(
       df: DataFrame, threshold: Double, blockCol: String,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {

@@ -779,6 +779,49 @@ object PipelineQueries extends QueryPack {
       |  WHERE p.query_id <> a.neighbor_id)
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // ---- SD1: SemDeDup — semantic dedup via cluster-blocked cosine ---------
+  // Same deterministic k-means as sim3 (seeds = vec_id < K, one
+  // fixed-point refine round), then within-cluster near-dup pairs at
+  // cosine >= 0.35 drop the higher id. The oracle re-derives the
+  // centroids CTE-for-CTE, so a drift in training, assignment
+  // tie-breaks, or pair semantics all hash-fail.
+  private def sd1SemDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(Tables.load(s, dir, "embeddings"),
+        nCentroids = 8, refine = 1, threshold = 0.35)
+      .orderBy(col("vec_id"))
+
+  private val sd1Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |seeds AS (SELECT vec_id AS cent_id, emb AS cent_e FROM e WHERE vec_id < 8),
+      |seed_assign AS (
+      |  SELECT vec_id, emb, cent_id FROM (
+      |    SELECT e.vec_id, e.emb, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_dot_product(e.emb, c.cent_e), 6) DESC, c.cent_id) AS r
+      |    FROM e CROSS JOIN seeds c) WHERE r <= 1),
+      |cents AS (
+      |  SELECT cent_id, list(m ORDER BY pos) AS cent_e FROM (
+      |    SELECT cent_id, pos,
+      |      (CAST(SUM(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      |        / COUNT(*)) / 1000000.0 AS m
+      |    FROM (SELECT cent_id, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v
+      |          FROM seed_assign)
+      |    GROUP BY cent_id, pos)
+      |  GROUP BY cent_id),
+      |assigned AS (
+      |  SELECT vec_id, emb, cent_id FROM (
+      |    SELECT e.vec_id, e.emb, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_dot_product(e.emb, c.cent_e), 6) DESC, c.cent_id) AS r
+      |    FROM e CROSS JOIN cents c) WHERE r <= 1),
+      |drops AS (
+      |  SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+      |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      |  WHERE round(list_dot_product(a.emb, b.emb), 6) >= 0.35)
+      |SELECT vec_id, cent_id FROM assigned
+      |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+      |ORDER BY vec_id""".stripMargin
+
   // ---- SIM5: product-quantization ADC top-k ------------------------------
   // PQ = the compression scale path: 4 subspace codes of 16 centroids
   // replace the 64-float vector; queries score through a lookup table.
@@ -1277,6 +1320,7 @@ object PipelineQueries extends QueryPack {
   override val all: Seq[Q] = Seq(
     Q("emb1_label_centroids", "k-means centroid update (element-wise vector mean)", emb1LabelCentroids, Some(emb1Sql)),
     Q("sim3_ivf_topk", "IVF-probed ANN top-k (centroid inverted lists)", sim3IvfTopk, Some(sim3Sql)),
+    Q("sd1_semdedup", "SemDeDup: cluster-blocked semantic dedup, min-id survivor", sd1SemDedup, Some(sd1Sql)),
     Q("tx4_regex_tokens", "regex word/punct + BPE-ish piece counting", tx4RegexTokens, Some(tx4Sql)),
     Q("tx1_token_stats", "token count / TTR / quality scoring", tx1TokenStats, Some(tx1Sql)),
     Q("tx2_langid", "n-gram-heuristic language ID", tx2LangId, Some(tx2Sql)),

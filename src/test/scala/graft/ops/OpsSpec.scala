@@ -60,6 +60,23 @@ class OpsSpec extends SparkSpec {
       (6L, 9L, 2L, 9L, 1.0)))
   }
 
+  test("semDedup drops the higher id of within-cluster near-dups only") {
+    // seeds (refine=0) are ids 0/1 = the unit axes. 2=(0.8,0.6) lands
+    // in cluster 0 and pairs with 0 at cos 0.8 >= 0.75 -> dropped;
+    // 3=(0.6,0.8) likewise drops against 1 in cluster 1; 4=(-1,0)
+    // lands in cluster 1 (dot 0 beats -1) but pairs below threshold
+    // with everything there -> survives. Cross-cluster near-dups are
+    // by design NOT compared.
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(0.8f, 0.6f)), (3L, Array(0.6f, 0.8f)),
+      (4L, Array(-1f, 0f))).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(emb, nCentroids = 2, refine = 0,
+        threshold = 0.75)
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(kept == Seq((0L, 0L), (1L, 1L), (4L, 1L)))
+  }
+
   test("planted J=0.9 pair is found at default banding (recall regression)") {
     // 18 shared words + 1 unique each: |A∩B|=18, |A∪B|=20 → J=0.9 exactly.
     // With the old bands=2/r=16 default this pair was missed with
