@@ -50,6 +50,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Expand"), s"expected Expand for multi-distinct:\n$p")
   }
 
+  test("q7/q19: nation/part dims broadcast; q10 cuts via TakeOrderedAndProject") {
+    for (q <- Seq("q7_volume_shipping", "q19_bracket_revenue"))
+      assert(plan(q).contains("BroadcastHashJoin"), s"$q lost its broadcast dim join")
+    assert(plan("q10_returned_items").contains("TakeOrderedAndProject"),
+      "q10 must rank via TakeOrderedAndProject, not a full sort")
+    // q19's common brand factor must prune the part scan, not just the join
+    val exec = SparkEntry.queries("q19_bracket_revenue")(spark, sfSmoke)
+      .queryExecution.executedPlan
+    val inner = exec match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val pushed = inner.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }.mkString("; ")
+    assert(pushed.contains("In(p_brand"), s"brand factor not pushed to part scan: $pushed")
+  }
+
+  test("dd8/sd1/q13: new pipeline queries keep keyed joins and partitioned windows") {
+    for (q <- Seq("dd8_dup_spans", "sd1_semdedup", "q13_order_distribution")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+    // dd8's interval merge must be a doc-partitioned window, and its
+    // gram self-correlation must be keyed joins (hash on the gram hash)
+    val dd8 = plan("dd8_dup_spans")
+    assert(!dd8.contains("BroadcastNestedLoopJoin"), "dd8 degraded to a nested loop")
+    assert(dd8.contains("Window"), "dd8 lost its interval-merge window")
+    // sd1's only non-keyed join is the deliberate broadcast centroid
+    // attach (hidden behind the checkpoint); the within-cluster pair
+    // join must stay keyed on the block
+    val sd1 = plan("sd1_semdedup")
+    assert(sd1.contains("SortMergeJoin") || sd1.contains("ShuffledHashJoin") ||
+      sd1.contains("BroadcastHashJoin"), "sd1 pair join is not keyed")
+  }
+
   test("banded pair operators never degrade to cartesian/nested-loop joins") {
     for (q <- Seq("dd3_simhash_pairs", "sn1_sorted_neighborhood",
       "ed2_near_strings", "cp1_curation_pipeline", "er1_entity_resolution")) {
