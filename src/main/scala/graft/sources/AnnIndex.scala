@@ -200,6 +200,24 @@ object AnnIndex {
       .format("parquet").saveAsTable(s"${table}_drift")
   }
 
+  /** [[appendIvf]] made VALUE-IDEMPOTENT for replayable streaming-epoch
+    * appends ([[graft.streaming.SemanticIngestGate]]): list rows land
+    * via [[Bucketing.appendBucketedEpoch]]'s deterministic
+    * (epochKey, bucket) file names, so a replayed epoch replaces its
+    * own files instead of duplicating them. The advisory drift summary
+    * is intentionally NOT written here — a replay would double-count
+    * its bins; epoch-driven ingest reads drift from periodic
+    * [[appendIvf]]-path maintenance instead.
+    */
+  def appendIvfEpoch(
+      batch: DataFrame, table: String, epochKey: String,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val assigned = Similarity.assignToCentroids(batch,
+      spark.table(s"${table}_cents"), "vec_id", "embedding", idCol, embCol)
+    Bucketing.appendBucketedEpoch(assigned, table, epochKey)
+  }
+
   /** Append a new vector batch to a stored IVF×PQ index: assignment
     * against the stored centroids, encoding against the stored
     * codebooks — the batch's floats are read once here and never at

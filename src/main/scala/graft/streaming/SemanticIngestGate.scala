@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ops.Similarity
+import graft.sources.AnnIndex
+
+/** Streaming SEMANTIC ingest dedup — [[IngestDedup]]'s embedding-space
+  * sibling, gating a live vector stream against a persisted IVF index
+  * ([[graft.sources.AnnIndex.buildIvf]]): each micro-batch probes the
+  * stored inverted lists for its nearest indexed neighbor (reject at
+  * cosine ≥ threshold), drops in-batch near-dups within stored-centroid
+  * clusters (the [[Similarity.semDedup]] blocking, against FROZEN
+  * centroids), and appends only the survivors — so the index
+  * accumulates a semantically deduplicated corpus and every later
+  * batch dedups against everything that ever survived.
+  *
+  * Per-trigger cost is flat in corpus size: probe selection scores
+  * |batch|·C centroid dots map-side, the candidate scan touches only
+  * the probed stored lists, the in-batch pair join is blocked per
+  * cluster, and the append is O(|batch|) bucketed files. Recall is
+  * bounded by probe coverage (a true near-dup in an unprobed list
+  * escapes) — `nProbe` is the recall/cost dial, exactly as in batch
+  * IVF serving.
+  *
+  * Exactly-once: identical choreography to [[IngestDedup]] —
+  * survivor/reject dirs commit per epoch via [[EpochCommit]]'s atomic
+  * rename BEFORE the index append, the append reads the frozen
+  * survivors and lands via [[AnnIndex.appendIvfEpoch]]'s deterministic
+  * epoch-keyed file names (replay replaces, never duplicates), and the
+  * epoch marker is only a fast-path.
+  */
+object SemanticIngestGate {
+
+  /** One micro-batch through the gate. Rejections land in `rejectDir`
+    * as (id, dup_of, similarity, reason ∈ DUP_OF_CORPUS|DUP_IN_BATCH);
+    * survivors land in `outDir` AND the index lists.
+    */
+  def applyBatch(
+      spark: SparkSession, table: String, batch: DataFrame, batchId: Long,
+      idCol: String, embCol: String, outDir: String, rejectDir: String,
+      threshold: Double = 0.9, nProbe: Int = 2): Unit = {
+    val marker = Paths.get(outDir, "_graft_semingest_epoch")
+    if (Files.exists(marker) &&
+      new String(Files.readAllBytes(marker)).trim.toLong >= batchId) return // replay
+    val outEpoch = Paths.get(outDir, s"epoch=$batchId")
+    if (!Files.exists(outEpoch)) {
+      // appends run only after this dir commits, so the index is
+      // guaranteed untouched by this epoch and recomputation on replay
+      // is deterministic
+      val b = batch.localCheckpoint(true)
+      // cross-batch: nearest INDEXED neighbor at or above threshold.
+      // dup_of = the most similar stored vector (k=1 top by score).
+      val crossHits = AnnIndex.ivfServe(spark, table, b, k = 1, nProbe,
+          idCol, embCol)
+        .filter(col("score") >= threshold)
+        .select(col("query_id").as("id_b"), col("neighbor_id").as("dup_of"),
+          col("score").as("similarity"))
+      // in-batch: semDedup blocking against the FROZEN stored centroids
+      // — drop the higher id of every within-cluster pair
+      val assigned = Similarity.assignToCentroids(b,
+        spark.table(s"${table}_cents"), idCol, embCol, idCol, embCol)
+      val inBatchHits = Similarity.cosineNearDupPairs(assigned, threshold,
+          "cent_id", idCol, embCol)
+        .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"),
+          max(col("cosine")).as("similarity"))
+      val rejected = crossHits.withColumn("reason", lit("DUP_OF_CORPUS"))
+        .unionByName(inBatchHits.withColumn("reason", lit("DUP_IN_BATCH")))
+        .groupBy(col("id_b"))
+        .agg(min_by(struct(col("dup_of"), col("similarity"), col("reason")),
+          struct(col("dup_of"), col("reason"))).as("m"))
+        .select(col("id_b"), col("m.dup_of").as("dup_of"),
+          col("m.similarity").as("similarity"), col("m.reason").as("reason"))
+      EpochCommit.commitEpoch(
+        b.join(rejected, b(idCol) === rejected("id_b"))
+          .select(col(idCol), col("dup_of"), col("similarity"), col("reason")),
+        rejectDir, batchId)
+      EpochCommit.commitEpoch(
+        b.join(rejected, b(idCol) === rejected("id_b"), "left_anti"),
+        outDir, batchId)
+    }
+    // survivors are frozen now; the append is value-idempotent per
+    // epoch key. An all-rejected epoch commits a dir with no data files.
+    val hasSurvivors = {
+      val s = Files.list(outEpoch)
+      try s.anyMatch(_.getFileName.toString.endsWith(".parquet")) finally s.close()
+    }
+    if (hasSurvivors)
+      AnnIndex.appendIvfEpoch(spark.read.parquet(outEpoch.toString), table,
+        epochKey = s"semingest-e$batchId", idCol, embCol)
+    Files.write(marker, batchId.toString.getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Run the gate over an embedding stream against an EXISTING IVF
+    * index (build it first with [[AnnIndex.buildIvf]]).
+    */
+  def start(
+      vectors: DataFrame, table: String, idCol: String, embCol: String,
+      outDir: String, rejectDir: String, checkpoint: String,
+      threshold: Double = 0.9, nProbe: Int = 2,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyBatch(b.sparkSession, table, b, id, idCol, embCol,
+          outDir, rejectDir, threshold, nProbe); ()
+      }
+      .start()
+}
