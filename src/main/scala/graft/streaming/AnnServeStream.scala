@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.sources.AnnIndex
@@ -32,7 +31,7 @@ object AnnServeStream {
     */
   def applyBatch(batch: DataFrame, batchId: Long, outDir: String,
       serve: (SparkSession, DataFrame) => DataFrame): Unit = {
-    if (Files.exists(Paths.get(outDir, s"epoch=$batchId"))) return // replay
+    if (EpochCommit.epochExists(batch.sparkSession, outDir, batchId)) return // replay
     EpochCommit.commitEpoch(serve(batch.sparkSession, batch), outDir, batchId)
   }
 

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -54,25 +53,31 @@ object IngestDedup {
       spark: SparkSession, table: String, batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, outDir: String, rejectDir: String,
       threshold: Double = 0.9): Unit = {
-    val marker = Paths.get(outDir, "_graft_ingest_epoch")
-    if (Files.exists(marker) &&
-      new String(Files.readAllBytes(marker)).trim.toLong >= batchId) return // replay
-    val outEpoch = Paths.get(outDir, s"epoch=$batchId")
-    if (!Files.exists(outEpoch)) {
+    val marker = s"$outDir/_graft_ingest_epoch"
+    if (EpochCommit.readMarker(spark, marker).exists(_ >= batchId)) return // replay
+    if (!EpochCommit.epochExists(spark, outDir, batchId)) {
       // the index is guaranteed untouched by this epoch (appends happen
       // only after this dir commits), so recomputation is deterministic
       val b = batch.localCheckpoint(true) // probe + pairs + 2 writes reuse it
-      // cross-batch: anything near-dup of an already-indexed doc
+      // cross-batch: anything near-dup of an already-indexed doc.
+      // dup_of and similarity come from ONE pair (the lowest indexed
+      // id), never mixed across pairs
       val crossHits = DedupIndex.probe(spark, table, b, idCol, textCol,
           threshold = threshold)
-        .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"),
-          max(col("jaccard")).as("similarity"))
+        .groupBy(col("id_b"))
+        .agg(min_by(struct(col("id_a").as("dup_of"),
+          col("jaccard").as("similarity")), col("id_a")).as("p"))
+        .select(col("id_b"), col("p.dup_of").as("dup_of"),
+          col("p.similarity").as("similarity"))
       // in-batch: drop the higher id of every in-batch near-dup pair
       // (id_a < id_b by construction, so the kept side is deterministic)
       val inBatchHits = Dedup.minHashNearDupPairs(b, idCol, textCol,
           threshold = threshold)
-        .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"),
-          max(col("jaccard")).as("similarity"))
+        .groupBy(col("id_b"))
+        .agg(min_by(struct(col("id_a").as("dup_of"),
+          col("jaccard").as("similarity")), col("id_a")).as("p"))
+        .select(col("id_b"), col("p.dup_of").as("dup_of"),
+          col("p.similarity").as("similarity"))
       val rejected = crossHits.withColumn("reason", lit("DUP_OF_CORPUS"))
         .unionByName(inBatchHits.withColumn("reason", lit("DUP_IN_BATCH")))
         .groupBy(col("id_b"))
@@ -91,16 +96,11 @@ object IngestDedup {
     // survivors are frozen now; the append is idempotent per epoch key.
     // An all-rejected epoch commits a dir with no data files — nothing
     // to append (and nothing for schema inference to choke on).
-    val hasSurvivors = {
-      val s = Files.list(outEpoch)
-      try s.anyMatch(_.getFileName.toString.endsWith(".parquet")) finally s.close()
-    }
-    if (hasSurvivors)
+    if (EpochCommit.epochHasData(spark, outDir, batchId))
       DedupIndex.appendEpoch(spark, table,
-        spark.read.parquet(outEpoch.toString), idCol, textCol,
+        spark.read.parquet(s"$outDir/epoch=$batchId"), idCol, textCol,
         epochKey = s"ingest-e$batchId")
-    Files.write(marker, batchId.toString.getBytes,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    EpochCommit.writeMarker(spark, marker, batchId)
   }
 
   private def commitEpoch(df: DataFrame, root: String, batchId: Long): Unit =

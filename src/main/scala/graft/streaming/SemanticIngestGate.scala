@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -20,10 +19,17 @@ import graft.sources.AnnIndex
   * Per-trigger cost is flat in corpus size: probe selection scores
   * |batch|·C centroid dots map-side, the candidate scan touches only
   * the probed stored lists, the in-batch pair join is blocked per
-  * cluster, and the append is O(|batch|) bucketed files. Recall is
-  * bounded by probe coverage (a true near-dup in an unprobed list
-  * escapes) — `nProbe` is the recall/cost dial, exactly as in batch
-  * IVF serving.
+  * cluster, and the append is O(|batch|) bucketed files. The one
+  * exception is the optional id-collision gate (`checkIdCollisions`),
+  * which semi-joins batch ids against the stored lists' `vec_id`
+  * column — a column-pruned scan of the index, O(corpus ids) I/O per
+  * trigger. It exists because the ANN probe alone CANNOT catch a
+  * re-ingest under an already-indexed id (the serve tail drops
+  * self-id pairs, and the stored copy may live in an unprobed list);
+  * pipelines whose upstream guarantees globally-unique ids turn it off
+  * and keep the flat-cost contract. Recall is otherwise bounded by
+  * probe coverage (a true near-dup in an unprobed list escapes) —
+  * `nProbe` is the recall/cost dial, exactly as in batch IVF serving.
   *
   * Exactly-once: identical choreography to [[IngestDedup]] —
   * survivor/reject dirs commit per epoch via [[EpochCommit]]'s atomic
@@ -35,39 +41,63 @@ import graft.sources.AnnIndex
 object SemanticIngestGate {
 
   /** One micro-batch through the gate. Rejections land in `rejectDir`
-    * as (id, dup_of, similarity, reason ∈ DUP_OF_CORPUS|DUP_IN_BATCH);
-    * survivors land in `outDir` AND the index lists.
+    * as (id, dup_of, similarity, reason ∈
+    * ID_COLLISION|DUP_OF_CORPUS|DUP_IN_BATCH); survivors land in
+    * `outDir` AND the index lists. For ID_COLLISION rows `dup_of` is
+    * the id itself and `similarity` is null (the stored embedding is
+    * deliberately not re-read just to score a row already rejected).
+    * `dup_of`/`similarity` always describe ONE pair — the lowest
+    * eligible partner id and the cosine of THAT pair.
     */
   def applyBatch(
       spark: SparkSession, table: String, batch: DataFrame, batchId: Long,
       idCol: String, embCol: String, outDir: String, rejectDir: String,
-      threshold: Double = 0.9, nProbe: Int = 2): Unit = {
-    val marker = Paths.get(outDir, "_graft_semingest_epoch")
-    if (Files.exists(marker) &&
-      new String(Files.readAllBytes(marker)).trim.toLong >= batchId) return // replay
-    val outEpoch = Paths.get(outDir, s"epoch=$batchId")
-    if (!Files.exists(outEpoch)) {
+      threshold: Double = 0.9, nProbe: Int = 2,
+      checkIdCollisions: Boolean = true): Unit = {
+    val marker = s"$outDir/_graft_semingest_epoch"
+    if (EpochCommit.readMarker(spark, marker).exists(_ >= batchId)) return // replay
+    if (!EpochCommit.epochExists(spark, outDir, batchId)) {
       // appends run only after this dir commits, so the index is
       // guaranteed untouched by this epoch and recomputation on replay
       // is deterministic
       val b = batch.localCheckpoint(true)
+      // id collision: an id already in the stored lists denotes a
+      // stored vector — reject BEFORE the ANN probe (which cannot see
+      // it: self-id pairs are dropped and the copy may be unprobed).
+      // Column-pruned scan of vec_id only; see the scaladoc trade-off.
+      val idHits =
+        if (checkIdCollisions)
+          b.join(spark.table(table).select(col("vec_id").as("_stored_id")),
+              b(idCol) === col("_stored_id"), "left_semi")
+            .select(col(idCol).as("id_b"), col(idCol).as("dup_of"),
+              lit(null).cast("double").as("similarity"),
+              lit("ID_COLLISION").as("reason"))
+        else b.limit(0)
+          .select(col(idCol).as("id_b"), col(idCol).as("dup_of"),
+            lit(null).cast("double").as("similarity"),
+            lit("ID_COLLISION").as("reason"))
       // cross-batch: nearest INDEXED neighbor at or above threshold.
       // dup_of = the most similar stored vector (k=1 top by score).
       val crossHits = AnnIndex.ivfServe(spark, table, b, k = 1, nProbe,
           idCol, embCol)
         .filter(col("score") >= threshold)
         .select(col("query_id").as("id_b"), col("neighbor_id").as("dup_of"),
-          col("score").as("similarity"))
+          col("score").as("similarity"), lit("DUP_OF_CORPUS").as("reason"))
       // in-batch: semDedup blocking against the FROZEN stored centroids
-      // — drop the higher id of every within-cluster pair
+      // — drop the higher id of every within-cluster pair; dup_of and
+      // similarity both come from the lowest-id pair (min_by on the
+      // struct, never independent min/max)
       val assigned = Similarity.assignToCentroids(b,
         spark.table(s"${table}_cents"), idCol, embCol, idCol, embCol)
       val inBatchHits = Similarity.cosineNearDupPairs(assigned, threshold,
           "cent_id", idCol, embCol)
-        .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"),
-          max(col("cosine")).as("similarity"))
-      val rejected = crossHits.withColumn("reason", lit("DUP_OF_CORPUS"))
-        .unionByName(inBatchHits.withColumn("reason", lit("DUP_IN_BATCH")))
+        .groupBy(col("id_b"))
+        .agg(min_by(struct(col("id_a").as("dup_of"),
+          col("cosine").as("similarity")), col("id_a")).as("p"))
+        .select(col("id_b"), col("p.dup_of").as("dup_of"),
+          col("p.similarity").as("similarity"),
+          lit("DUP_IN_BATCH").as("reason"))
+      val rejected = idHits.unionByName(crossHits).unionByName(inBatchHits)
         .groupBy(col("id_b"))
         .agg(min_by(struct(col("dup_of"), col("similarity"), col("reason")),
           struct(col("dup_of"), col("reason"))).as("m"))
@@ -83,15 +113,10 @@ object SemanticIngestGate {
     }
     // survivors are frozen now; the append is value-idempotent per
     // epoch key. An all-rejected epoch commits a dir with no data files.
-    val hasSurvivors = {
-      val s = Files.list(outEpoch)
-      try s.anyMatch(_.getFileName.toString.endsWith(".parquet")) finally s.close()
-    }
-    if (hasSurvivors)
-      AnnIndex.appendIvfEpoch(spark.read.parquet(outEpoch.toString), table,
-        epochKey = s"semingest-e$batchId", idCol, embCol)
-    Files.write(marker, batchId.toString.getBytes,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    if (EpochCommit.epochHasData(spark, outDir, batchId))
+      AnnIndex.appendIvfEpoch(spark.read.parquet(s"$outDir/epoch=$batchId"),
+        table, epochKey = s"semingest-e$batchId", idCol, embCol)
+    EpochCommit.writeMarker(spark, marker, batchId)
   }
 
   /** Run the gate over an embedding stream against an EXISTING IVF
@@ -101,6 +126,7 @@ object SemanticIngestGate {
       vectors: DataFrame, table: String, idCol: String, embCol: String,
       outDir: String, rejectDir: String, checkpoint: String,
       threshold: Double = 0.9, nProbe: Int = 2,
+      checkIdCollisions: Boolean = true,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
@@ -108,7 +134,7 @@ object SemanticIngestGate {
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
         applyBatch(b.sparkSession, table, b, id, idCol, embCol,
-          outDir, rejectDir, threshold, nProbe); ()
+          outDir, rejectDir, threshold, nProbe, checkIdCollisions); ()
       }
       .start()
 }
