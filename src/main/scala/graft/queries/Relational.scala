@@ -814,7 +814,60 @@ object Relational extends QueryPack {
       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  // ---- TPC-H Q17 shape: correlated scalar-subquery guard -----------------
+  // Revenue from small-quantity orders of one brand, where "small" is
+  // defined *per part* by a correlated scalar subquery (0.2 × that
+  // part's average quantity). Deliberately written as SQL — the point
+  // of this query is Catalyst's subquery decorrelation: the correlated
+  // aggregate must rewrite to an aggregate + equi-join on l_partkey
+  // (one extra shuffle over the fact), never a per-outer-row subquery
+  // re-execution. PlanShapeSpec pins the executed plan subquery-free.
+  // l_quantity is integer-valued in the testdata, so the double AVG is
+  // order-independent (exact integer sums < 2^53) and the 0.2×avg
+  // threshold is bit-identical in Spark and the DuckDB oracle.
+  private val q17Sql =
+    """SELECT
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#1' AND p_size <= 15
+      |  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+      |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  private def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part").foreach(n =>
+      Tables.load(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q17Sql)
+  }
+
+  // ---- TPC-H Q20 shape: nested semi over a correlated aggregate ----------
+  // Suppliers (in a nation set) who shipped an outlier-quantity line of
+  // a name-matched part, "outlier" again defined per part by a
+  // correlated aggregate. Two nested IN-subqueries + one correlated
+  // scalar: Catalyst must decorrelate the scalar into an aggregate
+  // join and plan both INs as LeftSemi joins — the whole WHERE clause
+  // becomes three keyed joins over one fact scan pair. PlanShapeSpec
+  // pins semi joins present and subquery/nested-loop absent.
+  private val q20Sql =
+    """SELECT s_name, s_acctbal FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l1.l_suppkey FROM lineitem l1 JOIN part ON l1.l_partkey = p_partkey
+      |  WHERE p_name LIKE 'red%'
+      |    AND l1.l_quantity > (SELECT 1.9 * AVG(l2.l_quantity)
+      |                         FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey))
+      |  AND s_nationkey IN (SELECT n_nationkey FROM nation
+      |                      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))
+      |ORDER BY s_name""".stripMargin
+
+  private def q20PartSuppliers(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part", "supplier", "nation").foreach(n =>
+      Tables.load(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q20Sql)
+  }
+
   override val all: Seq[Q] = Seq(
+    Q("q17_small_quantity", "correlated scalar-subquery guard, decorrelated (TPC-H Q17 shape)", q17SmallQuantity, Some(q17Sql)),
+    Q("q20_part_suppliers", "nested semi over correlated aggregate (TPC-H Q20 shape)", q20PartSuppliers, Some(q20Sql)),
     Q("q7_volume_shipping", "nation-pair volume shipping by ship year (TPC-H Q7 shape)", q7VolumeShipping, Some(q7Sql)),
     Q("q10_returned_items", "returned-item revenue top customers (TPC-H Q10 shape)", q10ReturnedItems, Some(q10Sql)),
     Q("q13_order_distribution", "left-join order-count distribution (TPC-H Q13 shape)", q13CustomerDistribution, Some(q13Sql)),

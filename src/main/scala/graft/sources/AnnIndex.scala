@@ -162,6 +162,44 @@ object AnnIndex {
       .select(col("scope"), col("n_vectors"), col("mean_sim"), col("p10_bin"))
   }
 
+  /** The maintenance decision loop closed over [[ivfDriftReport]] —
+    * ann5 emits the signal, this consumes it. Reads the stored
+    * constant-size drift summaries (never the corpus); if the append
+    * scope's assignment quality has slid below the build scope's by at
+    * least `minMeanGap` (mean assigned cosine) OR `minP10Gap`
+    * (10th-percentile histogram bins), rebuilds the index in place
+    * over its CURRENT stored rows — retrain centroids, reassign every
+    * list row, reset the drift table to a fresh 'build' scope — and
+    * returns true. Below threshold (or with no appends recorded at
+    * all) it touches nothing and returns false, so a maintenance cron
+    * can call it unconditionally: the decision costs two rows of
+    * drift-table read, and the rebuild fires exactly once per drift
+    * episode (the reset clears the 'append' scope that tripped it).
+    *
+    * The stored rows are materialized (lineage cut) BEFORE the rebuild
+    * because [[buildIvf]] drops and rewrites the very table they came
+    * from. Same single-writer contract as [[compact]]: a maintenance
+    * operation, not safe concurrent with an in-flight append or serve.
+    */
+  def maybeRebuild(
+      spark: SparkSession, table: String,
+      minMeanGap: Double, minP10Gap: Int,
+      nCentroids: Int, refine: Int, buckets: Int): Boolean = {
+    val rep = ivfDriftReport(spark, table).collect()
+      .map(r => r.getAs[String]("scope") -> r).toMap
+    val drifted = (for { b <- rep.get("build"); a <- rep.get("append") } yield
+      b.getAs[Double]("mean_sim") - a.getAs[Double]("mean_sim") >= minMeanGap ||
+        b.getAs[Int]("p10_bin") - a.getAs[Int]("p10_bin") >= minP10Gap
+    ).getOrElse(false)
+    if (drifted) {
+      val current = spark.table(table)
+        .select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      buildIvf(current, table, nCentroids, refine, buckets)
+    }
+    drifted
+  }
+
   /** Append a new vector batch to a stored LSH index without
     * rebuilding: SRP buckets are a pure function of each vector, so the
     * append is EXACT — append-then-serve ≡ rebuild-over-the-union-

@@ -122,16 +122,18 @@ final class SyncPipeline(
     * batch-replay entry point (processing a backlog parquet of events
     * uses exactly this code path).
     *
-    * Per-trigger action budget: a single-pass count probe (which
-    * short-circuits the engine's no-data watermark batches and fully
-    * populates the batch cache in one job), the staged delta write
-    * (whose `observe` yields the batch's live count + pk bounds for
-    * free, replacing the separate bounds action) and the audit staging
-    * write (whose only O(|table|) touch is `SnapshotStore.existingPks`,
-    * a pk/op-column-only membership read pinned to the pre-batch
-    * version and pruned to the batch's pk range) — plus the amortized
-    * 1/compactEvery delta-chain compaction. `PerTriggerJobSpec` pins
-    * the counts (3 actions on a data batch, 1 on a no-data batch).
+    * Per-trigger action budget: the staged delta write IS the
+    * emptiness probe — one pass through the batch populates the cache
+    * and observes (via two `CollectMetrics` nodes, one above and one
+    * below the live filter) the total event count, the live count and
+    * the live pk min/max in the same job; a no-data batch's staged
+    * (empty) delta is simply aborted. The only other action is the
+    * audit staging write (whose only O(|table|) touch is
+    * `SnapshotStore.existingPks`, a pk/op-column-only membership read
+    * pinned to the pre-batch version and pruned to the batch's pk
+    * range) — plus the amortized 1/compactEvery delta-chain
+    * compaction. `PerTriggerJobSpec` pins the counts (2 actions on a
+    * data batch, 1 on a no-data batch).
     *
     * Delivery: exactly-once for BOTH the data table and the audit log.
     * foreachBatch replays a crashed epoch; the epoch marker commits
@@ -172,36 +174,42 @@ final class SyncPipeline(
     }
     val cached = batch.cache()
     try {
-      // No-data micro-batches are a steady-state fact of life (the
-      // engine fires one whenever the watermark advances past the last
-      // data batch); without this probe each one paid two empty write
-      // jobs. count(), not take(1): an empty take(1) escalates through
-      // limit-scale-up job waves (1, 4, 16… partitions), each paying a
-      // state-store load per touched partition, while count() is ONE
-      // single-pass job — and on a data batch that pass populates the
-      // whole cache, so the delta and audit writes below are pure
-      // cache reads.
-      val events = timed("probe")(cached.count())
-      if (events == 0L) return
       val blocked = cached.filter(col("loop_blocked"))
       val live = cached.filter(!col("loop_blocked"))
       val liveSel = live.select((Seq("seq", "operation") ++ targetCols).map(col): _*)
 
-      // Stage (write, don't yet commit) the delta; the SAME job caches
-      // the batch and observes the live count and pk min/max — the
-      // bounds that buy row-group pruning of the membership read below.
+      // Stage (write, don't yet commit) the delta. This ONE job is the
+      // whole front half of the trigger: it populates the batch cache
+      // (so the audit write below is a pure cache read), counts every
+      // event via a CollectMetrics ABOVE the live filter — the
+      // emptiness probe; no-data micro-batches are a steady-state fact
+      // of life, the engine fires one whenever the watermark advances —
+      // and observes the live count and pk min/max below the filter,
+      // the bounds that buy row-group pruning of the membership read.
+      // An empty batch costs one zero-row write (deltaWriteParts=1, a
+      // single empty reduce task, no files) which is aborted on the
+      // spot; a separate count() probe would cost the same state-store
+      // pass and one more driver action on EVERY data batch.
       var staged = -1
-      var (liveCount, lo, hi) = (0L, null: Any, null: Any)
+      var (events, liveCount, lo, hi) = (0L, 0L, null: Any, null: Any)
       if (!deltaAlready) {
+        val obsAll = org.apache.spark.sql.Observation()
         val obsD = org.apache.spark.sql.Observation()
+        val probedSel = cached.observe(obsAll, count(lit(1)).as("events"))
+          .filter(!col("loop_blocked"))
+          .select((Seq("seq", "operation") ++ targetCols).map(col): _*)
         staged = timed("stageDelta")(store.stageDelta(target.table,
-          liveSel.observe(obsD, count(lit(1)).as("n"),
+          probedSel.observe(obsD, count(lit(1)).as("n"),
             min(col(target.pk)).as("lo"), max(col(target.pk)).as("hi")),
           target.pk, "seq", valueCols,
           meta = if (batchId >= 0) Some(batchId.toString) else None))
+        events = obsAll.get("events").asInstanceOf[Long]
+        if (events == 0L) { store.abortDelta(target.table, staged); return }
         val m = obsD.get
         liveCount = m("n").asInstanceOf[Long]; lo = m("lo"); hi = m("hi")
-      } else { // rare replay path: bounds via an explicit action
+      } else { // rare replay path: probe + bounds via explicit actions
+        events = timed("probe")(cached.count())
+        if (events == 0L) return
         val r = liveSel.agg(count(lit(1)),
           min(col(target.pk)), max(col(target.pk))).head()
         liveCount = r.getLong(0); lo = r.get(1); hi = r.get(2)

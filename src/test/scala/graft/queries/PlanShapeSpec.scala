@@ -144,6 +144,22 @@ class PlanShapeSpec extends SparkSpec {
       "q21 lost its anti self-join")
   }
 
+  test("q17/q20: correlated subqueries decorrelate to joins — never per-row re-execution") {
+    // the correlated scalar aggregates must rewrite to aggregate +
+    // equi-join (RewriteCorrelatedScalarSubquery); a plan that keeps a
+    // subquery node re-executes the inner aggregate per outer row —
+    // correct on 60k rows, dead at 100 TB
+    for (q <- Seq("q17_small_quantity", "q20_part_suppliers")) {
+      val p = plan(q)
+      assert(!p.contains("Subquery"), s"$q kept a per-row subquery:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degraded to cartesian/nested-loop:\n$p")
+    }
+    // q20's two IN-subqueries must both plan as semi joins
+    assert(plan("q20_part_suppliers").contains("LeftSemi"),
+      "q20 lost its semi joins")
+  }
+
   test("sim6/ann/di query family never degrades to cartesian/nested-loop joins") {
     for (q <- Seq("sim6_ivf_pq", "ann1_lsh_index", "ann2_ivf_index", "di1_dedup_index")) {
       val p = plan(q)

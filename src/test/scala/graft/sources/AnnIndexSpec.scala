@@ -122,6 +122,61 @@ class AnnIndexSpec extends SparkSpec {
       s"signal must show append ($driftMean, p10=$dP10) below build ($bMean, p10=$bP10)")
   }
 
+  test("maybeRebuild consumes the drift signal: no-op below threshold, " +
+    "fires exactly once past it, rebuilt index ≡ direct build over the union") {
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    val driftedBatch = odds.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), v => (v * lit(0.1d)).cast("float"))
+        .as("embedding"))
+    // measured on the smoke fixture: a same-distribution append scores
+    // a mean-dot gap of ~0.03 vs build (assignment against the other
+    // half's centroids), the 10×-shrunk batch ~0.078 — 0.05 splits the
+    // two with ~1.7× margin each way
+    val gap = 0.05
+
+    // same-distribution append: signal stays below threshold → no-op,
+    // and the 'append' scope survives (nothing reset)
+    AnnIndex.buildIvf(evens, "annspec_mr0", nCentroids = 8, refine = 1, buckets = 4)
+    AnnIndex.appendIvf(odds, "annspec_mr0")
+    val listRowsBefore = spark.table("annspec_mr0").count()
+    assert(!AnnIndex.maybeRebuild(spark, "annspec_mr0",
+      minMeanGap = gap, minP10Gap = 5, nCentroids = 8, refine = 1, buckets = 4))
+    assert(spark.table("annspec_mr0").count() == listRowsBefore)
+    assert(spark.table("annspec_mr0_drift")
+      .filter(col("scope") === "append").count() > 0,
+      "a no-op decision must leave the drift bookkeeping untouched")
+
+    // drifted append (10× norm shift): mean gap blows past threshold →
+    // rebuild fires, drift table resets to a fresh 'build' scope
+    AnnIndex.buildIvf(evens, "annspec_mr", nCentroids = 8, refine = 1, buckets = 4)
+    AnnIndex.appendIvf(driftedBatch, "annspec_mr")
+    assert(AnnIndex.maybeRebuild(spark, "annspec_mr",
+      minMeanGap = gap, minP10Gap = 5, nCentroids = 8, refine = 1, buckets = 4))
+    assert(spark.table("annspec_mr_drift")
+      .select(col("scope")).distinct().collect().map(_.getString(0)).toSeq
+      == Seq("build"),
+      "rebuild must reset the drift table to a fresh build scope")
+    // …exactly once: the reset cleared the episode, so the next call no-ops
+    assert(!AnnIndex.maybeRebuild(spark, "annspec_mr",
+      minMeanGap = gap, minP10Gap = 5, nCentroids = 8, refine = 1, buckets = 4))
+
+    // the rebuilt index is IDENTICAL to building directly over the
+    // union corpus (same deterministic retrain, same assignments)
+    AnnIndex.buildIvf(
+      evens.select(col("vec_id"), col("embedding")).unionByName(driftedBatch),
+      "annspec_mr_direct", nCentroids = 8, refine = 1, buckets = 4)
+    val probes = emb.filter(col("vec_id") < 5)
+    val rebuilt = AnnIndex.ivfServe(spark, "annspec_mr", probes, k = 10, nProbe = 2)
+    val direct = AnnIndex.ivfServe(spark, "annspec_mr_direct", probes, k = 10, nProbe = 2)
+    assert(rebuilt.collect().toSet == direct.collect().toSet)
+    assert(spark.table("annspec_mr").select(col("vec_id"), col("cent_id"))
+        .collect().toSet
+      == spark.table("annspec_mr_direct").select(col("vec_id"), col("cent_id"))
+        .collect().toSet,
+      "rebuilt list rows must match a direct build over the union")
+  }
+
   test("ivfPqServe over stored lists+codes+codebooks equals inline ivfPqTopK") {
     AnnIndex.buildIvfPq(emb, "annspec_ivfpq", nCentroids = 8, refine = 1,
       m = 4, dims = 64, codebookK = 16, refinePq = 1, buckets = 4)

@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicInteger
 
-/** Per-trigger cost contract of the sync sink (r6 verdict item 1): a
-  * non-compacting micro-batch runs exactly TWO Spark jobs — the staged
-  * delta write (which also observes the batch's count/pk-bounds; the
-  * old separate bounds action is gone) and the audit staging write —
-  * and the trigger path is exactly-once for both the data table and
-  * the audit log across every crash window.
+/** Per-trigger cost contract of the sync sink (r6 verdict item 1,
+  * tightened r8): a non-compacting micro-batch runs exactly TWO Spark
+  * actions — the staged delta write (which doubles as the emptiness
+  * probe and observes the batch's event count + live count/pk-bounds)
+  * and the audit staging write — and the trigger path is exactly-once
+  * for both the data table and the audit log across every crash
+  * window.
   */
 class PerTriggerJobSpec extends SparkSpec {
   import spark.implicits._
@@ -39,7 +40,7 @@ class PerTriggerJobSpec extends SparkSpec {
     (new SyncPipeline(spark, store), store)
   }
 
-  test("a non-compacting micro-batch runs exactly 3 actions, " +
+  test("a non-compacting micro-batch runs exactly 2 actions, " +
     "even with deltas outstanding; a no-data batch runs 1") {
     val (pipeline, store) = fixture()
     val t0 = 1768284000000L
@@ -57,8 +58,8 @@ class PerTriggerJobSpec extends SparkSpec {
     // the plan's stage shape, not how many times the driver kicks off
     // work. The old code ran 3 heavy actions (bounds head + audit
     // append + delta write) and paid two empty WRITES per no-data
-    // batch; the contract now is emptiness probe + delta stage + audit
-    // stage on data, probe only on no-data.
+    // batch; the contract now is delta stage (which IS the probe) +
+    // audit stage on data, the aborted empty stage only on no-data.
     val jobs = new AtomicInteger
     val listener = new SparkListener {
       override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
@@ -87,10 +88,10 @@ class PerTriggerJobSpec extends SparkSpec {
       }
     } finally spark.sparkContext.removeSparkListener(listener)
 
-    assert(jobs.get() == 3,
-      s"per-trigger action budget is 3 (emptiness probe + delta stage + " +
-        s"audit stage), saw ${jobs.get()}")
-    // a no-data batch short-circuits after the one-partition probe
+    assert(jobs.get() == 2,
+      s"per-trigger action budget is 2 (delta stage doubling as the " +
+        s"emptiness probe + audit stage), saw ${jobs.get()}")
+    // a no-data batch short-circuits after the aborted empty stage
     jobs.set(0)
     spark.sparkContext.addSparkListener(listener)
     try {
@@ -107,7 +108,7 @@ class PerTriggerJobSpec extends SparkSpec {
       }
     } finally spark.sparkContext.removeSparkListener(listener)
     assert(jobs.get() == 1,
-      s"a no-data batch must cost only the emptiness probe, saw ${jobs.get()}")
+      s"a no-data batch must cost only the aborted empty stage, saw ${jobs.get()}")
     // and the batch actually applied: 80 rows, 70-80 updated
     val snap = store.snapshot("TB_BOOK", null)
     assert(snap.count() == 80)
