@@ -71,7 +71,7 @@ object StreamBench {
     spark.conf.set(keys(0),
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.conf.set(keys(1), "true")
-    spark.conf.set(keys(2), "8")
+    spark.conf.set(keys(2), "4")
     () => prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)

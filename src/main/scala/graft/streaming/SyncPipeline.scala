@@ -43,11 +43,14 @@ final class SyncPipeline(
       * dominated by fixed per-partition work — a state-store
       * (RocksDB) load+commit per partition per trigger — not by data
       * volume; 32+ partitions for a ~20k-row trigger is nearly all
-      * overhead. Default 8 suits single-node; on a real cluster size
-      * it to trigger volume (rows per trigger / ~more than 100k), not to
-      * the batch-analytics default. `None` inherits the session value.
+      * overhead. Default 4 suits single-node (measured: the six-query
+      * concurrent topology pays 6×partitions state-store commits per
+      * trigger wave, and 8→4 moved aggregate throughput above the
+      * single-pipeline number); on a real cluster size it to trigger
+      * volume (rows per trigger / ~more than 100k), not to the
+      * batch-analytics default. `None` inherits the session value.
       */
-    statePartitions: Option[Int] = Some(8)) {
+    statePartitions: Option[Int] = Some(4)) {
 
   private val codeDim = CodeMapping.dim(spark)
 
