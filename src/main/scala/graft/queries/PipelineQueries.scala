@@ -1263,6 +1263,153 @@ object PipelineQueries extends QueryPack {
       |SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
       |FROM s GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
+  // ---- CP2: the full dedup ladder as ONE curation run --------------------
+  // Every tier a production curation pass runs, composed in pipeline
+  // order over the same corpus — exact (content hash) → near (MinHash-
+  // banded, lower-id survivor) → substring (dd8's duplicated-span
+  // coverage as a gate at 0.3) → semantic (SemDeDup over the survivors'
+  // embeddings) — emitting per-tier (n_in, n_rejected, n_out). The
+  // tiers reuse the exact operators dd1/dd2/dd8/sd1 verify in
+  // isolation; this row is the cross-tier interface canary (a survivor-
+  // set drift in ANY tier shifts every later count). Scale shape: each
+  // tier keeps its own one-shuffle plan; the composition adds only
+  // semi/anti joins on doc_id, and the five tier cardinalities
+  // materialize in one pass (the 1-row checkpoint) so the 4-row output
+  // doesn't re-run the ladder per row.
+  private def cp2FullLadder(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val s1 = Dedup.exactDedup(docs, "doc_id", "text").select(col("doc_id"))
+    // near tier: drop any tier-1 survivor that MinHash-verifies (>=0.9
+    // Jaccard) against a lower-id survivor — the greedy lower-id-wins
+    // policy (dd6's full component closure is the *canonicalization*
+    // variant; a reject gate needs no transitivity)
+    val pairs = sharedMinhashPairs(s, dir)
+    val rej2 = pairs
+      .join(s1.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(s1.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      .select(col("id_b").as("doc_id")).distinct()
+    val s2 = s1.join(rej2, Seq("doc_id"), "left_anti")
+    // substring tier: coverage is computed over the FULL corpus (the
+    // signal is "how much of this doc exists elsewhere", which earlier
+    // rejections don't change), then applied as a gate to survivors
+    val cov = Dedup.dupSpanCoverage(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .select(col("doc_id"), col("dup_frac"))
+    val s3 = s2.join(cov, Seq("doc_id")).filter(col("dup_frac") <= 0.3)
+      .select(col("doc_id"))
+    // semantic tier: SemDeDup over the surviving docs' embeddings
+    // (vec_id is doc-aligned); seeds re-derive from the survivor set
+    val emb3 = Tables.load(s, dir, "embeddings")
+      .join(s3.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val s4 = Similarity.semDedup(emb3, nCentroids = 8, refine = 1, threshold = 0.35)
+      .select(col("vec_id"))
+    def cnt(df: DataFrame, name: String) = df.agg(count(lit(1)).as(name))
+    val all = cnt(docs, "c0").crossJoin(cnt(s1, "c1")).crossJoin(cnt(s2, "c2"))
+      .crossJoin(cnt(s3, "c3")).crossJoin(cnt(s4, "c4"))
+      .localCheckpoint(true) // one ladder run feeds all four rows
+    def row(tier: String, nin: org.apache.spark.sql.Column,
+        nout: org.apache.spark.sql.Column) =
+      all.select(lit(tier).as("tier"), nin.as("n_in"),
+        (nin - nout).as("n_rejected"), nout.as("n_out"))
+    row("1_exact", col("c0"), col("c1"))
+      .unionByName(row("2_minhash", col("c1"), col("c2")))
+      .unionByName(row("3_spans", col("c2"), col("c3")))
+      .unionByName(row("4_semantic", col("c3"), col("c4")))
+      .orderBy(col("tier"))
+  }
+
+  private val cp2Sql =
+    """WITH t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS words FROM documents),
+      |keep AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM documents
+      |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    [('0x' || substr(md5(w), 1, 15))::BIGINT for w in words] AS wh,
+      |    [list_min([((('0x' || substr(md5('a' || chr(124) || CAST(i AS VARCHAR)), 1, 5))::BIGINT | 1)
+      |                 * ('0x' || substr(md5(w), 1, 8))::BIGINT
+      |                 + ('0x' || substr(md5('b' || chr(124) || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 4294967291
+      |                ) % 4294967291
+      |               for w in words]) for i in range(0, 32)] AS sig
+      |  FROM t),
+      |bands AS (
+      |  SELECT doc_id,
+      |    unnest([('0x' || substr(md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], '|')), 1, 15))::BIGINT
+      |            for b in range(0, 8)]) AS band_key
+      |  FROM sigs),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cands
+      |  JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
+      |  WHERE floor(CAST(len(list_intersect(sa.wh, sb.wh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(sa.wh, sb.wh))) * 1000000.0 + 0.5) / 1000000.0 >= 0.9),
+      |rej2 AS (
+      |  SELECT DISTINCT id_b AS doc_id FROM pairs
+      |  WHERE id_a IN (SELECT doc_id FROM keep) AND id_b IN (SELECT doc_id FROM keep)),
+      |s2 AS (SELECT doc_id FROM keep WHERE doc_id NOT IN (SELECT doc_id FROM rej2)),
+      |tw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |p AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS pos FROM tw),
+      |g AS (SELECT doc_id, pos,
+      |        ('0x' || substr(md5(array_to_string(w[pos:pos+7], ' ')), 1, 15))::BIGINT AS g
+      |      FROM p),
+      |dup AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+      |dp AS (SELECT doc_id, pos FROM g WHERE g IN (SELECT g FROM dup)),
+      |m AS (SELECT doc_id, pos,
+      |        MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |      FROM dp),
+      |c AS (SELECT doc_id,
+      |        SUM(GREATEST(0, pos + 8 - GREATEST(pos, COALESCE(prev_end, pos)))) AS dup_tokens
+      |      FROM m GROUP BY doc_id),
+      |cov AS (SELECT nt.doc_id,
+      |        floor(CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / len(w) * 1000000.0 + 0.5)
+      |          / 1000000.0 AS dup_frac
+      |      FROM tw nt LEFT JOIN c USING (doc_id)),
+      |rej3 AS (SELECT doc_id FROM s2 JOIN cov USING (doc_id) WHERE dup_frac > 0.3),
+      |s3 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM rej3)),
+      |e3 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |       WHERE vec_id IN (SELECT doc_id FROM s3)),
+      |seeds AS (SELECT vec_id AS cent_id, emb AS cent_e FROM e3 ORDER BY vec_id LIMIT 8),
+      |seed_assign AS (
+      |  SELECT vec_id, emb, cent_id FROM (
+      |    SELECT e3.vec_id, e3.emb, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e3.vec_id
+      |        ORDER BY round(list_dot_product(e3.emb, c.cent_e), 6) DESC, c.cent_id) AS r
+      |    FROM e3 CROSS JOIN seeds c) WHERE r <= 1),
+      |cents AS (
+      |  SELECT cent_id, list(mm ORDER BY pos) AS cent_e FROM (
+      |    SELECT cent_id, pos,
+      |      (CAST(SUM(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      |        / COUNT(*)) / 1000000.0 AS mm
+      |    FROM (SELECT cent_id, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v
+      |          FROM seed_assign)
+      |    GROUP BY cent_id, pos)
+      |  GROUP BY cent_id),
+      |assigned AS (
+      |  SELECT vec_id, emb, cent_id FROM (
+      |    SELECT e3.vec_id, e3.emb, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e3.vec_id
+      |        ORDER BY round(list_dot_product(e3.emb, c.cent_e), 6) DESC, c.cent_id) AS r
+      |    FROM e3 CROSS JOIN cents c) WHERE r <= 1),
+      |drops AS (
+      |  SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+      |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      |  WHERE round(list_dot_product(a.emb, b.emb), 6) >= 0.35),
+      |s4 AS (SELECT vec_id FROM assigned WHERE vec_id NOT IN (SELECT vec_id FROM drops)),
+      |counts AS (SELECT
+      |  (SELECT COUNT(*) FROM documents) AS c0,
+      |  (SELECT COUNT(*) FROM keep) AS c1,
+      |  (SELECT COUNT(*) FROM s2) AS c2,
+      |  (SELECT COUNT(*) FROM s3) AS c3,
+      |  (SELECT COUNT(*) FROM s4) AS c4)
+      |SELECT tier, n_in, n_rejected, n_out FROM (
+      |  SELECT '1_exact' AS tier, c0 AS n_in, c0 - c1 AS n_rejected, c1 AS n_out FROM counts
+      |  UNION ALL SELECT '2_minhash', c1, c1 - c2, c2 FROM counts
+      |  UNION ALL SELECT '3_spans', c2, c2 - c3, c3 FROM counts
+      |  UNION ALL SELECT '4_semantic', c3, c3 - c4, c4 FROM counts)
+      |ORDER BY tier""".stripMargin
+
   // ---- QC1: per-source quality cap (best-N docs per domain) --------------
   // The "cap each domain's contribution, keeping its best documents"
   // quality gate: rank by the (pre-rounded, rule-7) quality score with a
@@ -1327,6 +1474,7 @@ object PipelineQueries extends QueryPack {
     Q("tx3_fingerprint", "document + shingle fingerprints", tx3Fingerprint, Some(tx3Sql)),
     Q("dd1_exact_dedup", "exact dedup via content-hash groupBy", dd1ExactDedup, Some(dd1Sql)),
     Q("cp1_curation_pipeline", "end-to-end curation: dedup -> quality gate -> mixture sample -> rollup", cp1Curation, Some(cp1Sql)),
+    Q("cp2_dedup_ladder", "full dedup ladder: exact -> minhash -> span gate -> semantic, per-tier rejects", cp2FullLadder, Some(cp2Sql)),
     Q("sp1_stratified_exact", "stratified exact-N sampling by deterministic hash rank", sp1StratifiedExact, Some(sp1Sql)),
     Q("dd2_minhash_pairs", "MinHash+LSH near-dup pairs, Jaccard-verified", dd2MinhashPairs, Some(dd2Sql)),
     Q("dd6_neardup_canonical", "near-dup canonicalization via min-label components", dd6NeardupCanonical, Some(dd6Sql)),

@@ -283,8 +283,10 @@ object AnnIndex {
     * one file per bucket. The list table is the only bucketed half
     * (`_cents`/`_cb` are tiny write-once artifacts that appends never
     * touch); all three index kinds (LSH / IVF / IVF×PQ) store their
-    * lists in `table`, so one hook serves them all. See
-    * [[Bucketing.compactTable]] for the crash choreography.
+    * lists in `table`, so one hook serves them all. Serve-safe (the
+    * versioned pointer flip — concurrent reads see pre- or post-compact
+    * rows, never partial state); see [[Bucketing.compactTable]] for the
+    * crash choreography. Appends stay single-writer with compaction.
     */
   def compact(spark: SparkSession, table: String): Unit =
     Bucketing.compactTable(spark, table)

@@ -40,6 +40,17 @@ object Bucketing {
     val path = new org.apache.hadoop.fs.Path(loc)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(path)) fs.delete(path, true)
+    // a compacted table's location is a `__v<NNN>` sibling of the
+    // default path ([[compactTable]]'s pointer flip); clear the default
+    // dir and any other versions too, or a rebuild leaks them
+    val base = new org.apache.hadoop.fs.Path(catalog.defaultTablePath(ident))
+    if (fs.exists(base) && base != path) fs.delete(base, true)
+    val verPat = versionDirPattern(base.getName)
+    if (fs.exists(base.getParent))
+      fs.listStatus(base.getParent).foreach { st =>
+        if (verPat.pattern.matcher(st.getPath.getName).matches())
+          fs.delete(st.getPath, true)
+      }
   }
 
   /** Write `df` as a bucketed+sorted managed table on `key`. */
@@ -83,9 +94,11 @@ object Bucketing {
     * bucket. Each [[appendBucketed]] lands a fresh file-set per bucket,
     * so N ingest batches → N×buckets files; the exchange-free join
     * property survives but every serve scan pays N× the per-file open
-    * cost. This is the index-table analog of the audit log's
-    * `compactAudit` — a maintenance-window operation, not safe
-    * concurrent with an in-flight append or serve on the same table.
+    * cost. SERVE-SAFE: concurrent readers see pre- or post-compact
+    * rows, never an error or a partial set (spec-pinned in
+    * `CompactTableSpec`). Appends remain single-writer with compaction
+    * — both claim the scratch/ingest staging and the ingest pipeline
+    * that runs appends is the natural place to schedule compaction.
     *
     * Mechanics: rewrite into a scratch table with the SAME
     * catalog-inherited bucket spec via a SHUFFLE-FREE bucketed scan —
@@ -96,11 +109,22 @@ object Bucketing {
     * elides the would-be repartition against the table's declared
     * hash partitioning and THEN downgrades the scan to size-grouped
     * file splits — producing tasks that straddle buckets; the pin
-    * closes that trap.) Then swap directories under the unchanged
-    * catalog entry. Crash choreography mirrors `compactAudit`: data
-    * lands in the scratch location BEFORE the original steps aside into
-    * a recoverable `._old` sibling, and a sweep at entry restores a
-    * half-swapped table, so no crash point loses rows.
+    * closes that trap.)
+    *
+    * Publish is a POINTER FLIP, not a directory swap: the compacted
+    * copy renames (atomically) to an immutable versioned sibling
+    * (`<table>__v<millis>`), then `ALTER TABLE … SET LOCATION` points
+    * the catalog at it — the snapshot-store pattern applied to index
+    * tables. A reader planned before the flip keeps scanning the
+    * previous location, which stays on disk untouched; readers planned
+    * after resolve the new one. The previous location is reclaimed by
+    * the NEXT compaction's entry sweep (grace window = one compaction
+    * cycle; any reader still holding a listing from before the
+    * *previous* compact has long drained). Crash windows all degrade
+    * to orphan directories the next run sweeps — no point loses rows:
+    * before the rename → scratch leftovers ([[resetTable]] clears);
+    * between rename and flip → an unreferenced version dir (swept);
+    * after the flip → the stale previous location (swept).
     */
   def compactTable(spark: SparkSession, table: String): Unit = {
     val autoScanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
@@ -113,21 +137,37 @@ object Bucketing {
     }
   }
 
+  /** `<default path>__v<NNN>` — the immutable home of one compacted
+    * version. The default path (not the current location) anchors the
+    * name so versions never nest.
+    */
+  private def versionDirPattern(baseName: String) =
+    (java.util.regex.Pattern.quote(baseName) + "__v\\d+").r
+
   private def compactTableInner(spark: SparkSession, table: String): Unit = {
     val catalog = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = catalog.getTableMetadata(ident)
     val spec = meta.bucketSpec.getOrElse(
       throw new IllegalArgumentException(s"$table has no bucket spec to compact"))
-    val loc = new org.apache.hadoop.fs.Path(meta.location)
-    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = new org.apache.hadoop.fs.Path(meta.location)
+    val base = new org.apache.hadoop.fs.Path(catalog.defaultTablePath(ident))
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    // legacy recovery (pre-pointer-flip layout): data stranded in ._old
     val old = new org.apache.hadoop.fs.Path(
-      loc.getParent, "." + loc.getName + "._old")
-    // recovery sweep: a crash between the two renames below leaves the
-    // data only in ._old — restore it before doing anything else
+      base.getParent, "." + base.getName + "._old")
     if (fs.exists(old)) {
-      if (!fs.exists(loc)) fs.rename(old, loc)
+      if (!fs.exists(cur)) fs.rename(old, cur)
       else fs.delete(old, true)
+    }
+    // entry sweep: every non-current version dir (and the non-current
+    // default dir) is a previous version or a crash orphan whose grace
+    // window has passed — reclaim before writing the next one
+    val verPat = versionDirPattern(base.getName)
+    fs.listStatus(base.getParent).foreach { st =>
+      val n = st.getPath.getName
+      val isOldVersion = verPat.pattern.matcher(n).matches() || st.getPath == base
+      if (isOldVersion && st.getPath != cur) fs.delete(st.getPath, true)
     }
     val scratch = table + "__compacting"
     resetTable(spark, scratch)
@@ -144,9 +184,13 @@ object Bucketing {
     val scratchLoc = new org.apache.hadoop.fs.Path(
       catalog.getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier(scratch)).location)
-    fs.rename(loc, old)
-    fs.rename(scratchLoc, loc)
-    fs.delete(old, true)
+    // publish: one atomic rename into the versioned home, then the
+    // catalog pointer flip — the current location is never touched, so
+    // a reader that planned against it keeps a consistent snapshot
+    val next = fs.makeQualified(new org.apache.hadoop.fs.Path(
+      base.getParent, base.getName + "__v" + System.currentTimeMillis()))
+    fs.rename(scratchLoc, next)
+    spark.sql(s"ALTER TABLE $table SET LOCATION '$next'")
     // the scratch table's directory moved out from under its catalog
     // entry; give DROP an empty dir to delete so it can't throw
     fs.mkdirs(scratchLoc)

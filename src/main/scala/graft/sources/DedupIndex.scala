@@ -85,7 +85,9 @@ object DedupIndex {
 
   /** Maintenance hook: fold each append's accumulated file-sets back to
     * one file per bucket across BOTH halves of the index (band rows and
-    * word hashes). Run between ingest batches; see
+    * word hashes). Serve-safe (versioned pointer flip — probes racing
+    * the compact see pre- or post-compact rows, never partial state);
+    * run between ingest batches (appends stay single-writer); see
     * [[Bucketing.compactTable]] for the crash choreography.
     */
   def compact(spark: SparkSession, table: String): Unit = {

@@ -89,7 +89,8 @@ class PlanShapeSpec extends SparkSpec {
 
   test("banded pair operators never degrade to cartesian/nested-loop joins") {
     for (q <- Seq("dd3_simhash_pairs", "sn1_sorted_neighborhood",
-      "ed2_near_strings", "cp1_curation_pipeline", "er1_entity_resolution")) {
+      "ed2_near_strings", "cp1_curation_pipeline", "cp2_dedup_ladder",
+      "er1_entity_resolution")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")

@@ -6,8 +6,12 @@ import org.apache.spark.sql.functions._
 /** Index-compaction contract: N appends accumulate N file-sets per
   * bucket; [[Bucketing.compactTable]] folds each bucket back to ONE
   * file while leaving the catalog entry, the bucket spec, the serve
-  * results, and the exchange-free serve plans byte-identical — and a
-  * crash between the directory swap's two renames loses nothing.
+  * results, and the exchange-free serve plans byte-identical. The
+  * publish is a versioned-location pointer flip, so compaction is
+  * SERVE-SAFE (readers planned before the flip keep their snapshot;
+  * concurrent serves see pre- or post-compact rows, never an error)
+  * and every crash window degrades to an orphan directory the next
+  * run sweeps.
   */
 class CompactTableSpec extends SparkSpec {
 
@@ -106,7 +110,76 @@ class CompactTableSpec extends SparkSpec {
       "compaction changed ANN serve results")
   }
 
-  test("crash between the swap's renames is recovered on the next compact") {
+  test("serve-safe: a reader planned before the flip keeps its snapshot; " +
+    "concurrent serves during compact never fail or see partial state") {
+    val t = "compactspec_live"
+    DedupIndex.build(docs.filter(col("source") =!= "src0"), t, "doc_id", "text")
+    DedupIndex.append(spark, t,
+      docs.filter(col("source") === "src0"), "doc_id", "text")
+    val expected = spark.table(t).collect().map(_.toString).toSet
+
+    // plan + execute a reader BEFORE the flip: its captured file
+    // listing points at the pre-compact location, which the flip must
+    // leave untouched (the in-place swap this replaces made exactly
+    // this reader throw FileNotFound)
+    val pre = spark.table(t)
+    assert(pre.collect().map(_.toString).toSet == expected)
+
+    // serve continuously while the compaction runs on another thread;
+    // every result must be the full row set (pre ≡ post content),
+    // and no query may error mid-flip
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val fut = Future(Bucketing.compactTable(spark, t))(ExecutionContext.global)
+    var serves = 0
+    while (!fut.isCompleted) {
+      assert(spark.table(t).collect().map(_.toString).toSet == expected,
+        s"concurrent serve $serves saw partial state")
+      serves += 1
+    }
+    Await.result(fut, 2.minutes)
+
+    // the pre-flip reader still collects its consistent snapshot…
+    assert(pre.collect().map(_.toString).toSet == expected,
+      "a reader planned before compact lost its snapshot")
+    // …and fresh readers resolve the compacted layout
+    assert(spark.table(t).collect().map(_.toString).toSet == expected)
+    assert(filesPerBucket(t).values.max == 1)
+  }
+
+  test("crash orphans — an unflipped version dir and the stale previous " +
+    "location — are swept by the next compact") {
+    val t = "compactspec_sweep"
+    DedupIndex.build(docs.filter(col("source") =!= "src0"), t, "doc_id", "text")
+    DedupIndex.append(spark, t,
+      docs.filter(col("source") === "src0"), "doc_id", "text")
+    val rows = spark.table(t).count()
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
+    val base = new org.apache.hadoop.fs.Path(catalog.defaultTablePath(ident))
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+
+    Bucketing.compactTable(spark, t)
+    val v1 = new org.apache.hadoop.fs.Path(catalog.getTableMetadata(ident).location)
+    assert(v1 != base, "compact must flip to a versioned location")
+    assert(fs.exists(base),
+      "the previous location must survive the flip (in-flight readers)")
+
+    // crash window: version dir written, pointer never flipped
+    val orphan = new org.apache.hadoop.fs.Path(
+      base.getParent, base.getName + "__v99999999999999")
+    fs.mkdirs(orphan)
+
+    Bucketing.compactTable(spark, t)
+    assert(!fs.exists(base), "stale previous location not swept")
+    assert(!fs.exists(orphan), "unflipped version orphan not swept")
+    assert(fs.exists(v1),
+      "the immediately-previous version must survive one grace cycle")
+    assert(spark.table(t).count() == rows, "sweep lost rows")
+    assert(filesPerBucket(t).values.max == 1)
+  }
+
+  test("crash between the legacy swap's renames is recovered on the next compact") {
     DedupIndex.build(docs.filter(col("source") =!= "src0"),
       "compactspec_crash", "doc_id", "text")
     DedupIndex.append(spark, "compactspec_crash",
