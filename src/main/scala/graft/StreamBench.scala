@@ -204,11 +204,54 @@ object StreamBench {
     }
   }
 
+  /** Streaming ANN serve tail latency: per-epoch wall time over
+    * single-batch epochs served from a stored IVF index through
+    * [[graft.streaming.AnnServeStream]] (exactly-once epoch commit
+    * included — the number a serving tier is judged on, where the
+    * throughput probes can't see a slow tail). Driver-observed
+    * addData→epoch-committed wall per epoch; first epochs are warmup
+    * (plan + catalog resolution) and excluded, like any latency bench.
+    * Returns (p50 ms, p95 ms).
+    */
+  def serveLatency(spark: SparkSession): (Double, Double) = {
+    val dir = Files.createTempDirectory("graft-bench-serve").toFile
+    val embExpr = org.apache.spark.sql.functions.expr(
+      "transform(sequence(0, 63), j -> cast(pmod(hash(vec_id, j), 1000) as float) / 1000.0)")
+    val corpus = spark.range(2000)
+      .select(col("id").as("vec_id")).withColumn("embedding", embExpr)
+    graft.sources.AnnIndex.buildIvf(corpus, "graft_bench_serve_idx",
+      nCentroids = 16, refine = 1, buckets = 8)
+    val mem = MemoryStream[Long](spark)(spark.sqlContext.implicits.newLongEncoder)
+    val queries = mem.toDF().select(col("value").as("vec_id"))
+      .withColumn("embedding", embExpr)
+    val q = graft.streaming.AnnServeStream.startIvf(
+      queries, "graft_bench_serve_idx", s"$dir/out", s"$dir/ckpt",
+      k = 10, nProbe = 2, trigger = Trigger.ProcessingTime("0 seconds"))
+    try {
+      val warmup = 5
+      val epochs = 30
+      val perBatch = 64
+      val times = (0 until epochs).map { i =>
+        val t0 = System.nanoTime()
+        mem.addData((0 until perBatch).map(j => (10000 + i * perBatch + j).toLong))
+        q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e6
+      }.drop(warmup).sorted
+      def pct(p: Double) =
+        times(math.min(times.size - 1, (p * times.size).toInt))
+      (pct(0.50), pct(0.95))
+    } finally {
+      q.stop()
+      deleteWithRetry(dir)
+    }
+  }
+
   /** One JSON fragment for the bench line. */
   def jsonFragment(spark: SparkSession): String = {
     val (twsEps, twsState) = twsThroughput(spark)
     val syncEps = syncThroughput(spark)
     val concEps = concurrentThroughput(spark)
-    f""""streaming":{"tws_events_per_s":${twsEps}%.0f,"tws_state_rows":$twsState,"sync_events_per_s":${syncEps}%.0f,"concurrent_events_per_s":${concEps}%.0f}"""
+    val (p50, p95) = serveLatency(spark)
+    f""""streaming":{"tws_events_per_s":${twsEps}%.0f,"tws_state_rows":$twsState,"sync_events_per_s":${syncEps}%.0f,"concurrent_events_per_s":${concEps}%.0f,"serve_p50_ms":${p50}%.0f,"serve_p95_ms":${p95}%.0f}"""
   }
 }

@@ -139,6 +139,32 @@ object Sketches {
   def hllMergeRegisters(regs: DataFrame): DataFrame =
     regs.groupBy(col("bucket")).agg(max(col("r")).as("r"))
 
+  /** One HLL estimate PER group (vs [[hllMergedDistinct]], which merges
+    * the group sketches into a single global estimate) — the
+    * "distinct users per segment" rollup. Scale shape: the exchange
+    * carries ≤ M register rows per group (the map-side max over
+    * (g, bucket) collapses values first), never the value stream, and
+    * the per-group state is constant-size, so a 100 TB corpus with a
+    * million segments shuffles ≤ M·|segments| rows.
+    */
+  def hllDistinctBy(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val alpha = 0.7213 / (1.0 + 1.079 / M)
+    hllGroupedRegisters(df, groupCol, valueCol)
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("used"),
+        sum(expr(s"shiftleft(cast(1 as bigint), cast($RestBits - r as int))")).as("dsum"),
+        max(col("r")).as("maxr"))
+      .select(col("g"),
+        TextAnalysis.round6(
+          lit(alpha * (M.toDouble * M) * math.pow(2.0, RestBits)) /
+            (col("dsum") + (lit(M.toLong) - col("used"))
+              * expr(s"shiftleft(cast(1 as bigint), $RestBits)")).cast("double"))
+          .as("hll_estimate"),
+        col("used").cast("long").as("buckets_used"),
+        col("maxr").cast("long").as("max_register"))
+  }
+
   /** Estimate via grouped sketches + merge — by the merge property,
     * identical output to [[hllDistinct]] on the same data.
     */

@@ -43,6 +43,47 @@ object SketchQueries extends QueryPack {
       |  CAST(used AS BIGINT) AS buckets_used, CAST(maxr AS BIGINT) AS max_register
       |FROM s""".stripMargin
 
+  // ---- HLL3: one HLL estimate per group ----------------------------------
+  // The "distinct users per segment" rollup at sketch cost: per-group
+  // constant-size register state, values collapsed map-side — vs cd1's
+  // exact count_distinct, whose exchange carries every distinct value.
+  // Exact per-group counts ride along as the accuracy reference.
+  private def hll3GroupedSketch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    Sketches.hllDistinctBy(ev, col("event_type"), col("user_id"))
+      .withColumnRenamed("g", "event_type")
+      .join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("hll_estimate"),
+        col("buckets_used"), col("max_register"))
+      .orderBy(col("event_type"))
+  }
+
+  private val hll3Sql =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, h % 256 AS bucket,
+      |    CASE WHEN h // 256 = 0 THEN 53 ELSE 53 - length(bin(h // 256)) END AS rho
+      |  FROM h),
+      |reg AS (SELECT event_type, bucket, MAX(rho) AS r FROM r GROUP BY event_type, bucket),
+      |s AS (
+      |  SELECT event_type, COUNT(*) AS used,
+      |    SUM((1::BIGINT) << (53 - r)) AS dsum,
+      |    MAX(r) AS maxr
+      |  FROM reg GROUP BY event_type),
+      |e AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      |      FROM events GROUP BY event_type)
+      |SELECT s.event_type, n_exact,
+      |  floor(((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0)
+      |    / CAST(CAST(dsum AS BIGINT) + (256 - used) * ((1::BIGINT) << 53) AS DOUBLE)
+      |    * 1000000.0 + 0.5) / 1000000.0 AS hll_estimate,
+      |  CAST(used AS BIGINT) AS buckets_used, CAST(maxr AS BIGINT) AS max_register
+      |FROM s JOIN e USING (event_type) ORDER BY event_type""".stripMargin
+
   // ---- QZ1: int8 quantization --------------------------------------------
   private def qz1Quantize(s: SparkSession, dir: String): DataFrame =
     Embeddings.quantizeInt8(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
@@ -354,6 +395,7 @@ object SketchQueries extends QueryPack {
     Q("mad1_robust_outliers", "per-group median/MAD robust outlier counts (exact fixed-point medians)", mad1Outliers, Some(mad1Sql)),
     Q("hll1_distinct_sketch", "deterministic HyperLogLog-256 cardinality estimate (md5 registers, exact-integer register sum)", hll1Sketch, Some(hll1Sql)),
     Q("hll2_merged_sketch", "per-group HLL register tables merged by bucket-wise max == direct sketch", hll2MergedSketch, Some(hll1Sql)),
+    Q("hll3_grouped_estimates", "one HLL estimate per group (distinct users per segment at sketch cost)", hll3GroupedSketch, Some(hll3Sql)),
     Q("cm2_merged_countmin", "per-slice count-min tables merged by cell-wise add == direct table", cm2MergedCountMin, Some(cm1Sql)),
     Q("bl2_merged_bloom", "per-slice Bloom filters merged by bit union == direct filter", bl2MergedBloom, Some(bl1Sql)),
     Q("qz1_quantize_int8", "symmetric int8 embedding quantization digest", qz1Quantize, Some(qz1Sql)),
