@@ -161,6 +161,93 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ---- exact-threshold similarity join (prefix filtering) ----------------
+
+  /** EXACT Jaccard-threshold self-join via document-frequency-ordered
+    * prefix filtering (the AllPairs/PPJoin family: Bayardo et al.,
+    * WWW'07; Xiao et al., WWW'08) — every pair with Jaccard ≥ t, zero
+    * false negatives, without LSH's probabilistic recall and without
+    * the O(n²) cross product.
+    *
+    * Why it prunes: fix any total order on tokens (here: global doc
+    * frequency ascending, token hash tiebreak — rarest first). If
+    * Jaccard(a,b) ≥ t then |a∩b| ≥ t·max(|a|,|b|), so by pigeonhole the
+    * order-minimal COMMON token must sit inside both docs' first
+    * |d| − ⌈t·|d|⌉ + 1 tokens. Joining only on those short prefixes
+    * (rare tokens, so tiny posting lists) finds every qualifying pair;
+    * everything else never meets.
+    *
+    * Plan shape at 100 TB:
+    *  1. hashed word sets: narrow map-side work, checkpointed once
+    *     (feeds both the prefix stage and verification);
+    *  2. token doc-frequencies: one groupBy on the token hash (the
+    *     inverted-index shuffle this package already pays for ii1);
+    *  3. prefix self-join: the shuffle carries only ⌈(1−t)·|d|⌉+1
+    *     rare-token postings per doc — each posting list is short by
+    *     construction (rare = low df), so the candidate space is
+    *     Σ df², concentrated on true near-dup clusters;
+    *  4. each pair survives exactly once — kept only where the joined
+    *     token IS the order-minimal common prefix token
+    *     (array_intersect preserves left order) — so no DISTINCT
+    *     shuffle on candidates, mirroring dd2's first-colliding-band
+    *     trick;
+    *  5. length filter (min ≥ t·max) discards size-incompatible pairs
+    *     before the verify join; verification fetches the full sorted
+    *     hash sets by id and runs the one-pass sorted-merge Jaccard
+    *     once per candidate.
+    *
+    * Candidate generation runs with t−1e-6 slack so pairs that ROUND to
+    * the threshold at 6 decimals are still generated; the final filter
+    * applies the exact rounded contract (round6(J) ≥ t), matching the
+    * naive-quadratic oracle bit for bit.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val t = threshold - 1e-6
+    val sets = df.select(col(idCol).as("id"),
+        graft.functions.ArrayHashes.shingle_hash_set(
+          TextAnalysis.tokens(col(textCol)), 1).as("wh"))
+      .repartition(col("id"))
+      .localCheckpoint(true)
+    val toks = sets.select(col("id"), explode(col("wh")).as("tok"))
+    val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("doc_freq"))
+    // rebuild each doc's token array in canonical rarity order; struct
+    // sort gives (doc_freq, tok) lexicographic, then project tok back out
+    val ordered = toks.join(freqs, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("doc_freq"), col("tok")))).as("o"))
+      .select(col("id"), transform(col("o"), x => x.getField("tok")).as("ord"),
+        size(col("o")).as("n"))
+    val pref = ordered.select(col("id"), col("n"),
+      slice(col("ord"), lit(1),
+        (col("n") - ceil(col("n") * t) + 1).cast("int")).as("prefix"))
+    val ex = pref.select(col("id"), col("n"), col("prefix"),
+      posexplode(col("prefix")).as(Seq("pos", "tok")))
+    val a = ex.select(col("tok"), col("id").as("id_a"), col("n").as("na"),
+      col("pos").as("posa"), col("prefix").as("pa"))
+    val b = ex.select(col("tok"), col("id").as("id_b"), col("n").as("nb"),
+      col("pos").as("posb"), col("prefix").as("pb"))
+    // PPJoin positional filter: on the first-common-token row the pair's
+    // overlap is at most 1 + what remains after each doc's match
+    // position; J ≥ t needs overlap ≥ t/(1+t)·(na+nb). A sound upper
+    // bound, so pruning below it never drops a qualifying pair — it
+    // just keeps tail-token coincidences out of the verify join.
+    val cands = a.join(b, Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        greatest(col("na"), col("nb")) * t)
+      .filter((lit(1) + least(col("na") - col("posa"), col("nb") - col("posb")) - 1)
+        .cast("double") >= (col("na") + col("nb")) * (t / (1 + t)))
+      .filter(element_at(array_intersect(col("pa"), col("pb")), 1) === col("tok"))
+      .select(col("id_a"), col("id_b"))
+    val wa = sets.select(col("id").as("id_a"), col("wh").as("wa"))
+    val wb = sets.select(col("id").as("id_b"), col("wh").as("wb"))
+    cands.join(wa, Seq("id_a")).join(wb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccardSorted(col("wa"), col("wb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Connected-component canonicalization: given near-dup pairs, assign
     * every id the MINIMUM id of its connected component — the "which
     * copy do we keep" rule after pair detection. Iterative min-label
@@ -228,6 +315,84 @@ object Dedup {
       labels = next.drop("changed")
       iter += 1
     }
+    ids.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("label"), col("id")).as("canonical_id"))
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SOCC'14) — the general-graph alternative to [[minLabelComponents]].
+    *
+    * Min-label propagation converges in O(diameter) edge-join rounds
+    * (path-halving makes that ~O(log diameter)), which is ideal for the
+    * clique-like near-dup graphs this package produces. Alternating
+    * star contraction instead converges in O(log n) rounds on ANY
+    * graph — long chains, expander-ish link graphs — and its working
+    * state is the shrinking EDGE set itself, never a per-node label
+    * table, so each round's shuffles get cheaper as components
+    * contract. Both produce the identical contract: every node labeled
+    * with its component minimum (the same DuckDB recursive-CTE oracle
+    * certifies either).
+    *
+    * Round shape (all distributed, driver only orchestrates):
+    *  - large-star: per node u over its full neighborhood,
+    *    m = min(Γ(u) ∪ {u}); every neighbor v > u re-attaches to m.
+    *    One symmetric groupBy-min + one join; output edges are
+    *    canonical (m < v) by construction.
+    *  - small-star: per node u over its SMALLER neighbors,
+    *    m = min of those; they and u itself attach to m. On canonical
+    *    edges that's one groupBy-min on the high endpoint + one join.
+    *  - per-round distinct() bounds the edge set (star contraction
+    *    re-derives the same edge from many witnesses — dropping the
+    *    duplicates is what makes the edge set SHRINK round over round,
+    *    the algorithm's whole termination argument).
+    * Convergence = edge set fixed, detected by a (count, hash-sum)
+    * checksum over the checkpointed round output — two narrow scans of
+    * cached blocks, no extra join.
+    */
+  def alternatingStarComponents(pairs: DataFrame, ids: DataFrame, idCol: String,
+      maxIters: Int = 30): DataFrame = {
+    var edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .localCheckpoint(true)
+    // (count, xor-of-hashes) set checksum: order-insensitive, no
+    // overflow (ANSI-safe), equal sets always agree, unequal sets
+    // collide with p ≈ 2⁻⁶⁴ (and maxIters still bounds the loop)
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.select(xxhash64(col("u"), col("v")).as("h"))
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = checksum(edges)
+    var converged = edges.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // large-star: m(u) = min over the full neighborhood (symmetric
+      // view) and u itself; each canonical edge (u,v) re-emits as
+      // (m(u), v) — m(u) ≤ u < v keeps edges canonical, no self-loops
+      val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = edges.join(mins, Seq("u"))
+        .select(col("m").as("u"), col("v")).distinct()
+      // small-star: per high endpoint v, m = min of its smaller
+      // neighbors; those neighbors re-attach to m and v itself joins m
+      val smins = ls.groupBy(col("v")).agg(min(col("u")).as("m"))
+      val joined = ls.join(smins, Seq("v"))
+      val ss = joined.select(col("m").as("u"), col("u").as("v"))
+        .filter(col("u") =!= col("v"))
+        .unionByName(joined.select(col("m").as("u"), col("v")))
+        .distinct()
+        .localCheckpoint(true)
+      val nextSig = checksum(ss)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = ss
+      iter += 1
+    }
+    // at fixpoint the edge set is a star per component: (min, member)
+    val labels = edges.groupBy(col("v").as("id")).agg(min(col("u")).as("label"))
     ids.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("label"), col("id")).as("canonical_id"))

@@ -288,6 +288,43 @@ object PipelineQueries extends QueryPack {
       |SELECT id AS doc_id, MIN(lbl) AS canonical_id
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // ---- CC1: alternating-star connected components ------------------------
+  // The same canonicalization contract as dd6 computed by a different
+  // algorithm class — large-star/small-star edge contraction (O(log n)
+  // rounds on ANY graph topology, edge-set state) instead of min-label
+  // propagation (O(diameter) rounds, label-table state). Sharing dd6's
+  // oracle certifies the two distributed algorithms agree to the hash.
+  private def cc1StarComponents(s: SparkSession, dir: String): DataFrame =
+    Dedup.alternatingStarComponents(sharedMinhashPairs(s, dir),
+        Tables.load(s, dir, "documents"), "doc_id")
+      .orderBy(col("doc_id"))
+
+  // ---- PJ1: exact Jaccard-threshold join via prefix filtering ------------
+  // AllPairs/PPJoin-style EXACT similarity self-join: df-ordered prefix
+  // filtering generates every Jaccard≥0.9 pair with zero false
+  // negatives and no O(n²) stage. The oracle is the NAIVE QUADRATIC
+  // cross join — tractable for DuckDB at oracle scale, impossible at
+  // corpus scale — so a hash match certifies the prefix filter loses
+  // nothing: exactness is the tested property, not an assumption.
+  // Same 0.9 threshold as dd2, so the two rows together measure exactly
+  // what LSH recall costs (dd2 ⊆ pj1 by construction).
+  private def pj1PrefixJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val pj1Sql =
+    s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+      |sets AS (
+      |  SELECT doc_id, [('0x' || substr(md5(w), 1, 15))::BIGINT for w in words] AS wh
+      |  FROM t)
+      |SELECT id_a, id_b, jaccard FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    floor(CAST(len(list_intersect(a.wh, b.wh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.wh, b.wh))) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+      |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin
+
   // ---- DD7: best-of-component canonical selection ------------------------
   // The production "which copy do we keep" policy: instead of dd6's
   // min-id, keep each near-dup component's HIGHEST-QUALITY member
@@ -1478,6 +1515,8 @@ object PipelineQueries extends QueryPack {
     Q("sp1_stratified_exact", "stratified exact-N sampling by deterministic hash rank", sp1StratifiedExact, Some(sp1Sql)),
     Q("dd2_minhash_pairs", "MinHash+LSH near-dup pairs, Jaccard-verified", dd2MinhashPairs, Some(dd2Sql)),
     Q("dd6_neardup_canonical", "near-dup canonicalization via min-label components", dd6NeardupCanonical, Some(dd6Sql)),
+    Q("cc1_star_components", "connected components via alternating large-star/small-star contraction", cc1StarComponents, Some(dd6Sql)),
+    Q("pj1_prefix_jaccard", "EXACT Jaccard>=0.9 similarity self-join via df-ordered prefix filtering", pj1PrefixJaccard, Some(pj1Sql)),
     Q("dd7_component_best", "best-quality canonical pick per near-dup component", dd7ComponentBest, Some(dd7Sql)),
     Q("qp1_quality_propagation", "quality smoothing over the near-dup graph (fixed-point)", qp1QualityProp, Some(qp1Sql)),
     Q("dd3_simhash_pairs", "SimHash near-dup pairs, Hamming-verified", dd3SimhashPairs, Some(dd3Sql)),
