@@ -200,6 +200,55 @@ object Sketches {
         col("maxr").cast("long").as("max_register"))
   }
 
+  // ---- KMV / theta distinct sketches -------------------------------------
+
+  /** KMV distinct sketch per group: the k smallest DISTINCT 60-bit
+    * element hashes, via the bounded [[graft.functions.MinK]] aggregator
+    * (≤2k-row partials — the exchange carries k·partials, never the
+    * distinct set, which is `collect_set`'s failure mode at 100 TB).
+    * When a group has fewer than k distinct elements the sketch IS the
+    * distinct set and the estimator is exact; beyond k it's
+    * (k−1)·2⁶⁰/θ with θ = the kth minimum (Bar-Yossef et al. '02).
+    * Unlike HLL registers, KMV sketches compose under set INTERSECTION
+    * ([[thetaIntersect]]) — the reason to carry both sketch families.
+    */
+  def kmvGroupedSketch(df: DataFrame, groupCol: Column, elementCol: Column,
+      k: Int): DataFrame =
+    df.select(groupCol.as("g"), Dedup.hash60(elementCol.cast("string")).as("h"))
+      .groupBy(col("g"))
+      .agg(graft.functions.MinK.minKDistinct(k)(col("h")).as("kmv"))
+
+  /** KMV merge: union sketch = k smallest distinct values of the
+    * concatenation — same bounded-prune semantics as build, so
+    * sketch(A ∪ B) ≡ merge(sketch(A), sketch(B)) exactly.
+    */
+  def kmvMergeAll(sketches: DataFrame, k: Int): DataFrame =
+    sketches.select(explode(col("kmv")).as("h"))
+      .agg(graft.functions.MinK.minKDistinct(k)(col("h")).as("kmv"))
+
+  private val TwoPow60 = math.pow(2.0, 60) // exactly representable
+
+  /** Distinct estimate from a KMV sketch column. */
+  def kmvEstimate(kmv: Column, k: Int): Column =
+    when(size(kmv) < k, size(kmv).cast("double"))
+      .otherwise(TextAnalysis.round6(
+        lit((k - 1).toDouble * TwoPow60) / element_at(kmv, k).cast("double")))
+
+  /** Theta-sketch intersection estimate between two same-k KMV
+    * sketches: θ = min of the two kth minima (2⁶⁰ when a side is
+    * exact), estimate = |{x ∈ A∩B : x < θ}| · 2⁶⁰ / θ — exact when
+    * both sides are exact (θ = 2⁶⁰ makes the scale factor 1). The
+    * arithmetic is a long comparison plus one IEEE double division, so
+    * the estimate is engine-reproducible to the bit.
+    */
+  def thetaIntersect(a: Column, b: Column, k: Int): Column = {
+    def theta(s: Column) =
+      when(size(s) < k, lit(1L << 60)).otherwise(element_at(s, k))
+    val th = least(theta(a), theta(b))
+    val common = size(filter(array_intersect(a, b), x => x < th))
+    TextAnalysis.round6(common.cast("double") * lit(TwoPow60) / th.cast("double"))
+  }
+
   /** Mergeable binned-quantile sketch — the fourth standard sketch next
     * to HLL / count-min / Bloom: values histogram into fixed-width bins
     * (one count shuffle, constant-size state, bin counts merge by

@@ -82,6 +82,47 @@ object Stats {
         TextAnalysis.round6(max(col("absz"))).as("max_absz6"))
   }
 
+  /** Per-group ordinary-least-squares trend: slope (in value units per
+    * day), Pearson correlation, and n for `valueCol` against time — the
+    * "is this metric drifting, and how fast" primitive a monitoring
+    * rollup runs per segment.
+    *
+    * Determinism strategy (the engine-reproducibility contract): x is
+    * whole DAYS since a fixed origin (integer-exact in any engine) and
+    * y is `scale`-fixed-point (floor(v·scale + 0.5) — half-up, same on
+    * both sides), so all six sufficient statistics (n, Σx, Σy, Σxy,
+    * Σx², Σy²) are EXACT integer sums — one partial-aggregated shuffle,
+    * summation order irrelevant. The closed-form combines run in IEEE
+    * doubles over those exactly-agreed operands in a fixed expression
+    * order, so slope/corr are bit-identical across engines without any
+    * rounding step. Long-overflow headroom: Σy² ≤ n·(scale·max|v|)²
+    * needs n·(scale·max)² < 2⁶³ — at scale 1000 and |v| ≤ 10⁶ that
+    * allows n ≈ 10⁴ rows per group per 10¹⁸... i.e. fine through sf10;
+    * drop `scale` one decade per two decades of further growth.
+    */
+  def groupRegression(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, scale: Long = 1000L): DataFrame = {
+    val x = datediff(to_date(col(tsCol)), lit("1995-01-01").cast("date")).cast("long")
+    val y = floor(col(valueCol).cast("double") * scale.toDouble + 0.5).cast("long")
+    val s = df.select(col(groupCol), x.as("x"), y.as("y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    val cov = nD * col("sxy").cast("double") - sxD * syD
+    val varx = nD * col("sxx").cast("double") - sxD * sxD
+    val vary = nD * col("syy").cast("double") - syD * syD
+    s.select(col(groupCol), col("n"),
+      when(varx === 0.0, lit(0.0))
+        .otherwise(cov / varx / scale.toDouble).as("slope_per_day"),
+      when(varx === 0.0 || vary === 0.0, lit(0.0))
+        .otherwise(cov / sqrt(varx * vary)).as("corr"))
+  }
+
   /** Deterministic WEIGHTED Bernoulli sampling: row i survives with
     * probability min(1, weight·scale/10⁶), decided by its id hash —
     * the importance-sampling step that up-weights long/rare documents

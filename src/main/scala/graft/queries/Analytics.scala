@@ -263,7 +263,43 @@ object Analytics extends QueryPack {
       |  CAST(CAST(SUM(mon) AS DECIMAL(18,2)) AS DOUBLE) AS total_monetary
       |FROM b GROUP BY 1 ORDER BY segment""".stripMargin
 
+  // ---- LR1: per-group OLS trend (drift detection for monitoring) --------
+  // Slope + Pearson correlation of event value vs time, per event
+  // type. The six sufficient statistics are exact integer sums (days ×
+  // fixed-point values) in ONE partial-aggregated shuffle; the closed
+  // forms run in IEEE doubles over exactly-agreed operands, so the
+  // oracle matches to the bit with no rounding step anywhere.
+  private def lr1GroupTrend(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.groupRegression(Tables.load(s, dir, "events"),
+        "event_type", "ts", "value")
+      .orderBy(col("event_type"))
+
+  private val lr1Sql =
+    """WITH q AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+      |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS y
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y*y) AS BIGINT) AS syy
+      |  FROM q GROUP BY event_type)
+      |SELECT event_type, n,
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 THEN 0.0
+      |       ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |            / 1000.0 END AS slope_per_day,
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+      |         OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0.0 THEN 0.0
+      |       ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |            / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS corr
+      |FROM s ORDER BY event_type""".stripMargin
+
   override def all: Seq[Q] = Seq(
+    Q("lr1_group_trend", "per-group OLS slope + Pearson corr from exact integer moments", lr1GroupTrend, Some(lr1Sql)),
     Q("rfm1_segments", "RFM quartile segmentation over the per-user rollup", rfm1Segments, Some(rfm1Sql)),
     Q("fun1_funnel", "signup->purchase funnel conversion stats", fun1Funnel, Some(fun1Sql)),
     Q("fun2_funnel3", "3-step strict-order funnel (signup->click->purchase)", fun2Funnel3, Some(fun2Sql)),

@@ -816,6 +816,93 @@ object PipelineQueries extends QueryPack {
       |  WHERE p.query_id <> a.neighbor_id)
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // ---- EV1: ANN recall evaluation (approx vs exact ground truth) ---------
+  // The evaluation harness every ANN deployment needs: recall@10 of the
+  // IVF serving path against the brute-force exact top-10, per query.
+  // Both sides are deterministic (rounded scores, id tie-breaks), so
+  // recall is an exact rational — the oracle restates BOTH retrieval
+  // stacks and the set intersection, certifying the measurement itself,
+  // not just the retrieval. At scale the exact side runs on a sampled
+  // query set (here: the same 5-query probe set every sim query uses)
+  // — ground truth is O(|sample|·|corpus|), the one acceptable brute
+  // force, while the measured path stays the production IVF plan.
+  private def ev1AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteTopK(emb, queries, k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.ivfTopK(emb, queries, k = 10, nCentroids = 8, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        TextAnalysis.round6(coalesce(col("n_hit"), lit(0L)).cast("double")
+          / col("n_exact")).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  private val ev1Sql =
+    """WITH bq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      |            FROM embeddings WHERE vec_id < 5),
+      |bc AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY round(list_dot_product(qe, ce), 6) DESC, neighbor_id) AS rank
+      |    FROM bq JOIN bc ON query_id <> neighbor_id)
+      |  WHERE rank <= 10),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |seeds AS (SELECT vec_id AS cent_id, emb AS cent_e FROM e WHERE vec_id < 8),
+      |seed_assign AS (
+      |  SELECT vec_id, emb, cent_id FROM (
+      |    SELECT e.vec_id, e.emb, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_dot_product(e.emb, c.cent_e), 6) DESC, c.cent_id) AS r
+      |    FROM e CROSS JOIN seeds c) WHERE r <= 1),
+      |cents AS (
+      |  SELECT cent_id, list(m ORDER BY pos) AS cent_e FROM (
+      |    SELECT cent_id, pos,
+      |      (CAST(SUM(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      |        / COUNT(*)) / 1000000.0 AS m
+      |    FROM (SELECT cent_id, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v
+      |          FROM seed_assign)
+      |    GROUP BY cent_id, pos)
+      |  GROUP BY cent_id),
+      |assigned AS (
+      |  SELECT vec_id AS neighbor_id, emb AS ce, cent_id FROM (
+      |    SELECT e.vec_id, e.emb, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_dot_product(e.emb, c.cent_e), 6) DESC, c.cent_id) AS r
+      |    FROM e CROSS JOIN cents c) WHERE r <= 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, emb AS qe, cent_id FROM (
+      |    SELECT e.vec_id, e.emb, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_dot_product(e.emb, c.cent_e), 6) DESC, c.cent_id) AS r
+      |    FROM e CROSS JOIN cents c WHERE e.vec_id < 5) WHERE r <= 2),
+      |approx AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT p.query_id, a.neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+      |        ORDER BY round(list_dot_product(p.qe, a.ce), 6) DESC, a.neighbor_id) AS rank
+      |    FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+      |    WHERE p.query_id <> a.neighbor_id)
+      |  WHERE rank <= 10),
+      |hits AS (
+      |  SELECT x.query_id, COUNT(*) AS n_hit
+      |  FROM exact x JOIN approx a
+      |    ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+      |  GROUP BY x.query_id)
+      |SELECT t.query_id, t.n_exact, COALESCE(h.n_hit, 0) AS n_hit,
+      |  floor(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_exact * 1000000.0 + 0.5) / 1000000.0 AS recall
+      |FROM (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id) t
+      |LEFT JOIN hits h ON t.query_id = h.query_id
+      |ORDER BY t.query_id""".stripMargin
+
   // ---- SD1: SemDeDup — semantic dedup via cluster-blocked cosine ---------
   // Same deterministic k-means as sim3 (seeds = vec_id < K, one
   // fixed-point refine round), then within-cluster near-dup pairs at
@@ -1533,6 +1620,7 @@ object PipelineQueries extends QueryPack {
     Q("mv2_retraction_agg", "retraction-maintained aggregate equals recompute over survivors", mv2Retraction, Some(mv2Sql)),
     Q("qc1_source_cap", "per-source contribution cap keeping best-quality docs", qc1SourceCap, Some(qc1Sql)),
     Q("sim1_brute_topk", "brute-force cosine top-k", sim1BruteTopk, Some(sim1Sql)),
+    Q("ev1_ann_recall", "ANN evaluation: per-query recall@10 of IVF serve vs exact ground truth", ev1AnnRecall, Some(ev1Sql)),
     Q("sim2_lsh_topk", "SRP-LSH bucketed ANN top-k", sim2LshTopk, Some(sim2Sql)),
     Q("sim4_lsh_multiprobe", "multi-probe SRP-LSH: lowest-margin bit-flip buckets", sim4LshMultiprobe, Some(sim4Sql)),
     Q("sim5_pq_topk", "product-quantization ADC top-k (trained 4x16 codebooks, fixed-point LUT)", sim5PqTopk, Some(sim5Sql)),

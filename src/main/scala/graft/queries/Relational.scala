@@ -865,7 +865,284 @@ object Relational extends QueryPack {
     s.sql(q20Sql)
   }
 
+  // ---- TPC-H Q2 shape: minimum-cost supplier (correlated scalar MIN) -----
+  // For a part slice, the supplier(s) offering the region-wide minimum
+  // price, "minimum" defined per part by a correlated scalar subquery
+  // over the same cost relation (lineitem aggregated to (part, supp)
+  // stands in for partsupp, absent from the testdata). Written as SQL so
+  // Catalyst's decorrelation runs: the correlated MIN must plan as an
+  // aggregate + equi-join on p_partkey, re-using one cost-relation scan
+  // pair — never a per-outer-row re-execution (PlanShapeSpec pins it).
+  // MIN of a raw DOUBLE column involves no arithmetic, so the equality
+  // against the subquery is engine-exact.
+  private val q2Sql =
+    """WITH cost AS (
+      |  SELECT l_partkey AS c_partkey, l_suppkey AS c_suppkey, MIN(l_extendedprice) AS min_price
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, min_price
+      |FROM part
+      |JOIN cost ON p_partkey = c_partkey
+      |JOIN supplier ON s_suppkey = c_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE' AND p_type = 'LARGE' AND p_size <= 10
+      |  AND min_price = (SELECT MIN(c2.min_price)
+      |                   FROM cost c2
+      |                   JOIN supplier s2 ON s2.s_suppkey = c2.c_suppkey
+      |                   JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |                   JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |                   WHERE r2.r_name = 'EUROPE' AND c2.c_partkey = p_partkey)
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  private def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part", "supplier", "nation", "region").foreach(n =>
+      Tables.load(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q2Sql)
+  }
+
+  // ---- TPC-H Q8 shape: national market share -------------------------------
+  // Two-level conditional aggregation over the full 7-relation join:
+  // one nation's share of regional order volume per order year. Both
+  // dimension chains (customer→nation→region gate, supplier→nation
+  // label) broadcast; the fact chain shuffles once on the join keys and
+  // the share is a ratio of two decimal-exact sums per year group.
+  private def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val ord = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val cust = Tables.load(s, dir, "customer")
+    val sup = Tables.load(s, dir, "supplier")
+    val prt = Tables.load(s, dir, "part").filter(col("p_type") === "ECONOMY")
+    val natC = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+    val reg = Tables.load(s, dir, "region").filter(col("r_name") === "AMERICA")
+    val natS = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val vol = dec2(col("l_extendedprice")) *
+      (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount")))
+    li.join(broadcast(prt), li("l_partkey") === prt("p_partkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(natC), cust("c_nationkey") === col("cn_key"))
+      .join(broadcast(reg), col("cn_region") === reg("r_regionkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(natS), sup("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_1", vol)
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double").as("nation_volume"),
+        sum(vol).cast("double").as("total_volume"))
+      .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+      .orderBy(col("o_year"))
+  }
+
+  private val q8Sql =
+    """SELECT o_year,
+      |  CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN vol ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume,
+      |  CAST(SUM(vol) AS DOUBLE) AS total_volume,
+      |  CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN vol ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, n2.n_name AS supp_nation,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+      |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate <  TIMESTAMP '1997-01-01')
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  // ---- TPC-H Q9 shape: product-type profit by nation and year -------------
+  // Profit = discounted revenue minus a cost term (retail price × qty —
+  // p_retailprice stands in for ps_supplycost). All arithmetic stays in
+  // DECIMAL so the per-(nation, year) sums are exact; the part-name
+  // LIKE filter prunes the fact through the broadcast part dim.
+  private def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val ord = Tables.load(s, dir, "orders")
+    val sup = Tables.load(s, dir, "supplier")
+    val prt = Tables.load(s, dir, "part").filter(col("p_name").like("%red%"))
+    val nat = Tables.load(s, dir, "nation")
+    val amount = dec2(col("l_extendedprice")) *
+      (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))) -
+      dec2(col("p_retailprice")) * dec2(col("l_quantity"))
+    li.join(broadcast(prt), li("l_partkey") === prt("p_partkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  private val q9Sql =
+    """SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |      - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE p_name LIKE '%red%')
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  // ---- TPC-H Q11 shape: important stock (HAVING vs global scalar) ---------
+  // Per-part value from one nation's suppliers, kept only where it
+  // exceeds a fraction of the nation-wide total — the GROUP BY +
+  // HAVING > uncorrelated-scalar-subquery shape. The scalar executes
+  // once (not per group); both sides re-aggregate the same decimal-
+  // exact sum so the threshold compare is deterministic.
+  private val q11Sql =
+    """SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_3'
+      |GROUP BY l_partkey
+      |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) >
+      |  (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 0.001
+      |   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey
+      |   WHERE n_name = 'NATION_3')
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  private def q11ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "supplier", "nation").foreach(n =>
+      Tables.load(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q11Sql)
+  }
+
+  // ---- TPC-H Q12 shape: priority split by category --------------------------
+  // Conditional counts over the order-line join with a cross-table
+  // lateness predicate (shipped ≥ 30 days after the order date —
+  // l_shipmode/commitdate don't exist in the testdata, l_returnflag
+  // carries the category role). The predicate can't push below the
+  // join — it references both sides — so the shape exercises
+  // post-join filtering ahead of a small hash aggregate.
+  private def q12PrioritySplit(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val ord = Tables.load(s, dir, "orders")
+    val high = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q12Sql =
+    """SELECT l_returnflag,
+      |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+      |  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |  AND l_shipdate >= o_orderdate + INTERVAL 30 DAY
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---- TPC-H Q15 shape: top supplier (scalar MAX over an agg view) --------
+  // A revenue view per supplier for one quarter, then the supplier(s)
+  // whose revenue equals the view's MAX — the classic "view + scalar
+  // subquery over the same view" shape. The view materializes once and
+  // feeds both the join and the scalar; the equality is over the
+  // identical decimal-exact sum, so it's engine-deterministic.
+  private val q15Sql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  private def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "supplier").foreach(n =>
+      Tables.load(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q15Sql)
+  }
+
+  // ---- TPC-H Q16 shape: supplier count by part attrs, exclusion list ------
+  // COUNT(DISTINCT supplier) per part attribute triple, after dropping
+  // an exclusion list of suppliers (negative-balance stand-in for the
+  // comment filter) via LEFT ANTI join — the relational NOT IN with
+  // non-null keys. Part attribute filters ride the broadcast dim.
+  private def q16SupplierCounts(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val prt = Tables.load(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+    val excl = Tables.load(s, dir, "supplier")
+      .filter(col("s_acctbal") < 100).select(col("s_suppkey"))
+    li.join(broadcast(prt), li("l_partkey") === prt("p_partkey"))
+      .join(excl, li("l_suppkey") === excl("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  private val q16Sql =
+    """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 100)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // ---- TPC-H Q22 shape: global-avg guard + NOT EXISTS anti ----------------
+  // Idle high-balance customers: balance above the (uncorrelated
+  // scalar) positive-balance average in a segment set, with no recent
+  // orders (correlated NOT EXISTS — must plan as a LEFT ANTI join,
+  // pinned). c_mktsegment carries Q22's country-code role. AVG is
+  // decimal-exact SUM / COUNT so the guard threshold is deterministic.
+  private val q22Sql =
+    """SELECT c_mktsegment AS segment, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_mktsegment IN ('MACHINERY', 'HOUSEHOLD', 'BUILDING')
+      |  AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |                   FROM customer WHERE c_acctbal > 0
+      |                     AND c_mktsegment IN ('MACHINERY', 'HOUSEHOLD', 'BUILDING'))
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  private def q22IdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach(n =>
+      Tables.load(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q22Sql)
+  }
+
   override val all: Seq[Q] = Seq(
+    Q("q2_min_cost_supplier", "correlated scalar MIN over a cost relation, decorrelated (TPC-H Q2 shape)", q2MinCostSupplier, Some(q2Sql)),
+    Q("q8_market_share", "national market share: conditional ratio over 7-relation join (TPC-H Q8 shape)", q8MarketShare, Some(q8Sql)),
+    Q("q9_product_profit", "profit by nation and year, decimal-exact (TPC-H Q9 shape)", q9ProductProfit, Some(q9Sql)),
+    Q("q11_important_stock", "GROUP BY + HAVING vs global scalar subquery (TPC-H Q11 shape)", q11ImportantStock, Some(q11Sql)),
+    Q("q12_priority_split", "conditional counts with cross-table lateness predicate (TPC-H Q12 shape)", q12PrioritySplit, Some(q12Sql)),
+    Q("q15_top_supplier", "agg view + scalar MAX equality (TPC-H Q15 shape)", q15TopSupplier, Some(q15Sql)),
+    Q("q16_supplier_counts", "COUNT DISTINCT with anti-join exclusion list (TPC-H Q16 shape)", q16SupplierCounts, Some(q16Sql)),
+    Q("q22_idle_customers", "scalar-avg guard + NOT EXISTS anti join (TPC-H Q22 shape)", q22IdleCustomers, Some(q22Sql)),
     Q("q17_small_quantity", "correlated scalar-subquery guard, decorrelated (TPC-H Q17 shape)", q17SmallQuantity, Some(q17Sql)),
     Q("q20_part_suppliers", "nested semi over correlated aggregate (TPC-H Q20 shape)", q20PartSuppliers, Some(q20Sql)),
     Q("q7_volume_shipping", "nation-pair volume shipping by ship year (TPC-H Q7 shape)", q7VolumeShipping, Some(q7Sql)),

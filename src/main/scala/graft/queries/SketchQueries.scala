@@ -385,7 +385,96 @@ object SketchQueries extends QueryPack {
       |SELECT p, CAST(MIN(bin) + 1 AS DOUBLE) * 1000.0 AS estimate
       |FROM ps, cum, n WHERE cum >= p * n GROUP BY p ORDER BY p""".stripMargin
 
+  // ---- KM1: KMV distinct sketch per group --------------------------------
+  // Distinct user-days per event type via the k-minimum-values sketch
+  // (k=256): the exchange carries ≤2k-row bounded partials (MinK
+  // aggregator), never the distinct set. Exact counts ride along as
+  // the accuracy reference; at sf0.001 the sets are smaller than k so
+  // the exact branch of the estimator is exercised there, the
+  // (k−1)·2⁶⁰/θ branch at sf0.01+ — both engine-reproducible.
+  private val kmvK = 256
+
+  private def kmElements(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events").select(col("event_type"),
+      concat_ws("|", col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd")).as("e"))
+
+  private def km1KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val el = kmElements(s, dir)
+    val exact = el.groupBy(col("event_type"))
+      .agg(count_distinct(col("e")).as("n_exact"))
+    Sketches.kmvGroupedSketch(el, col("event_type"), col("e"), kmvK)
+      .withColumnRenamed("g", "event_type")
+      .join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        Sketches.kmvEstimate(col("kmv"), kmvK).as("kmv_estimate"),
+        size(col("kmv")).cast("long").as("sketch_size"))
+      .orderBy(col("event_type"))
+  }
+
+  private val km1Sql =
+    """WITH el AS (
+      |  SELECT DISTINCT event_type,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|' || strftime(ts, '%Y-%m-%d')), 1, 15))::BIGINT AS h
+      |  FROM events),
+      |rk AS (SELECT event_type, h,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS r
+      |       FROM el),
+      |sk AS (SELECT event_type, COUNT(*) AS sk_size, MAX(h) AS kth
+      |       FROM rk WHERE r <= 256 GROUP BY event_type),
+      |ex AS (SELECT event_type, COUNT(*) AS n_exact FROM el GROUP BY event_type)
+      |SELECT ex.event_type, n_exact,
+      |  CASE WHEN sk_size < 256 THEN CAST(sk_size AS DOUBLE)
+      |       ELSE floor(255.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)
+      |              * 1000000.0 + 0.5) / 1000000.0 END AS kmv_estimate,
+      |  CAST(sk_size AS BIGINT) AS sketch_size
+      |FROM ex JOIN sk ON ex.event_type = sk.event_type
+      |ORDER BY ex.event_type""".stripMargin
+
+  // ---- KM2: theta-sketch set intersection --------------------------------
+  // The capability HLL registers cannot provide: a distinct-set
+  // INTERSECTION estimate from two constant-size sketches — "users
+  // active in A and B" without re-reading either side. θ = min of the
+  // two kth minima; estimate = |common below θ|·2⁶⁰/θ. The exact
+  // intersection rides along, certifying the estimate's error is the
+  // sketch's, not a bug's.
+  private def km2ThetaIntersection(s: SparkSession, dir: String): DataFrame = {
+    val el = kmElements(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+    val sk = Sketches.kmvGroupedSketch(el, col("event_type"), col("e"), kmvK)
+    val a = sk.filter(col("g") === "click").select(col("kmv").as("ka"))
+    val b = sk.filter(col("g") === "purchase").select(col("kmv").as("kb"))
+    val ea = el.filter(col("event_type") === "click").select(col("e")).distinct()
+    val eb = el.filter(col("event_type") === "purchase").select(col("e")).distinct()
+    val exact = ea.join(eb, Seq("e"), "left_semi")
+      .agg(count(lit(1)).as("n_exact_common"))
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(exact))
+      .select(col("n_exact_common"),
+        Sketches.thetaIntersect(col("ka"), col("kb"), kmvK).as("theta_estimate"))
+  }
+
+  private val km2Sql =
+    """WITH ela AS (
+      |  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|' || strftime(ts, '%Y-%m-%d')), 1, 15))::BIGINT AS h
+      |  FROM events WHERE event_type = 'click'),
+      |elb AS (
+      |  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|' || strftime(ts, '%Y-%m-%d')), 1, 15))::BIGINT AS h
+      |  FROM events WHERE event_type = 'purchase'),
+      |ska AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r FROM ela) WHERE r <= 256),
+      |skb AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r FROM elb) WHERE r <= 256),
+      |th AS (SELECT least(
+      |    CASE WHEN (SELECT COUNT(*) FROM ska) < 256 THEN 1152921504606846976 ELSE (SELECT MAX(h) FROM ska) END,
+      |    CASE WHEN (SELECT COUNT(*) FROM skb) < 256 THEN 1152921504606846976 ELSE (SELECT MAX(h) FROM skb) END) AS t),
+      |common AS (SELECT COUNT(*) AS c FROM ska JOIN skb USING (h) CROSS JOIN th WHERE h < t),
+      |exact AS (SELECT COUNT(*) AS n_exact_common FROM ela JOIN elb USING (h))
+      |SELECT n_exact_common,
+      |  floor(CAST(c AS DOUBLE) * 1152921504606846976.0 / CAST(t AS DOUBLE)
+      |    * 1000000.0 + 0.5) / 1000000.0 AS theta_estimate
+      |FROM exact CROSS JOIN common CROSS JOIN th""".stripMargin
+
   override def all: Seq[Q] = Seq(
+    Q("km1_kmv_distinct", "KMV distinct sketch per group (bounded k-minimum-values aggregator)", km1KmvDistinct, Some(km1Sql)),
+    Q("km2_theta_intersection", "theta-sketch distinct-set INTERSECTION estimate (what HLL can't do)", km2ThetaIntersection, Some(km2Sql)),
     Q("qs1_bin_quantiles", "mergeable binned-quantile sketch (p50/p90/p99 from additive bin counts)", qs1BinQuantiles, Some(qs1Sql)),
     Q("pf1_column_profile", "one-scan per-column null/distinct profile", pf1Profile, Some(pf1Sql)),
     Q("hg1_histogram", "equal-width 20-bin histogram over order totals", hg1Histogram, Some(hg1Sql)),

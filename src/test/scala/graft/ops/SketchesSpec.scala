@@ -150,4 +150,57 @@ class SketchesSpec extends SparkSpec {
     assert(out(1L) == ((2L, 2.0, 1.0)))  // mean 2, var ((1-2)²+(3-2)²)/2 = 1
     assert(out(2L) == ((2L, 2.0, 0.0)))
   }
+
+  test("kmv: estimate lands in the 1/sqrt(k) band; duplicates change nothing") {
+    val k = 64
+    val d = (1 to 5000).map(v => ("g", v.toLong)).toDF("g", "v")
+    val sk = Sketches.kmvGroupedSketch(d, col("g"), col("v"), k)
+    val est = sk.select(Sketches.kmvEstimate(col("kmv"), k)).head().getDouble(0)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.40, s"estimate $est") // 3·rse ≈ 0.375
+    val dup = (d.union(d)).union(d)
+    val sk3 = Sketches.kmvGroupedSketch(dup, col("g"), col("v"), k)
+    assert(sk3.select(col("kmv")).head().getSeq[Long](0)
+      == sk.select(col("kmv")).head().getSeq[Long](0))
+  }
+
+  test("kmv: small sets are carried exactly (sketch IS the distinct set)") {
+    val d = (1 to 40).map(v => ("g", v.toLong)).toDF("g", "v")
+    val sk = Sketches.kmvGroupedSketch(d, col("g"), col("v"), 256)
+    val row = sk.select(size(col("kmv")), Sketches.kmvEstimate(col("kmv"), 256)).head()
+    assert(row.getInt(0) == 40)
+    assert(row.getDouble(1) == 40.0)
+  }
+
+  test("kmv merge of per-slice sketches equals the direct union sketch") {
+    val k = 32
+    val a = (1 to 3000).map(v => ("a", v.toLong)).toDF("g", "v")
+    val b = (2000 to 6000).map(v => ("b", v.toLong)).toDF("g", "v")
+    val perSlice = Sketches.kmvGroupedSketch(a.union(b), col("g"), col("v"), k)
+    val merged = Sketches.kmvMergeAll(perSlice, k)
+      .select(col("kmv")).head().getSeq[Long](0)
+    val direct = Sketches.kmvGroupedSketch(
+        a.union(b).withColumn("g", lit("all")), col("g"), col("v"), k)
+      .select(col("kmv")).head().getSeq[Long](0)
+    assert(merged == direct)
+  }
+
+  test("theta intersection: exact when both sides fit, banded estimate beyond") {
+    // small sets: theta = 2^60 → the estimate IS the exact intersection
+    val sa = (1 to 100).map(v => ("a", v.toLong)).toDF("g", "v")
+    val sb = (51 to 150).map(v => ("b", v.toLong)).toDF("g", "v")
+    def inter(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame,
+        k: Int): Double = {
+      val sk = Sketches.kmvGroupedSketch(x.union(y), col("g"), col("v"), k)
+      val ka = sk.filter(col("g") === "a").select(col("kmv").as("ka"))
+      val kb = sk.filter(col("g") === "b").select(col("kmv").as("kb"))
+      ka.crossJoin(kb).select(Sketches.thetaIntersect(col("ka"), col("kb"), k))
+        .head().getDouble(0)
+    }
+    assert(inter(sa, sb, 256) == 50.0)
+    // big sets with known 2000-element overlap: estimate within 3 rse-ish
+    val ba = (1 to 6000).map(v => ("a", v.toLong)).toDF("g", "v")
+    val bb = (4001 to 10000).map(v => ("b", v.toLong)).toDF("g", "v")
+    val est = inter(ba, bb, 256)
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.5, s"estimate $est")
+  }
 }

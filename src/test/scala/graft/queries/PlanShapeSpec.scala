@@ -161,6 +161,35 @@ class PlanShapeSpec extends SparkSpec {
       "q20 lost its semi joins")
   }
 
+  test("q2: correlated MIN decorrelates; q22's NOT EXISTS plans as anti join") {
+    // q2's per-part scalar MIN must rewrite to aggregate + equi-join —
+    // the plan may not re-execute the cost relation per outer row
+    val p2 = plan("q2_min_cost_supplier")
+    assert(!p2.contains("Subquery"), s"q2 kept a per-row subquery:\n$p2")
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
+      s"q2 degraded to cartesian/nested-loop:\n$p2")
+    // q22: the correlated NOT EXISTS must become a LEFT ANTI join; its
+    // UNCORRELATED scalar avg legitimately stays a Subquery (it runs
+    // exactly once, not per row), so only the anti shape is pinned
+    val p22 = plan("q22_idle_customers")
+    assert(p22.contains("LeftAnti"), s"q22 lost its anti join:\n$p22")
+    assert(!p22.contains("BroadcastNestedLoopJoin") && !p22.contains("CartesianProduct"),
+      s"q22 degraded to nested-loop:\n$p22")
+  }
+
+  test("q11/q15/q16: scalar guards stay one-shot; the exclusion is an anti join") {
+    // q11/q15 carry uncorrelated scalar subqueries — fine at scale
+    // (one execution) as long as nothing degrades to a nested loop
+    for (q <- Seq("q11_important_stock", "q15_top_supplier")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q degraded to nested-loop:\n$p")
+    }
+    // q16's NOT IN exclusion list must plan as an anti join
+    assert(plan("q16_supplier_counts").contains("LeftAnti"),
+      "q16 lost its anti-join exclusion")
+  }
+
   test("sim6/ann/di query family never degrades to cartesian/nested-loop joins") {
     for (q <- Seq("sim6_ivf_pq", "ann1_lsh_index", "ann2_ivf_index", "di1_dedup_index")) {
       val p = plan(q)
