@@ -263,6 +263,38 @@ object Analytics extends QueryPack {
       |  CAST(CAST(SUM(mon) AS DECIMAL(18,2)) AS DOUBLE) AS total_monetary
       |FROM b GROUP BY 1 ORDER BY segment""".stripMargin
 
+  // ---- IA1: inter-arrival gaps via LAG (partitioned sequence window) -----
+  // Time between consecutive events per user, rolled up per event type
+  // of the LATER event — the LAG/sequence-delta window shape (§2.7
+  // invariant: the window is user-partitioned, so partition size is
+  // bounded by one user's history, never corpus-sized). Gap sums are
+  // exact integer microseconds; the average divides two exactly-agreed
+  // numbers, so no rounding step is needed.
+  private def ia1InterArrival(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        (sum(col("gap_us")).cast("double") / count(lit(1)) / 1000000.0).as("avg_gap_s"),
+        (max(col("gap_us")).cast("double") / 1000000.0).as("max_gap_s"))
+      .orderBy(col("event_type"))
+  }
+
+  private val ia1Sql =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n_gaps,
+      |  CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_gap_s,
+      |  CAST(MAX(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_s
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- LR1: per-group OLS trend (drift detection for monitoring) --------
   // Slope + Pearson correlation of event value vs time, per event
   // type. The six sufficient statistics are exact integer sums (days ×
@@ -300,6 +332,7 @@ object Analytics extends QueryPack {
 
   override def all: Seq[Q] = Seq(
     Q("lr1_group_trend", "per-group OLS slope + Pearson corr from exact integer moments", lr1GroupTrend, Some(lr1Sql)),
+    Q("ia1_inter_arrival", "per-user LAG inter-arrival gaps rolled up by event type", ia1InterArrival, Some(ia1Sql)),
     Q("rfm1_segments", "RFM quartile segmentation over the per-user rollup", rfm1Segments, Some(rfm1Sql)),
     Q("fun1_funnel", "signup->purchase funnel conversion stats", fun1Funnel, Some(fun1Sql)),
     Q("fun2_funnel3", "3-step strict-order funnel (signup->click->purchase)", fun2Funnel3, Some(fun2Sql)),

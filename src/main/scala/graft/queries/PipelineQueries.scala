@@ -299,6 +299,68 @@ object PipelineQueries extends QueryPack {
         Tables.load(s, dir, "documents"), "doc_id")
       .orderBy(col("doc_id"))
 
+  // ---- PR1: integer-exact PageRank over the near-dup graph ---------------
+  // 3 fixed-point iterations of damped PageRank (d=0.85) over the same
+  // pair graph dd6 canonicalizes — the "which documents sit at the
+  // center of duplication mass" ranking. All arithmetic is integer
+  // (millionth ranks, floor-division contributions), so the iterative
+  // algorithm is bit-reproducible and the oracle unrolls the identical
+  // three iterations as chained CTEs. Top-50 by rank.
+  private def pr1PageRank(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.pageRankFixedPoint(sharedMinhashPairs(s, dir), iters = 3)
+      .orderBy(col("rank").desc, col("id"))
+      .limit(50)
+      .select(col("id").as("doc_id"), col("rank"))
+
+  private val pr1Sql =
+    s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    [('0x' || substr(md5(w), 1, 15))::BIGINT for w in words] AS wh,
+      |    [list_min([((('0x' || substr(md5('a' || chr(124) || CAST(i AS VARCHAR)), 1, 5))::BIGINT | 1)
+      |                 * ('0x' || substr(md5(w), 1, 8))::BIGINT
+      |                 + ('0x' || substr(md5('b' || chr(124) || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 4294967291
+      |                ) % 4294967291
+      |               for w in words]) for i in range(0, 32)] AS sig
+      |  FROM t),
+      |bands AS (
+      |  SELECT doc_id,
+      |    unnest([('0x' || substr(md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], '|')), 1, 15))::BIGINT
+      |            for b in range(0, 8)]) AS band_key
+      |  FROM sigs),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cands
+      |  JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
+      |  WHERE floor(CAST(len(list_intersect(sa.wh, sb.wh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(sa.wh, sb.wh))) * 1000000.0 + 0.5) / 1000000.0 >= 0.9),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src),
+      |pr0 AS (SELECT src AS id, 1000000::BIGINT AS rank FROM deg),
+      |pr1 AS (
+      |  SELECT d.src AS id, 150000 + (85 * COALESCE(x.in_sum, 0)) // 100 AS rank
+      |  FROM deg d LEFT JOIN (
+      |    SELECT e.dst, SUM(p.rank // dg.degree) AS in_sum
+      |    FROM pr0 p JOIN deg dg ON p.id = dg.src JOIN edges e ON e.src = p.id
+      |    GROUP BY e.dst) x ON x.dst = d.src),
+      |pr2 AS (
+      |  SELECT d.src AS id, 150000 + (85 * COALESCE(x.in_sum, 0)) // 100 AS rank
+      |  FROM deg d LEFT JOIN (
+      |    SELECT e.dst, SUM(p.rank // dg.degree) AS in_sum
+      |    FROM pr1 p JOIN deg dg ON p.id = dg.src JOIN edges e ON e.src = p.id
+      |    GROUP BY e.dst) x ON x.dst = d.src),
+      |pr3 AS (
+      |  SELECT d.src AS id, 150000 + (85 * COALESCE(x.in_sum, 0)) // 100 AS rank
+      |  FROM deg d LEFT JOIN (
+      |    SELECT e.dst, SUM(p.rank // dg.degree) AS in_sum
+      |    FROM pr2 p JOIN deg dg ON p.id = dg.src JOIN edges e ON e.src = p.id
+      |    GROUP BY e.dst) x ON x.dst = d.src)
+      |SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank
+      |FROM pr3 ORDER BY rank DESC, id LIMIT 50""".stripMargin
+
   // ---- PJ1: exact Jaccard-threshold join via prefix filtering ------------
   // AllPairs/PPJoin-style EXACT similarity self-join: df-ordered prefix
   // filtering generates every Jaccard≥0.9 pair with zero false
@@ -1603,6 +1665,7 @@ object PipelineQueries extends QueryPack {
     Q("dd2_minhash_pairs", "MinHash+LSH near-dup pairs, Jaccard-verified", dd2MinhashPairs, Some(dd2Sql)),
     Q("dd6_neardup_canonical", "near-dup canonicalization via min-label components", dd6NeardupCanonical, Some(dd6Sql)),
     Q("cc1_star_components", "connected components via alternating large-star/small-star contraction", cc1StarComponents, Some(dd6Sql)),
+    Q("pr1_pagerank", "integer-exact damped PageRank over the near-dup graph (3 iterations)", pr1PageRank, Some(pr1Sql)),
     Q("pj1_prefix_jaccard", "EXACT Jaccard>=0.9 similarity self-join via df-ordered prefix filtering", pj1PrefixJaccard, Some(pj1Sql)),
     Q("dd7_component_best", "best-quality canonical pick per near-dup component", dd7ComponentBest, Some(dd7Sql)),
     Q("qp1_quality_propagation", "quality smoothing over the near-dup graph (fixed-point)", qp1QualityProp, Some(qp1Sql)),

@@ -378,11 +378,25 @@ object AnnIndex {
       spark: SparkSession, table: String, queries: DataFrame, k: Int, nProbe: Int,
       idCol: String = "vec_id", embCol: String = "embedding",
       aggRank: Boolean = true): DataFrame = {
-    val cents = spark.table(s"${table}_cents")
-    val probes = Similarity.probeCentroids(
-      queries, cents, "query_id", "qe", nProbe, idCol, embCol)
     val lists = spark.table(table).select(
       col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("cent_id"))
+    ivfServeFrames(spark.table(s"${table}_cents"), lists, queries, k, nProbe,
+      idCol, embCol, aggRank)
+  }
+
+  /** [[ivfServe]] over pre-resolved (optionally cached) index frames —
+    * the hot-serve entry point: a serving tier that pins the index
+    * snapshot in memory calls this per batch and skips catalog
+    * resolution + parquet scanning entirely. `cents` must be the
+    * `<table>_cents` table; `lists` must already be projected to
+    * (neighbor_id, ce, cent_id).
+    */
+  def ivfServeFrames(
+      cents: DataFrame, lists: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      aggRank: Boolean = true): DataFrame = {
+    val probes = Similarity.probeCentroids(
+      queries, cents, "query_id", "qe", nProbe, idCol, embCol)
     Similarity.rankTopK(broadcast(probes).join(lists, Seq("cent_id")), k, aggRank)
   }
 }

@@ -46,13 +46,35 @@ object AnnServeStream {
       AnnIndex.ivfPqServe(s, table, b, k, nProbe, m, dims)
     }
 
-  /** Serve a query-embedding stream against the stored IVF index. */
+  /** Serve a query-embedding stream against the stored IVF index.
+    *
+    * `pinSnapshot = true` resolves and PERSISTS the index frames once
+    * at stream start, so each trigger skips catalog resolution and the
+    * parquet scan — the latency posture a real serving tier runs. The
+    * trade is snapshot semantics: appends committed after stream start
+    * stay invisible until the stream restarts (default `false` keeps
+    * the read-latest-at-each-batch behavior documented above).
+    */
   def startIvf(
       queries: DataFrame, table: String, outDir: String, checkpoint: String,
       k: Int, nProbe: Int,
-      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
-    start(queries, outDir, checkpoint, trigger) { (s, b) =>
-      AnnIndex.ivfServe(s, table, b, k, nProbe)
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      pinSnapshot: Boolean = false): StreamingQuery =
+    if (!pinSnapshot)
+      start(queries, outDir, checkpoint, trigger) { (s, b) =>
+        AnnIndex.ivfServe(s, table, b, k, nProbe)
+      }
+    else {
+      val s0 = queries.sparkSession
+      val cents = s0.table(s"${table}_cents").persist()
+      val lists = s0.table(table).select(
+        org.apache.spark.sql.functions.col("vec_id").as("neighbor_id"),
+        org.apache.spark.sql.functions.col("embedding").as("ce"),
+        org.apache.spark.sql.functions.col("cent_id")).persist()
+      cents.count(); lists.count() // materialize before the first trigger
+      start(queries, outDir, checkpoint, trigger) { (_, b) =>
+        AnnIndex.ivfServeFrames(cents, lists, b, k, nProbe)
+      }
     }
 
   /** Serve a query-embedding stream against the stored multi-probe LSH

@@ -39,13 +39,22 @@ object EpochCommit {
     * `<root>/epoch=<batchId>` with one atomic rename. Idempotent: an
     * already-committed epoch is left untouched (and any staging debris
     * from the losing attempt removed).
+    *
+    * `maxFiles` caps the files per epoch (post-shuffle coalesce, no
+    * extra exchange). Streaming epochs are batch-sized — without the
+    * cap a 64-row serve epoch writes one ~2-row file per shuffle
+    * partition, the small-files failure mode AND ~32 file commits of
+    * per-epoch latency (AQE can't rescue this: it's disabled inside
+    * micro-batches). Raise it for pipelines whose epochs are large
+    * enough that a single write task would bottleneck.
     */
-  def commitEpoch(df: DataFrame, root: String, batchId: Long): Unit = {
+  def commitEpoch(df: DataFrame, root: String, batchId: Long,
+      maxFiles: Int = 1): Unit = {
     val (fs, rootP) = fsFor(df.sparkSession, root)
     val dest = new Path(rootP, s"epoch=$batchId")
     val staging = new Path(new Path(rootP, ".staging"), s"e$batchId")
     if (!fs.exists(dest)) {
-      df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      df.coalesce(maxFiles).write.mode(SaveMode.Overwrite).parquet(staging.toString)
       fs.mkdirs(dest.getParent)
       // a false return with dest present = a concurrent replay won the
       // commit, which is fine; false with no dest is a real failure

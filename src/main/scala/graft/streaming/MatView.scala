@@ -65,6 +65,48 @@ object MatView {
       meta = Some(batchId.toString))
   }
 
+  /** Fold one micro-batch into a stored PER-GROUP KMV sketch table —
+    * state is ≤ k hash values per group forever, and unlike the HLL
+    * registers the stored sketches also answer DISTINCT-INTERSECTION
+    * questions across groups at read time
+    * (`Sketches.thetaIntersect`). Merge = re-sketch of the exploded
+    * union, which [[graft.ops.Sketches.kmvMergeAll]]'s spec proves
+    * identical to a direct sketch — so the streamed state after any
+    * prefix of the stream is BIT-IDENTICAL to a batch sketch over the
+    * same data. Same epoch-marker idempotence as [[applyBatch]].
+    */
+  def applyKmvBatch(
+      store: SnapshotStore, table: String, batch: DataFrame, batchId: Long,
+      groupCol: String, valueCol: String, k: Int): Unit = {
+    if (store.currentMeta(table).exists(_.toLong >= batchId)) return // replay
+    val delta = graft.ops.Sketches.kmvGroupedSketch(
+      batch, col(groupCol), col(valueCol), k)
+    val current = store.snapshot(table, delta.schema)
+    val merged = current.unionByName(delta)
+      .select(col("g"), explode(col("kmv")).as("h"))
+      .groupBy(col("g"))
+      .agg(graft.functions.MinK.minKDistinct(k)(col("h")).as("kmv"))
+    store.commit(table, merged, meta = Some(batchId.toString))
+  }
+
+  /** Run a per-group distinct-sketch (KMV) view over a stream; read
+    * per-group estimates with `Sketches.kmvEstimate` and cross-group
+    * intersections with `Sketches.thetaIntersect` over
+    * `store.snapshot(table, null)`.
+    */
+  def startKmvDistinct(
+      stream: DataFrame, store: SnapshotStore, table: String,
+      groupCol: String, valueCol: String, k: Int, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyKmvBatch(store, table, b, id, groupCol, valueCol, k); ()
+      }
+      .start()
+
   /** Run a distinct-count (HLL) view over a stream; read the estimate
     * with `Sketches.hllEstimate(store.snapshot(table, null))`.
     */

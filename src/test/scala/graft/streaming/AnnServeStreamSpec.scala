@@ -62,4 +62,27 @@ class AnnServeStreamSpec extends SparkSpec {
         "no staging debris after replay")
     } finally q.stop()
   }
+
+  test("pinned-snapshot IVF serve produces identical epochs to resolve-per-batch") {
+    AnnIndex.buildIvf(emb, "annstream_pin", nCentroids = 8, refine = 1, buckets = 4)
+    def serveAll(pin: Boolean): Set[(Long, Long, Long, Double, Int)] = {
+      val dir = Files.createTempDirectory(s"graft-annserve-pin$pin").toString
+      val mem = MemoryStream[Long](spark)
+      val queries = mem.toDF().toDF("qid")
+        .join(emb, col("qid") === col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      val q = AnnServeStream.startIvf(queries, "annstream_pin",
+        s"$dir/out", s"$dir/ckpt", k = 5, nProbe = 2,
+        trigger = Trigger.ProcessingTime("0 seconds"), pinSnapshot = pin)
+      try {
+        mem.addData(0L, 1L); q.processAllAvailable()
+        mem.addData(2L, 3L); q.processAllAvailable()
+        spark.read.parquet(s"$dir/out")
+          .select("epoch", "query_id", "neighbor_id", "score", "rank")
+          .as[(Long, Long, Long, Double, Int)].collect().toSet
+      } finally q.stop()
+    }
+    assert(serveAll(pin = true) == serveAll(pin = false),
+      "pinning the index snapshot must not change any result row")
+  }
 }

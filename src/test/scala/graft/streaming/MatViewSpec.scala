@@ -89,4 +89,45 @@ class MatViewSpec extends SparkSpec {
       assert(store.snapshot("DC", null).count() <= 256)
     } finally q.stop()
   }
+
+  test("kmv view: streamed per-group sketches equal the batch sketch; replay is a no-op") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-matview-kmv").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    val k = 32
+    val mem = MemoryStream[(String, Long)](spark)
+    val q = MatView.startKmvDistinct(mem.toDF().toDF("g", "v"), store, "KMV",
+      "g", "v", k, s"$dir/ckpt", Trigger.ProcessingTime("0 seconds"))
+    try {
+      // two batches with overlapping groups and duplicate values
+      val b1 = (1L to 800L).map(v => ("a", v)) ++ (1L to 300L).map(v => ("b", v))
+      val b2 = (400L to 1200L).map(v => ("a", v)) ++ (200L to 900L).map(v => ("b", v))
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+
+      val streamed = store.snapshot("KMV", null)
+        .select(col("g"), col("kmv")).as[(String, Seq[Long])].collect().toMap
+      val batchSk = graft.ops.Sketches.kmvGroupedSketch(
+          (b1 ++ b2).toDF("g", "v"), col("g"), col("v"), k)
+        .as[(String, Seq[Long])].collect().toMap
+      assert(streamed == batchSk,
+        "streamed KMV state must be bit-identical to the batch sketch")
+      // state is bounded: ≤ k hashes per group
+      assert(streamed.values.forall(_.length <= k))
+      // the stored sketches answer an intersection question at read time
+      val sk = store.snapshot("KMV", null)
+      val est = sk.filter(col("g") === "a").select(col("kmv").as("ka"))
+        .crossJoin(sk.filter(col("g") === "b").select(col("kmv").as("kb")))
+        .select(graft.ops.Sketches.thetaIntersect(col("ka"), col("kb"), k))
+        .head().getDouble(0)
+      // true intersection = |[200,900] ∪ [1..300]∩...| — sets: a = 1..1200, b = 1..900 → ∩ = 900
+      assert(math.abs(est - 900.0) / 900.0 < 0.75, s"estimate $est")
+
+      // crash replay: re-applying the last epoch must not commit
+      val v = store.currentVersion("KMV")
+      MatView.applyKmvBatch(store, "KMV", b2.toDF("g", "v"),
+        batchId = 1, "g", "v", k)
+      assert(store.currentVersion("KMV") == v, "replayed epoch must not commit")
+    } finally q.stop()
+  }
 }
