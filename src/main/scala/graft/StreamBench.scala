@@ -160,7 +160,7 @@ object StreamBench {
     * any cross-query driver contention) visible, where the single-
     * pipeline probe can't. Reports AGGREGATE events/s across the six.
     */
-  def concurrentThroughput(spark: SparkSession): Double = {
+  def concurrentThroughput(spark: SparkSession, perBatch: Int = 4000): Double = {
     val restore = pinStreamingConf(spark)
     val dir = Files.createTempDirectory("graft-bench-conc").toFile
     val store = new graft.streaming.SnapshotStore(spark, s"$dir/store")
@@ -180,7 +180,6 @@ object StreamBench {
     }
     try {
       val t0 = 1768284000000L
-      val perBatch = 4000
       val batches = 4
       val start = System.nanoTime()
       (0 until batches).foreach { i =>
@@ -199,6 +198,52 @@ object StreamBench {
       pairs.size * batches * perBatch / secs
     } finally {
       feeds.foreach(_._2.stop())
+      restore()
+      deleteWithRetry(dir)
+    }
+  }
+
+  /** The SAME six-topic workload as [[concurrentThroughput]] through
+    * ONE multiplexed query ([[graft.streaming.MultiplexedSyncPipeline]]):
+    * identical per-topic volumes, identical applies — the framework
+    * fixed cost (offset/commit logs, planning, per-partition state
+    * commits) paid once per trigger wave instead of six times. The
+    * multiplexed/concurrent ratio is the measured value of topology
+    * consolidation at small triggers.
+    */
+  def multiplexedThroughput(spark: SparkSession, perBatch: Int = 4000): Double = {
+    val restore = pinStreamingConf(spark)
+    val dir = Files.createTempDirectory("graft-bench-mux").toFile
+    val store = new graft.streaming.SnapshotStore(spark, s"$dir/store")
+    val pipeline = new graft.streaming.MultiplexedSyncPipeline(spark, store,
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    val pairs = graft.cdc.Registry.byTopic.values.toSeq
+      .sortBy(p => p._1.entity + p._2)
+    val mem = MemoryStream[(String, String)](spark)(
+      spark.sqlContext.implicits.newProductEncoder[(String, String)])
+    val q = pipeline.start(mem.toDF().toDF("topic", "value"), pairs, s"$dir/ckpt")
+    try {
+      val t0 = 1768284000000L
+      val batches = 4
+      val start = System.nanoTime()
+      (0 until batches).foreach { i =>
+        mem.addData(pairs.flatMap { case (m, d) =>
+          val a2t = d == graft.cdc.Direction.AsisToTobe
+          val (schema, table) =
+            if (a2t) ("ASIS_USER", m.asis.table) else ("TOBE_USER", m.tobe.table)
+          (0 until perBatch).map { j =>
+            val id = i * perBatch + j
+            graft.cdc.Registry.topicFor(d, m) ->
+              (s"""{"payload":{"op":"c","before":null,"after":${imageFor(m.entity, a2t, id)},""" +
+                s""""source":{"schema":"$schema","table":"$table"},"ts_ms":${t0 + i * 1000L}}}""")
+          }
+        })
+        q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - start) / 1e9
+      pairs.size * batches * perBatch / secs
+    } finally {
+      q.stop()
       restore()
       deleteWithRetry(dir)
     }
@@ -253,9 +298,10 @@ object StreamBench {
     val (twsEps, twsState) = twsThroughput(spark)
     val syncEps = syncThroughput(spark)
     val concEps = concurrentThroughput(spark)
+    val muxEps = multiplexedThroughput(spark)
     // pinned-snapshot posture: what a serving tier actually runs
     // (measured ~25% lower p50 than resolve-per-batch; ServePinCompare)
     val (p50, p95) = serveLatency(spark, pinSnapshot = true)
-    f""""streaming":{"tws_events_per_s":${twsEps}%.0f,"tws_state_rows":$twsState,"sync_events_per_s":${syncEps}%.0f,"concurrent_events_per_s":${concEps}%.0f,"serve_p50_ms":${p50}%.0f,"serve_p95_ms":${p95}%.0f}"""
+    f""""streaming":{"tws_events_per_s":${twsEps}%.0f,"tws_state_rows":$twsState,"sync_events_per_s":${syncEps}%.0f,"concurrent_events_per_s":${concEps}%.0f,"multiplexed_events_per_s":${muxEps}%.0f,"serve_p50_ms":${p50}%.0f,"serve_p95_ms":${p95}%.0f}"""
   }
 }

@@ -262,6 +262,42 @@ object Sketches {
     * partition key — the withBoundedRank pattern, never an
     * unpartitioned window over data-sized input.
     */
+  /** EXACT heavy hitters (values with frequency > `phiBp`/10000 of all
+    * rows) via the textbook two-pass scheme over a bounded sketch:
+    *
+    *  1. one scan folds every partition into a Misra-Gries summary
+    *     ([[graft.functions.FreqSketch]]) — the exchange carries ≤ k
+    *     entries per partial, never the value set. The merged summary
+    *     is GUARANTEED to contain every value above n/(k+1), so with
+    *     `k + 1 > 10000 / phiBp` no qualifying value can be lost;
+    *  2. a second scan counts ONLY the ≤ k candidates exactly (the
+    *     candidate set broadcasts; non-candidate rows drop map-side
+    *     before the shuffle) and keeps those above the threshold.
+    *
+    * The result is exactly `GROUP BY v HAVING count > n·φ` — but no
+    * stage ever groups the full value domain, the property that
+    * survives a 100 TB column with billions of distinct values where
+    * the direct GROUP BY's exchange is the bottleneck. Threshold
+    * compare is all-integer (`cnt·10000 > n·phiBp`), engine-exact.
+    */
+  def heavyHittersExact(
+      df: DataFrame, valueCol: Column, phiBp: Int, k: Int): DataFrame = {
+    require((k + 1).toLong * phiBp > 10000L,
+      s"heavyHittersExact: k=$k too small for phi=$phiBp/10000 — " +
+        "the Misra-Gries superset guarantee needs (k+1)*phiBp > 10000")
+    val vals = df.select(valueCol.cast("string").as("v"))
+    val candidates = vals
+      .agg(graft.functions.FreqSketch.misraGries(k)(col("v")).as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e._1").as("v"))
+    val total = vals.agg(count(lit(1)).as("__n"))
+    vals.join(broadcast(candidates), Seq("v"), "left_semi")
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * 10000L > col("__n") * phiBp)
+      .select(col("v"), col("cnt"))
+  }
+
   def binQuantiles(
       df: DataFrame, valueCol: String, width: Double, ps: Seq[Double]): DataFrame = {
     // the source is scanned ONCE: the bounded bin table materializes

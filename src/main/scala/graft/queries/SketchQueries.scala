@@ -472,7 +472,26 @@ object SketchQueries extends QueryPack {
       |    * 1000000.0 + 0.5) / 1000000.0 AS theta_estimate
       |FROM exact CROSS JOIN common CROSS JOIN th""".stripMargin
 
+  // ---- HH1: exact heavy hitters via bounded Misra-Gries candidates ------
+  // Pass 1 exchanges ≤k-entry Misra-Gries partials (guaranteed superset
+  // of everything above n/(k+1)); pass 2 counts only the candidates
+  // exactly. Result is identical to the direct GROUP BY + HAVING — but
+  // no stage ever groups the full value domain, the shape that survives
+  // a column with billions of distinct values.
+  private def hh1HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    Sketches.heavyHittersExact(ev, col("user_id"), phiBp = 75, k = 256)
+      .orderBy(col("cnt").desc, col("v"))
+  }
+
+  private val hh1Sql =
+    """SELECT CAST(user_id AS VARCHAR) AS v, COUNT(*) AS cnt
+      |FROM events GROUP BY user_id
+      |HAVING COUNT(*) * 10000 > (SELECT COUNT(*) FROM events) * 75
+      |ORDER BY cnt DESC, v""".stripMargin
+
   override def all: Seq[Q] = Seq(
+    Q("hh1_heavy_hitters", "exact heavy hitters: Misra-Gries bounded candidate pass + exact second pass", hh1HeavyHitters, Some(hh1Sql)),
     Q("km1_kmv_distinct", "KMV distinct sketch per group (bounded k-minimum-values aggregator)", km1KmvDistinct, Some(km1Sql)),
     Q("km2_theta_intersection", "theta-sketch distinct-set INTERSECTION estimate (what HLL can't do)", km2ThetaIntersection, Some(km2Sql)),
     Q("qs1_bin_quantiles", "mergeable binned-quantile sketch (p50/p90/p99 from additive bin counts)", qs1BinQuantiles, Some(qs1Sql)),

@@ -1,0 +1,153 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Incremental JOIN-view maintenance — the missing sibling of
+  * [[MatView]]'s aggregate views: a materialized inner join
+  * `J = A ⋈_keys B` kept current under insert/delete change streams on
+  * BOTH sides, without ever re-running the join over the base tables.
+  *
+  * The algebra is the classic counting form of incremental view
+  * maintenance (bag semantics, rows annotated with signed
+  * multiplicities — the same ±1 algebra [[graft.ops.Incremental]] uses
+  * for aggregates, generalized to join results where a delta row's
+  * multiplicity MULTIPLIES with its join partners'):
+  *
+  * {{{
+  *   ΔJ = ΔA ⋈ B_old  ⊕  A_new ⋈ ΔB            (A_new = A_old ⊕ ΔA,
+  *                                               so the ΔA⋈ΔB cross
+  *                                               term is already in
+  *                                               the second join)
+  * }}}
+  *
+  * Per-trigger cost is O(|batch| + |matching rows|), never a base
+  * rescan: each delta side is a value-aggregated micro-batch (tiny) and
+  * is BROADCAST against the stored side, so the stored multiplicity
+  * tables are read but never shuffled. A deleted `A` row retracts every
+  * join result it contributed to in one broadcast pass — the behavior
+  * that makes the view trustworthy under CDC, where bag semantics and
+  * deletes break naive "append the new matches" schemes.
+  *
+  * Exactly-once across THREE tables without a cross-table transaction:
+  * the A-side state, the view, and the B-side state commit in that
+  * fixed order, each gated on its own per-table batch-id meta (the
+  * [[SnapshotStore]] atomic versioned commit). The view step always
+  * reads A AFTER its update and B BEFORE its own, so a replay from any
+  * crash window recomputes the identical ΔJ: crash after A → replay
+  * skips A, recomputes ΔJ against (A_new, B_old); crash after the view
+  * → replay skips A and the view and only lands B. `JoinViewSpec`
+  * injects both windows.
+  *
+  * Column contract: `deltaA`/`deltaB` share exactly the join `keys`
+  * plus an op column (`INSERT`/`DELETE`; an UPDATE is the standard
+  * retract+insert pair); their other column names must be disjoint —
+  * the view's schema is A's columns ++ B's non-key columns ++ the
+  * multiplicity `state_cnt` (how many (a,b) row pairs produce that
+  * joined value — collapses duplicates the way a bag join would).
+  */
+object JoinView {
+
+  /** Value-aggregated signed multiplicities for one side of one batch:
+    * group by every payload column, Σ(±1), zero-sum values vanish.
+    */
+  private def sided(batch: DataFrame, opCol: String): DataFrame = {
+    val sign = when(col(opCol) === "DELETE", -1L)
+      .when(col(opCol) === "INSERT", 1L)
+      .otherwise(raise_error(concat(
+        lit("JoinView: unsupported op '"), col(opCol),
+        lit("' — deliver UPDATEs as retract(DELETE) + insert(INSERT) pairs")))
+        .cast("long"))
+    val payload = batch.columns.filterNot(_ == opCol)
+    batch.withColumn("__sign", sign)
+      .groupBy(payload.map(col): _*)
+      .agg(sum(col("__sign")).as("state_cnt"))
+      .filter(col("state_cnt") =!= 0L)
+  }
+
+  /** `state ⊕ delta`: one union + one value-keyed sum; fully retracted
+    * values disappear.
+    */
+  private def mergeMult(state: DataFrame, delta: DataFrame): DataFrame = {
+    val payload = delta.columns.filterNot(_ == "state_cnt")
+    state.unionByName(delta)
+      .groupBy(payload.map(col): _*)
+      .agg(sum(col("state_cnt")).as("state_cnt"))
+      .filter(col("state_cnt") =!= 0L)
+  }
+
+  /** One side's join contribution: the (small, value-aggregated) delta
+    * broadcast against the stored other side; multiplicities multiply.
+    */
+  private def joinMult(delta: DataFrame, stored: DataFrame,
+      keys: Seq[String], deltaIsLeft: Boolean): DataFrame = {
+    val d = broadcast(delta.withColumnRenamed("state_cnt", "__cd"))
+    val s = stored.withColumnRenamed("state_cnt", "__cs")
+    val joined = if (deltaIsLeft) d.join(s, keys) else s.join(d, keys)
+    joined.withColumn("state_cnt", col("__cd") * col("__cs"))
+      .drop("__cd", "__cs")
+  }
+
+  private def done(store: SnapshotStore, table: String, batchId: Long): Boolean =
+    store.currentMeta(table).exists(_.toLong >= batchId)
+
+  /** Fold one micro-batch of two-sided changes into the stored view
+    * (idempotent per `batchId`; see the class doc for the crash-window
+    * argument). `table` holds the view; side states live at
+    * `<table>__A` / `<table>__B`.
+    */
+  def applyBatch(
+      store: SnapshotStore, table: String, deltaA: DataFrame,
+      deltaB: DataFrame, batchId: Long, keys: Seq[String],
+      opCol: String): Unit = {
+    val aT = s"${table}__A"
+    val bT = s"${table}__B"
+    if (done(store, bT, batchId) && done(store, table, batchId) &&
+      done(store, aT, batchId)) return // fully landed epoch
+    // localCheckpoint: each delta feeds two downstream plans (state
+    // merge + view delta) and must not recompute differently
+    val dA = sided(deltaA, opCol).localCheckpoint(true)
+    val dB = sided(deltaB, opCol).localCheckpoint(true)
+    if (!done(store, aT, batchId))
+      store.commit(aT, mergeMult(store.snapshot(aT, dA.schema), dA),
+        meta = Some(batchId.toString))
+    if (!done(store, table, batchId)) {
+      val aNew = store.snapshot(aT, dA.schema)
+      val bOld = store.snapshot(bT, dB.schema)
+      val dJ = joinMult(dA, bOld, keys, deltaIsLeft = true)
+        .unionByName(joinMult(dB, aNew, keys, deltaIsLeft = false))
+      store.commit(table, mergeMult(store.snapshot(table, dJ.schema), dJ),
+        meta = Some(batchId.toString))
+    }
+    if (!done(store, bT, batchId))
+      store.commit(bT, mergeMult(store.snapshot(bT, dB.schema), dB),
+        meta = Some(batchId.toString))
+  }
+
+  /** Run the view over ONE tagged change stream (`sideCol` ∈ A|B; rows
+    * carry the union of both sides' columns, the other side's null).
+    * Each side's payload is carved out by name per batch — the
+    * single-stream form every two-input `foreachBatch` maintenance
+    * loop reduces to.
+    */
+  def start(
+      changes: DataFrame, store: SnapshotStore, table: String,
+      keys: Seq[String], aCols: Seq[String], bCols: Seq[String],
+      sideCol: String, opCol: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val selA = (keys ++ aCols :+ opCol).map(col)
+        val selB = (keys ++ bCols :+ opCol).map(col)
+        applyBatch(store, table,
+          b.filter(col(sideCol) === "A").select(selA: _*),
+          b.filter(col(sideCol) === "B").select(selB: _*),
+          id, keys, opCol)
+        ()
+      }
+      .start()
+}

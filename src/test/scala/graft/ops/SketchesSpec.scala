@@ -203,4 +203,45 @@ class SketchesSpec extends SparkSpec {
     val est = inter(ba, bb, 256)
     assert(math.abs(est - 2000.0) / 2000.0 < 0.5, s"estimate $est")
   }
+
+  test("misra-gries: bounded summary keeps every value above n/(k+1), any order") {
+    // 2000 rows: 'hot' 300×, 'warm' 150×, 180 cold values ~8-9× each.
+    // k=12 → guarantee floor n/13 ≈ 154: hot MUST survive; stored
+    // weights never exceed truth and the summary never exceeds k.
+    val base = Seq.fill(300)("hot") ++ Seq.fill(150)("warm") ++
+      (1 to 1550).map(i => s"cold${i % 180}")
+    val orders = Seq(
+      base.sorted,                    // adversarial: heavy values clustered
+      base.sorted.reverse,
+      base.indices.sortBy(i => (i * 2654435761L) % base.size).map(base)) // scattered
+    for (data <- orders) {
+      val mg = data.toDF("v")
+        .agg(graft.functions.FreqSketch.misraGries(12)(col("v")).as("mg"))
+        .select(explode(col("mg")).as("e"))
+        .select(col("e._1").as("v"), col("e._2").as("w"))
+        .as[(String, Long)].collect().toMap
+      assert(mg.size <= 12, s"summary overflowed k: ${mg.size}")
+      assert(mg.contains("hot"), s"lost a guaranteed heavy hitter in $mg")
+      assert(mg("hot") <= 300L && mg("hot") >= 300L - base.size / 13,
+        s"hot weight ${mg("hot")} outside the deficit bound")
+      val truth = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      mg.foreach { case (v, w) =>
+        assert(w <= truth(v), s"$v stored $w above true ${truth(v)}") }
+    }
+  }
+
+  test("heavyHittersExact == direct GROUP BY + HAVING, counts exact") {
+    val data = (Seq.fill(200)("a") ++ Seq.fill(90)("b") ++
+      (1 to 710).map(i => s"c${i % 300}")).toDF("v")
+    val got = Sketches.heavyHittersExact(data, col("v"), phiBp = 500, k = 64)
+      .orderBy(col("cnt").desc, col("v"))
+      .as[(String, Long)].collect().toSeq
+    // n=1000, φ=5%: a (200) and b (90) qualify; every c value ≤ 3 rows
+    assert(got == Seq(("a", 200L), ("b", 90L)))
+    // guard: a k too small for the guarantee is refused loudly
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.heavyHittersExact(data, col("v"), phiBp = 10, k = 64)
+    }
+    assert(ex.getMessage.contains("superset guarantee"))
+  }
 }

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.{Files, Paths}
+
+/** Incremental join-view maintenance: inserts on either side extend the
+  * join, deletes retract every joined row they contributed to, bag
+  * multiplicities multiply, and the three-table commit choreography
+  * (A → view → B, each gated on its own batch-id meta) replays
+  * correctly from every crash window.
+  */
+class JoinViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def view(store: SnapshotStore, t: String): Set[(String, String, String, Long)] =
+    store.snapshot(t, null).as[(String, String, String, Long)].collect().toSet
+
+  private def dA(rows: (String, String, String)*) =
+    rows.toDF("k", "a_val", "op")
+  private def dB(rows: (String, String, String)*) =
+    rows.toDF("k", "b_val", "op")
+
+  test("two-sided insert/delete changes maintain the join view incrementally") {
+    val dir = Files.createTempDirectory("graft-joinview").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+
+    // epoch 0: A gets k1/k2, B matches k1 only
+    JoinView.applyBatch(store, "JV",
+      dA(("k1", "a1", "INSERT"), ("k2", "a2", "INSERT")),
+      dB(("k1", "b1", "INSERT")), 0L, Seq("k"), "op")
+    assert(view(store, "JV") == Set(("k1", "a1", "b1", 1L)))
+
+    // epoch 1: B-side delta joins against the STORED A state
+    JoinView.applyBatch(store, "JV", dA(),
+      dB(("k1", "b2", "INSERT"), ("k2", "b9", "INSERT")), 1L, Seq("k"), "op")
+    assert(view(store, "JV") == Set(
+      ("k1", "a1", "b1", 1L), ("k1", "a1", "b2", 1L), ("k2", "a2", "b9", 1L)))
+
+    // epoch 2: deleting one A row retracts EVERY join row it produced
+    JoinView.applyBatch(store, "JV",
+      dA(("k1", "a1", "DELETE")), dB(), 2L, Seq("k"), "op")
+    assert(view(store, "JV") == Set(("k2", "a2", "b9", 1L)))
+
+    // epoch 3: bag semantics — a duplicate A row doubles the multiplicity
+    JoinView.applyBatch(store, "JV",
+      dA(("k2", "a2", "INSERT")), dB(), 3L, Seq("k"), "op")
+    assert(view(store, "JV") == Set(("k2", "a2", "b9", 2L)))
+
+    // epoch 4: same-epoch deltas on BOTH sides include the ΔA⋈ΔB term
+    JoinView.applyBatch(store, "JV",
+      dA(("k3", "a3", "INSERT")), dB(("k3", "b3", "INSERT")), 4L, Seq("k"), "op")
+    assert(view(store, "JV") == Set(
+      ("k2", "a2", "b9", 2L), ("k3", "a3", "b3", 1L)))
+
+    // a replayed epoch is a no-op across all three tables
+    val versions = Seq("JV__A", "JV", "JV__B").map(store.currentVersion)
+    JoinView.applyBatch(store, "JV",
+      dA(("k3", "a3", "INSERT")), dB(("k3", "b3", "INSERT")), 4L, Seq("k"), "op")
+    assert(Seq("JV__A", "JV", "JV__B").map(store.currentVersion) == versions,
+      "replayed epoch must not commit any table")
+    assert(view(store, "JV") == Set(
+      ("k2", "a2", "b9", 2L), ("k3", "a3", "b3", 1L)))
+  }
+
+  test("crash windows between the three table commits replay to the same state") {
+    val dir = Files.createTempDirectory("graft-joinview-crash").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    JoinView.applyBatch(store, "JV",
+      dA(("k1", "a1", "INSERT")), dB(("k1", "b1", "INSERT")), 0L, Seq("k"), "op")
+
+    // land epoch 1 fully, then recreate each crash state by rolling the
+    // not-yet-committed tables' pointers back (old version dirs remain
+    // on disk — exactly what a crashed process leaves behind)
+    val before = Seq("JV__A", "JV", "JV__B").map(t => t -> store.currentVersion(t)).toMap
+    def run1(): Unit = JoinView.applyBatch(store, "JV",
+      dA(("k2", "a2", "INSERT"), ("k1", "a1", "DELETE")),
+      dB(("k2", "b2", "INSERT")), 1L, Seq("k"), "op")
+    run1()
+    val expected = Set(("k2", "a2", "b2", 1L))
+    assert(view(store, "JV") == expected)
+    def rollback(t: String): Unit = Files.write(
+      Paths.get(s"$dir/store/$t", "_current"), before(t).toString.getBytes)
+
+    // crash A: A committed, view and B still old → replay skips A,
+    // recomputes ΔJ against (A_new, B_old), lands view then B
+    rollback("JV"); rollback("JV__B")
+    run1()
+    assert(view(store, "JV") == expected, "replay from crash-after-A diverged")
+
+    // crash B: A and view committed, B still old → replay only lands B
+    val viewVersion = store.currentVersion("JV")
+    rollback("JV__B")
+    run1()
+    assert(store.currentVersion("JV") == viewVersion,
+      "replay from crash-after-view must not recommit the view")
+    assert(view(store, "JV") == expected)
+
+    // and the B state caught up: a later A insert joins against b2
+    JoinView.applyBatch(store, "JV",
+      dA(("k2", "a9", "INSERT")), dB(), 2L, Seq("k"), "op")
+    assert(view(store, "JV") == Set(
+      ("k2", "a2", "b2", 1L), ("k2", "a9", "b2", 1L)))
+  }
+
+  test("streaming start maintains the view over one tagged change stream") {
+    val dir = Files.createTempDirectory("graft-joinview-stream").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    val mem = MemoryStream[(String, String, String, String, String)](spark)
+    val changes = mem.toDF().toDF("side", "op", "k", "a_val", "b_val")
+    val q = JoinView.start(changes, store, "JVS", Seq("k"),
+      aCols = Seq("a_val"), bCols = Seq("b_val"), sideCol = "side",
+      opCol = "op", s"$dir/ckpt", Trigger.ProcessingTime("0 seconds"))
+    try {
+      mem.addData(("A", "INSERT", "k1", "a1", ""), ("B", "INSERT", "k1", "", "b1"))
+      q.processAllAvailable()
+      assert(view(store, "JVS") == Set(("k1", "a1", "b1", 1L)))
+
+      mem.addData(("B", "INSERT", "k1", "", "b2"), ("A", "DELETE", "k1", "a1", ""))
+      q.processAllAvailable()
+      // the delete retracts a1's contribution to BOTH b rows — but the
+      // same-epoch b2 insert joined A_new (post-delete), so nothing of
+      // a1 survives: the view is empty
+      assert(view(store, "JVS").isEmpty)
+
+      mem.addData(("A", "INSERT", "k1", "a9", ""))
+      q.processAllAvailable()
+      assert(view(store, "JVS") == Set(("k1", "a9", "b1", 1L), ("k1", "a9", "b2", 1L)))
+    } finally q.stop()
+  }
+}
