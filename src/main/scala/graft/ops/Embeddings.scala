@@ -43,6 +43,41 @@ object Embeddings {
     * correctly-rounded IEEE — order-independent and engine-exact,
     * unlike summing raw doubles.
     */
+  /** Upper-triangle covariance matrix of the embedding dimensions —
+    * the sufficient statistic for PCA / whitening / decorrelation over
+    * an embedding corpus. Same exactness scheme as [[dimStats]]: values
+    * quantize to ×10⁶ integers, the three sufficient statistics
+    * (Σqᵢ, Σqⱼ, Σqᵢqⱼ) stay exact int64 through the shuffle, and
+    * cov = E[xᵢxⱼ] − E[xᵢ]E[xⱼ] runs a fixed IEEE division sequence at
+    * the end — order-independent and engine-exact.
+    *
+    * Shape: the double-posexplode generates O(n·d²/2) rows but they
+    * partial-aggregate map-side, so the exchange carries ≤ d²/2 rows
+    * per partition — corpus size never crosses the wire. That is the
+    * right declarative plan for moderate d (here 64 → 2080 pairs); for
+    * d in the thousands the d² blowup belongs in a per-partition Gram
+    * accumulator (`mapPartitions` + one d×d array per partition)
+    * feeding the same merge.
+    */
+  def covarianceMatrix(df: DataFrame, vecCol: String): DataFrame = {
+    // opaque: keep the quantized array materialized once per row — a
+    // collapsed projection would inline the transform into BOTH
+    // generators, recomputing it per exploded row
+    val q = graft.functions.ArrayHashes.opaque(
+      transform(col(vecCol), x => floor(x.cast("double") * 1000000.0 + 0.5).cast("long")))
+    df.select(q.as("q"))
+      .select(col("q"), posexplode(col("q")).as(Seq("i0", "qi")))
+      .select(col("qi"), col("i0"), posexplode(col("q")).as(Seq("j0", "qj")))
+      .filter(col("j0") >= col("i0"))
+      .groupBy((col("i0") + 1).cast("long").as("i"), (col("j0") + 1).cast("long").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("qi")).as("si"),
+        sum(col("qj")).as("sj"), sum(col("qi") * col("qj")).as("sij"))
+      .select(col("i"), col("j"),
+        TextAnalysis.round6((col("sij").cast("double") / col("n")
+          - (col("si").cast("double") / col("n")) * (col("sj").cast("double") / col("n")))
+          / 1.0e12).as("cov6"))
+  }
+
   def dimStats(df: DataFrame, vecCol: String): DataFrame =
     df.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
       .select((col("pos") + 1).as("dim"),

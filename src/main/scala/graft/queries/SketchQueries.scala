@@ -472,6 +472,32 @@ object SketchQueries extends QueryPack {
       |    * 1000000.0 + 0.5) / 1000000.0 AS theta_estimate
       |FROM exact CROSS JOIN common CROSS JOIN th""".stripMargin
 
+  // ---- COV1: embedding covariance matrix ---------------------------------
+  // The PCA/whitening sufficient statistic: upper-triangle cov(i,j)
+  // over the 64 embedding dims, exact integer sufficient statistics
+  // through the shuffle (≤ d²/2 rows per partition partial-agg'd
+  // map-side), one fixed IEEE division sequence at the end.
+  private def cov1Covariance(s: SparkSession, dir: String): DataFrame =
+    Embeddings.covarianceMatrix(Tables.load(s, dir, "embeddings"), "embedding")
+      .orderBy(col("i"), col("j"))
+
+  private val cov1Sql =
+    """WITH p AS (
+      |  SELECT i, j,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qi,
+      |    CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qj
+      |  FROM embeddings, range(1, 65) t(i), range(1, 65) u(j)
+      |  WHERE j >= i),
+      |a AS (
+      |  SELECT i, j, COUNT(*) AS n, CAST(SUM(qi) AS BIGINT) AS si,
+      |    CAST(SUM(qj) AS BIGINT) AS sj, CAST(SUM(qi * qj) AS BIGINT) AS sij
+      |  FROM p GROUP BY i, j)
+      |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+      |  floor((CAST(sij AS DOUBLE) / n
+      |         - (CAST(si AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n))
+      |        / 1000000000000.0 * 1000000.0 + 0.5) / 1000000.0 AS cov6
+      |FROM a ORDER BY i, j""".stripMargin
+
   // ---- HH1: exact heavy hitters via bounded Misra-Gries candidates ------
   // Pass 1 exchanges ≤k-entry Misra-Gries partials (guaranteed superset
   // of everything above n/(k+1)); pass 2 counts only the candidates
@@ -491,6 +517,7 @@ object SketchQueries extends QueryPack {
       |ORDER BY cnt DESC, v""".stripMargin
 
   override def all: Seq[Q] = Seq(
+    Q("cov1_embedding_covariance", "upper-triangle embedding covariance matrix (PCA/whitening prep, exact fixed-point sufficient statistics)", cov1Covariance, Some(cov1Sql)),
     Q("hh1_heavy_hitters", "exact heavy hitters: Misra-Gries bounded candidate pass + exact second pass", hh1HeavyHitters, Some(hh1Sql)),
     Q("km1_kmv_distinct", "KMV distinct sketch per group (bounded k-minimum-values aggregator)", km1KmvDistinct, Some(km1Sql)),
     Q("km2_theta_intersection", "theta-sketch distinct-set INTERSECTION estimate (what HLL can't do)", km2ThetaIntersection, Some(km2Sql)),

@@ -204,6 +204,18 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - 2000.0) / 2000.0 < 0.5, s"estimate $est")
   }
 
+  test("covarianceMatrix: hand-computed 2-dim case; diagonal equals dimStats variance") {
+    // rows (1,0), (0,1), (1,1): var(d1)=var(d2)=2/9, cov(d1,d2)=1/3-4/9=-1/9
+    val d = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Seq(1.0f, 1.0f)).toDF("embedding")
+    val cov = Embeddings.covarianceMatrix(d, "embedding")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(cov == Map((1L, 1L) -> 0.222222, (1L, 2L) -> -0.111111, (2L, 2L) -> 0.222222))
+    val vars = Embeddings.dimStats(d, "embedding")
+      .select(col("dim"), col("var6")).as[(Long, Double)].collect().toMap
+    assert(vars(1L) == cov((1L, 1L)) && vars(2L) == cov((2L, 2L)),
+      "covariance diagonal must agree with dimStats variance")
+  }
+
   test("misra-gries: bounded summary keeps every value above n/(k+1), any order") {
     // 2000 rows: 'hot' 300×, 'warm' 150×, 180 cold values ~8-9× each.
     // k=12 → guarantee floor n/13 ≈ 154: hot MUST survive; stored

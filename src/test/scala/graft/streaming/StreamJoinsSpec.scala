@@ -49,4 +49,43 @@ class StreamJoinsSpec extends SparkSpec {
       assert(after < peak, s"state not evicted: peak=$peak after=$after")
     } finally q.stop()
   }
+
+  test("left-outer interval join: unmatched rows emit null-extended once the window provably closed") {
+    val imp = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val clk = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val joined = StreamJoins.intervalJoinLeftOuter(
+      imp.toDF().toDF("ad_id", "imp_ts"), clk.toDF().toDF("ad_id", "clk_ts"),
+      "ad_id", "imp_ts", "clk_ts", lowerSec = 0, upperSec = 30,
+      watermark = "0 seconds")
+    val ckpt = Files.createTempDirectory("graft-ijo").toString
+    val q = joined.writeStream.format("memory").queryName("ijo_out")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      imp.addData((1L, ts(0)), (2L, ts(0))) // 1 converts, 2 never does
+      clk.addData((1L, ts(10)))
+      q.processAllAvailable()
+      def rows() = spark.table("ijo_out")
+        .select("ad_id", "clk_ts").as[(Long, Option[java.sql.Timestamp])]
+        .collect().toSet
+      // matched pair emits at trigger latency; ad 2's fate is UNDECIDABLE
+      // until the right watermark passes ts(0)+30 — no row yet
+      assert(rows() == Set((1L, Some(ts(10)))))
+
+      // advance both watermarks past the horizon (two batches: one to
+      // carry the new watermark, one for the eviction pass to emit)
+      imp.addData((9L, ts(1000)))
+      clk.addData((9L, ts(1000)))
+      q.processAllAvailable()
+      imp.addData((9L, ts(2000)))
+      clk.addData((9L, ts(2000)))
+      q.processAllAvailable()
+      assert(rows().contains((2L, None)),
+        s"unmatched impression must emit null-extended, got ${rows()}")
+      // and exactly once — no duplicate outer emissions on later batches
+      imp.addData((9L, ts(3000)))
+      clk.addData((9L, ts(3000)))
+      q.processAllAvailable()
+      assert(rows().count(_._1 == 2L) == 1)
+    } finally q.stop()
+  }
 }
