@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral-analytics operators: N-step funnels and retention
@@ -65,6 +66,28 @@ object Analytics {
     * (`bucket` ∈ day|week), cell = distinct users of that cohort active
     * `offset` buckets later. Output: (cohort, offset, n_active).
     */
+  /** Top-k length-`3` event paths: per-user time-ordered event triples
+    * (sliding, via two LEADs over the user-partitioned sequence window
+    * — partitions bounded by per-user event counts) rolled up globally.
+    * The "what do users actually do" sequence-mining primitive behind
+    * navigation analysis; the per-user window plus one path shuffle is
+    * the shape that scales — no self-joins, no per-user collect.
+    * Tie-break on (ts, idCol) makes the sequence — and so the result —
+    * engine-deterministic even with equal timestamps.
+    */
+  def topEventPaths(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    df.select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+      .withColumn("__s2", lead(col(typeCol), 1).over(w))
+      .withColumn("__s3", lead(col(typeCol), 2).over(w))
+      .filter(col("__s3").isNotNull)
+      .groupBy(concat_ws(">", col(typeCol), col("__s2"), col("__s3")).as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   def retentionCohorts(df: DataFrame, userCol: String, tsCol: String,
       bucket: String): DataFrame = {
     val days = bucket match {

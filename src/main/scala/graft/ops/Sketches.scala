@@ -90,6 +90,22 @@ object Sketches {
     tables.reduce(_ unionByName _)
       .groupBy(col("r"), col("bucket")).agg(sum(col("c")).as("c"))
 
+  /** Join-size estimate from two count-min tables (the
+    * Cormode-Muthukrishnan inner-product estimate): |A ⋈ₖ B| ≲ min over
+    * rows r of Σ_b cmA[r][b]·cmB[r][b] — an upper bound, exact when no
+    * two distinct keys share a bucket in the minimizing row. The
+    * optimizer-statistics primitive: two constant-size sketches, built
+    * independently per table (and mergeable per ingest slice via
+    * [[countMinMerge]]), answer the join-cardinality question without
+    * touching either table — what a cost-based planner consults before
+    * choosing a join strategy at 100 TB.
+    */
+  def countMinJoinSize(a: DataFrame, b: DataFrame): DataFrame =
+    a.withColumnRenamed("c", "__ca")
+      .join(b.withColumnRenamed("c", "__cb"), Seq("r", "bucket"))
+      .groupBy(col("r")).agg(sum(col("__ca") * col("__cb")).as("__dot"))
+      .agg(min(col("__dot")).as("cm_join_estimate"))
+
   /** Bloom merge: word-wise bit OR — the union filter of the inputs. */
   def bloomMerge(filters: DataFrame*): DataFrame =
     filters.reduce(_ unionByName _)

@@ -330,7 +330,28 @@ object Analytics extends QueryPack {
       |                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS corr
       |FROM s ORDER BY event_type""".stripMargin
 
+  // ---- PA1: top event paths (sequence mining) ---------------------------
+  // Per-user time-ordered event TRIPLES via two LEADs over the bounded
+  // user-partitioned window, rolled up globally — no self-joins, no
+  // per-user collect. (ts, event_id) tie-break keeps the sequence
+  // engine-deterministic under equal timestamps.
+  private def pa1TopPaths(s: SparkSession, dir: String) =
+    graft.ops.Analytics.topEventPaths(Tables.load(s, dir, "events"),
+      "user_id", "event_type", "ts", "event_id", k = 15)
+
+  private val pa1Sql =
+    """WITH seq AS (
+      |  SELECT event_type AS s1,
+      |    lead(event_type, 1) OVER w AS s2,
+      |    lead(event_type, 2) OVER w AS s3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT s1 || '>' || s2 || '>' || s3 AS path, COUNT(*) AS n
+      |FROM seq WHERE s3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 15""".stripMargin
+
   override def all: Seq[Q] = Seq(
+    Q("pa1_event_paths", "top-k 3-step user event paths (sequence mining via bounded user windows)", pa1TopPaths, Some(pa1Sql)),
     Q("lr1_group_trend", "per-group OLS slope + Pearson corr from exact integer moments", lr1GroupTrend, Some(lr1Sql)),
     Q("ia1_inter_arrival", "per-user LAG inter-arrival gaps rolled up by event type", ia1InterArrival, Some(ia1Sql)),
     Q("rfm1_segments", "RFM quartile segmentation over the per-user rollup", rfm1Segments, Some(rfm1Sql)),

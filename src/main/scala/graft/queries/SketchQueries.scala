@@ -472,6 +472,45 @@ object SketchQueries extends QueryPack {
       |    * 1000000.0 + 0.5) / 1000000.0 AS theta_estimate
       |FROM exact CROSS JOIN common CROSS JOIN th""".stripMargin
 
+  // ---- JE1: sketch-based join-size estimation ----------------------------
+  // Two constant-size count-min tables (one per table, mergeable per
+  // ingest slice) answer |orders ⋈ lineitem| without touching either
+  // table — the inner-product upper bound a cost-based planner
+  // consults. The exact join size rides along as the accuracy
+  // reference; both are exact integers, so the row hash-matches.
+  private def je1JoinSize(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val l = Tables.load(s, dir, "lineitem")
+    val ta = Sketches.countMinTable(o, col("o_orderkey"), d = 4, w = 8192)
+    val tb = Sketches.countMinTable(l, col("l_orderkey"), d = 4, w = 8192)
+    val exact = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .agg(count(lit(1)).as("exact_join_size"))
+    Sketches.countMinJoinSize(ta, tb)
+      .crossJoin(broadcast(exact))
+      .select(col("exact_join_size"), col("cm_join_estimate"))
+  }
+
+  private val je1Sql =
+    """WITH co AS (
+      |  SELECT r,
+      |    ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 8192 AS bucket,
+      |    COUNT(*) AS c
+      |  FROM orders, range(0, 4) t(r) GROUP BY 1, 2),
+      |cl AS (
+      |  SELECT r,
+      |    ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT % 8192 AS bucket,
+      |    COUNT(*) AS c
+      |  FROM lineitem, range(0, 4) t(r) GROUP BY 1, 2),
+      |dots AS (
+      |  SELECT co.r, SUM(co.c * cl.c) AS dot
+      |  FROM co JOIN cl ON co.r = cl.r AND co.bucket = cl.bucket
+      |  GROUP BY co.r)
+      |SELECT
+      |  (SELECT COUNT(*) FROM orders o JOIN lineitem l
+      |     ON o.o_orderkey = l.l_orderkey) AS exact_join_size,
+      |  CAST(MIN(dot) AS BIGINT) AS cm_join_estimate
+      |FROM dots""".stripMargin
+
   // ---- COV1: embedding covariance matrix ---------------------------------
   // The PCA/whitening sufficient statistic: upper-triangle cov(i,j)
   // over the 64 embedding dims, exact integer sufficient statistics
@@ -518,6 +557,7 @@ object SketchQueries extends QueryPack {
 
   override def all: Seq[Q] = Seq(
     Q("cov1_embedding_covariance", "upper-triangle embedding covariance matrix (PCA/whitening prep, exact fixed-point sufficient statistics)", cov1Covariance, Some(cov1Sql)),
+    Q("je1_joinsize_estimate", "join-cardinality estimate from two count-min sketches (inner-product upper bound) vs exact", je1JoinSize, Some(je1Sql)),
     Q("hh1_heavy_hitters", "exact heavy hitters: Misra-Gries bounded candidate pass + exact second pass", hh1HeavyHitters, Some(hh1Sql)),
     Q("km1_kmv_distinct", "KMV distinct sketch per group (bounded k-minimum-values aggregator)", km1KmvDistinct, Some(km1Sql)),
     Q("km2_theta_intersection", "theta-sketch distinct-set INTERSECTION estimate (what HLL can't do)", km2ThetaIntersection, Some(km2Sql)),

@@ -221,6 +221,73 @@ final class SnapshotStore(
     Apply.applyBatch(reconciled, ordered, pk, "__ord", dataCols).target
   }
 
+  /** Change data feed (the lakehouse CDF analog): every change EVENT
+    * applied in `(fromVersion, toVersion]`, read from the DELTA FILES
+    * alone — O(|changes|), never a table reconstruction — so an
+    * incremental consumer (view refresh, export, cache invalidation)
+    * pays for what changed, not for the table. Columns:
+    * `commit_version` then the delta layout `[seq, operation, pk,
+    * data…]`; order with `(commit_version, seq)` for apply order.
+    * Versions whose commit carried no data (compactions) contribute
+    * nothing; delta files survive compaction, so ranges cross
+    * compaction boundaries freely.
+    */
+  def changeFeed(table: String, fromVersion: Int, toVersion: Int): DataFrame = {
+    val cur = currentVersion(table)
+    require(fromVersion >= 0 && fromVersion <= toVersion && toVersion <= cur,
+      s"changeFeed: need 0 <= from <= to <= $cur, got [$fromVersion, $toVersion]")
+    // an all-compaction (or empty) range still needs the layout: read
+    // the nearest delta at or before the range bound, emptied
+    val anyDelta = (1 to toVersion).reverse
+      .find(i => Files.exists(Paths.get(deltaDir(table, i))))
+      .getOrElse(throw new IllegalArgumentException(
+        s"changeFeed: table $table has no delta history at or before v$toVersion"))
+    val inRange = (fromVersion + 1 to toVersion)
+      .exists(i => Files.exists(Paths.get(deltaDir(table, i))))
+    val feed =
+      if (inRange) readDeltas(table, fromVersion + 1, toVersion)
+      else readDeltas(table, anyDelta, anyDelta).limit(0)
+    val dataCols = feed.columns.filterNot(_ == "__v")
+    feed.select((Seq(col("__v").as("commit_version")) ++ dataCols.map(col)): _*)
+  }
+
+  /** NET changes between two versions, with the ENGINE's own apply
+    * semantics (an UPDATE on a key deleted earlier in the range is
+    * TARGET_NOT_FOUND — not applied — exactly as the sync path decides
+    * it): one row per pk whose existence or value the range touched —
+    * `change_type` INSERT (absent before, present after, final values
+    * carried), UPDATE (present both, final values carried), DELETE
+    * (present before, absent after, data columns null). A pk inserted
+    * AND deleted inside the range nets out to nothing. Cost:
+    * O(|changes|) for the feed + ONE base-version scan restricted to
+    * the feed's pks (the before-image the classification needs).
+    */
+  def netChanges(table: String, fromVersion: Int, toVersion: Int): DataFrame = {
+    val feed = changeFeed(table, fromVersion, toVersion)
+    val f = feed.schema.fields.filterNot(_.name == "commit_version")
+    val (seqName, pkName) = (f(0).name, f(2).name)
+    val dataCols = f.drop(3).map(_.name).toSeq
+    val feedPks = feed.select(col(pkName)).distinct()
+    val before =
+      (if (fromVersion == 0)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(f.drop(2)))
+      else snapshotAt(table, fromVersion))
+        .join(feedPks, Seq(pkName), "left_semi")
+        .localCheckpoint(true) // read twice: apply base + before-pk set
+    val after = Apply.applyBatch(before,
+      feed.withColumn("__ord", struct(col("commit_version"), col(seqName))),
+      pkName, "__ord", dataCols).target
+    val beforePks = before.select(col(pkName)).withColumn("__before", lit(true))
+    after.withColumn("__after", lit(true))
+      .join(beforePks, Seq(pkName), "full_outer")
+      .withColumn("change_type",
+        when(col("__after").isNotNull && col("__before").isNull, "INSERT")
+          .when(col("__after").isNotNull, "UPDATE")
+          .otherwise("DELETE"))
+      .select((Seq(col(pkName), col("change_type")) ++ dataCols.map(col)): _*)
+  }
+
   /** Column-pruned pk membership at the current version: the set of
     * pks that exist, computed from the base's pk column plus the
     * outstanding deltas' (seq, operation, pk) columns ONLY — the

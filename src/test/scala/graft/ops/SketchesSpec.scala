@@ -204,6 +204,38 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - 2000.0) / 2000.0 < 0.5, s"estimate $est")
   }
 
+  test("countMinJoinSize upper-bounds the exact join size; exact sans collisions") {
+    // 20 distinct keys in a 1024-bucket table: collisions practically
+    // impossible, the inner product IS the exact bag-join size
+    val a = (1 to 20).flatMap(k => Seq.fill(k % 3 + 1)(k.toLong)).toDF("k")
+    val b = (11 to 30).map(_.toLong).toDF("k")
+    val exact = a.join(b, "k").count()
+    def est(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      Sketches.countMinJoinSize(
+        Sketches.countMinTable(x, col("k"), d = 4, w = 1024),
+        Sketches.countMinTable(y, col("k"), d = 4, w = 1024))
+        .head().getLong(0)
+    assert(est(a, b) == exact, "no-collision estimate must be exact")
+    // tiny table forces collisions: the estimate stays an UPPER bound
+    def estW(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame, w: Int) =
+      Sketches.countMinJoinSize(
+        Sketches.countMinTable(x, col("k"), d = 4, w = w),
+        Sketches.countMinTable(y, col("k"), d = 4, w = w))
+        .head().getLong(0)
+    assert(estW(a, b, 4) >= exact, "inner-product estimate must upper-bound")
+    // mergeability carries over: per-slice tables merged == direct
+    val a1 = a.filter(col("k") <= 10)
+    val a2 = a.filter(col("k") > 10)
+    val merged = Sketches.countMinMerge(
+      Sketches.countMinTable(a1, col("k"), d = 4, w = 1024),
+      Sketches.countMinTable(a2, col("k"), d = 4, w = 1024))
+    val direct = Sketches.countMinTable(a, col("k"), d = 4, w = 1024)
+    assert(Sketches.countMinJoinSize(merged,
+      Sketches.countMinTable(b, col("k"), d = 4, w = 1024)).head().getLong(0)
+      == Sketches.countMinJoinSize(direct,
+      Sketches.countMinTable(b, col("k"), d = 4, w = 1024)).head().getLong(0))
+  }
+
   test("covarianceMatrix: hand-computed 2-dim case; diagonal equals dimStats variance") {
     // rows (1,0), (0,1), (1,1): var(d1)=var(d2)=2/9, cov(d1,d2)=1/3-4/9=-1/9
     val d = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Seq(1.0f, 1.0f)).toDF("embedding")

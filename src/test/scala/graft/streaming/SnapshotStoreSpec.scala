@@ -214,4 +214,47 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.snapshotAt("T", 1).as[(Int, String)].collect().toMap ==
       Map(1 -> "x", 2 -> "y"))
   }
+
+  test("changeFeed streams applied events between versions; crosses compactions") {
+    val (store, _) = newStore(compactEvery = 3)
+    commit(store, (1L, "INSERT", 1, "a"))                      // v1
+    commit(store, (2L, "UPDATE", 1, "a2"), (3L, "INSERT", 2, "b")) // v2
+    commit(store, (4L, "DELETE", 2, "b"))                      // v3 (compacts)
+    commit(store, (5L, "INSERT", 3, "c"))                      // v4
+
+    val feed = store.changeFeed("T", 1, 4)
+      .orderBy("commit_version", "seq")
+      .as[(Int, Long, String, Int, String)].collect().toSeq
+    assert(feed == Seq(
+      (2, 2L, "UPDATE", 1, "a2"), (2, 3L, "INSERT", 2, "b"),
+      (3, 4L, "DELETE", 2, "b"), (4, 5L, "INSERT", 3, "c")),
+      s"feed was $feed")
+    // an empty range yields an empty frame with the feed layout
+    assert(store.changeFeed("T", 4, 4).count() == 0)
+    // out-of-range bounds refused loudly
+    intercept[IllegalArgumentException](store.changeFeed("T", 2, 99))
+  }
+
+  test("netChanges classifies with apply semantics: nets, TARGET_NOT_FOUND, deletes") {
+    val (store, _) = newStore(compactEvery = 100)
+    commit(store, (1L, "INSERT", 1, "a"), (2L, "INSERT", 2, "b"),
+      (3L, "INSERT", 4, "d"))                                  // v1 = the "before"
+    commit(store, (4L, "UPDATE", 1, "a2"),                     // plain update
+      (5L, "INSERT", 3, "c"),                                  // plain insert
+      (6L, "DELETE", 4, "d"))                                  // plain delete
+    commit(store, (7L, "INSERT", 5, "e"), (8L, "DELETE", 5, "e"), // nets to nothing
+      (9L, "DELETE", 2, "b"), (10L, "UPDATE", 2, "b9"))        // update AFTER delete:
+                                                               // TARGET_NOT_FOUND → stays deleted
+    val net = store.netChanges("T", 1, 3)
+      .as[(Int, String, String)].collect().toSet
+    assert(net == Set(
+      (1, "UPDATE", "a2"),
+      (3, "INSERT", "c"),
+      (4, "DELETE", null),
+      (2, "DELETE", null)),
+      s"net was $net")
+    // and the engine's own snapshot agrees with the classification
+    assert(store.snapshot("T", null).as[(Int, String)].collect().toMap ==
+      Map(1 -> "a2", 3 -> "c"))
+  }
 }
