@@ -46,6 +46,41 @@ object MatView {
       meta = Some(batchId.toString))
   }
 
+  /** Incremental view refresh FROM a stored table's change feed — the
+    * lakehouse form of view maintenance: the view (a per-key aggregate
+    * over `srcTable`, grouped by `keys` which may be ANY columns, not
+    * the pk) catches up from the version it last saw to the current
+    * one by folding ONLY the touched rows. Both images matter: an
+    * UPDATE retracts the before-row's contribution (its group may
+    * differ from the after-row's!) and adds the after-row's — exactly
+    * [[Incremental]]'s ±1 algebra, driven by
+    * [[SnapshotStore.changedImages]] instead of a live stream. Cost
+    * per refresh: O(|changes| + touched-pk before-image) — never a
+    * source rescan. Idempotent: the refreshed-to version commits with
+    * the view state, and a replay to the same version no-ops.
+    */
+  def refreshFromStore(
+      store: SnapshotStore, srcTable: String, viewTable: String,
+      keys: Seq[String], valueCol: String): Int = {
+    val target = store.currentVersion(srcTable)
+    val from = store.currentMeta(viewTable).map(_.toInt).getOrElse(0)
+    if (from >= target) return from // already caught up
+    val (before, after, _, _) = store.changedImages(srcTable, from, target)
+    val afterState = Incremental.aggState(after, keys, valueCol)
+    val beforeNeg = Incremental.aggState(
+      before.withColumn("__sign", lit(-1L)), keys, valueCol,
+      signCol = Some("__sign"))
+    val current = store.snapshot(viewTable, afterState.schema)
+    // ONE merge of all three states: a same-group UPDATE's delta is
+    // (cnt 0, qsum ≠ 0), which a pre-merged delta would wrongly drop
+    // at merge's fully-retracted (cnt == 0) filter — only the FINAL
+    // count may decide retraction
+    store.commit(viewTable,
+      Incremental.merge(keys, current, afterState, beforeNeg),
+      meta = Some(target.toString))
+    target
+  }
+
   /** Fold one micro-batch into a stored HLL register table — a
     * DISTINCT-COUNT view whose state is ≤256 rows no matter how many
     * ids the stream has ever carried: batch registers merge into the

@@ -263,6 +263,27 @@ final class SnapshotStore(
     * the feed's pks (the before-image the classification needs).
     */
   def netChanges(table: String, fromVersion: Int, toVersion: Int): DataFrame = {
+    val (before, after, pkName, dataCols) = changedImages(table, fromVersion, toVersion)
+    val beforePks = before.select(col(pkName)).withColumn("__before", lit(true))
+    after.withColumn("__after", lit(true))
+      .join(beforePks, Seq(pkName), "full_outer")
+      .withColumn("change_type",
+        when(col("__after").isNotNull && col("__before").isNull, "INSERT")
+          .when(col("__after").isNotNull, "UPDATE")
+          .otherwise("DELETE"))
+      .select((Seq(col(pkName), col("change_type")) ++ dataCols.map(col)): _*)
+  }
+
+  /** The (before, after) row images of every pk the range touched —
+    * before at `fromVersion`, after with the engine's apply semantics
+    * folded over the feed — plus the pk/data column names. The shared
+    * core of [[netChanges]] and the incremental view refresh
+    * ([[MatView.refreshFromStore]]): consumers that maintain derived
+    * state need BOTH images (retract the old contribution, add the
+    * new), which the event feed alone cannot give for UPDATEs.
+    */
+  def changedImages(table: String, fromVersion: Int,
+      toVersion: Int): (DataFrame, DataFrame, String, Seq[String]) = {
     val feed = changeFeed(table, fromVersion, toVersion)
     val f = feed.schema.fields.filterNot(_.name == "commit_version")
     val (seqName, pkName) = (f(0).name, f(2).name)
@@ -278,14 +299,7 @@ final class SnapshotStore(
     val after = Apply.applyBatch(before,
       feed.withColumn("__ord", struct(col("commit_version"), col(seqName))),
       pkName, "__ord", dataCols).target
-    val beforePks = before.select(col(pkName)).withColumn("__before", lit(true))
-    after.withColumn("__after", lit(true))
-      .join(beforePks, Seq(pkName), "full_outer")
-      .withColumn("change_type",
-        when(col("__after").isNotNull && col("__before").isNull, "INSERT")
-          .when(col("__after").isNotNull, "UPDATE")
-          .otherwise("DELETE"))
-      .select((Seq(col(pkName), col("change_type")) ++ dataCols.map(col)): _*)
+    (before, after, pkName, dataCols)
   }
 
   /** Column-pruned pk membership at the current version: the set of

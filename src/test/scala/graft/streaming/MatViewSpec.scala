@@ -130,4 +130,49 @@ class MatViewSpec extends SparkSpec {
       assert(store.currentVersion("KMV") == v, "replayed epoch must not commit")
     } finally q.stop()
   }
+
+  test("refreshFromStore: view catches up from the change feed, both images folded") {
+    val dir = Files.createTempDirectory("graft-matview-cdf").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    def commit(rows: (Long, String, Int, String, Double)*): Int =
+      store.commitDelta("SRC",
+        rows.toDF("seq", "operation", "ID", "G", "V"), "ID", "seq", Seq("G", "V"))
+    def view() = store.snapshot("VIEW", null)
+      .as[(String, Long, Long)].collect()
+      .map { case (g, n, q) => (g, n, q / 100.0) }.toSet
+    def recompute() = graft.ops.Incremental
+      .aggState(store.snapshot("SRC", null), Seq("G"), "V")
+      .as[(String, Long, Long)].collect()
+      .map { case (g, n, q) => (g, n, q / 100.0) }.toSet
+
+    commit((1L, "INSERT", 1, "a", 10.0), (2L, "INSERT", 2, "a", 20.0),
+      (3L, "INSERT", 3, "b", 5.0))
+    assert(MatView.refreshFromStore(store, "SRC", "VIEW", Seq("G"), "V") == 1)
+    assert(view() == Set(("a", 2L, 30.0), ("b", 1L, 5.0)))
+
+    // UPDATE that MOVES a row across groups + a delete: the before
+    // image must retract from the old group
+    commit((4L, "UPDATE", 2, "b", 20.0), (5L, "DELETE", 3, "b", 5.0))
+    MatView.refreshFromStore(store, "SRC", "VIEW", Seq("G"), "V")
+    assert(view() == Set(("a", 1L, 10.0), ("b", 1L, 20.0)))
+    assert(view() == recompute())
+
+    // same-group value change: the delta is (cnt 0, qsum != 0) — the
+    // case a naive pre-merged delta would drop
+    commit((6L, "UPDATE", 1, "a", 15.0))
+    MatView.refreshFromStore(store, "SRC", "VIEW", Seq("G"), "V")
+    assert(view() == Set(("a", 1L, 15.0), ("b", 1L, 20.0)))
+    assert(view() == recompute())
+
+    // fully retracting a group drops its key from the view
+    commit((7L, "DELETE", 2, "b", 20.0))
+    MatView.refreshFromStore(store, "SRC", "VIEW", Seq("G"), "V")
+    assert(view() == Set(("a", 1L, 15.0)))
+
+    // already caught up: refresh is a no-op (no new view version)
+    val vv = store.currentVersion("VIEW")
+    assert(MatView.refreshFromStore(store, "SRC", "VIEW", Seq("G"), "V")
+      == store.currentVersion("SRC"))
+    assert(store.currentVersion("VIEW") == vv, "no-op refresh must not commit")
+  }
 }
