@@ -125,6 +125,66 @@ object JoinView {
         meta = Some(batchId.toString))
   }
 
+  /** Maintain `viewTable` = `tableA ⋈_keys tableB` over two STORE
+    * tables from their CHANGE FEEDS — the lakehouse form of the
+    * streaming view above, and simpler: the side states ARE the store
+    * tables (their versions replace the A/B multiplicity tables), so
+    * the whole refresh is ONE atomic view commit whose meta records
+    * the `(versionA, versionB)` pair it reflects — no multi-table
+    * crash window at all; a replay recomputes from the same pair.
+    *
+    * Algebra as in [[applyBatch]]: ΔJ = ΔA ⋈ B@vB ⊕ A@tA ⋈ ΔB, where
+    * each side's Δ is the signed value-grouped difference of the
+    * touched rows' (before, after) images
+    * ([[SnapshotStore.changedImages]] — group-moving updates retract
+    * correctly). Cost: O(|changes| + the two snapshot projections the
+    * join terms touch); both tables must be delta-chain tables
+    * (written via `commitDelta`) so their feeds exist. Returns the
+    * `(versionA, versionB)` the view now reflects.
+    */
+  def refreshFromStore(
+      store: SnapshotStore, viewTable: String, tableA: String, tableB: String,
+      keys: Seq[String], aCols: Seq[String], bCols: Seq[String]): (Int, Int) = {
+    val (tA, tB) = (store.currentVersion(tableA), store.currentVersion(tableB))
+    val (vA, vB) = store.currentMeta(viewTable)
+      .map { m => val p = m.split(":"); (p(0).toInt, p(1).toInt) }
+      .getOrElse((0, 0))
+    if (vA == tA && vB == tB) return (vA, vB)
+    val aProj = keys ++ aCols
+    val bProj = keys ++ bCols
+    def grouped(df: DataFrame, cols: Seq[String]): DataFrame =
+      df.select(cols.map(col): _*).groupBy(cols.map(col): _*)
+        .agg(count(lit(1)).cast("long").as("state_cnt"))
+    def sidedDelta(table: String, fromV: Int, toV: Int, cols: Seq[String]): DataFrame = {
+      val (before, after, _, _) = store.changedImages(table, fromV, toV)
+      after.select(cols.map(col): _*).withColumn("__sign", lit(1L))
+        .unionByName(before.select(cols.map(col): _*).withColumn("__sign", lit(-1L)))
+        .groupBy(cols.map(col): _*).agg(sum(col("__sign")).as("state_cnt"))
+        .filter(col("state_cnt") =!= 0L)
+    }
+    val terms = Seq.newBuilder[DataFrame]
+    if (vA < tA && vB > 0)
+      terms += joinMult(sidedDelta(tableA, vA, tA, aProj),
+        grouped(store.snapshotAt(tableB, vB), bProj), keys, deltaIsLeft = true)
+    if (vB < tB && tA > 0)
+      terms += joinMult(sidedDelta(tableB, vB, tB, bProj),
+        grouped(store.snapshotAt(tableA, tA), aProj), keys, deltaIsLeft = false)
+    terms.result() match {
+      case Seq() =>
+        // one side changed but the other has never held a row: ΔJ = ∅.
+        // Do NOT commit — the view keeps reflecting (vA, vB), and a
+        // later refresh rebuilds the same (empty) term from the same
+        // pair, so nothing is lost or double-counted.
+        (vA, vB)
+      case ts =>
+        val dJ = ts.reduce(_ unionByName _)
+        store.commit(viewTable,
+          mergeMult(store.snapshot(viewTable, dJ.schema), dJ),
+          meta = Some(s"$tA:$tB"))
+        (tA, tB)
+    }
+  }
+
   /** Run the view over ONE tagged change stream (`sideCol` ∈ A|B; rows
     * carry the union of both sides' columns, the other side's null).
     * Each side's payload is carved out by name per batch — the

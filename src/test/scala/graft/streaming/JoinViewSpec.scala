@@ -104,6 +104,60 @@ class JoinViewSpec extends SparkSpec {
       ("k2", "a2", "b2", 1L), ("k2", "a9", "b2", 1L)))
   }
 
+  test("refreshFromStore maintains the join view over two delta-chain store tables") {
+    val dir = Files.createTempDirectory("graft-joinview-cdf").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    def commitA(rows: (Long, String, Int, String, String)*): Int =
+      store.commitDelta("A", rows.toDF("seq", "operation", "ID", "K", "AV"),
+        "ID", "seq", Seq("K", "AV"))
+    def commitB(rows: (Long, String, Int, String, String)*): Int =
+      store.commitDelta("B", rows.toDF("seq", "operation", "ID", "K", "BV"),
+        "ID", "seq", Seq("K", "BV"))
+    def refresh() = JoinView.refreshFromStore(store, "JVC", "A", "B",
+      Seq("K"), Seq("AV"), Seq("BV"))
+    def expected(): Set[(String, String, String, Long)] =
+      store.snapshot("A", null).select("K", "AV")
+        .join(store.snapshot("B", null).select("K", "BV"), "K")
+        .groupBy("K", "AV", "BV").count()
+        .as[(String, String, String, Long)].collect().toSet
+
+    // A fills while B has never held a row: ΔJ = ∅, view untouched
+    commitA((1L, "INSERT", 1, "k1", "a1"), (2L, "INSERT", 2, "k2", "a2"))
+    assert(refresh() == (0, 0))
+    assert(store.currentVersion("JVC") == 0, "empty-side refresh must not commit")
+
+    // B arrives: the B-delta joins the CURRENT A (covers A's backlog)
+    commitB((10L, "INSERT", 10, "k1", "b1"))
+    refresh()
+    assert(view(store, "JVC") == Set(("k1", "a1", "b1", 1L)))
+    assert(view(store, "JVC") == expected())
+
+    // a group-moving A update + a new B row in one refresh
+    commitA((3L, "UPDATE", 1, "k3", "a1"))
+    commitB((11L, "INSERT", 11, "k2", "b2"))
+    refresh()
+    assert(view(store, "JVC") == Set(("k2", "a2", "b2", 1L)))
+    assert(view(store, "JVC") == expected())
+
+    // duplicate projected values multiply: second A row with (k2, a2)
+    commitA((4L, "INSERT", 5, "k2", "a2"))
+    refresh()
+    assert(view(store, "JVC") == Set(("k2", "a2", "b2", 2L)))
+    assert(view(store, "JVC") == expected())
+
+    // deleting the B partner retracts every joined row (both a2 copies);
+    // k1's b1 has no A partner left (row 1 moved to k3) — view empties
+    commitB((12L, "DELETE", 11, "k2", "b2"))
+    refresh()
+    assert(view(store, "JVC") == expected())
+    assert(view(store, "JVC").isEmpty)
+
+    // caught up: refresh is a no-op
+    val vv = store.currentVersion("JVC")
+    refresh()
+    assert(store.currentVersion("JVC") == vv, "no-op refresh must not commit")
+  }
+
   test("streaming start maintains the view over one tagged change stream") {
     val dir = Files.createTempDirectory("graft-joinview-stream").toString
     val store = new SnapshotStore(spark, s"$dir/store")
