@@ -215,6 +215,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"sim7 regressed to a window:\n$p")
   }
 
+  test("hh1: candidates broadcast into the second pass; MG partials are map-side") {
+    val p = plan("hh1_heavy_hitters")
+    // the ≤k candidate set must BROADCAST against the value scan — a
+    // shuffled semi-join would move the full column twice
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"hh1 lost its broadcast candidate semi-join:\n$p")
+    // the Misra-Gries pass must combine per-partition (typed-aggregator
+    // partials), never ship raw values to one reducer
+    assert(p.contains("partial_misragries"),
+      s"hh1 lost the map-side MG partial:\n$p")
+  }
+
+  test("cov1: pair sums partial-aggregate below the exchange") {
+    val p = plan("cov1_embedding_covariance")
+    // O(n·d²) generated rows must fold map-side: the exchange carries
+    // ≤ d²/2 aggregate buffers per partition, not the pair stream
+    assert(p.contains("partial_sum"), s"cov1 lost map-side partial aggregation:\n$p")
+    assert(p.contains("Generate"), s"cov1 lost its explode pipeline:\n$p")
+  }
+
+  test("pa1: the sequence window is user-partitioned; the cut is a TakeOrdered") {
+    val exec = SparkEntry.queries("pa1_event_paths")(spark, sfSmoke)
+      .queryExecution.executedPlan
+    val inner = exec match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val windows = inner.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec
+    }
+    assert(windows.nonEmpty && windows.forall(_.nonEmpty),
+      s"pa1's window must be partitioned (by user), got $windows")
+    assert(inner.toString.contains("TakeOrderedAndProject"),
+      "pa1 must cut via TakeOrderedAndProject, not a full sort")
+  }
+
   test("sim4: the probe side broadcasts; the corpus side never explodes") {
     // the multi-probe query set (5 vectors × 3 probes) is the broadcast
     // side of an equi-join on bucket — a regression that shuffles the
