@@ -41,6 +41,14 @@ object StreamBench {
       val t0 = 1768284000000L
       val keysPerBatch = 20000
       val batches = 5
+      // one untimed warmup batch absorbs codegen + RocksDB column-family
+      // init (~6.5 s, TwsScaleSpec) so the number reads steady-state
+      // cost, not first-trigger setup; warmup keys sit a TTL horizon in
+      // the past, so the timed watermark evicts them and the reported
+      // state-row count keeps its meaning
+      input.addData((0 until keysPerBatch).map(j =>
+        (s"w_$j", new java.sql.Timestamp(t0 - 600000L))))
+      q.processAllAvailable()
       val start = System.nanoTime()
       (0 until batches).foreach { i =>
         input.addData((0 until keysPerBatch).map(j =>
@@ -118,6 +126,12 @@ object StreamBench {
       val t0 = 1768284000000L
       val perBatch = 20000
       val batches = 8
+      // untimed warmup wave (distinct pk range, one TTL horizon back):
+      // absorbs codegen/state init so the number is steady-state
+      mem.addData((0 until perBatch).map { j =>
+        envelope("c", 9000000 + j, s"warm-$j", t0 - 600000L)
+      })
+      q.processAllAvailable()
       val start = System.nanoTime()
       (0 until batches).foreach { i =>
         mem.addData((0 until perBatch).map { j =>
@@ -181,6 +195,14 @@ object StreamBench {
     try {
       val t0 = 1768284000000L
       val batches = 4
+      // untimed warmup wave across all six queries (distinct id range)
+      feeds.foreach { case (mem, _, m, a2t, schema, table) =>
+        mem.addData((0 until perBatch).map { j =>
+          s"""{"payload":{"op":"c","before":null,"after":${imageFor(m.entity, a2t, 9000000 + j)},""" +
+            s""""source":{"schema":"$schema","table":"$table"},"ts_ms":${t0 - 600000L}}}"""
+        })
+      }
+      feeds.foreach(_._2.processAllAvailable())
       val start = System.nanoTime()
       (0 until batches).foreach { i =>
         // add every pair's batch FIRST, then drain: all six queries
@@ -225,19 +247,23 @@ object StreamBench {
     try {
       val t0 = 1768284000000L
       val batches = 4
-      val start = System.nanoTime()
-      (0 until batches).foreach { i =>
-        mem.addData(pairs.flatMap { case (m, d) =>
+      def wave(i: Int, idBase: Int, tsMs: Long): Seq[(String, String)] =
+        pairs.flatMap { case (m, d) =>
           val a2t = d == graft.cdc.Direction.AsisToTobe
           val (schema, table) =
             if (a2t) ("ASIS_USER", m.asis.table) else ("TOBE_USER", m.tobe.table)
           (0 until perBatch).map { j =>
-            val id = i * perBatch + j
             graft.cdc.Registry.topicFor(d, m) ->
-              (s"""{"payload":{"op":"c","before":null,"after":${imageFor(m.entity, a2t, id)},""" +
-                s""""source":{"schema":"$schema","table":"$table"},"ts_ms":${t0 + i * 1000L}}}""")
+              (s"""{"payload":{"op":"c","before":null,"after":${imageFor(m.entity, a2t, idBase + j)},""" +
+                s""""source":{"schema":"$schema","table":"$table"},"ts_ms":$tsMs}}""")
           }
-        })
+        }
+      // untimed warmup wave, matching the concurrent probe
+      mem.addData(wave(-1, 9000000, t0 - 600000L))
+      q.processAllAvailable()
+      val start = System.nanoTime()
+      (0 until batches).foreach { i =>
+        mem.addData(wave(i, i * perBatch, t0 + i * 1000L))
         q.processAllAvailable()
       }
       val secs = (System.nanoTime() - start) / 1e9
