@@ -361,6 +361,59 @@ object PipelineQueries extends QueryPack {
       |SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank
       |FROM pr3 ORDER BY rank DESC, id LIMIT 50""".stripMargin
 
+  // ---- TR1: exact triangle counts over the near-dup graph ----------------
+  // Degree-ordered edge orientation (Suri-Vassilvitskii): every
+  // triangle counted exactly once at its unique out-degree-2 apex —
+  // no DISTINCT, no ÷3, and out-degree bounded O(√m) so the wedge
+  // join survives hubs. The graph-density signal that tells a curation
+  // run whether near-dups form tight cliques (one canonical survivor
+  // suffices) or loose chains (components over-merge).
+  private def tr1Triangles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.triangleCounts(sharedMinhashPairs(s, dir))
+      .orderBy(col("n_triangles").desc, col("id"))
+      .limit(20)
+      .select(col("id").as("doc_id"), col("n_triangles"))
+
+  private val tr1Sql =
+    s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    [('0x' || substr(md5(w), 1, 15))::BIGINT for w in words] AS wh,
+      |    [list_min([((('0x' || substr(md5('a' || chr(124) || CAST(i AS VARCHAR)), 1, 5))::BIGINT | 1)
+      |                 * ('0x' || substr(md5(w), 1, 8))::BIGINT
+      |                 + ('0x' || substr(md5('b' || chr(124) || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 4294967291
+      |                ) % 4294967291
+      |               for w in words]) for i in range(0, 32)] AS sig
+      |  FROM t),
+      |bands AS (
+      |  SELECT doc_id,
+      |    unnest([('0x' || substr(md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], '|')), 1, 15))::BIGINT
+      |            for b in range(0, 8)]) AS band_key
+      |  FROM sigs),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cands
+      |  JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
+      |  WHERE floor(CAST(len(list_intersect(sa.wh, sb.wh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(sa.wh, sb.wh))) * 1000000.0 + 0.5) / 1000000.0 >= 0.9),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+      |ori AS (
+      |  SELECT e.u, e.v FROM edges e
+      |  JOIN deg a ON a.u = e.u JOIN deg b ON b.u = e.v
+      |  WHERE a.d < b.d OR (a.d = b.d AND e.u < e.v)),
+      |tri AS (
+      |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      |  FROM ori e1 JOIN ori e2 ON e1.u = e2.u AND e1.v <> e2.v
+      |  JOIN ori e3 ON e3.u = e1.v AND e3.v = e2.v),
+      |nodes AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+      |          UNION ALL SELECT z FROM tri)
+      |SELECT id AS doc_id, COUNT(*) AS n_triangles FROM nodes GROUP BY id
+      |ORDER BY n_triangles DESC, doc_id LIMIT 20""".stripMargin
+
   // ---- PJ1: exact Jaccard-threshold join via prefix filtering ------------
   // AllPairs/PPJoin-style EXACT similarity self-join: df-ordered prefix
   // filtering generates every Jaccard≥0.9 pair with zero false
@@ -1666,6 +1719,7 @@ object PipelineQueries extends QueryPack {
     Q("dd6_neardup_canonical", "near-dup canonicalization via min-label components", dd6NeardupCanonical, Some(dd6Sql)),
     Q("cc1_star_components", "connected components via alternating large-star/small-star contraction", cc1StarComponents, Some(dd6Sql)),
     Q("pr1_pagerank", "integer-exact damped PageRank over the near-dup graph (3 iterations)", pr1PageRank, Some(pr1Sql)),
+    Q("tr1_triangles", "exact per-node triangle counts via degree-ordered orientation (out-degree O(sqrt m))", tr1Triangles, Some(tr1Sql)),
     Q("pj1_prefix_jaccard", "EXACT Jaccard>=0.9 similarity self-join via df-ordered prefix filtering", pj1PrefixJaccard, Some(pj1Sql)),
     Q("dd7_component_best", "best-quality canonical pick per near-dup component", dd7ComponentBest, Some(dd7Sql)),
     Q("qp1_quality_propagation", "quality smoothing over the near-dup graph (fixed-point)", qp1QualityProp, Some(qp1Sql)),

@@ -34,4 +34,27 @@ class GraphSpec extends SparkSpec {
     assert(total <= 5L * 1000000L)
     assert(total > (5L * 1000000L * 95L) / 100L, s"lost too much mass: $total")
   }
+
+  test("triangleCounts: K4 + pendant + 4-cycle, every count hand-checked") {
+    import spark.implicits._
+    // K4 on 1-4 (4 triangles, each node in 3), pendant 5-1 (none),
+    // chordless square 6-7-8-9 (none)
+    val pairs = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)) ++
+      Seq((1L, 5L)) ++ Seq((6L, 7L), (7L, 8L), (8L, 9L), (6L, 9L)))
+      .toDF("id_a", "id_b")
+    val got = graft.ops.Graph.triangleCounts(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+    // total triangles = Σ per-node / 3
+    assert(got.values.sum == 3 * 4)
+  }
+
+  test("triangleCounts: a hub contributes no wedges (orientation points at it)") {
+    import spark.implicits._
+    // star on 0 with 50 leaves + one leaf-leaf edge → exactly 1 triangle
+    val star = (1L to 50L).map(i => (0L, i)) :+ (1L, 2L)
+    val got = graft.ops.Graph.triangleCounts(star.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), s"got $got")
+  }
 }
