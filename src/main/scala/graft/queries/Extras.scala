@@ -297,6 +297,49 @@ object Extras extends QueryPack {
       |  array_to_string((list(event_id ORDER BY ts DESC, event_id DESC))[1:3], ',') AS newest_ids
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- DQ1: data-quality expectation gate --------------------------------
+  // Every row-local check folds into ONE aggregation over ONE scan
+  // (conditional violation counters); the referential check is the one
+  // LEFT ANTI join. Exact integer counts — a deterministic gate, not a
+  // float score. The discount bound is deliberately violated (26k+
+  // rows) so the report exercises the failing path.
+  private def dq1QualityGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Quality
+    val li = Tables.load(s, dir, "lineitem")
+    Quality.report(li, Seq(
+        Quality.notNull("l_shipdate"),
+        Quality.inRange("l_quantity", 1, 50),
+        Quality.inRange("l_discount", 0.0, 0.05),
+        Quality.inSet("l_returnflag", Seq("A", "N", "R")),
+        Quality.unique("l_orderkey", "l_linenumber")))
+      .unionByName(Quality.fkOrphans(li, "l_orderkey",
+        Tables.load(s, dir, "orders"), "o_orderkey"))
+      .orderBy(col("check"))
+  }
+
+  private val dq1Sql =
+    """WITH base AS (
+      |  SELECT
+      |    SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS nn,
+      |    SUM(CASE WHEN l_quantity IS NULL OR l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS qr,
+      |    SUM(CASE WHEN l_discount IS NULL OR l_discount NOT BETWEEN 0.0 AND 0.05 THEN 1 ELSE 0 END) AS dr,
+      |    SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS rf,
+      |    COUNT(*) - (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS uq
+      |  FROM lineitem),
+      |fk AS (
+      |  SELECT COUNT(*) AS orphans FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+      |rows_out AS (
+      |  SELECT 'not_null(l_shipdate)' AS check, nn AS violations FROM base
+      |  UNION ALL SELECT 'in_range(l_quantity)', qr FROM base
+      |  UNION ALL SELECT 'in_range(l_discount)', dr FROM base
+      |  UNION ALL SELECT 'in_set(l_returnflag)', rf FROM base
+      |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', uq FROM base
+      |  UNION ALL SELECT 'fk(l_orderkey)', orphans FROM fk)
+      |SELECT "check", CAST(violations AS BIGINT) AS violations,
+      |  violations = 0 AS passed
+      |FROM rows_out ORDER BY "check"""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("fm1_field_merge", "FIELD_MERGE conflict policy (column-wise coalesce)", fm1FieldMerge, Some(fm1Sql)),
     Q("a4_ring_agg", "A4 newest-N ring buffer as typed Aggregator", a4RingAgg, Some(a4Sql)),
@@ -312,5 +355,7 @@ object Extras extends QueryPack {
     Q("vr1_variant_extract", "VariantType parse-once semi-structured extraction (Spark 4 variant)", vr1VariantExtract, Some(vr1Sql)),
     Q("w3_tumbling_hourly", "tumbling event-time window aggregation", w3TumblingHourly, Some(w3Sql)),
     Q("w4_sliding_2h", "sliding event-time window aggregation", w4Sliding2h, Some(w4Sql)),
+    Q("dq1_quality_gate", "declarative data-quality expectations: one-scan violation counters + FK anti-join", dq1QualityGate, Some(dq1Sql)),
   )
+
 }
