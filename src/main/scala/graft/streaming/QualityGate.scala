@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming data-quality gate — the quarantine split a production
+  * ingest runs in front of every sink: each micro-batch's rows are
+  * checked against ROW-LOCAL constraints (violation predicates);
+  * passing rows land in `outDir`, violating rows land in `rejectDir`
+  * tagged with the FIRST failing constraint's name (constraint order
+  * is the severity order), both exactly-once via [[EpochCommit]]'s
+  * atomic epoch rename — a stateless per-batch computation, so the
+  * epoch-dir idempotence is the whole replay story (the
+  * [[AnnServeStream]] argument).
+  *
+  * Row-local on purpose: aggregate expectations (uniqueness, FK) need
+  * corpus state and belong to the batch gate ([[graft.ops.Quality]])
+  * or the ingest-dedup tier; a row predicate splits map-side with no
+  * shuffle at all — the per-trigger cost is one narrow pass over the
+  * batch, flat in corpus size and in constraint count.
+  */
+object QualityGate {
+
+  /** One micro-batch through the gate (idempotent per `batchId`). */
+  def applyBatch(
+      spark: SparkSession, batch: DataFrame, batchId: Long,
+      constraints: Seq[(String, Column)], outDir: String,
+      rejectDir: String): Unit = {
+    require(constraints.nonEmpty, "QualityGate: no constraints")
+    val marker = s"$outDir/_graft_quality_epoch"
+    if (EpochCommit.readMarker(spark, marker).exists(_ >= batchId)) return
+    if (!EpochCommit.epochExists(spark, outDir, batchId)) {
+      val firstViolated = coalesce(
+        (constraints.map { case (n, viol) => when(viol, lit(n)) } :+
+          lit(null).cast("string")): _*)
+      val flagged = batch.withColumn("__violated", firstViolated)
+        .localCheckpoint(true) // one pass feeds both epoch writes
+      EpochCommit.commitEpoch(
+        flagged.filter(col("__violated").isNotNull)
+          .withColumnRenamed("__violated", "violated"),
+        rejectDir, batchId)
+      EpochCommit.commitEpoch(
+        flagged.filter(col("__violated").isNull).drop("__violated"),
+        outDir, batchId)
+    }
+    EpochCommit.writeMarker(spark, marker, batchId)
+  }
+
+  /** Run the gate over a stream. */
+  def start(
+      rows: DataFrame, constraints: Seq[(String, Column)], outDir: String,
+      rejectDir: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyBatch(b.sparkSession, b, id, constraints, outDir, rejectDir); ()
+      }
+      .start()
+}
