@@ -182,4 +182,42 @@ object Stats {
         (col("mad") / scale.toDouble).as("mad"),
         col("n_outliers"))
   }
+
+  /** Pearson χ² test of independence between two categorical columns —
+    * the "is this feature informative / is this split biased" screen a
+    * curation run applies before trusting a stratification. ONE
+    * data-sized groupBy builds the contingency cells; every other step
+    * runs on the tiny cell table (row/column marginals by re-grouping,
+    * n and the degrees of freedom by one more aggregate). Engine-exact
+    * despite being a float statistic: each cell's term
+    * (O·n − rt·ct)² / (n·rt·ct) divides exact int64 products in one
+    * IEEE step and quantizes to millionths BEFORE the sum, so
+    * summation order cannot move the result. Returns one row
+    * (n_rows, dof, chi2) — compare against the χ² critical value for
+    * dof outside the engine.
+    */
+  def chiSquareIndependence(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.select(aCol.as("a"), bCol.as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+      .localCheckpoint(true) // feeds marginals + totals + terms
+    val rt = cells.groupBy(col("a")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("b")).agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      count_distinct(col("a")).as("ra"), count_distinct(col("b")).as("cb"))
+    // COMPLETE the table: zero-observation cells are absent from the
+    // groupBy but still contribute (O=0 ⇒ term = E) — the r×c cross of
+    // the tiny marginal tables restores them
+    rt.crossJoin(ct)
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("n"), ((col("ra") - 1) * (col("cb") - 1)).as("dof"),
+        floor((col("o") * col("n") - col("rt") * col("ct")).cast("double")
+          * (col("o") * col("n") - col("rt") * col("ct")).cast("double")
+          / (col("n") * col("rt") * col("ct")).cast("double")
+          * 1000000.0 + 0.5).cast("long").as("qterm"))
+      .groupBy(col("n"), col("dof"))
+      .agg((sum(col("qterm")).cast("double") / 1000000.0).as("chi2"))
+      .select(col("n").as("n_rows"), col("dof"), col("chi2"))
+  }
 }

@@ -350,7 +350,38 @@ object Analytics extends QueryPack {
       |FROM seq WHERE s3 IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, path LIMIT 15""".stripMargin
 
+  // ---- CS1: chi-square independence screen -------------------------------
+  // ONE data-sized groupBy builds the contingency cells; marginals,
+  // totals, and dof all derive from the tiny cell table. Each term
+  // quantizes to millionths BEFORE the sum, so the float statistic is
+  // engine-exact.
+  private def cs1ChiSquare(s: SparkSession, dir: String) =
+    graft.ops.Stats.chiSquareIndependence(Tables.load(s, dir, "events"),
+      col("event_type"), pmod(col("user_id"), lit(4)))
+
+  private val cs1Sql =
+    """WITH cells AS (
+      |  SELECT event_type AS a, user_id % 4 AS b, COUNT(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |rt AS (SELECT a, SUM(o) AS rt FROM cells GROUP BY a),
+      |ct AS (SELECT b, SUM(o) AS ct FROM cells GROUP BY b),
+      |tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS ra,
+      |        COUNT(DISTINCT b) AS cb FROM cells),
+      |filled AS (
+      |  SELECT rt.a, ct.b, rt.rt, ct.ct, COALESCE(cells.o, 0) AS o
+      |  FROM rt CROSS JOIN ct LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b),
+      |terms AS (
+      |  SELECT n, (ra - 1) * (cb - 1) AS dof,
+      |    CAST(floor(CAST(o * n - rt * ct AS DOUBLE)
+      |      * CAST(o * n - rt * ct AS DOUBLE)
+      |      / CAST(n * rt * ct AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qterm
+      |  FROM filled CROSS JOIN tot)
+      |SELECT CAST(n AS BIGINT) AS n_rows, CAST(dof AS BIGINT) AS dof,
+      |  CAST(SUM(qterm) AS DOUBLE) / 1000000.0 AS chi2
+      |FROM terms GROUP BY n, dof""".stripMargin
+
   override def all: Seq[Q] = Seq(
+    Q("cs1_chi_square", "chi-square independence test over a contingency table (fixed-point exact terms)", cs1ChiSquare, Some(cs1Sql)),
     Q("pa1_event_paths", "top-k 3-step user event paths (sequence mining via bounded user windows)", pa1TopPaths, Some(pa1Sql)),
     Q("lr1_group_trend", "per-group OLS slope + Pearson corr from exact integer moments", lr1GroupTrend, Some(lr1Sql)),
     Q("ia1_inter_arrival", "per-user LAG inter-arrival gaps rolled up by event type", ia1InterArrival, Some(ia1Sql)),

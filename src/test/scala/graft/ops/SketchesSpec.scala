@@ -204,6 +204,20 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - 2000.0) / 2000.0 < 0.5, s"estimate $est")
   }
 
+  test("chiSquareIndependence: zero under independence, n under perfect association") {
+    // independent 2×2 (all cells equal) → every O = E → chi2 = 0
+    val indep = (Seq.fill(25)(("x", 0)) ++ Seq.fill(25)(("x", 1)) ++
+      Seq.fill(25)(("y", 0)) ++ Seq.fill(25)(("y", 1))).toDF("a", "b")
+    val r0 = Stats.chiSquareIndependence(indep, col("a"), col("b"))
+      .as[(Long, Long, Double)].collect().head
+    assert(r0 == ((100L, 1L, 0.0)), s"got $r0")
+    // perfect diagonal association in a balanced 2×2 → chi2 = n
+    val dep = (Seq.fill(30)(("x", 0)) ++ Seq.fill(30)(("y", 1))).toDF("a", "b")
+    val r1 = Stats.chiSquareIndependence(dep, col("a"), col("b"))
+      .as[(Long, Long, Double)].collect().head
+    assert(r1 == ((60L, 1L, 60.0)), s"got $r1")
+  }
+
   test("countMinJoinSize upper-bounds the exact join size; exact sans collisions") {
     // 20 distinct keys in a 1024-bucket table: collisions practically
     // impossible, the inner product IS the exact bag-join size
