@@ -192,11 +192,47 @@ final class SnapshotStore(
       .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
   }
 
+  /** Lowest version with full on-disk history (1 = nothing reclaimed).
+    * Written by [[vacuum]]; [[snapshotAt]] and [[changeFeed]] refuse
+    * reads below it LOUDLY — the alternative is silently-wrong results
+    * from reconstruction over missing files.
+    */
+  def horizon(table: String): Int = {
+    val p = Paths.get(tableDir(table), "_horizon")
+    if (Files.exists(p)) new String(Files.readAllBytes(p)).trim.toInt else 1
+  }
+
+  /** Reclaim history: delete every version directory BELOW the newest
+    * base (the current snapshot reconstructs from that base plus later
+    * deltas, so nothing at or above it may go), and record the new
+    * horizon so time-travel/change-feed reads below it are refused
+    * instead of silently wrong. Returns the reclaimed version numbers.
+    * Like [[compact]]: a maintenance operation under the single-writer
+    * assumption — run on a quiesced table. A table whose chain has
+    * never folded into a base (no compaction yet) reclaims nothing.
+    */
+  def vacuum(table: String): Seq[Int] = {
+    val cur = currentVersion(table)
+    val b = baseAtOrBefore(table, cur)
+    if (b <= 1) return Seq.empty
+    val removed = (1 until b).filter { v =>
+      val dirs = Seq(baseDir(table, v), deltaDir(table, v))
+        .map(Paths.get(_)).filter(Files.exists(_))
+      dirs.foreach(p => org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+      dirs.nonEmpty
+    }
+    Files.write(Paths.get(tableDir(table), "_horizon"), b.toString.getBytes)
+    removed
+  }
+
   /** Time travel: reconstruct any committed version (0 = empty). */
   def snapshotAt(table: String, version: Int, schema: StructType = null): DataFrame = {
     if (version == 0)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    require(version >= horizon(table),
+      s"snapshotAt: v$version is below the vacuum horizon v${horizon(table)} " +
+        s"of $table — its history was reclaimed")
     val b = baseAtOrBefore(table, version)
     if (b == version) {
       val base = spark.read.parquet(baseDir(table, b))
@@ -236,6 +272,11 @@ final class SnapshotStore(
     val cur = currentVersion(table)
     require(fromVersion >= 0 && fromVersion <= toVersion && toVersion <= cur,
       s"changeFeed: need 0 <= from <= to <= $cur, got [$fromVersion, $toVersion]")
+    val h = horizon(table)
+    require(fromVersion >= h - 1,
+      s"changeFeed: versions below the vacuum horizon v$h were reclaimed — " +
+        s"cannot read changes from v$fromVersion (missing deltas would make " +
+        "the feed silently incomplete)")
     // an all-compaction (or empty) range still needs the layout: read
     // the nearest delta at or before the range bound, emptied
     val anyDelta = (1 to toVersion).reverse

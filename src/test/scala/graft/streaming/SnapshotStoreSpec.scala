@@ -235,6 +235,35 @@ class SnapshotStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](store.changeFeed("T", 2, 99))
   }
 
+  test("vacuum reclaims pre-base history; reads below the horizon refuse loudly") {
+    val (store, _) = newStore(compactEvery = 3)
+    commit(store, (1L, "INSERT", 1, "a"))                      // v1
+    commit(store, (2L, "INSERT", 2, "b"))                      // v2
+    commit(store, (3L, "UPDATE", 1, "a2"))                     // v3 (compacts → base)
+    commit(store, (4L, "INSERT", 3, "c"))                      // v4
+    // nothing below the base may survive; everything at/above must
+    val removed = store.vacuum("T")
+    assert(removed == Seq(1, 2), s"got $removed")
+    assert(store.horizon("T") == 3)
+    assert(store.snapshot("T", null).as[(Int, String)].collect().toMap ==
+      Map(1 -> "a2", 2 -> "b", 3 -> "c"))
+    assert(store.snapshotAt("T", 3).as[(Int, String)].collect().toMap ==
+      Map(1 -> "a2", 2 -> "b"))
+    intercept[IllegalArgumentException](store.snapshotAt("T", 2))
+    // feed from horizon-1 still has every delta it needs; lower refuses
+    assert(store.changeFeed("T", 2, 4).count() == 2)
+    intercept[IllegalArgumentException](store.changeFeed("T", 1, 4))
+    assert(store.netChanges("T", 3, 4)
+      .as[(Int, String, String)].collect().toSet == Set((3, "INSERT", "c")))
+    // idempotent; and a never-compacted table reclaims nothing
+    assert(store.vacuum("T").isEmpty)
+    val (fresh, _) = newStore(compactEvery = 100)
+    commit(fresh, (1L, "INSERT", 1, "a"))
+    commit(fresh, (2L, "INSERT", 2, "b"))
+    assert(fresh.vacuum("T").isEmpty)
+    assert(fresh.horizon("T") == 1)
+  }
+
   test("netChanges classifies with apply semantics: nets, TARGET_NOT_FOUND, deletes") {
     val (store, _) = newStore(compactEvery = 100)
     commit(store, (1L, "INSERT", 1, "a"), (2L, "INSERT", 2, "b"),
