@@ -81,6 +81,29 @@ object MatView {
     target
   }
 
+  /** Run [[refreshFromStore]] on a managed cadence: a rate-source
+    * stream supplies checkpointed ticks (content ignored) and each
+    * trigger catches the view up to the source table's current
+    * version. The refresh is version-gated and idempotent, so replayed
+    * or overlapping ticks are no-ops — the gain over a cron loop is
+    * Spark-managed lifecycle: supervised restarts, `StreamingQuery`
+    * status/stop, one checkpoint directory.
+    */
+  def startRefreshLoop(
+      spark: org.apache.spark.sql.SparkSession, store: SnapshotStore,
+      srcTable: String, viewTable: String, keys: Seq[String],
+      valueCol: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refreshFromStore(store, srcTable, viewTable, keys, valueCol); ()
+      }
+      .start()
+
   /** Fold one micro-batch into a stored HLL register table — a
     * DISTINCT-COUNT view whose state is ≤256 rows no matter how many
     * ids the stream has ever carried: batch registers merge into the

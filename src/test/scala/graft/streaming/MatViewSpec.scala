@@ -175,4 +175,27 @@ class MatViewSpec extends SparkSpec {
       == store.currentVersion("SRC"))
     assert(store.currentVersion("VIEW") == vv, "no-op refresh must not commit")
   }
+
+  test("startRefreshLoop: managed cadence catches the view up as the source moves") {
+    val dir = Files.createTempDirectory("graft-matview-loop").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    def commit(rows: (Long, String, Int, String, Double)*): Int =
+      store.commitDelta("SRC2",
+        rows.toDF("seq", "operation", "ID", "G", "V"), "ID", "seq", Seq("G", "V"))
+    commit((1L, "INSERT", 1, "a", 10.0))
+    val q = MatView.startRefreshLoop(spark, store, "SRC2", "VIEW2",
+      Seq("G"), "V", s"$dir/ckpt", Trigger.ProcessingTime("0 seconds"))
+    try {
+      def viewAt(n: Int): Set[(String, Long, Long)] = {
+        // ticks fire on their own; poll until the view reflects version n
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (store.currentMeta("VIEW2").forall(_.toInt < n) &&
+          System.nanoTime() < deadline) Thread.sleep(100)
+        store.snapshot("VIEW2", null).as[(String, Long, Long)].collect().toSet
+      }
+      assert(viewAt(1) == Set(("a", 1L, 1000L)))
+      commit((2L, "INSERT", 2, "b", 5.0), (3L, "DELETE", 1, "a", 10.0))
+      assert(viewAt(2) == Set(("b", 1L, 500L)))
+    } finally q.stop()
+  }
 }
