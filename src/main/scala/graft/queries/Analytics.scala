@@ -362,7 +362,9 @@ object Analytics extends QueryPack {
   private val cs1Sql =
     """WITH cells AS (
       |  SELECT event_type AS a, user_id % 4 AS b, COUNT(*) AS o
-      |  FROM events GROUP BY 1, 2),
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      |  GROUP BY 1, 2),
       |rt AS (SELECT a, SUM(o) AS rt FROM cells GROUP BY a),
       |ct AS (SELECT b, SUM(o) AS ct FROM cells GROUP BY b),
       |tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS ra,
@@ -372,9 +374,12 @@ object Analytics extends QueryPack {
       |  FROM rt CROSS JOIN ct LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b),
       |terms AS (
       |  SELECT n, (ra - 1) * (cb - 1) AS dof,
-      |    CAST(floor(CAST(o * n - rt * ct AS DOUBLE)
-      |      * CAST(o * n - rt * ct AS DOUBLE)
-      |      / CAST(n * rt * ct AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qterm
+      |    CAST(floor((CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+      |        - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+      |      * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+      |        - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS qterm
       |  FROM filled CROSS JOIN tot)
       |SELECT CAST(n AS BIGINT) AS n_rows, CAST(dof AS BIGINT) AS dof,
       |  CAST(SUM(qterm) AS DOUBLE) / 1000000.0 AS chi2

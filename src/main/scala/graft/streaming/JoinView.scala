@@ -22,10 +22,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                                               the second join)
   * }}}
   *
-  * Per-trigger cost is O(|batch| + |matching rows|), never a base
-  * rescan: each delta side is a value-aggregated micro-batch (tiny) and
-  * is BROADCAST against the stored side, so the stored multiplicity
-  * tables are read but never shuffled. A deleted `A` row retracts every
+  * Per-trigger JOIN cost is O(|batch| + |matching rows|): each delta
+  * side is a value-aggregated micro-batch (tiny) BROADCAST against the
+  * stored side, so computing ΔJ never shuffles a stored table. The
+  * STATE MERGE is a different matter: folding ΔJ (and the side deltas)
+  * into the stored multiplicity tables re-groups and rewrites each
+  * table in full — O(|state|) shuffle + write per trigger with this
+  * snapshot-store backing (its delta-append path implements last-op
+  * CDC semantics, not multiplicity ADDITION, so it does not apply
+  * here). Right-sized for views over bounded hot state; a view whose
+  * state outgrows per-trigger rewrites wants a merge-on-read additive
+  * delta format underneath. A deleted `A` row still retracts every
   * join result it contributed to in one broadcast pass — the behavior
   * that makes the view trustworthy under CDC, where bag semantics and
   * deletes break naive "append the new matches" schemes.

@@ -117,14 +117,8 @@ final class MultiplexedSyncPipeline(
         // (lock-free); serial applies measured 3.0k vs parallel ~5.2k
         // events/s on the six-topic bench
         val b = batch.persist()
-        def timed[A](phase: String)(f: => A): A = {
-          val t0 = System.nanoTime()
-          val r = f
-          if (sys.env.contains("GRAFT_TRIGGER_TIMING"))
-            System.err.println(
-              f"[mux-trigger] ${(System.nanoTime() - t0) / 1e6}%6.0f ms  $phase")
-          r
-        }
+        def timed[A](phase: String)(f: => A): A =
+          TriggerTiming.timed("mux-trigger", phase)(f)
         // populate the cache in ONE pass; a fully-empty micro-batch
         // (watermark-advance triggers are steady-state) skips the
         // per-topic fan-out entirely — no table has anything to gate

@@ -215,14 +215,16 @@ final class SnapshotStore(
     val cur = currentVersion(table)
     val b = baseAtOrBefore(table, cur)
     if (b <= 1) return Seq.empty
-    val removed = (1 until b).filter { v =>
+    // horizon FIRST: a crash mid-delete must leave the guard in place,
+    // not a half-deleted chain that reads below the old horizon would
+    // silently mis-reconstruct (the exact failure the marker prevents)
+    Files.write(Paths.get(tableDir(table), "_horizon"), b.toString.getBytes)
+    (1 until b).filter { v =>
       val dirs = Seq(baseDir(table, v), deltaDir(table, v))
         .map(Paths.get(_)).filter(Files.exists(_))
       dirs.foreach(p => org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
       dirs.nonEmpty
     }
-    Files.write(Paths.get(tableDir(table), "_horizon"), b.toString.getBytes)
-    removed
   }
 
   /** Time travel: reconstruct any committed version (0 = empty). */

@@ -168,13 +168,8 @@ final class SyncPipeline(
       else s"${target.table}_${dirName}_${java.util.UUID.randomUUID()}"
     if (deltaAlready && store.auditEpochLanded(auditKey)) return
 
-    def timed[A](phase: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      if (sys.env.contains("GRAFT_TRIGGER_TIMING"))
-        System.err.println(f"[trigger] ${(System.nanoTime() - t0) / 1e6}%6.0f ms  $phase")
-      r
-    }
+    def timed[A](phase: String)(f: => A): A =
+      TriggerTiming.timed("trigger", phase)(f)
     val cached = batch.cache()
     try {
       val blocked = cached.filter(col("loop_blocked"))
