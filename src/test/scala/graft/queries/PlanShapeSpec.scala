@@ -221,10 +221,16 @@ class PlanShapeSpec extends SparkSpec {
     // shuffled semi-join would move the full column twice
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
       s"hh1 lost its broadcast candidate semi-join:\n$p")
-    // the Misra-Gries pass must combine per-partition (typed-aggregator
-    // partials), never ship raw values to one reducer
-    assert(p.contains("partial_misragries"),
-      s"hh1 lost the map-side MG partial:\n$p")
+    // pass 1 sits behind a localCheckpoint in hh1's final plan (it
+    // materializes once and feeds candidates + total), so pin its
+    // map-side partial on the aggregation shape itself: the MG pass
+    // must combine per-partition, never ship raw values to one reducer
+    import spark.implicits._
+    val mgPlan = (1 to 10).map(_.toString).toDF("v")
+      .agg(graft.functions.FreqSketch.misraGries(4)(org.apache.spark.sql.functions.col("v")))
+      .queryExecution.executedPlan.toString
+    assert(mgPlan.contains("partial_misragries"),
+      s"misra_gries lost its map-side partial:\n$mgPlan")
   }
 
   test("cov1: pair sums partial-aggregate below the exchange") {
