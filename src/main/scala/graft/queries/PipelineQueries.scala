@@ -365,11 +365,18 @@ object PipelineQueries extends QueryPack {
   // Degree-ordered edge orientation (Suri-Vassilvitskii): every
   // triangle counted exactly once at its unique out-degree-2 apex —
   // no DISTINCT, no ÷3, and out-degree bounded O(√m) so the wedge
-  // join survives hubs. The graph-density signal that tells a curation
-  // run whether near-dups form tight cliques (one canonical survivor
-  // suffices) or loose chains (components over-merge).
+  // join survives hubs. The query runs on a deterministic 25% edge
+  // sample: the raw near-dup graph is near-CLIQUES (sf0.1: ~200-doc
+  // classes → tens of millions of triangles — a number derivable in
+  // closed form from component sizes, C(c,3), without any join), and
+  // triangle counting earns its keep on the sparse remainder, where
+  // local density is NOT implied by the component. The sample is
+  // hash-deterministic and restated by the oracle.
   private def tr1Triangles(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Graph.triangleCounts(sharedMinhashPairs(s, dir))
+    graft.ops.Graph.triangleCounts(
+        sharedMinhashPairs(s, dir)
+          .filter(pmod(graft.ops.Dedup.hash60(
+            concat_ws("|", col("id_a"), col("id_b"))), lit(4L)) === 0L))
       .orderBy(col("n_triangles").desc, col("id"))
       .limit(20)
       .select(col("id").as("doc_id"), col("n_triangles"))
@@ -398,8 +405,11 @@ object PipelineQueries extends QueryPack {
       |  JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
       |  WHERE floor(CAST(len(list_intersect(sa.wh, sb.wh)) AS DOUBLE)
       |      / len(list_distinct(list_concat(sa.wh, sb.wh))) * 1000000.0 + 0.5) / 1000000.0 >= 0.9),
-      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |sampled AS (
+      |  SELECT id_a, id_b FROM pairs
+      |  WHERE ('0x' || substr(md5(CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM sampled
+      |          UNION ALL SELECT id_b, id_a FROM sampled),
       |deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
       |ori AS (
       |  SELECT e.u, e.v FROM edges e

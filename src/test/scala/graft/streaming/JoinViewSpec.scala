@@ -158,6 +158,62 @@ class JoinViewSpec extends SparkSpec {
     assert(store.currentVersion("JVC") == vv, "no-op refresh must not commit")
   }
 
+  test("property: random two-sided op sequences — incremental view equals batch join") {
+    import org.scalacheck.Gen
+    def samples[T](g: Gen[T], n: Int): Seq[T] = {
+      val p = Gen.Parameters.default
+      Iterator.from(0)
+        .map(i => g(p, org.scalacheck.rng.Seed(11L + i)))
+        .flatten.take(n).toSeq
+    }
+    // op scripts over a tiny domain so inserts/deletes genuinely collide
+    val opGen: Gen[(Boolean, String, String, String)] = for {
+      sideA <- Gen.oneOf(true, false)
+      k <- Gen.oneOf("k1", "k2", "k3")
+      v <- Gen.oneOf("x", "y")
+      ins <- Gen.frequency(3 -> true, 1 -> false)
+    } yield (sideA, k, v, if (ins) "INSERT" else "DELETE")
+
+    for (scenario <- 0 until 3) {
+      val dir = Files.createTempDirectory(s"graft-jv-prop$scenario").toString
+      val store = new SnapshotStore(spark, s"$dir/store")
+      val script = samples(opGen, 24).zipWithIndex
+      // reference multisets, replayed epoch by epoch
+      val refA = scala.collection.mutable.Map.empty[(String, String), Long]
+      val refB = scala.collection.mutable.Map.empty[(String, String), Long]
+      script.grouped(8).zipWithIndex.foreach { case (epoch, id) =>
+        val (as, bs) = epoch.partition(_._1._1)
+        // a DELETE of a value not present would drive a reference
+        // multiset negative — the view algebra handles it (signed
+        // multiplicities), and so must the oracle
+        def apply(ref: scala.collection.mutable.Map[(String, String), Long],
+            ops: Seq[((Boolean, String, String, String), Int)]): Unit =
+          ops.foreach { case ((_, k, v, op), _) =>
+            val d = if (op == "INSERT") 1L else -1L
+            val nv = ref.getOrElse((k, v), 0L) + d
+            if (nv == 0L) ref.remove((k, v)) else ref((k, v)) = nv
+          }
+        apply(refA, as); apply(refB, bs)
+        JoinView.applyBatch(store, "JVP",
+          as.map { case ((_, k, v, op), _) => (k, v, op) }.toDF("k", "a_val", "op"),
+          bs.map { case ((_, k, v, op), _) => (k, v, op) }.toDF("k", "b_val", "op"),
+          id.toLong, Seq("k"), "op")
+        val expected = (for {
+          ((ka, av), ca) <- refA.toSeq
+          ((kb, bv), cb) <- refB.toSeq
+          if ka == kb
+          prod = ca * cb
+          if prod != 0L
+        } yield ((ka, av, bv), prod))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          .filter(_._2 != 0L)
+          .map { case ((k, a, b), c) => (k, a, b, c) }.toSet
+        assert(view(store, "JVP") == expected,
+          s"scenario $scenario epoch $id diverged from the batch join")
+      }
+    }
+  }
+
   test("streaming start maintains the view over one tagged change stream") {
     val dir = Files.createTempDirectory("graft-joinview-stream").toString
     val store = new SnapshotStore(spark, s"$dir/store")
