@@ -275,6 +275,52 @@ object StreamBench {
     }
   }
 
+  /** Streaming ingest-dedup gate throughput: documents/s through
+    * [[graft.streaming.IngestDedup]] against a stored MinHash index —
+    * per-trigger signature hashing + bucket-pruned probe + epoch
+    * commits + idempotent index append, the full exactly-once path.
+    * The training-pipeline counterpart of the CDC probes: a regression
+    * in the probe join, the epoch choreography, or the append becomes
+    * a visible drop here where batch timings can't see it. Docs are
+    * all-distinct (the gate's worst case: every survivor appends).
+    */
+  def ingestThroughput(spark: SparkSession): Double = {
+    val dir = Files.createTempDirectory("graft-bench-ingest").toFile
+    def doc(id: Long): String =
+      (0 until 40).map(w => s"w${(id * 37 + w * w) % 5000}").mkString(" ")
+    val corpus = spark.range(500)
+      .selectExpr("id AS doc_id")
+      .withColumn("text", org.apache.spark.sql.functions.expr(
+        "array_join(transform(sequence(0, 39), w -> concat('w', pmod(doc_id * 37 + w * w, 5000))), ' ')"))
+    graft.sources.DedupIndex.build(corpus, "graft_bench_ingest_idx", "doc_id", "text")
+    val mem = MemoryStream[(Long, String)](spark)(
+      spark.sqlContext.implicits.newProductEncoder[(Long, String)])
+    val q = graft.streaming.IngestDedup.start(
+      mem.toDF().toDF("doc_id", "text"), "graft_bench_ingest_idx",
+      "doc_id", "text", s"$dir/out", s"$dir/reject", s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    try {
+      val perBatch = 1000
+      val batches = 4
+      // untimed warmup epoch, like every probe
+      mem.addData((0 until perBatch).map(j => (100000L + j, doc(100000L + j))))
+      q.processAllAvailable()
+      val start = System.nanoTime()
+      (0 until batches).foreach { i =>
+        mem.addData((0 until perBatch).map { j =>
+          val id = 200000L + i * perBatch + j
+          (id, doc(id))
+        })
+        q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - start) / 1e9
+      batches * perBatch / secs
+    } finally {
+      q.stop()
+      deleteWithRetry(dir)
+    }
+  }
+
   /** Streaming ANN serve tail latency: per-epoch wall time over
     * single-batch epochs served from a stored IVF index through
     * [[graft.streaming.AnnServeStream]] (exactly-once epoch commit
@@ -325,9 +371,10 @@ object StreamBench {
     val syncEps = syncThroughput(spark)
     val concEps = concurrentThroughput(spark)
     val muxEps = multiplexedThroughput(spark)
+    val ingestEps = ingestThroughput(spark)
     // pinned-snapshot posture: what a serving tier actually runs
     // (measured ~25% lower p50 than resolve-per-batch; ServePinCompare)
     val (p50, p95) = serveLatency(spark, pinSnapshot = true)
-    f""""streaming":{"tws_events_per_s":${twsEps}%.0f,"tws_state_rows":$twsState,"sync_events_per_s":${syncEps}%.0f,"concurrent_events_per_s":${concEps}%.0f,"multiplexed_events_per_s":${muxEps}%.0f,"serve_p50_ms":${p50}%.0f,"serve_p95_ms":${p95}%.0f}"""
+    f""""streaming":{"tws_events_per_s":${twsEps}%.0f,"tws_state_rows":$twsState,"sync_events_per_s":${syncEps}%.0f,"concurrent_events_per_s":${concEps}%.0f,"multiplexed_events_per_s":${muxEps}%.0f,"ingest_docs_per_s":${ingestEps}%.0f,"serve_p50_ms":${p50}%.0f,"serve_p95_ms":${p95}%.0f}"""
   }
 }
