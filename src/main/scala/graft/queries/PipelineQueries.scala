@@ -372,14 +372,26 @@ object PipelineQueries extends QueryPack {
   // triangle counting earns its keep on the sparse remainder, where
   // local density is NOT implied by the component. The sample is
   // hash-deterministic and restated by the oracle.
-  private def tr1Triangles(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Graph.triangleCounts(
-        sharedMinhashPairs(s, dir)
-          .filter(pmod(graft.ops.Dedup.hash60(
-            concat_ws("|", col("id_a"), col("id_b"))), lit(4L)) === 0L))
+  private def tr1Triangles(s: SparkSession, dir: String): DataFrame = {
+    val sampled = sharedMinhashPairs(s, dir)
+      .filter(pmod(graft.ops.Dedup.hash60(
+        concat_ws("|", col("id_a"), col("id_b"))), lit(4L)) === 0L)
+      .localCheckpoint(true) // feeds the triangle pass AND the degrees
+    val deg = sampled.select(col("id_a").as("id"))
+      .unionByName(sampled.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    // local clustering coefficient = triangles / C(d, 2): the per-node
+    // "how clique-like is my neighborhood" companion to the raw count
+    // (d ≥ 2 whenever a node has a triangle, so the division is total)
+    graft.ops.Graph.triangleCounts(sampled)
+      .join(deg, Seq("id"))
       .orderBy(col("n_triangles").desc, col("id"))
       .limit(20)
-      .select(col("id").as("doc_id"), col("n_triangles"))
+      .select(col("id").as("doc_id"), col("n_triangles"),
+        graft.ops.TextAnalysis.round6(
+          col("n_triangles").cast("double") * 2.0 / (col("d") * (col("d") - 1)))
+          .as("lcc6"))
+  }
 
   private val tr1Sql =
     s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
@@ -420,8 +432,13 @@ object PipelineQueries extends QueryPack {
       |  FROM ori e1 JOIN ori e2 ON e1.u = e2.u AND e1.v <> e2.v
       |  JOIN ori e3 ON e3.u = e1.v AND e3.v = e2.v),
       |nodes AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
-      |          UNION ALL SELECT z FROM tri)
-      |SELECT id AS doc_id, COUNT(*) AS n_triangles FROM nodes GROUP BY id
+      |          UNION ALL SELECT z FROM tri),
+      |tc AS (SELECT id, COUNT(*) AS n_triangles FROM nodes GROUP BY id),
+      |nd AS (SELECT u AS id, COUNT(*) AS d FROM edges GROUP BY u)
+      |SELECT tc.id AS doc_id, n_triangles,
+      |  floor(CAST(n_triangles AS DOUBLE) * 2.0 / (d * (d - 1))
+      |        * 1000000.0 + 0.5) / 1000000.0 AS lcc6
+      |FROM tc JOIN nd ON nd.id = tc.id
       |ORDER BY n_triangles DESC, doc_id LIMIT 20""".stripMargin
 
   // ---- PJ1: exact Jaccard-threshold join via prefix filtering ------------
