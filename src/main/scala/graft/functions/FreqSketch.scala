@@ -43,10 +43,16 @@ object FreqSketch {
 
     override def zero: Seq[(String, Long)] = Nil
     override def reduce(b: Seq[(String, Long)], v: String): Seq[(String, Long)] = {
-      // amortized: append unsorted, prune at 4k (duplicates between
-      // prunes collapse at the next prune; bound and guarantee hold)
-      val grown = (v, 1L) +: b
-      if (grown.length > 4 * k) prune(grown) else grown
+      // nulls are excluded from the frequency domain (prune's sort and
+      // the downstream candidate join are both null-hostile); callers
+      // that need them counted must map to a sentinel first
+      if (v == null) b
+      else {
+        // amortized: append unsorted, prune at 4k (duplicates between
+        // prunes collapse at the next prune; bound and guarantee hold)
+        val grown = (v, 1L) +: b
+        if (grown.length > 4 * k) prune(grown) else grown
+      }
     }
     override def merge(x: Seq[(String, Long)], y: Seq[(String, Long)]): Seq[(String, Long)] =
       prune(x ++ y)

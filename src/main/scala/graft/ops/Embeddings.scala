@@ -44,6 +44,16 @@ object Embeddings {
     * cov = E[xᵢxⱼ] − E[xᵢ]E[xⱼ] runs a fixed IEEE division sequence at
     * the end — order-independent and engine-exact.
     *
+    * Overflow envelope — TIGHTER than [[dimStats]]' because the product
+    * statistic squares the quantized magnitude: |qᵢqⱼ| ≤ (|v|ₘₐₓ·10⁶)²,
+    * so Σqᵢqⱼ stays inside int64 only while n·(|v|ₘₐₓ·10⁶)² < 2⁶³ —
+    * i.e. ~9.2M rows at |v| ≤ 1 (unit-normalized embeddings, the
+    * intended domain), but only a handful of rows at the |v| ≤ 10³
+    * bound dimStats quotes. Outside that envelope the sum wraps
+    * silently in legacy mode; run with `spark.sql.ansi.enabled=true`
+    * (overflow throws) or pre-scale the vectors when |v|ₘₐₓ·√n·10⁶
+    * approaches 2^31.5.
+    *
     * Shape: the double-posexplode generates O(n·d²/2) rows but they
     * partial-aggregate map-side, so the exchange carries ≤ d²/2 rows
     * per partition — corpus size never crosses the wire. That is the

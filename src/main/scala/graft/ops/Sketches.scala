@@ -297,7 +297,12 @@ object Sketches {
     require((k + 1).toLong * phiBp > 10000L,
       s"heavyHittersExact: k=$k too small for phi=$phiBp/10000 — " +
         "the Misra-Gries superset guarantee needs (k+1)*phiBp > 10000")
+    // nulls are excluded from the frequency domain up front: the MG
+    // sketch skips them anyway, and the candidate semi-join below is
+    // null-unsafe — filtering here keeps n consistent with what pass 2
+    // can actually count
     val vals = df.select(valueCol.cast("string").as("v"))
+      .filter(col("v").isNotNull)
     // candidates AND the total ride pass 1 together — a separate
     // count() would be a third full-column scan
     val pass1 = vals

@@ -504,12 +504,19 @@ object SketchQueries extends QueryPack {
       |dots AS (
       |  SELECT co.r, SUM(co.c * cl.c) AS dot
       |  FROM co JOIN cl ON co.r = cl.r AND co.bucket = cl.bucket
-      |  GROUP BY co.r)
+      |  GROUP BY co.r),
+      |-- LEFT JOIN from range so a hash row with ZERO overlapping
+      |-- buckets contributes dot = 0 (mirrors the engine's left join +
+      |-- coalesce in countMinJoinSize; an inner-join-only MIN would
+      |-- overestimate on sparse/disjoint-key data)
+      |alld AS (
+      |  SELECT t.r, COALESCE(dots.dot, 0) AS dot
+      |  FROM range(0, 4) t(r) LEFT JOIN dots ON dots.r = t.r)
       |SELECT
       |  (SELECT COUNT(*) FROM orders o JOIN lineitem l
       |     ON o.o_orderkey = l.l_orderkey) AS exact_join_size,
-      |  CAST(MIN(dot) AS BIGINT) AS cm_join_estimate
-      |FROM dots""".stripMargin
+      |  CAST(COALESCE(MIN(dot), 0) AS BIGINT) AS cm_join_estimate
+      |FROM alld""".stripMargin
 
   // ---- COV1: embedding covariance matrix ---------------------------------
   // The PCA/whitening sufficient statistic: upper-triangle cov(i,j)

@@ -116,6 +116,11 @@ object JoinView {
     // merge + view delta) and must not recompute differently
     val dA = sided(deltaA, opCol).localCheckpoint(true)
     val dB = sided(deltaB, opCol).localCheckpoint(true)
+    // empty trigger (or all ops zero-sum): skip before ANY commit — the
+    // state merge is O(|state|) per table, so an idle stream must not
+    // rewrite three tables per tick. Replay-safe: meta stays behind,
+    // and `done` gates on >= so later batches are unaffected.
+    if (dA.isEmpty && dB.isEmpty) return
     if (!done(store, aT, batchId))
       store.commit(aT, mergeMult(store.snapshot(aT, dA.schema), dA),
         meta = Some(batchId.toString))

@@ -56,6 +56,12 @@ class FreqSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("nulls are skipped by reduce — excluded from the frequency domain") {
+    val mg = new FreqSketch.MisraGries(4)
+    val buf = Seq("a", null, "a", null, "b").foldLeft(mg.zero)(mg.reduce)
+    assert(mg.finish(buf).toMap == Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("property: duplicates between prunes collapse — a value never occupies two slots") {
     val mg = new FreqSketch.MisraGries(8)
     val buf = (1 to 200).foldLeft(mg.zero)((b, i) => mg.reduce(b, s"v${i % 5}"))

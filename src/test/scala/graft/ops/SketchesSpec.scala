@@ -302,4 +302,18 @@ class SketchesSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("superset guarantee"))
   }
+
+  test("heavyHittersExact excludes nulls instead of crashing on a nullable column") {
+    // nulls in the value column: previously an NPE inside MG's prune
+    // sort; now nulls are outside the frequency domain (both in the
+    // sketch and in n), so thresholds apply to non-null rows only
+    val data = (Seq.fill(60)(Some("a")) ++ Seq.fill(30)(Option.empty[String]) ++
+      (1 to 40).map(i => Some(s"t$i"))).toDF("v")
+    val got = Sketches.heavyHittersExact(data, col("v"), phiBp = 2000, k = 16)
+      .as[(String, Long)].collect().toSeq
+    // non-null n = 100, φ = 20% → only "a" (60) qualifies; with nulls
+    // counted in n (130) it would still qualify, but the point is the
+    // query completes and never emits a null row
+    assert(got == Seq(("a", 60L)))
+  }
 }

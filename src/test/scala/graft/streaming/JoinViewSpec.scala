@@ -54,6 +54,16 @@ class JoinViewSpec extends SparkSpec {
     assert(view(store, "JV") == Set(
       ("k2", "a2", "b9", 2L), ("k3", "a3", "b3", 1L)))
 
+    // an empty trigger skips before any commit — an idle stream must
+    // not rewrite three O(|state|) tables per tick (zero-sum deltas
+    // count as empty: the sided aggregation cancels them)
+    val idleBefore = Seq("JV__A", "JV", "JV__B").map(store.currentVersion)
+    JoinView.applyBatch(store, "JV", dA(), dB(), 5L, Seq("k"), "op")
+    JoinView.applyBatch(store, "JV",
+      dA(("kz", "az", "INSERT"), ("kz", "az", "DELETE")), dB(), 6L, Seq("k"), "op")
+    assert(Seq("JV__A", "JV", "JV__B").map(store.currentVersion) == idleBefore,
+      "empty/zero-sum trigger must not commit any table")
+
     // a replayed epoch is a no-op across all three tables
     val versions = Seq("JV__A", "JV", "JV__B").map(store.currentVersion)
     JoinView.applyBatch(store, "JV",
