@@ -1,7 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, lit, max, struct, to_date, when}
 import org.apache.spark.sql.types.StructType
@@ -40,6 +39,17 @@ import graft.cdc.Apply
   * 5 s trigger the sink now writes O(|batch|) bytes; the O(|table|)
   * cost moves to one columnar-pruned read (the apply's pk-membership
   * check) and an amortized 1/compactEvery compaction write.
+  *
+  * All filesystem access (pointer/meta/fingerprint/horizon markers,
+  * version-dir lifecycle, audit compaction/publication) goes through
+  * the Hadoop [[FileSystem]] resolved from `basePath`'s scheme — the
+  * same seam as [[EpochCommit]] — so the store runs unchanged on
+  * HDFS-semantics storage. The commit points are an atomic small-file
+  * replace (`_current`, staged sibling + rename-with-overwrite) and a
+  * single rename (epoch audit publish): atomic on POSIX and HDFS;
+  * object stores without atomic rename need an HDFS-semantics tier or
+  * a transactional table format underneath, same constraint as
+  * EpochCommit documents.
   */
 /** @param deltaWriteParts file count per delta version. Deltas are
   *   trigger-bounded (5 s of CDC traffic), so one file per version
@@ -54,21 +64,75 @@ final class SnapshotStore(
     spark: SparkSession, basePath: String, compactEvery: Int = 8,
     deltaWriteParts: Int = 1) {
 
+  // one FileSystem for the whole store: every path lives under
+  // basePath, so a single scheme-resolved instance covers them all
+  // (driver-side only — foreachBatch callbacks run on the driver).
+  // On a local filesystem, use the RAW (non-checksummed) layer: the
+  // checksummed wrapper renames a file and its .crc sidecar in two
+  // steps, so a concurrent reader of a just-replaced marker can pair
+  // new data with the old checksum and die with ChecksumException —
+  // the markers' self-describing single-int content needs no sidecar.
+  private val fs: FileSystem =
+    new Path(basePath).getFileSystem(spark.sessionState.newHadoopConf()) match {
+      case l: org.apache.hadoop.fs.LocalFileSystem => l.getRaw
+      case other => other
+    }
+
   private def tableDir(table: String) = s"$basePath/$table"
-  private def pointer(table: String) = Paths.get(tableDir(table), "_current")
+  private def pointer(table: String) = s"${tableDir(table)}/_current"
   private def baseDir(table: String, v: Int) = s"${tableDir(table)}/v$v"
   private def deltaDir(table: String, v: Int) = s"${tableDir(table)}/d$v"
 
+  // FileContext supplies the one primitive FileSystem lacks: rename
+  // WITH OVERWRITE — the atomic small-file replace the pointer flip
+  // needs on strict-rename filesystems (HDFS refuses a plain rename
+  // onto an existing destination). Lazy: the local raw FS replaces in
+  // one File.renameTo and never takes this path.
+  private lazy val fc: org.apache.hadoop.fs.FileContext =
+    org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(basePath).toUri, spark.sessionState.newHadoopConf())
+
+  private def exists(path: String): Boolean = fs.exists(new Path(path))
+
+  private def readString(path: String): String = {
+    val in = fs.open(new Path(path))
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  /** Atomic small-file write: stage a sibling tmp file, rename over the
+    * destination. Readers see the old content or the new — never a
+    * truncated in-between (a plain create(overwrite=true) truncates the
+    * destination first; the managed refresh loop reads `_current` from
+    * another thread and hit exactly that window). Used for every marker
+    * the store writes (`_current`, `_horizon`, meta, fingerprints) so
+    * no reader of a live table can observe a half-written marker.
+    */
+  private def writeString(path: String, s: String): Unit = {
+    val dst = new Path(path)
+    val tmp = new Path(path + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+    // POSIX rename replaces the destination atomically; HDFS returns
+    // false on an existing destination → overwrite-rename via fc
+    if (!fs.rename(tmp, dst))
+      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def deleteIfExists(path: String): Boolean = {
+    val p = new Path(path)
+    fs.exists(p) && fs.delete(p, true)
+  }
+
+  private def renameOrFail(src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst)) throw new java.io.IOException(
+      s"snapshot store rename failed: $src -> $dst")
+
   def currentVersion(table: String): Int =
-    if (Files.exists(pointer(table)))
-      new String(Files.readAllBytes(pointer(table))).trim.toInt
-    else 0
+    if (exists(pointer(table))) readString(pointer(table)).trim.toInt else 0
 
   private def flipPointer(table: String, next: Int): Int = {
-    Files.createDirectories(Paths.get(tableDir(table)))
-    Files.write(pointer(table), next.toString.getBytes,
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-      StandardOpenOption.TRUNCATE_EXISTING)
+    fs.mkdirs(new Path(tableDir(table)))
+    writeString(pointer(table), next.toString)
     next
   }
 
@@ -77,17 +141,16 @@ final class SnapshotStore(
     * a stale base at `next` would otherwise shadow the delta committed
     * there (baseAtOrBefore prefers bases), silently dropping the batch.
     */
-  private def clearUncommitted(table: String, next: Int): Unit =
-    Seq(baseDir(table, next), deltaDir(table, next)).foreach { d =>
-      val p = Paths.get(d)
-      if (Files.exists(p)) org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
-    }
+  private def clearUncommitted(table: String, next: Int): Unit = {
+    deleteIfExists(baseDir(table, next))
+    deleteIfExists(deltaDir(table, next))
+  }
 
   /** Latest base version ≤ v (0 = none; bounded scan — bases recur at
     * least every `compactEvery` versions).
     */
   private def baseAtOrBefore(table: String, v: Int): Int =
-    (v to 1 by -1).find(i => Files.exists(Paths.get(baseDir(table, i)))).getOrElse(0)
+    (v to 1 by -1).find(i => exists(baseDir(table, i))).getOrElse(0)
 
   // ---- schema-evolution contract ----------------------------------
   //
@@ -107,16 +170,16 @@ final class SnapshotStore(
   //  * refuses anything else (drop / rename / reorder / type change)
   //    with an actionable error instead of a silent mis-bind.
 
-  private def schemaFile(dir: String) = Paths.get(dir, "_graft_schema")
+  private def schemaFile(dir: String) = s"$dir/_graft_schema"
 
   private def writeFingerprint(dir: String, schema: StructType): Unit =
-    Files.write(schemaFile(dir),
+    writeString(schemaFile(dir),
       schema.fields.map(f => s"${f.name}:${f.dataType.catalogString}")
-        .mkString("\n").getBytes)
+        .mkString("\n"))
 
   private def readFingerprint(dir: String): Option[Seq[(String, String)]] =
-    if (!Files.exists(schemaFile(dir))) None
-    else Some(new String(Files.readAllBytes(schemaFile(dir))).split("\n").toSeq
+    if (!exists(schemaFile(dir))) None
+    else Some(readString(schemaFile(dir)).split("\n").toSeq
       .filter(_.nonEmpty).map { l =>
         val i = l.indexOf(':'); (l.substring(0, i), l.substring(i + 1))
       })
@@ -168,7 +231,7 @@ final class SnapshotStore(
     */
   private def readDeltas(table: String, from: Int, to: Int): DataFrame = {
     val paths = (from to to)
-      .filter(i => Files.exists(Paths.get(deltaDir(table, i))))
+      .filter(i => exists(deltaDir(table, i)))
       .map(i => deltaDir(table, i))
     spark.read.parquet(paths: _*)
       .withColumn("__v",
@@ -198,8 +261,8 @@ final class SnapshotStore(
     * from reconstruction over missing files.
     */
   def horizon(table: String): Int = {
-    val p = Paths.get(tableDir(table), "_horizon")
-    if (Files.exists(p)) new String(Files.readAllBytes(p)).trim.toInt else 1
+    val p = s"${tableDir(table)}/_horizon"
+    if (exists(p)) readString(p).trim.toInt else 1
   }
 
   /** Reclaim history: delete every version directory BELOW the newest
@@ -218,12 +281,11 @@ final class SnapshotStore(
     // horizon FIRST: a crash mid-delete must leave the guard in place,
     // not a half-deleted chain that reads below the old horizon would
     // silently mis-reconstruct (the exact failure the marker prevents)
-    Files.write(Paths.get(tableDir(table), "_horizon"), b.toString.getBytes)
+    writeString(s"${tableDir(table)}/_horizon", b.toString)
     (1 until b).filter { v =>
-      val dirs = Seq(baseDir(table, v), deltaDir(table, v))
-        .map(Paths.get(_)).filter(Files.exists(_))
-      dirs.foreach(p => org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
-      dirs.nonEmpty
+      val deletedBase = deleteIfExists(baseDir(table, v))
+      val deletedDelta = deleteIfExists(deltaDir(table, v))
+      deletedBase || deletedDelta
     }
   }
 
@@ -282,11 +344,11 @@ final class SnapshotStore(
     // an all-compaction (or empty) range still needs the layout: read
     // the nearest delta at or before the range bound, emptied
     val anyDelta = (1 to toVersion).reverse
-      .find(i => Files.exists(Paths.get(deltaDir(table, i))))
+      .find(i => exists(deltaDir(table, i)))
       .getOrElse(throw new IllegalArgumentException(
         s"changeFeed: table $table has no delta history at or before v$toVersion"))
     val inRange = (fromVersion + 1 to toVersion)
-      .exists(i => Files.exists(Paths.get(deltaDir(table, i))))
+      .exists(i => exists(deltaDir(table, i)))
     val feed =
       if (inRange) readDeltas(table, fromVersion + 1, toVersion)
       else readDeltas(table, anyDelta, anyDelta).limit(0)
@@ -420,8 +482,7 @@ final class SnapshotStore(
     clearUncommitted(table, next)
     df.write.mode(SaveMode.Overwrite).parquet(baseDir(table, next))
     writeFingerprint(baseDir(table, next), df.schema)
-    meta.foreach(m => Files.write(
-      Paths.get(baseDir(table, next), "_graft_meta"), m.getBytes))
+    meta.foreach(m => writeString(s"${baseDir(table, next)}/_graft_meta", m))
     flipPointer(table, next)
   }
 
@@ -430,9 +491,9 @@ final class SnapshotStore(
     val v = currentVersion(table)
     if (v == 0) None
     else Seq(deltaDir(table, v), baseDir(table, v))
-      .map(d => Paths.get(d, "_graft_meta"))
-      .find(Files.exists(_))
-      .map(p => new String(Files.readAllBytes(p)))
+      .map(d => s"$d/_graft_meta")
+      .find(exists)
+      .map(readString)
   }
 
   /** Append one batch of change events as a delta version — O(|batch|).
@@ -485,8 +546,7 @@ final class SnapshotStore(
       .repartition(deltaWriteParts)
       .write.mode(SaveMode.Overwrite).parquet(deltaDir(table, next))
     writeFingerprint(deltaDir(table, next), selected.schema)
-    meta.foreach(m => Files.write(
-      Paths.get(deltaDir(table, next), "_graft_meta"), m.getBytes))
+    meta.foreach(m => writeString(s"${deltaDir(table, next)}/_graft_meta", m))
     next
   }
 
@@ -536,8 +596,7 @@ final class SnapshotStore(
       val snap = snapshotAt(table, v)
       snap.write.mode(SaveMode.Overwrite).parquet(baseDir(table, next))
       writeFingerprint(baseDir(table, next), snap.schema)
-      meta.foreach(m => Files.write(
-        Paths.get(baseDir(table, next), "_graft_meta"), m.getBytes))
+      meta.foreach(m => writeString(s"${baseDir(table, next)}/_graft_meta", m))
       flipPointer(table, next)
     }
   }
@@ -551,36 +610,33 @@ final class SnapshotStore(
     * (past) dates or with the pipeline quiesced.
     */
   def compactAudit(): Unit = {
-    val root = Paths.get(s"$basePath/_audit")
-    if (!Files.exists(root)) return
-    def children(prefix: String) = {
-      val s = Files.list(root)
-      try s.filter(p => p.getFileName.toString.startsWith(prefix))
-        .iterator().asScala.toList
-      finally s.close()
-    }
+    val root = new Path(s"$basePath/_audit")
+    if (!fs.exists(root)) return
+    def children(prefix: String): Seq[Path] =
+      fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(prefix))
     // recovery sweep: a crash between the two moves below leaves the
     // date only in its .…_old dir — restore it before compacting
-    children(".log_date=").filter(_.getFileName.toString.endsWith("._old"))
+    children(".log_date=").filter(_.getName.endsWith("._old"))
       .foreach { old =>
-        val orig = old.resolveSibling(old.getFileName.toString
-          .stripPrefix(".").stripSuffix("._old"))
-        if (!Files.exists(orig)) Files.move(old, orig)
-        else org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+        val orig = new Path(old.getParent,
+          old.getName.stripPrefix(".").stripSuffix("._old"))
+        if (!fs.exists(orig)) renameOrFail(old, orig)
+        else fs.delete(old, true)
       }
     children("log_date=").foreach { d =>
       // dot-prefixed dirs are invisible to Spark's partition discovery,
       // so no crash point double-counts the date: data lands in tmp
       // first, the original steps aside (recoverable, above), the
       // replacement moves in, and only then does the original die
-      val name = d.getFileName.toString
-      val tmp = d.resolveSibling("." + name + "._compacting")
-      val old = d.resolveSibling("." + name + "._old")
+      val name = d.getName
+      val tmp = new Path(d.getParent, "." + name + "._compacting")
+      val old = new Path(d.getParent, "." + name + "._old")
       spark.read.parquet(d.toString).coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      Files.move(d, old)
-      Files.move(tmp, d)
-      org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+      renameOrFail(d, old)
+      renameOrFail(tmp, d)
+      fs.delete(old, true)
     }
   }
 
@@ -642,19 +698,16 @@ final class SnapshotStore(
     * the staged copy is discarded instead.
     */
   def publishEpochAudit(key: String, logDate: java.time.LocalDate): Unit = {
-    val staging = Paths.get(epochStagingDir(key))
-    val part = {
-      val s = Files.list(staging)
-      try s.filter(_.getFileName.toString.endsWith(".parquet"))
-        .findFirst().orElseThrow(() =>
-          new IllegalStateException(s"no staged audit file for epoch $key"))
-      finally s.close()
-    }
-    val destDir = Paths.get(s"$basePath/_audit/log_date=$logDate")
-    Files.createDirectories(destDir)
-    val dest = destDir.resolve(s"$key.parquet")
-    if (!Files.exists(dest)) Files.move(part, dest)
-    org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+    val staging = new Path(epochStagingDir(key))
+    val part = fs.listStatus(staging).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"no staged audit file for epoch $key"))
+    val destDir = new Path(s"$basePath/_audit/log_date=$logDate")
+    fs.mkdirs(destDir)
+    val dest = new Path(destDir, s"$key.parquet")
+    if (!fs.exists(dest)) renameOrFail(part, dest)
+    fs.delete(staging, true)
   }
 
   /** Did epoch `key`'s audit file ever publish? Replay-only check (the
@@ -664,34 +717,44 @@ final class SnapshotStore(
     * per-trigger path.
     */
   def auditEpochLanded(key: String): Boolean = {
-    val root = Paths.get(s"$basePath/_audit")
-    if (!Files.exists(root)) return false
-    val s = Files.list(root)
-    try s.iterator().asScala
-      .filter(_.getFileName.toString.startsWith("log_date="))
-      .exists(d => Files.exists(d.resolve(s"$key.parquet")))
-    finally s.close()
+    val root = new Path(s"$basePath/_audit")
+    fs.exists(root) && fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("log_date="))
+      .exists(d => fs.exists(new Path(d, s"$key.parquet")))
   }
 
   /** Drop a staged epoch that will never publish (empty batch). */
-  def discardEpochAudit(key: String): Unit = {
-    val p = Paths.get(epochStagingDir(key))
-    if (Files.exists(p))
-      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
-  }
+  def discardEpochAudit(key: String): Unit =
+    deleteIfExists(epochStagingDir(key))
 
   def audit(): DataFrame = {
-    val p = s"$basePath/_audit"
+    val p = new Path(s"$basePath/_audit")
     // an all-blocked-free EMPTY micro-batch appends zero rows, leaving a
     // directory with no parquet files — treat that as "no audit yet"
     // rather than letting schema inference fail
     // dot-dirs (.epochs staging, compaction tmp) are invisible to the
     // Spark read below, so they must not count as "has audit" either
-    val hasFiles = Files.exists(Paths.get(p)) && {
-      val s = Files.walk(Paths.get(p))
-      try s.anyMatch(f => f.toString.endsWith(".parquet") &&
-        !f.toString.contains("/.")) finally s.close()
+    // "hidden" = any path component BELOW the audit root is
+    // dot-prefixed (checking the whole URI would misfire on a
+    // dot-named ancestor of basePath itself)
+    def hidden(f: Path): Boolean = {
+      var cur = f
+      while (cur != null && cur.getName != "_audit") {
+        if (cur.getName.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
     }
-    if (hasFiles) spark.read.parquet(p) else spark.emptyDataFrame
+    def hasFiles: Boolean = {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next().getPath
+        found = f.getName.endsWith(".parquet") && !hidden(f)
+      }
+      found
+    }
+    if (fs.exists(p) && hasFiles) spark.read.parquet(p.toString)
+    else spark.emptyDataFrame
   }
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
 
 /** Incremental join-view maintenance: inserts on either side extend the
   * join, deletes retract every joined row they contributed to, bag
@@ -90,8 +90,18 @@ class JoinViewSpec extends SparkSpec {
     run1()
     val expected = Set(("k2", "a2", "b2", 1L))
     assert(view(store, "JV") == expected)
-    def rollback(t: String): Unit = Files.write(
-      Paths.get(s"$dir/store/$t", "_current"), before(t).toString.getBytes)
+    // roll back through the RAW local FS the store itself uses — the
+    // checksummed layer would leave a .crc sidecar the store never
+    // maintains
+    def rollback(t: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/store/$t/_current")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf()) match {
+        case l: org.apache.hadoop.fs.LocalFileSystem => l.getRaw
+        case o => o
+      }
+      val out = fs.create(p, true)
+      try out.write(before(t).toString.getBytes) finally out.close()
+    }
 
     // crash A: A committed, view and B still old → replay skips A,
     // recomputes ΔJ against (A_new, B_old), lands view then B
