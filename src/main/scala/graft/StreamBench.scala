@@ -365,16 +365,33 @@ object StreamBench {
     }
   }
 
-  /** One JSON fragment for the bench line. */
+  /** min/median/max over three full runs of a throughput probe.
+    * Single-shot numbers on this host swing up to 3.5× between
+    * same-day runs (documented in COVERAGE's noise note) — a gate on
+    * one draw gates on host weather. The MEDIAN is the reported value;
+    * min/max ride along as the noise record.
+    */
+  private def minMedMax(run: () => Double): (Double, Double, Double) = {
+    val xs = IndexedSeq(run(), run(), run()).sorted
+    (xs(0), xs(1), xs(2))
+  }
+
+  /** One JSON fragment for the bench line. Throughput probes report
+    * the median of three full runs, with `<key>_min`/`<key>_max`
+    * alongside; the serve-latency probe is already a 25-epoch
+    * distribution and stays single-shot.
+    */
   def jsonFragment(spark: SparkSession): String = {
-    val (twsEps, twsState) = twsThroughput(spark)
-    val syncEps = syncThroughput(spark)
-    val concEps = concurrentThroughput(spark)
-    val muxEps = multiplexedThroughput(spark)
-    val ingestEps = ingestThroughput(spark)
+    val twsRuns = IndexedSeq.fill(3)(twsThroughput(spark)).sortBy(_._1)
+    val (twsEps, twsState) = twsRuns(1)
+    val (twsMin, twsMax) = (twsRuns(0)._1, twsRuns(2)._1)
+    val (syncMin, syncEps, syncMax) = minMedMax(() => syncThroughput(spark))
+    val (concMin, concEps, concMax) = minMedMax(() => concurrentThroughput(spark))
+    val (muxMin, muxEps, muxMax) = minMedMax(() => multiplexedThroughput(spark))
+    val (ingMin, ingestEps, ingMax) = minMedMax(() => ingestThroughput(spark))
     // pinned-snapshot posture: what a serving tier actually runs
     // (measured ~25% lower p50 than resolve-per-batch; ServePinCompare)
     val (p50, p95) = serveLatency(spark, pinSnapshot = true)
-    f""""streaming":{"tws_events_per_s":${twsEps}%.0f,"tws_state_rows":$twsState,"sync_events_per_s":${syncEps}%.0f,"concurrent_events_per_s":${concEps}%.0f,"multiplexed_events_per_s":${muxEps}%.0f,"ingest_docs_per_s":${ingestEps}%.0f,"serve_p50_ms":${p50}%.0f,"serve_p95_ms":${p95}%.0f}"""
+    f""""streaming":{"tws_events_per_s":${twsEps}%.0f,"tws_events_per_s_min":${twsMin}%.0f,"tws_events_per_s_max":${twsMax}%.0f,"tws_state_rows":$twsState,"sync_events_per_s":${syncEps}%.0f,"sync_events_per_s_min":${syncMin}%.0f,"sync_events_per_s_max":${syncMax}%.0f,"concurrent_events_per_s":${concEps}%.0f,"concurrent_events_per_s_min":${concMin}%.0f,"concurrent_events_per_s_max":${concMax}%.0f,"multiplexed_events_per_s":${muxEps}%.0f,"multiplexed_events_per_s_min":${muxMin}%.0f,"multiplexed_events_per_s_max":${muxMax}%.0f,"ingest_docs_per_s":${ingestEps}%.0f,"ingest_docs_per_s_min":${ingMin}%.0f,"ingest_docs_per_s_max":${ingMax}%.0f,"serve_p50_ms":${p50}%.0f,"serve_p95_ms":${p95}%.0f}"""
   }
 }

@@ -118,7 +118,9 @@ object Dedup {
     // hash-partition by id first: spreads signature hashing across all
     // cores even when the source is one parquet file; the eager
     // localCheckpoint computes signatures exactly once — they feed the
-    // slim band join AND both verification probes in stage 2
+    // slim band join AND both verification probes in stage 2. The
+    // payload is dropped BEFORE the checkpoint on purpose: a corpus-
+    // scale caller must not cache document text
     df.select(
       col(idCol).as("id"),
       graft.functions.ArrayHashes.shingle_hash_set(
@@ -126,6 +128,25 @@ object Dedup {
       graft.functions.ArrayHashes.minhash_band_keys(
         array_distinct(TextAnalysis.tokens(col(textCol))), k, bands).as("band_keys"))
       .repartition(col("id"))
+      .localCheckpoint(true)
+
+  /** [[minHashSignatures]] KEEPING the payload columns: one
+    * hash-partitioned, eagerly-checkpointed frame carrying both the
+    * document and its (wh, band_keys) signature. For TRIGGER-SIZED
+    * batches (the streaming ingest gate) where one job materializing
+    * payload + signatures replaces two checkpoint jobs per trigger —
+    * corpus-scale callers use [[minHashSignatures]]'s slim projection
+    * instead (document text must not enter the cache).
+    */
+  def withMinHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 8): DataFrame =
+    df.withColumn("wh",
+        graft.functions.ArrayHashes.shingle_hash_set(
+          TextAnalysis.tokens(col(textCol)), 1))
+      .withColumn("band_keys",
+        graft.functions.ArrayHashes.minhash_band_keys(
+          array_distinct(TextAnalysis.tokens(col(textCol))), k, bands))
+      .repartition(col(idCol))
       .localCheckpoint(true)
 
   /** Stage 2: banded candidate generation + exact-Jaccard verification

@@ -208,52 +208,56 @@ object Bucketing {
     * rewrites all of them (same batch + same stored trained state ⇒
     * byte-identical rows).
     *
-    * Mechanics: write the batch through Spark's bucketed writer into a
-    * scratch table with the catalog-inherited spec,
-    * `repartition(numBuckets, bucketCols)` first so exactly one file
-    * per non-empty bucket comes out (the source is not a bucketed
-    * table, so this shuffle is real — the [[compactTable]] elision trap
-    * doesn't apply), then move each file into the table under
-    * `part-00000-<epochKey>_<bucket>.c000.snappy.parquet`.
+    * Mechanics: NO scratch table — `repartition(numBuckets, bucketCols)`
+    * IS the bucket function (`HashPartitioning.partitionIdExpression` =
+    * `pmod(murmur3(bucketCols), n)`, the exact expression Spark's
+    * bucketed writer evaluates per row), so after that shuffle the
+    * task partition index EQUALS the bucket id and the batch writes as
+    * plain parquet into a dot-prefixed staging dir INSIDE the table
+    * location (invisible to scans). Each staged `part-<idx>-…` file
+    * then renames to `part-00000-<epochKey>_<idx>.c000.snappy.parquet`
+    * — the name whose `_<idx>.` suffix the bucketed scan reads the
+    * bucket id from. The explicit partition COUNT pins the shuffle to
+    * `REPARTITION_BY_NUM`, which AQE never coalesces — a coalesced
+    * index↔bucket mismatch would mis-bucket silently, so the count is
+    * load-bearing, not style. This path replaced a scratch-table CTAS
+    * (create + drop + sweep per append): the catalog churn was ~2/3 of
+    * the ingest gate's append wall time, for files that were renamed
+    * away anyway. Crash debris is a dot-dir the same epoch's replay
+    * overwrites (or the next compaction's location flip strands and
+    * sweeps).
     */
   def appendBucketedEpoch(df: DataFrame, table: String, epochKey: String): Unit = {
     require(epochKey.matches("[A-Za-z0-9-]+"),
       s"epochKey must be filename-safe, got: $epochKey")
     val spark = df.sparkSession
-    val catalog = spark.sessionState.catalog
-    val meta = catalog.getTableMetadata(
+    val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(
       throw new IllegalArgumentException(s"$table has no bucket spec to inherit"))
-    val scratch = table + "__ingest"
-    resetTable(spark, scratch)
-    val w = df.repartition(spec.numBuckets, spec.bucketColumnNames.map(
-        org.apache.spark.sql.functions.col): _*)
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(spec.numBuckets,
-        spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
-    val sorted =
-      if (spec.sortColumnNames.isEmpty) w
-      else w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
-    sorted.format("parquet").saveAsTable(scratch)
-    val scratchLoc = new org.apache.hadoop.fs.Path(
-      catalog.getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(scratch)).location)
     val loc = new org.apache.hadoop.fs.Path(meta.location)
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-    val bucketPat = "_(\\d{5})\\.".r
-    fs.listStatus(scratchLoc).foreach { st =>
+    val staging = new org.apache.hadoop.fs.Path(loc, s".epoch-$epochKey")
+    val bucketCols = spec.bucketColumnNames.map(
+      org.apache.spark.sql.functions.col)
+    val shaped = df.repartition(spec.numBuckets, bucketCols: _*)
+    val sorted =
+      if (spec.sortColumnNames.isEmpty) shaped
+      else shaped.sortWithinPartitions(spec.sortColumnNames.map(
+        org.apache.spark.sql.functions.col): _*)
+    sorted.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val partPat = "^part-(\\d{5})-".r
+    fs.listStatus(staging).foreach { st =>
       val n = st.getPath.getName
-      if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
-        bucketPat.findFirstMatchIn(n).foreach { m =>
+      if (st.isFile && n.endsWith(".parquet"))
+        partPat.findFirstMatchIn(n).foreach { m =>
           val dest = new org.apache.hadoop.fs.Path(
             loc, f"part-00000-${epochKey}_${m.group(1)}.c000.snappy.parquet")
           fs.delete(dest, false) // replay: replace this epoch's own file
           fs.rename(st.getPath, dest)
         }
     }
-    fs.mkdirs(scratchLoc) // give DROP an empty dir (files moved out)
-    spark.sql(s"DROP TABLE IF EXISTS $scratch")
+    fs.delete(staging, true)
     spark.catalog.refreshTable(table)
   }
 

@@ -72,16 +72,30 @@ object DedupIndex {
   def appendEpoch(
       spark: SparkSession, table: String, batch: DataFrame,
       idCol: String, textCol: String, epochKey: String,
-      k: Int = 32, bands: Int = 8): Unit = {
-    val sigs = Dedup.minHashSignatures(batch, idCol, textCol, k, bands)
-    Bucketing.appendBucketedEpoch(
-      sigs.select(col("id"), col("band_keys"),
-        posexplode(col("band_keys")).as(Seq("band_pos", "band_key")))
-        .select(col("band_pos"), col("band_key"), col("band_keys"), col("id")),
-      table, epochKey)
-    Bucketing.appendBucketedEpoch(
-      sigs.select(col("id"), col("wh")), s"${table}_wh", epochKey)
-  }
+      k: Int = 32, bands: Int = 8): Unit =
+    appendEpochFromSignatures(spark, table,
+      Dedup.minHashSignatures(batch, idCol, textCol, k, bands), epochKey)
+
+  /** [[appendEpoch]] from PRECOMPUTED signatures — the ingest gate
+    * hashes each batch exactly once ([[Dedup.minHashSignatures]]) and
+    * feeds the same frame to the probe, the in-batch pair stage, and
+    * this append; re-deriving signatures here would be the trigger
+    * path's third redundant hash job. The two halves land in DIFFERENT
+    * tables from the same frozen checkpoint, so their (driver-bound)
+    * appends overlap on two threads; each is idempotent per epoch key,
+    * so any crash interleaving replays clean.
+    */
+  def appendEpochFromSignatures(
+      spark: SparkSession, table: String, sigs: DataFrame,
+      epochKey: String): Unit =
+    graft.Par.run(
+      () => Bucketing.appendBucketedEpoch(
+        sigs.select(col("id"), col("band_keys"),
+          posexplode(col("band_keys")).as(Seq("band_pos", "band_key")))
+          .select(col("band_pos"), col("band_key"), col("band_keys"), col("id")),
+        table, epochKey),
+      () => Bucketing.appendBucketedEpoch(
+        sigs.select(col("id"), col("wh")), s"${table}_wh", epochKey))
 
   /** Maintenance hook: fold each append's accumulated file-sets back to
     * one file per bucket across BOTH halves of the index (band rows and
@@ -93,6 +107,54 @@ object DedupIndex {
   def compact(spark: SparkSession, table: String): Unit = {
     Bucketing.compactTable(spark, table)
     Bucketing.compactTable(spark, s"${table}_wh")
+  }
+
+  /** The corpus probe and the in-batch pair stage as ONE dataflow:
+    * near-dup pairs (id_a, id_b, jaccard ≥ threshold, reason) where
+    * id_a is either an INDEXED doc (`reason = DUP_OF_CORPUS`, any
+    * indexed id) or a LOWER-id batch doc (`reason = DUP_IN_BATCH`,
+    * id_a < id_b — the kept side of an in-batch pair is deterministic).
+    * Semantically identical to [[probeFromSignatures]] ∪
+    * [[graft.ops.Dedup.minHashPairsFromSignatures]] with those reasons —
+    * but the band join, the first-colliding-band dedup, and the
+    * exact-Jaccard verification each run ONCE over the unioned left
+    * side instead of once per stage. Built for the streaming ingest
+    * gate, whose trigger cost is dominated by per-plan driver analysis:
+    * one plan replaces two.
+    */
+  def probeWithInBatch(
+      spark: SparkSession, table: String, sigs: DataFrame,
+      threshold: Double): DataFrame = {
+    val bandB = sigs.select(col("id").as("id_b"), col("band_keys").as("bkb"),
+      posexplode(col("band_keys")).as(Seq("bp_b", "band_key")))
+      .select(col("band_key"), col("id_b"), col("bkb"))
+    val idxA = spark.table(table).select(col("band_pos"), col("band_key"),
+      col("band_keys").as("bka"), col("id").as("id_a"))
+      .withColumn("from_idx", lit(true))
+    val batchA = sigs.select(col("id").as("id_a"), col("band_keys").as("bka"),
+      posexplode(col("band_keys")).as(Seq("band_pos", "band_key")))
+      .select(col("band_pos"), col("band_key"), col("bka"), col("id_a"))
+      .withColumn("from_idx", lit(false))
+    // band keys embed their band index, so equal keys ⇒ equal positions:
+    // band_pos is valid for BOTH sides of a colliding pair
+    val earlierAllDiffer = !graft.functions.ArrayHashes.prefix_any_equal(
+      col("bka"), col("bkb"), col("band_pos"))
+    val cands = idxA.unionByName(batchA).join(bandB, Seq("band_key"))
+      .filter(col("from_idx") || col("id_a") < col("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(earlierAllDiffer)
+      .select(col("id_a"), col("id_b"), col("from_idx"))
+    // one verification source: stored word hashes ∪ the batch's own
+    val wa = spark.table(s"${table}_wh")
+      .select(col("id").as("id_a"), col("wh").as("wa"))
+      .unionByName(sigs.select(col("id").as("id_a"), col("wh").as("wa")))
+    val wb = sigs.select(col("id").as("id_b"), col("wh").as("wb"))
+    cands.join(wa, Seq("id_a")).join(wb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.jaccardSorted(col("wa"), col("wb")).as("jaccard"),
+        when(col("from_idx"), "DUP_OF_CORPUS")
+          .otherwise("DUP_IN_BATCH").as("reason"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Probe: near-dup pairs (indexed id_a, new id_b, jaccard ≥
@@ -107,8 +169,16 @@ object DedupIndex {
   def probe(
       spark: SparkSession, table: String, batch: DataFrame,
       idCol: String, textCol: String,
-      k: Int = 32, bands: Int = 8, threshold: Double = 0.9): DataFrame = {
-    val sigs = Dedup.minHashSignatures(batch, idCol, textCol, k, bands)
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.9): DataFrame =
+    probeFromSignatures(spark, table,
+      Dedup.minHashSignatures(batch, idCol, textCol, k, bands), threshold)
+
+  /** [[probe]] from PRECOMPUTED batch signatures (see
+    * [[appendEpochFromSignatures]] — one hash job per ingest trigger).
+    */
+  def probeFromSignatures(
+      spark: SparkSession, table: String, sigs: DataFrame,
+      threshold: Double): DataFrame = {
     val probeRows = sigs.select(col("id").as("id_b"), col("band_keys").as("bkb"),
       posexplode(col("band_keys")).as(Seq("bp_b", "band_key")))
       .select(col("band_key"), col("id_b"), col("bkb"))

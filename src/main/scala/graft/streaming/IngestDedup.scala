@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.ops.Dedup
-import graft.sources.DedupIndex
+import graft.sources.{Bucketing, DedupIndex}
 
 /** Streaming ingest dedup — the reason the persisted dedup index
   * exists: a document stream is gated micro-batch by micro-batch
@@ -24,6 +24,8 @@ import graft.sources.DedupIndex
   * property that survives a 100 TB corpus).
   */
 object IngestDedup {
+
+  private def inParallel(fs: (() => Unit)*): Unit = graft.Par.run(fs: _*)
 
   /** One micro-batch through the gate — EXACTLY-ONCE under foreachBatch
     * replay, for the outputs and the index alike:
@@ -55,51 +57,93 @@ object IngestDedup {
       threshold: Double = 0.9): Unit = {
     val marker = s"$outDir/_graft_ingest_epoch"
     if (EpochCommit.readMarker(spark, marker).exists(_ >= batchId)) return // replay
-    if (!EpochCommit.epochExists(spark, outDir, batchId)) {
+    val epochKey = s"ingest-e$batchId"
+    // gate on BOTH roots: the two epoch commits run in parallel below,
+    // so either may exist without the other after a crash — recompute
+    // whenever one is missing (deterministic: the index is untouched
+    // until after commit-out) and let commitEpoch's own idempotence
+    // skip the half that landed
+    if (!(EpochCommit.epochExists(spark, outDir, batchId) &&
+        EpochCommit.epochExists(spark, rejectDir, batchId))) {
       // the index is guaranteed untouched by this epoch (appends happen
-      // only after this dir commits), so recomputation is deterministic
-      val b = batch.localCheckpoint(true) // probe + pairs + 2 writes reuse it
-      // cross-batch: anything near-dup of an already-indexed doc.
-      // dup_of and similarity come from ONE pair (the lowest indexed
-      // id), never mixed across pairs
-      val crossHits = DedupIndex.probe(spark, table, b, idCol, textCol,
-          threshold = threshold)
+      // only after this dir commits), so recomputation is deterministic.
+      // ONE checkpoint job materializes payload + signatures together —
+      // it feeds the corpus probe, the in-batch pair stage, both epoch
+      // writes, and the index append
+      val b = TriggerTiming.timed("ingest", "checkpoint+hash") {
+        Dedup.withMinHashSignatures(batch, idCol, textCol)
+      }
+      val payloadCols = batch.columns.toSeq
+      val sigs = b.select(col(idCol).as("id"), col("wh"), col("band_keys"))
+      // ONE dataflow finds every rejecting pair — cross-batch (near-dup
+      // of an already-indexed doc) and in-batch (id_a < id_b by
+      // construction — the higher id drops, deterministically) run as a
+      // single band join over the unioned left side
+      // ([[DedupIndex.probeWithInBatch]]): the trigger is driver-
+      // analysis-bound, and one plan costs one analysis
+      val pairs = TriggerTiming.timed("ingest", "probe+pairs") {
+        DedupIndex.probeWithInBatch(spark, table, sigs, threshold)
+          .localCheckpoint(true)
+      }
+      // a SINGLE min_by picks each id_b's one (dup_of, similarity,
+      // reason) witness: the lexicographic min over all pairs equals
+      // the min of the per-reason mins (no key ties: the reason
+      // disambiguates a pair that is both in-corpus and in-batch). NOT
+      // checkpointed: the agg over the frozen pair checkpoint is
+      // deterministic and tiny, and its consumers below all run inside
+      // parallel phases — re-deriving it there is cheaper than a
+      // serial checkpoint job
+      val rejected = pairs
         .groupBy(col("id_b"))
         .agg(min_by(struct(col("id_a").as("dup_of"),
-          col("jaccard").as("similarity")), col("id_a")).as("p"))
-        .select(col("id_b"), col("p.dup_of").as("dup_of"),
-          col("p.similarity").as("similarity"))
-      // in-batch: drop the higher id of every in-batch near-dup pair
-      // (id_a < id_b by construction, so the kept side is deterministic)
-      val inBatchHits = Dedup.minHashNearDupPairs(b, idCol, textCol,
-          threshold = threshold)
-        .groupBy(col("id_b"))
-        .agg(min_by(struct(col("id_a").as("dup_of"),
-          col("jaccard").as("similarity")), col("id_a")).as("p"))
-        .select(col("id_b"), col("p.dup_of").as("dup_of"),
-          col("p.similarity").as("similarity"))
-      val rejected = crossHits.withColumn("reason", lit("DUP_OF_CORPUS"))
-        .unionByName(inBatchHits.withColumn("reason", lit("DUP_IN_BATCH")))
-        .groupBy(col("id_b"))
-        .agg(min_by(struct(col("dup_of"), col("similarity"), col("reason")),
-          struct(col("dup_of"), col("reason"))).as("m"))
+          col("jaccard").as("similarity"), col("reason")),
+          struct(col("id_a"), col("reason"))).as("m"))
         .select(col("id_b"), col("m.dup_of").as("dup_of"),
           col("m.similarity").as("similarity"), col("m.reason").as("reason"))
-      commitEpoch(
-        b.join(rejected, b(idCol) === rejected("id_b"))
-          .select(col(idCol), col("dup_of"), col("similarity"), col("reason")),
-        rejectDir, batchId)
-      commitEpoch(
-        b.join(rejected, b(idCol) === rejected("id_b"), "left_anti"),
-        outDir, batchId)
-    }
-    // survivors are frozen now; the append is idempotent per epoch key.
-    // An all-rejected epoch commits a dir with no data files — nothing
-    // to append (and nothing for schema inference to choke on).
-    if (EpochCommit.epochHasData(spark, outDir, batchId))
+      // the appended signatures are the batch's own filtered to the
+      // survivor ids — row-identical to re-hashing the frozen survivors
+      // dir (hashing is deterministic per document), minus the parquet
+      // round-trip and a third hash job; an all-rejected epoch appends
+      // nothing (empty staging → no files to move)
+      val survivorSigs =
+        sigs.join(rejected, sigs("id") === rejected("id_b"), "left_anti")
+      // three independent writes overlap: the two epoch commits (frozen
+      // inputs, different roots — the dual-dir gate above makes any
+      // crash interleaving replay-correct) and the WORD-HASH half of
+      // the index append. The wh half may land before the epochs
+      // commit: a replay's recompute reads candidates from the BAND
+      // table only, so premature wh rows are unreachable (and the one
+      // place they surface — the unified probe's wa union — dedups at
+      // the reject aggregation). The BAND half is the real publication
+      // point and stays ordered after both commits.
+      TriggerTiming.timed("ingest", "commits+wh") {
+        inParallel(
+          () => commitEpoch(
+            b.join(rejected, b(idCol) === rejected("id_b"))
+              .select(col(idCol), col("dup_of"), col("similarity"), col("reason")),
+            rejectDir, batchId),
+          () => commitEpoch(
+            b.join(rejected, b(idCol) === rejected("id_b"), "left_anti")
+              .select(payloadCols.map(col): _*),
+            outDir, batchId),
+          () => Bucketing.appendBucketedEpoch(
+            survivorSigs.select(col("id"), col("wh")), s"${table}_wh", epochKey))
+      }
+      TriggerTiming.timed("ingest", "append-band") {
+        Bucketing.appendBucketedEpoch(
+          survivorSigs.select(col("id"), col("band_keys"),
+            posexplode(col("band_keys")).as(Seq("band_pos", "band_key")))
+            .select(col("band_pos"), col("band_key"), col("band_keys"), col("id")),
+          table, epochKey)
+      }
+    } else if (EpochCommit.epochHasData(spark, outDir, batchId)) {
+      // replay with the out epoch already committed: the batch was
+      // never recomputed this attempt, so hash the FROZEN survivors
+      // (the append stays idempotent per epoch key)
       DedupIndex.appendEpoch(spark, table,
         spark.read.parquet(s"$outDir/epoch=$batchId"), idCol, textCol,
-        epochKey = s"ingest-e$batchId")
+        epochKey = epochKey)
+    }
     EpochCommit.writeMarker(spark, marker, batchId)
   }
 
@@ -108,12 +152,35 @@ object IngestDedup {
 
   /** Run the gate over a document stream against an EXISTING index
     * (build it first with [[graft.sources.DedupIndex.build]]).
+    *
+    * `shufflePartitions` sizes the session's shuffle width to the
+    * TRIGGER volume, the same argument as [[SyncPipeline]]'s
+    * `statePartitions`: an ingest trigger is small by construction, so
+    * per-trigger cost is fixed per-partition work (task launch, file
+    * commit) — 32 batch-analytics partitions for a ~1k-doc trigger is
+    * nearly all overhead. The default matches the index's bucket count
+    * (the probe join shuffles the batch side to the bucket width
+    * anyway); size up with trigger volume on a cluster. Only ever
+    * LOWERS the session value; `None` inherits it.
     */
   def start(
       docs: DataFrame, table: String, idCol: String, textCol: String,
       outDir: String, rejectDir: String, checkpoint: String,
       threshold: Double = 0.9,
-      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      shufflePartitions: Option[Int] = Some(8)): StreamingQuery = {
+    val spark = docs.sparkSession
+    shufflePartitions.foreach { n =>
+      val cur = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      if (n < cur) spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    }
+    // keep index-table file listing DRIVER-side: each appended epoch
+    // adds bucket files, and once a table crosses the default 32-file
+    // threshold every per-trigger resolution spawns a distributed
+    // listing JOB — pure fixed cost at these directory sizes. Only ever
+    // RAISED, never lowered under a caller's own setting.
+    val listKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    if (spark.conf.get(listKey).toInt < 1024) spark.conf.set(listKey, "1024")
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -123,4 +190,5 @@ object IngestDedup {
           outDir, rejectDir, threshold); ()
       }
       .start()
+  }
 }
