@@ -54,7 +54,12 @@ object EpochCommit {
     val dest = new Path(rootP, s"epoch=$batchId")
     val staging = new Path(new Path(rootP, ".staging"), s"e$batchId")
     if (!fs.exists(dest)) {
-      df.coalesce(maxFiles).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      // uncompressed: epoch files are trigger-sized and short-lived
+      // downstream (read once, compacted/consumed); codec init +
+      // compression is measurable per-epoch latency for no storage win
+      // that matters at these sizes
+      df.coalesce(maxFiles).write.mode(SaveMode.Overwrite)
+        .option("compression", "none").parquet(staging.toString)
       fs.mkdirs(dest.getParent)
       // a false return with dest present = a concurrent replay won the
       // commit, which is fine; false with no dest is a real failure
