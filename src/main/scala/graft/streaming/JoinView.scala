@@ -24,15 +24,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Per-trigger JOIN cost is O(|batch| + |matching rows|): each delta
   * side is a value-aggregated micro-batch (tiny) BROADCAST against the
-  * stored side, so computing ΔJ never shuffles a stored table. The
-  * STATE MERGE is a different matter: folding ΔJ (and the side deltas)
-  * into the stored multiplicity tables re-groups and rewrites each
-  * table in full — O(|state|) shuffle + write per trigger with this
-  * snapshot-store backing (its delta-append path implements last-op
-  * CDC semantics, not multiplicity ADDITION, so it does not apply
-  * here). Right-sized for views over bounded hot state; a view whose
-  * state outgrows per-trigger rewrites wants a merge-on-read additive
-  * delta format underneath. A deleted `A` row still retracts every
+  * stored side, so computing ΔJ never shuffles a stored table. State
+  * lands in the store's ADDITIVE tables
+  * ([[SnapshotStore.commitAdditive]]): each trigger APPENDS the signed
+  * side deltas and ΔJ — O(|batch| + |matching|) written, never a state
+  * rewrite — and reads reconstruct by summing multiplicities
+  * (merge-on-read, chain folded into an aggregated base every
+  * `compactEvery` commits). A deleted `A` row still retracts every
   * join result it contributed to in one broadcast pass — the behavior
   * that makes the view trustworthy under CDC, where bag semantics and
   * deletes break naive "append the new matches" schemes.
@@ -70,17 +68,6 @@ object JoinView {
     batch.withColumn("__sign", sign)
       .groupBy(payload.map(col): _*)
       .agg(sum(col("__sign")).as("state_cnt"))
-      .filter(col("state_cnt") =!= 0L)
-  }
-
-  /** `state ⊕ delta`: one union + one value-keyed sum; fully retracted
-    * values disappear.
-    */
-  private def mergeMult(state: DataFrame, delta: DataFrame): DataFrame = {
-    val payload = delta.columns.filterNot(_ == "state_cnt")
-    state.unionByName(delta)
-      .groupBy(payload.map(col): _*)
-      .agg(sum(col("state_cnt")).as("state_cnt"))
       .filter(col("state_cnt") =!= 0L)
   }
 
@@ -122,19 +109,16 @@ object JoinView {
     // and `done` gates on >= so later batches are unaffected.
     if (dA.isEmpty && dB.isEmpty) return
     if (!done(store, aT, batchId))
-      store.commit(aT, mergeMult(store.snapshot(aT, dA.schema), dA),
-        meta = Some(batchId.toString))
+      store.commitAdditive(aT, dA, meta = Some(batchId.toString))
     if (!done(store, table, batchId)) {
-      val aNew = store.snapshot(aT, dA.schema)
-      val bOld = store.snapshot(bT, dB.schema)
+      val aNew = store.additiveSnapshot(aT, dA.schema)
+      val bOld = store.additiveSnapshot(bT, dB.schema)
       val dJ = joinMult(dA, bOld, keys, deltaIsLeft = true)
         .unionByName(joinMult(dB, aNew, keys, deltaIsLeft = false))
-      store.commit(table, mergeMult(store.snapshot(table, dJ.schema), dJ),
-        meta = Some(batchId.toString))
+      store.commitAdditive(table, dJ, meta = Some(batchId.toString))
     }
     if (!done(store, bT, batchId))
-      store.commit(bT, mergeMult(store.snapshot(bT, dB.schema), dB),
-        meta = Some(batchId.toString))
+      store.commitAdditive(bT, dB, meta = Some(batchId.toString))
   }
 
   /** Maintain `viewTable` = `tableA ⋈_keys tableB` over two STORE
@@ -189,9 +173,9 @@ object JoinView {
         // pair, so nothing is lost or double-counted.
         (vA, vB)
       case ts =>
-        val dJ = ts.reduce(_ unionByName _)
-        store.commit(viewTable,
-          mergeMult(store.snapshot(viewTable, dJ.schema), dJ),
+        // ΔJ appends additively: each refresh writes O(|ΔJ|), and the
+        // view reconstructs by multiplicity sum like the streaming path
+        store.commitAdditive(viewTable, ts.reduce(_ unionByName _),
           meta = Some(s"$tA:$tB"))
         (tA, tB)
     }

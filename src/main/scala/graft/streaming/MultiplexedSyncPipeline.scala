@@ -43,6 +43,17 @@ import graft.cdc._
   * checkpoint (no per-topic independent restart/backfill), lockstep
   * triggers, one state operator sized for the sum of topics. Both
   * forms share every stage, so switching is a config change.
+  *
+  * CROSSOVER, measured (round 9, MuxProfile under core-capped
+  * sessions, six topics): with cores ≥ queries the concurrent topology
+  * keeps its parallel-slack win — local[8]: mux 794 vs conc 865 ev/s
+  * at 500-row triggers, 6,218 vs 6,510 at 4,000 — but once cores drop
+  * BELOW the query count the six trigger threads contend instead of
+  * overlapping and the consolidated form wins outright — local[4]:
+  * mux 657 vs conc 497 (+32%) at 500-row triggers, 4,376 vs 3,595
+  * (+22%) at 4,000. The asserted "query-count-constrained" win is
+  * therefore real and its boundary is cores/queries ≈ 1: size the
+  * topology by whether trigger threads can actually run concurrently.
   */
 final class MultiplexedSyncPipeline(
     spark: SparkSession,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, max, struct, to_date, when}
+import org.apache.spark.sql.functions.{coalesce, col, lit, max, struct, sum, to_date, when}
 import org.apache.spark.sql.types.StructType
 import graft.cdc.Apply
 
@@ -599,6 +599,92 @@ final class SnapshotStore(
       meta.foreach(m => writeString(s"${baseDir(table, next)}/_graft_meta", m))
       flipPointer(table, next)
     }
+  }
+
+  // ---- additive multiplicity tables --------------------------------
+  //
+  // The THIRD table kind next to full bases and CDC delta chains: rows
+  // are (payload…, state_cnt) with SIGNED multiplicities, a commit
+  // APPENDS a batch's deltas — O(|batch|) written per trigger, never a
+  // state rewrite — and a read sums state_cnt per payload value and
+  // drops the zeros (merge-on-read). Every `compactEvery`-th commit
+  // folds the chain into an aggregated base, bounding read fan-in.
+  // This is the counting-IVM backing [[JoinView]] needs: its per-
+  // trigger O(|state|) state-merge rewrite becomes a delta append,
+  // while replay safety keeps the same shape as commitDelta (atomic
+  // pointer flip per version; the caller's per-table batch-id meta
+  // gates replays, and debris from a crash before the flip is cleared
+  // at the next attempt).
+
+  /** Append one batch of signed-multiplicity rows as a delta version.
+    * `delta`'s layout must match the chain's exactly (additive rows
+    * have no positional roles to re-derive — a drifting layout would
+    * sum across misaligned columns); the last column is conventionally
+    * the count, but reconstruction keys on NAME (`cntCol` of
+    * [[additiveSnapshot]]).
+    */
+  def commitAdditive(table: String, delta: DataFrame,
+      meta: Option[String] = None): Int = {
+    val incoming = delta.schema.fields.toSeq
+      .map(f => f.name -> f.dataType.catalogString)
+    val v = currentVersion(table)
+    if (v > 0)
+      Seq(deltaDir(table, v), baseDir(table, v)).find(exists)
+        .flatMap(readFingerprint).foreach { prev =>
+          if (prev != incoming) throw new IllegalStateException(
+            s"Additive table '$table' layout drift: chain has " +
+              s"${prev.map(_._1).mkString(", ")}; incoming " +
+              s"${incoming.map(_._1).mkString(", ")}. Additive chains " +
+              "must keep one exact layout; rewrite the table explicitly " +
+              "for schema changes.")
+        }
+    val next = v + 1
+    clearUncommitted(table, next)
+    delta.repartition(deltaWriteParts)
+      .write.mode(SaveMode.Overwrite).parquet(deltaDir(table, next))
+    writeFingerprint(deltaDir(table, next), delta.schema)
+    meta.foreach(m => writeString(s"${deltaDir(table, next)}/_graft_meta", m))
+    if (next - baseAtOrBefore(table, v) >= compactEvery) {
+      // fold BEFORE the flip: d<next> exists on disk, so the aggregated
+      // base at the same version includes it (mirrors finalizeDelta)
+      val snap = additiveSnapshotAt(table, next, delta.schema)
+      snap.write.mode(SaveMode.Overwrite).parquet(baseDir(table, next))
+      writeFingerprint(baseDir(table, next), snap.schema)
+    }
+    flipPointer(table, next)
+  }
+
+  /** Current contents of an additive table: Σ state_cnt per payload
+    * value over base ⊕ outstanding deltas, zero-sum values dropped.
+    * Read cost: one (possibly aggregated-base) scan + O(|deltas|) —
+    * the merge-on-read trade that buys O(|batch|) writes.
+    */
+  def additiveSnapshot(table: String, schema: StructType,
+      cntCol: String = "state_cnt"): DataFrame =
+    additiveSnapshotAt(table, currentVersion(table), schema, cntCol)
+
+  /** [[additiveSnapshot]] at an explicit version (time travel; also the
+    * compaction fold's input).
+    */
+  def additiveSnapshotAt(table: String, version: Int, schema: StructType,
+      cntCol: String = "state_cnt"): DataFrame = {
+    if (version == 0)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    require(version >= horizon(table),
+      s"additiveSnapshotAt: v$version is below the vacuum horizon " +
+        s"v${horizon(table)} of $table — its history was reclaimed")
+    val b = baseAtOrBefore(table, version)
+    val base =
+      if (b == 0) None else Some(spark.read.parquet(baseDir(table, b)))
+    val deltas =
+      if (b == version) None
+      else Some(readDeltas(table, b + 1, version).drop("__v"))
+    val all = (base.toSeq ++ deltas.toSeq).reduce(_ unionByName _)
+    val payload = all.columns.filterNot(_ == cntCol)
+    all.groupBy(payload.map(col): _*)
+      .agg(sum(col(cntCol)).as(cntCol))
+      .filter(col(cntCol) =!= 0L)
   }
 
   /** Fold each audit date partition's append-per-trigger files into one

@@ -15,7 +15,7 @@ class JoinViewSpec extends SparkSpec {
   import spark.implicits._
 
   private def view(store: SnapshotStore, t: String): Set[(String, String, String, Long)] =
-    store.snapshot(t, null).as[(String, String, String, Long)].collect().toSet
+    store.additiveSnapshot(t, null).as[(String, String, String, Long)].collect().toSet
 
   private def dA(rows: (String, String, String)*) =
     rows.toDF("k", "a_val", "op")
@@ -232,6 +232,57 @@ class JoinViewSpec extends SparkSpec {
           s"scenario $scenario epoch $id diverged from the batch join")
       }
     }
+  }
+
+  test("per-trigger writes are delta-sized, never state-sized") {
+    val dir = Files.createTempDirectory("graft-joinview-additive").toString
+    // compactEvery high enough that no fold runs inside this test
+    val store = new SnapshotStore(spark, s"$dir/store", compactEvery = 100)
+    // seed a state much larger than any later batch
+    val seedA = (1 to 500).map(i => (s"k$i", s"a$i", "INSERT"))
+    val seedB = (1 to 500).map(i => (s"k$i", s"b$i", "INSERT"))
+    JoinView.applyBatch(store, "JVD", seedA.toDF("k", "a_val", "op"),
+      seedB.toDF("k", "b_val", "op"), 0L, Seq("k"), "op")
+    assert(view(store, "JVD").size == 500)
+
+    // one small batch against the 500-row state: the committed version
+    // dirs must hold ONLY this batch's deltas (2 side rows + 2 joined
+    // rows), not a rewritten state — the additive-backing contract
+    JoinView.applyBatch(store, "JVD",
+      dA(("k1", "a1", "DELETE"), ("k501", "a501", "INSERT")), dB(),
+      1L, Seq("k"), "op")
+    def deltaRows(t: String): Long = {
+      val v = store.currentVersion(t)
+      spark.read.parquet(s"$dir/store/$t/d$v").count()
+    }
+    assert(deltaRows("JVD__A") == 2, "A-side trigger write must be batch-sized")
+    assert(deltaRows("JVD") == 1, "view trigger write must be |matching|-sized")
+    assert(deltaRows("JVD__B") == 0, "empty B delta writes no rows")
+    // and the merged view is still correct: k1 retracted, k501 unmatched
+    assert(!view(store, "JVD").exists(_._1 == "k1"))
+    assert(view(store, "JVD").size == 499)
+  }
+
+  test("additive chain folds into an aggregated base at the compaction boundary") {
+    val dir = Files.createTempDirectory("graft-joinview-fold").toString
+    val store = new SnapshotStore(spark, s"$dir/store", compactEvery = 3)
+    (0 until 7).foreach { i =>
+      JoinView.applyBatch(store, "JVF",
+        dA((s"k${i % 2}", "a", "INSERT")), dB((s"k${i % 2}", s"b$i", "INSERT")),
+        i.toLong, Seq("k"), "op")
+    }
+    // multiplicities accumulated across many deltas survive the folds:
+    // each k bucket's joined multiplicity = (#a inserts) per matching b
+    val got = view(store, "JVF")
+    val refA = (0 until 7).groupBy(i => s"k${i % 2}").view.mapValues(_.size.toLong)
+    val expected = (0 until 7).map { i =>
+      val k = s"k${i % 2}"; (k, "a", s"b$i", refA(k))
+    }.toSet
+    assert(got == expected)
+    // at least one aggregated base exists on disk (the fold ran)
+    val aDir = new java.io.File(s"$dir/store/JVF__A")
+    assert(aDir.listFiles().exists(_.getName.startsWith("v")),
+      "compaction boundary must fold the additive chain into a base")
   }
 
   test("streaming start maintains the view over one tagged change stream") {
