@@ -131,4 +131,47 @@ class IngestDedupSpec extends SparkSpec {
     // duplicated epoch column must not appear as data (partition only)
     assert(spark.read.parquet(s"$dir/out").columns.count(_ == "epoch") == 1)
   }
+
+  test("a fresh data trigger runs exactly 6 actions (the per-trigger budget)") {
+    // the round-9 budget that took the gate from 667 to ~1,300+ docs/s:
+    // 1 batch+signature checkpoint, 1 unified probe/pair checkpoint,
+    // 2 epoch commits, 2 index-append halves — counted as root SQL
+    // executions so the pin survives AQE's nested re-posts. A regression
+    // that re-introduces a per-consumer recompute, a separate in-batch
+    // pair stage, or the scratch-table append shows up here as a 7th+
+    // action before it shows up in the bench.
+    val dir = Files.createTempDirectory("graft-ingest-budget").toString
+    val corpus = Seq((1L, doc("the quick brown fox "))).toDF("doc_id", "text")
+    DedupIndex.build(corpus, "ingestbudget_idx", "doc_id", "text")
+
+    val actions = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case e: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+            if e.rootExecutionId.forall(_ == e.executionId) =>
+            actions.incrementAndGet(); ()
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      IngestDedup.applyBatch(spark, "ingestbudget_idx",
+        Seq((10L, doc("sphinx of black quartz judge ")),
+          (11L, doc("how vexingly daft zebras jump "))).toDF("doc_id", "text"),
+        batchId = 0, "doc_id", "text", s"$dir/out", s"$dir/reject")
+      var last = -1
+      var stable = 0
+      val deadline = System.currentTimeMillis() + 10000
+      while (stable < 3 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        val now = actions.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(actions.get() == 6,
+      s"ingest per-trigger action budget is 6 (batch+sig checkpoint, " +
+        s"pair checkpoint, 2 epoch commits, 2 append halves), saw ${actions.get()}")
+  }
 }
