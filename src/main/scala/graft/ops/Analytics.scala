@@ -84,6 +84,32 @@ object Analytics {
       .limit(k)
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next = to | current = from), the behavioral model
+    * behind "what usually follows a click". One DATA-sized stage — the
+    * per-user lead window (partitioned by user, the same shape as
+    * [[topEventPaths]]) feeding a groupBy onto the |types|² transition
+    * table; row-normalization then runs entirely on that constant-size
+    * table (a self-join on the tiny `from` totals, never a window over
+    * data). Probabilities are engine-exact: each p6 is ONE fixed
+    * round-to-millionths of an int64/int64 ratio.
+    */
+  def markovTransitions(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val trans = df.select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+      .withColumn("__to", lead(col(typeCol), 1).over(w))
+      .filter(col("__to").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__to").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("row_n"))
+    trans.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        TextAnalysis.round6(col("n").cast("double") / col("row_n")).as("p6"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Retention cohorts: cohort = the user's first activity bucket
     * (`bucket` ∈ day|week), cell = distinct users of that cohort active
     * `offset` buckets later. Output: (cohort, offset, n_active).

@@ -51,6 +51,45 @@ object TextQuality {
     * with partial aggregation; the join keys are co-partitioned on
     * doc id by construction.
     */
+  /** Bigram-LM fluency score: each document scored by the average
+    * in-corpus conditional bigram probability of its own bigrams —
+    * avg over the doc's bigram instances of P(w₂|w₁) where
+    * P(w₂|w₁) = corpusCount(w₁w₂) / corpusCount(w₁·) — the log-free,
+    * engine-exact stand-in for LM-perplexity quality filtering (a
+    * Wenzek/CCNet-style signal: boilerplate and in-distribution prose
+    * score high, shuffled or out-of-domain token soup scores low).
+    *
+    * Scale: two word-count shapes (bigram counts, prefix totals — both
+    * vocab²-bounded with map-side partials) plus one data-sized join
+    * from doc bigrams onto those tables, keyed on the bigram — the
+    * n-gram-LM training layout. Exactness: every per-bigram term
+    * quantizes to millionths BEFORE the per-doc sum (int64-exact across
+    * any partitioning), and the final division runs one fixed floor
+    * sequence — no float accumulation order anywhere.
+    */
+  def bigramFluency(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df0.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("w"))
+      .repartition(col(idCol))
+    val bigrams = toks.select(col(idCol), explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1).as("w1"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("w2"))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint(true) // feeds the counts AND the scoring join
+    val cb = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cp = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cp"))
+    bigrams
+      .join(cb, Seq("w1", "w2"))
+      .join(cp, Seq("w1"))
+      .select(col(idCol),
+        floor(col("cb").cast("double") * 1000000.0 / col("cp") + 0.5)
+          .cast("long").as("t6"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(sum(col("t6")).cast("double") / count(lit(1)) + 0.5) / 1000000.0)
+          .as("fluency6"))
+      .orderBy(col(idCol))
+  }
+
   def repetitionSignals(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
     // single-file parquet plans as ONE partition; the interpreted n-gram
     // lambdas are CPU-heavy, so spread rows across cores first

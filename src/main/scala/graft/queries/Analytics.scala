@@ -350,6 +350,27 @@ object Analytics extends QueryPack {
       |FROM seq WHERE s3 IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, path LIMIT 15""".stripMargin
 
+  // ---- MK1: Markov event-transition matrix --------------------------------
+  // One per-user lead window (data-sized, partitioned) onto the
+  // |types|² transition table; normalization runs on the tiny table.
+  private def mk1Markov(s: SparkSession, dir: String) =
+    graft.ops.Analytics.markovTransitions(Tables.load(s, dir, "events"),
+      "user_id", "event_type", "ts", "event_id")
+
+  private val mk1Sql =
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |trans AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, SUM(n) AS row_n FROM trans GROUP BY 1)
+      |SELECT trans.from_type, to_type, n,
+      |  floor(CAST(n AS DOUBLE) / row_n * 1000000.0 + 0.5) / 1000000.0 AS p6
+      |FROM trans JOIN tot ON trans.from_type = tot.from_type
+      |ORDER BY trans.from_type, to_type""".stripMargin
+
   // ---- CS1: chi-square independence screen -------------------------------
   // ONE data-sized groupBy builds the contingency cells; marginals,
   // totals, and dof all derive from the tiny cell table. Each term
@@ -388,6 +409,7 @@ object Analytics extends QueryPack {
   override def all: Seq[Q] = Seq(
     Q("cs1_chi_square", "chi-square independence test over a contingency table (fixed-point exact terms)", cs1ChiSquare, Some(cs1Sql)),
     Q("pa1_event_paths", "top-k 3-step user event paths (sequence mining via bounded user windows)", pa1TopPaths, Some(pa1Sql)),
+    Q("mk1_markov_transitions", "first-order Markov event-transition matrix with row-normalized probabilities", mk1Markov, Some(mk1Sql)),
     Q("lr1_group_trend", "per-group OLS slope + Pearson corr from exact integer moments", lr1GroupTrend, Some(lr1Sql)),
     Q("ia1_inter_arrival", "per-user LAG inter-arrival gaps rolled up by event type", ia1InterArrival, Some(ia1Sql)),
     Q("rfm1_segments", "RFM quartile segmentation over the per-user rollup", rfm1Segments, Some(rfm1Sql)),

@@ -13,6 +13,30 @@ object TextQueries extends QueryPack {
   private val wordsFrom =
     "(SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)"
 
+  // ---- LM1: bigram-LM fluency score ---------------------------------------
+  // The log-free perplexity stand-in: avg in-corpus conditional bigram
+  // probability per doc. Terms quantize to millionths before the sum
+  // so the score is engine-exact (cs1's pattern).
+  private def lm1Fluency(s: SparkSession, dir: String): DataFrame =
+    TextQuality.bigramFluency(Tables.load(s, dir, "documents"), "doc_id", "text")
+
+  private val lm1Sql =
+    s"""WITH w AS $wordsFrom,
+      |bg AS (
+      |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      |  FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM w)
+      |  WHERE i < len(w)),
+      |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+      |cp AS (SELECT w1, SUM(cb) AS cp FROM cb GROUP BY 1),
+      |terms AS (
+      |  SELECT bg.doc_id,
+      |    CAST(floor(CAST(cb.cb AS DOUBLE) * 1000000.0 / cp.cp + 0.5) AS BIGINT) AS t6
+      |  FROM bg JOIN cb ON bg.w1 = cb.w1 AND bg.w2 = cb.w2
+      |  JOIN cp ON bg.w1 = cp.w1)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  floor(CAST(SUM(t6) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0 AS fluency6
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- RQ1: repetition signals -------------------------------------------
   private def rq1Repetition(s: SparkSession, dir: String): DataFrame =
     TextQuality.repetitionSignals(Tables.load(s, dir, "documents"), "doc_id", "text")
@@ -364,6 +388,7 @@ object TextQueries extends QueryPack {
     Q("ii1_inverted_index", "bigram phrase index: term -> sorted postings digest, maxDf hot-term guard", ii1InvertedIndex, Some(ii1Sql)),
     Q("co1_cooccur_lift", "adjacent-pair co-occurrence lift (log-free PMI ranking)", co1CooccurLift, Some(co1Sql)),
     Q("ck1_chunking", "overlapping context-window chunking (32-token windows, stride 24)", ck1Chunking, Some(ck1Sql)),
+    Q("lm1_bigram_fluency", "bigram-LM fluency score per doc (log-free perplexity stand-in, millionth-quantized terms)", lm1Fluency, Some(lm1Sql)),
     Q("rq1_repetition", "Gopher-style repetition quality signals (top-unigram / dup-trigram fractions)", rq1Repetition, Some(rq1Sql)),
     Q("tf1_tfidf_keywords", "top-3 keywords per doc by log-free TF-IDF", tf1Keywords, Some(tf1Sql)),
     Q("pii1_redact", "PII redaction pass with removal counts (planted deterministic contacts)", pii1Redact, Some(pii1Sql)),
