@@ -285,6 +285,12 @@ object StreamBench {
     * all-distinct (the gate's worst case: every survivor appends).
     */
   def ingestThroughput(spark: SparkSession): Double = {
+    // IngestDedup.start pins trigger-sized session confs (shuffle
+    // width, listing threshold) — restore them so the probe doesn't
+    // leak a width-8 session into every later probe and index build
+    val confKeys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.sources.parallelPartitionDiscovery.threshold")
+    val confPrev = confKeys.map(k => k -> spark.conf.getOption(k))
     val dir = Files.createTempDirectory("graft-bench-ingest").toFile
     def doc(id: Long): String =
       (0 until 40).map(w => s"w${(id * 37 + w * w) % 5000}").mkString(" ")
@@ -317,6 +323,10 @@ object StreamBench {
       batches * perBatch / secs
     } finally {
       q.stop()
+      confPrev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
       deleteWithRetry(dir)
     }
   }

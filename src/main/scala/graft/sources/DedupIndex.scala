@@ -144,9 +144,14 @@ object DedupIndex {
       .filter(col("id_a") =!= col("id_b"))
       .filter(earlierAllDiffer)
       .select(col("id_a"), col("id_b"), col("from_idx"))
-    // one verification source: stored word hashes ∪ the batch's own
+    // one verification source: stored word hashes ∪ the batch's own.
+    // The stored side EXCLUDES batch ids (anti-join on the tiny batch
+    // id set) so an id present in both — a replay probing after its
+    // own wh half already appended — contributes ONE wa row, not a
+    // duplicated pair downstream
     val wa = spark.table(s"${table}_wh")
       .select(col("id").as("id_a"), col("wh").as("wa"))
+      .join(sigs.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
       .unionByName(sigs.select(col("id").as("id_a"), col("wh").as("wa")))
     val wb = sigs.select(col("id").as("id_b"), col("wh").as("wb"))
     cands.join(wa, Seq("id_a")).join(wb, Seq("id_b"))

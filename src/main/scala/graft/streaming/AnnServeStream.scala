@@ -111,11 +111,16 @@ object AnnServeStream {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1)
-      val listArr: Map[Long, Array[(Long, Array[Float])]] = s0.table(table)
+      // array<double>, NOT array<float>: casting a double-typed corpus
+      // down to float would truncate past round6's quantum and break
+      // the bit-exact identity with the unpinned path (a float-typed
+      // corpus widens to double exactly, so double is lossless for
+      // both element types — the same promotion dotSeq performs)
+      val listArr: Map[Long, Array[(Long, Array[Double])]] = s0.table(table)
         .select(col("cent_id").cast("long"), col("vec_id").cast("long"),
-          col("embedding").cast("array<float>"))
+          col("embedding").cast("array<double>"))
         .collect()
-        .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Float](2).toArray)))
+        .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Double](2).toArray)))
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       val sc = s0.sparkContext
       val bcCents = sc.broadcast(centArr)
@@ -123,33 +128,27 @@ object AnnServeStream {
       def round6(x: Double): Double =
         java.math.BigDecimal.valueOf(x)
           .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-      def dotFD(q: Array[Float], c: Array[Float]): Double = {
+      def dotDD(q: Array[Double], c: Array[Double]): Double = {
         val n = math.min(q.length, c.length)
         var acc = 0.0; var i = 0
-        while (i < n) { acc += q(i).toDouble * c(i).toDouble; i += 1 }
-        acc
-      }
-      def dotFDbl(q: Array[Float], c: Array[Double]): Double = {
-        val n = math.min(q.length, c.length)
-        var acc = 0.0; var i = 0
-        while (i < n) { acc += q(i).toDouble * c(i); i += 1 }
+        while (i < n) { acc += q(i) * c(i); i += 1 }
         acc
       }
       start(queries, outDir, checkpoint, trigger) { (s, b) =>
         import s.implicits._
-        b.select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
-          .as[(Long, Array[Float])]
+        b.select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+          .as[(Long, Array[Double])]
           .mapPartitions { it =>
             val cents = bcCents.value
             val lists = bcLists.value
             it.flatMap { case (qid, qe) =>
               val probes = cents
-                .map { case (cid, ce) => (-round6(dotFDbl(qe, ce)), cid) }
+                .map { case (cid, ce) => (-round6(dotDD(qe, ce)), cid) }
                 .sorted.take(nProbe).map(_._2)
               probes.iterator
-                .flatMap(cid => lists.getOrElse(cid, Array.empty[(Long, Array[Float])]))
+                .flatMap(cid => lists.getOrElse(cid, Array.empty[(Long, Array[Double])]))
                 .filter(_._1 != qid)
-                .map { case (nid, ce) => (round6(dotFD(qe, ce)), nid) }
+                .map { case (nid, ce) => (round6(dotDD(qe, ce)), nid) }
                 .toSeq.sortBy(x => (-x._1, x._2)).take(k)
                 .zipWithIndex
                 .map { case ((score, nid), i) => (qid, nid, score, i + 1) }

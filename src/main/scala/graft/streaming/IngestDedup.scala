@@ -161,7 +161,11 @@ object IngestDedup {
     * nearly all overhead. The default matches the index's bucket count
     * (the probe join shuffles the batch side to the bucket width
     * anyway); size up with trigger volume on a cluster. Only ever
-    * LOWERS the session value; `None` inherits it.
+    * LOWERS the session value; `None` inherits it. NOTE: like
+    * [[SyncPipeline]]'s pin, this is a SESSION-wide conf that persists
+    * after the stream stops — a caller multiplexing batch analytics on
+    * the same session should pass `None` (or save/restore around the
+    * stream, as `StreamBench.ingestThroughput` does).
     */
   def start(
       docs: DataFrame, table: String, idCol: String, textCol: String,

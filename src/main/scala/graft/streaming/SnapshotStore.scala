@@ -291,6 +291,7 @@ final class SnapshotStore(
 
   /** Time travel: reconstruct any committed version (0 = empty). */
   def snapshotAt(table: String, version: Int, schema: StructType = null): DataFrame = {
+    refuseAdditive(table, "snapshotAt")
     if (version == 0)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -333,6 +334,7 @@ final class SnapshotStore(
     * compaction boundaries freely.
     */
   def changeFeed(table: String, fromVersion: Int, toVersion: Int): DataFrame = {
+    refuseAdditive(table, "changeFeed")
     val cur = currentVersion(table)
     require(fromVersion >= 0 && fromVersion <= toVersion && toVersion <= cur,
       s"changeFeed: need 0 <= from <= to <= $cur, got [$fromVersion, $toVersion]")
@@ -437,6 +439,7 @@ final class SnapshotStore(
   def existingPks(table: String, schema: StructType, pkName: String,
       pkBounds: Option[(Any, Any)] = None,
       atVersion: Option[Int] = None): DataFrame = {
+    refuseAdditive(table, "existingPks")
     val pkOnly = StructType(schema.filter(_.name == pkName))
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pkOnly)
@@ -522,6 +525,7 @@ final class SnapshotStore(
       table: String, changes: DataFrame,
       pk: String, seqCol: String, dataCols: Seq[String],
       meta: Option[String] = None): Int = {
+    refuseAdditive(table, "stageDelta")
     val selected = changes.select((Seq(seqCol, "operation", pk) ++ dataCols).map(col): _*)
     val incoming = selected.schema.fields.toSeq
       .map(f => f.name -> f.dataType.catalogString)
@@ -616,6 +620,26 @@ final class SnapshotStore(
   // gates replays, and debris from a crash before the flip is cleared
   // at the next attempt).
 
+  private def kindFile(table: String) = s"${tableDir(table)}/_graft_kind"
+
+  private def tableKind(table: String): Option[String] =
+    if (exists(kindFile(table))) Some(readString(kindFile(table)).trim) else None
+
+  /** Refuse CDC-layout reads of an additive table LOUDLY: the CDC
+    * reconstruction would bind (seq, operation, pk) roles onto join
+    * payload columns and produce garbage — and right after a
+    * compaction fold it would return the aggregated base, i.e.
+    * plausible-looking data, making the misuse intermittent with the
+    * version number. A marker file written at the table's first
+    * additive commit turns that into an immediate error.
+    */
+  private def refuseAdditive(table: String, op: String): Unit =
+    if (tableKind(table).contains("additive"))
+      throw new IllegalStateException(
+        s"$op: table '$table' is an ADDITIVE multiplicity table — read " +
+          "it with additiveSnapshot/additiveSnapshotAt (CDC-layout " +
+          "reconstruction would misparse its columns)")
+
   /** Append one batch of signed-multiplicity rows as a delta version.
     * `delta`'s layout must match the chain's exactly (additive rows
     * have no positional roles to re-derive — a drifting layout would
@@ -625,6 +649,17 @@ final class SnapshotStore(
     */
   def commitAdditive(table: String, delta: DataFrame,
       meta: Option[String] = None): Int = {
+    tableKind(table) match {
+      case Some("additive") => ()
+      case Some(k) => throw new IllegalStateException(
+        s"commitAdditive: table '$table' has kind '$k'")
+      case None =>
+        if (currentVersion(table) > 0) throw new IllegalStateException(
+          s"commitAdditive: table '$table' already holds CDC/base " +
+            "versions — additive and CDC chains cannot mix in one table")
+        fs.mkdirs(new Path(tableDir(table)))
+        writeString(kindFile(table), "additive")
+    }
     val incoming = delta.schema.fields.toSeq
       .map(f => f.name -> f.dataType.catalogString)
     val v = currentVersion(table)
@@ -671,6 +706,12 @@ final class SnapshotStore(
     if (version == 0)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // the inverse misuse guard: a CDC/base chain summed per payload
+    // value is equally silent garbage
+    if (!tableKind(table).contains("additive"))
+      throw new IllegalStateException(
+        s"additiveSnapshotAt: table '$table' is not an additive " +
+          "multiplicity table — read it with snapshot/snapshotAt")
     require(version >= horizon(table),
       s"additiveSnapshotAt: v$version is below the vacuum horizon " +
         s"v${horizon(table)} of $table — its history was reclaimed")

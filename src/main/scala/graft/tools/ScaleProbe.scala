@@ -50,7 +50,10 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     def ops(docs: DataFrame): Seq[(String, () => Long)] = {
-      lazy val pairs = Dedup.minHashNearDupPairs(docs, "id", "text",
+      // EAGER, outside any timed thunk: cc1/tr1 must measure their own
+      // scaling, not free-ride on (or get charged for) the pair
+      // generation that dd2 already measures separately
+      val pairs = Dedup.minHashNearDupPairs(docs, "id", "text",
         threshold = 0.9).localCheckpoint(true)
       Seq(
         "dd2_minhash_pairs" -> (() =>
