@@ -285,6 +285,28 @@ class JoinViewSpec extends SparkSpec {
       "compaction boundary must fold the additive chain into a base")
   }
 
+  test("additive and CDC table kinds refuse each other's readers and writers") {
+    val dir = Files.createTempDirectory("graft-joinview-kind").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    JoinView.applyBatch(store, "JVK",
+      dA(("k1", "a1", "INSERT")), dB(("k1", "b1", "INSERT")), 0L, Seq("k"), "op")
+    // CDC-layout reads of an additive table would bind (seq, op, pk)
+    // onto join payload columns — they must refuse loudly
+    val e1 = intercept[IllegalStateException] { store.snapshot("JVK", null) }
+    assert(e1.getMessage.contains("ADDITIVE"))
+    intercept[IllegalStateException] { store.changeFeed("JVK", 0, 1) }
+    // and the reverse: a CDC table is not additive
+    store.commit("CDCK", Seq(("x", 1L)).toDF("k", "state_cnt"))
+    val e2 = intercept[IllegalStateException] {
+      store.additiveSnapshot("CDCK", null).collect()
+    }
+    assert(e2.getMessage.contains("not an additive"))
+    val e3 = intercept[IllegalStateException] {
+      store.commitAdditive("CDCK", Seq(("x", 1L)).toDF("k", "state_cnt"))
+    }
+    assert(e3.getMessage.contains("cannot mix"))
+  }
+
   test("streaming start maintains the view over one tagged change stream") {
     val dir = Files.createTempDirectory("graft-joinview-stream").toString
     val store = new SnapshotStore(spark, s"$dir/store")
