@@ -128,8 +128,18 @@ object DedupIndex {
     val bandB = sigs.select(col("id").as("id_b"), col("band_keys").as("bkb"),
       posexplode(col("band_keys")).as(Seq("bp_b", "band_key")))
       .select(col("band_key"), col("id_b"), col("bkb"))
+    // the index side EXCLUDES the batch's own ids (anti-join on the
+    // tiny batch id set, map-side): any index rows for batch ids are
+    // either this epoch's own partially-appended band rows (a crash
+    // replay) or a re-probe of already-ingested docs — both must score
+    // through the BATCH side's in-batch semantics, not masquerade as
+    // corpus hits. This is what makes the ingest gate's recompute
+    // deterministic even when a crash left the epoch's band append
+    // half-landed, which in turn lets the append overlap the epoch
+    // commits.
     val idxA = spark.table(table).select(col("band_pos"), col("band_key"),
       col("band_keys").as("bka"), col("id").as("id_a"))
+      .join(sigs.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
       .withColumn("from_idx", lit(true))
     val batchA = sigs.select(col("id").as("id_a"), col("band_keys").as("bka"),
       posexplode(col("band_keys")).as(Seq("band_pos", "band_key")))

@@ -36,12 +36,13 @@ object IngestDedup {
     *     A replay that finds the epoch dir skips recomputation; one
     *     that doesn't recomputes from scratch (staging debris from the
     *     crashed attempt is simply overwritten).
-    *  2. The index append runs ONLY after the survivors dir committed,
-    *     and reads the FROZEN survivors — so a replay never recomputes
-    *     the probe against an index this epoch already half-touched —
-    *     and lands via [[DedupIndex.appendEpoch]]'s deterministic
-    *     epoch-keyed file names, so re-appending the same epoch
-    *     replaces its own files instead of duplicating band rows.
+    *  2. The index appends are idempotent AND order-free: they land
+    *     via deterministic epoch-keyed file names (re-appending the
+    *     same epoch replaces its own files instead of duplicating band
+    *     rows), and a replay's RECOMPUTE is immune to a half-landed
+    *     epoch append because the unified probe's index side excludes
+    *     the batch's own ids ([[DedupIndex.probeWithInBatch]]) — so
+    *     commits and appends all run concurrently per trigger.
     *
     * The epoch marker is a fast-path only (skip fully-landed epochs
     * without touching Spark); correctness never depends on it.
@@ -58,15 +59,13 @@ object IngestDedup {
     val marker = s"$outDir/_graft_ingest_epoch"
     if (EpochCommit.readMarker(spark, marker).exists(_ >= batchId)) return // replay
     val epochKey = s"ingest-e$batchId"
-    // gate on BOTH roots: the two epoch commits run in parallel below,
-    // so either may exist without the other after a crash — recompute
-    // whenever one is missing (deterministic: the index is untouched
-    // until after commit-out) and let commitEpoch's own idempotence
-    // skip the half that landed
+    // gate on BOTH roots: the epoch commits run in parallel below, so
+    // either may exist without the other after a crash — recompute
+    // whenever one is missing (deterministic even if this epoch's index
+    // append half-landed: the probe excludes the batch's own ids) and
+    // let commitEpoch's own idempotence skip the half that landed
     if (!(EpochCommit.epochExists(spark, outDir, batchId) &&
         EpochCommit.epochExists(spark, rejectDir, batchId))) {
-      // the index is guaranteed untouched by this epoch (appends happen
-      // only after this dir commits), so recomputation is deterministic.
       // ONE checkpoint job materializes payload + signatures together —
       // it feeds the corpus probe, the in-batch pair stage, both epoch
       // writes, and the index append
@@ -107,16 +106,17 @@ object IngestDedup {
       // nothing (empty staging → no files to move)
       val survivorSigs =
         sigs.join(rejected, sigs("id") === rejected("id_b"), "left_anti")
-      // three independent writes overlap: the two epoch commits (frozen
+      // FOUR independent writes overlap: the two epoch commits (frozen
       // inputs, different roots — the dual-dir gate above makes any
-      // crash interleaving replay-correct) and the WORD-HASH half of
-      // the index append. The wh half may land before the epochs
-      // commit: a replay's recompute reads candidates from the BAND
-      // table only, so premature wh rows are unreachable (and the one
-      // place they surface — the unified probe's wa union — dedups at
-      // the reject aggregation). The BAND half is the real publication
-      // point and stays ordered after both commits.
-      TriggerTiming.timed("ingest", "commits+wh") {
+      // crash interleaving replay-correct) and BOTH index-append
+      // halves. The appends may land before the epochs commit because
+      // a replay's recompute is deterministic regardless: the unified
+      // probe's index side anti-joins the batch's own ids
+      // ([[DedupIndex.probeWithInBatch]]), so a half-landed epoch
+      // append is invisible to the recomputed reject set, and the
+      // epoch-keyed append file names make the re-append replace its
+      // own files. Each write is idempotent; order no longer matters.
+      TriggerTiming.timed("ingest", "commits+appends") {
         inParallel(
           () => commitEpoch(
             b.join(rejected, b(idCol) === rejected("id_b"))
@@ -127,14 +127,12 @@ object IngestDedup {
               .select(payloadCols.map(col): _*),
             outDir, batchId),
           () => Bucketing.appendBucketedEpoch(
-            survivorSigs.select(col("id"), col("wh")), s"${table}_wh", epochKey))
-      }
-      TriggerTiming.timed("ingest", "append-band") {
-        Bucketing.appendBucketedEpoch(
-          survivorSigs.select(col("id"), col("band_keys"),
-            posexplode(col("band_keys")).as(Seq("band_pos", "band_key")))
-            .select(col("band_pos"), col("band_key"), col("band_keys"), col("id")),
-          table, epochKey)
+            survivorSigs.select(col("id"), col("wh")), s"${table}_wh", epochKey),
+          () => Bucketing.appendBucketedEpoch(
+            survivorSigs.select(col("id"), col("band_keys"),
+              posexplode(col("band_keys")).as(Seq("band_pos", "band_key")))
+              .select(col("band_pos"), col("band_key"), col("band_keys"), col("id")),
+            table, epochKey))
       }
     } else if (EpochCommit.epochHasData(spark, outDir, batchId)) {
       // replay with the out epoch already committed: the batch was
