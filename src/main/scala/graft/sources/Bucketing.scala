@@ -254,7 +254,14 @@ object Bucketing {
           val dest = new org.apache.hadoop.fs.Path(
             loc, f"part-00000-${epochKey}_${m.group(1)}.c000.snappy.parquet")
           fs.delete(dest, false) // replay: replace this epoch's own file
-          fs.rename(st.getPath, dest)
+          // a false rename (no exception) would leave the bucket file in
+          // the staging dir that the cleanup below deletes recursively —
+          // the epoch's rows for that bucket would vanish SILENTLY and
+          // future near-dups of those docs would pass the gate undetected
+          if (!fs.rename(st.getPath, dest))
+            throw new java.io.IOException(
+              s"appendBucketedEpoch: rename ${st.getPath} -> $dest " +
+                s"returned false on ${fs.getClass.getSimpleName}")
         }
     }
     fs.delete(staging, true)

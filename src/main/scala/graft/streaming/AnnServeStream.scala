@@ -39,6 +39,18 @@ import graft.sources.AnnIndex
   */
 object AnnServeStream {
 
+  /** Pinned-replica broadcasts still held per live serve query — each
+    * `pinSnapshot` start registers its two broadcasts here and a
+    * [[QueryCleanup]] hook destroys + deregisters them at termination,
+    * so a session that restarts the serve stream N times (the bench /
+    * ServePinCompare pattern) holds at most the ACTIVE streams'
+    * replicas in executor memory, never N dead ones. Package-visible so
+    * the spec can assert the release actually happens.
+    */
+  private[graft] val pinnedBroadcasts =
+    new java.util.concurrent.ConcurrentHashMap[
+      java.util.UUID, Seq[org.apache.spark.broadcast.Broadcast[_]]]()
+
   /** One micro-batch of queries → top-k results under
     * `<outDir>/epoch=<batchId>`. Skips fully-committed epochs (replay).
     */
@@ -134,7 +146,7 @@ object AnnServeStream {
         while (i < n) { acc += q(i) * c(i); i += 1 }
         acc
       }
-      start(queries, outDir, checkpoint, trigger) { (s, b) =>
+      val query = start(queries, outDir, checkpoint, trigger) { (s, b) =>
         import s.implicits._
         b.select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
           .as[(Long, Array[Double])]
@@ -156,6 +168,16 @@ object AnnServeStream {
           }
           .toDF("query_id", "neighbor_id", "score", "rank")
       }
+      // the replica dies with the stream: destroy (driver + executor
+      // copies — no epoch can reference the broadcast after termination)
+      // and deregister, so restarts never accumulate dead replicas
+      pinnedBroadcasts.put(query.id, Seq(bcCents, bcLists))
+      QueryCleanup.onTermination(s0, query) { () =>
+        pinnedBroadcasts.remove(query.id)
+        bcCents.destroy()
+        bcLists.destroy()
+      }
+      query
     }
 
   /** Serve a query-embedding stream against the stored multi-probe LSH

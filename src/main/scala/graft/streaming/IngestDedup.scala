@@ -102,8 +102,13 @@ object IngestDedup {
       // the appended signatures are the batch's own filtered to the
       // survivor ids — row-identical to re-hashing the frozen survivors
       // dir (hashing is deterministic per document), minus the parquet
-      // round-trip and a third hash job; an all-rejected epoch appends
-      // nothing (empty staging → no files to move)
+      // round-trip and a third hash job. An all-rejected epoch still
+      // renames ONE zero-row file into each index table (Spark's
+      // FileFormatWriter emits a schema-only part file for partition 0
+      // of an empty write) — harmless to reads and replay-replaced by
+      // its epoch key, and the next compaction folds the debris away;
+      // skipping it would cost a count action on the hot path
+
       val survivorSigs =
         sigs.join(rejected, sigs("id") === rejected("id_b"), "left_anti")
       // FOUR independent writes overlap: the two epoch commits (frozen
@@ -159,11 +164,13 @@ object IngestDedup {
     * nearly all overhead. The default matches the index's bucket count
     * (the probe join shuffles the batch side to the bucket width
     * anyway); size up with trigger volume on a cluster. Only ever
-    * LOWERS the session value; `None` inherits it. NOTE: like
-    * [[SyncPipeline]]'s pin, this is a SESSION-wide conf that persists
-    * after the stream stops — a caller multiplexing batch analytics on
-    * the same session should pass `None` (or save/restore around the
-    * stream, as `StreamBench.ingestThroughput` does).
+    * LOWERS the session value; `None` inherits it. Both pins are
+    * session-wide WHILE THE STREAM RUNS and restored to their prior
+    * values when the query terminates (a
+    * [[org.apache.spark.sql.streaming.StreamingQueryListener]] on this
+    * query's id) — batch work multiplexed on the same session DURING
+    * the stream still sees the pinned values; pass `None` to opt out of
+    * the shuffle pin entirely.
     */
   def start(
       docs: DataFrame, table: String, idCol: String, textCol: String,
@@ -172,9 +179,14 @@ object IngestDedup {
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
       shufflePartitions: Option[Int] = Some(8)): StreamingQuery = {
     val spark = docs.sparkSession
+    // (key, value-to-restore) for every conf this start() changes
+    var restore = List.empty[(String, String)]
     shufflePartitions.foreach { n =>
       val cur = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      if (n < cur) spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      if (n < cur) {
+        restore ::= ("spark.sql.shuffle.partitions", cur.toString)
+        spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      }
     }
     // keep index-table file listing DRIVER-side: each appended epoch
     // adds bucket files, and once a table crosses the default 32-file
@@ -182,8 +194,12 @@ object IngestDedup {
     // listing JOB — pure fixed cost at these directory sizes. Only ever
     // RAISED, never lowered under a caller's own setting.
     val listKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-    if (spark.conf.get(listKey).toInt < 1024) spark.conf.set(listKey, "1024")
-    docs.writeStream
+    val curList = spark.conf.get(listKey).toInt
+    if (curList < 1024) {
+      restore ::= (listKey, curList.toString)
+      spark.conf.set(listKey, "1024")
+    }
+    val query = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -192,5 +208,7 @@ object IngestDedup {
           outDir, rejectDir, threshold); ()
       }
       .start()
+    QueryCleanup.restoreConfsOnTermination(spark, query, restore)
+    query
   }
 }

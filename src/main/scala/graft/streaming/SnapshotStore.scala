@@ -481,6 +481,10 @@ final class SnapshotStore(
     * — the underscore prefix keeps parquet reads blind to it.
     */
   def commit(table: String, df: DataFrame, meta: Option[String] = None): Int = {
+    // symmetric with the reader guards: a full-base rewrite into an
+    // additive chain would silently mix kinds mid-history — the next
+    // additiveSnapshot would treat CDC payload rows as multiplicities
+    refuseAdditive(table, "commit")
     val next = currentVersion(table) + 1
     clearUncommitted(table, next)
     df.write.mode(SaveMode.Overwrite).parquet(baseDir(table, next))
@@ -559,6 +563,7 @@ final class SnapshotStore(
     * point. `staged` must be the value [[stageDelta]] returned.
     */
   def finalizeDelta(table: String, staged: Int): Int = {
+    refuseAdditive(table, "finalizeDelta") // direct calls bypass stageDelta's guard
     if (staged - baseAtOrBefore(table, staged - 1) >= compactEvery) {
       val snap = snapshotAt(table, staged) // d<staged> exists; pointer not yet flipped
       snap.write.mode(SaveMode.Overwrite).parquet(baseDir(table, staged))

@@ -85,4 +85,42 @@ class AnnServeStreamSpec extends SparkSpec {
     assert(serveAll(pin = true) == serveAll(pin = false),
       "pinning the index snapshot must not change any result row")
   }
+
+  test("pinned-snapshot replicas are released at stream termination, across restarts") {
+    AnnIndex.buildIvf(emb, "annstream_release", nCentroids = 8, refine = 1,
+      buckets = 4)
+    def awaitReleased(): Unit = {
+      // termination listeners dispatch on the async listener bus
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (!AnnServeStream.pinnedBroadcasts.isEmpty &&
+          System.nanoTime() < deadline) Thread.sleep(25)
+    }
+    assert(AnnServeStream.pinnedBroadcasts.isEmpty, "clean registry at start")
+    val held = (1 to 3).map { i =>
+      val dir = Files.createTempDirectory(s"graft-annserve-rel$i").toString
+      val mem = MemoryStream[Long](spark)
+      val queries = mem.toDF().toDF("qid")
+        .join(emb, col("qid") === col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      val q = AnnServeStream.startIvf(queries, "annstream_release",
+        s"$dir/out", s"$dir/ckpt", k = 3, nProbe = 2,
+        trigger = Trigger.ProcessingTime("0 seconds"), pinSnapshot = true)
+      try {
+        mem.addData(0L, 1L); q.processAllAvailable()
+        val bcs = AnnServeStream.pinnedBroadcasts.get(q.id)
+        assert(bcs != null && bcs.size == 2,
+          s"run $i: live stream holds exactly its centroid+list replicas")
+        bcs
+      } finally q.stop()
+    }
+    awaitReleased()
+    // no accumulation: every restart's replicas are deregistered…
+    assert(AnnServeStream.pinnedBroadcasts.isEmpty,
+      s"replicas leaked across restarts: ${AnnServeStream.pinnedBroadcasts.keySet()}")
+    // …and DESTROYED, not just forgotten (a destroyed broadcast refuses
+    // value access — the executor/driver copies are gone)
+    held.flatten.foreach { bc =>
+      intercept[org.apache.spark.SparkException](bc.value)
+    }
+  }
 }

@@ -286,4 +286,42 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.snapshot("T", null).as[(Int, String)].collect().toMap ==
       Map(1 -> "a2", 3 -> "c"))
   }
+
+  test("vacuum on an additive chain: at/above-horizon exact, below refuses, commit() refuses") {
+    val (store, _) = newStore(compactEvery = 3)
+    def add(rows: (String, Long)*): Int =
+      store.commitAdditive("A", rows.toDF("k", "state_cnt"))
+    def snapAt(v: Int): Map[String, Long] =
+      store.additiveSnapshotAt("A", v, null)
+        .as[(String, Long)].collect().toMap
+    // 10 commits, compactEvery = 3 → folds at v3/v6/v9; commit 5 also
+    // retracts k2 so the zero-sum drop crosses a fold boundary
+    (1 to 10).foreach { i =>
+      if (i == 5) add(s"k$i" -> 1L, "k2" -> -1L) else add(s"k$i" -> 1L)
+    }
+    val full = (1 to 10).map(i => s"k$i" -> 1L).toMap - "k2"
+    assert(snapAt(10) == full)
+
+    val reclaimed = store.vacuum("A")
+    // newest base is v9: everything below it is reclaimable, v9 (base)
+    // and v10 (outstanding delta) must survive — the current snapshot
+    // reconstructs from them
+    assert(store.horizon("A") == 9)
+    assert(reclaimed == (1 to 8), s"reclaimed $reclaimed")
+    // reads at/above the horizon stay EXACT after the delete sweep
+    assert(snapAt(9) == full - "k10")
+    assert(snapAt(10) == full)
+    assert(store.additiveSnapshot("A", null)
+      .as[(String, Long)].collect().toMap == full)
+    // below-horizon time travel refuses loudly instead of silently
+    // mis-reconstructing over missing files
+    val e = intercept[IllegalArgumentException] { snapAt(8) }
+    assert(e.getMessage.contains("below the vacuum horizon"))
+    // and the full-base CDC writer refuses the additive table — a
+    // commit() here would silently mix kinds mid-chain
+    val e2 = intercept[IllegalStateException] {
+      store.commit("A", Seq(("x", 1L)).toDF("k", "state_cnt"))
+    }
+    assert(e2.getMessage.contains("ADDITIVE"))
+  }
 }
