@@ -331,6 +331,56 @@ object StreamBench {
     }
   }
 
+  /** Streaming SEMANTIC ingest gate throughput: vectors/s through
+    * [[graft.streaming.SemanticIngestGate]] against a stored IVF
+    * index — per-trigger id-collision scan + centroid probe + stored-
+    * list scoring + in-batch cluster pairs + epoch commits + idempotent
+    * list append, the full exactly-once path. Mirrors
+    * [[ingestThroughput]]: all-distinct embeddings are the gate's worst
+    * case (every survivor appends), and the same trigger-sized conf
+    * pins are saved/restored around the stream.
+    */
+  def semanticThroughput(spark: SparkSession): Double = {
+    val confKeys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.sources.parallelPartitionDiscovery.threshold")
+    val confPrev = confKeys.map(k => k -> spark.conf.getOption(k))
+    val dir = Files.createTempDirectory("graft-bench-semingest").toFile
+    val embExpr = org.apache.spark.sql.functions.expr(
+      "transform(sequence(0, 63), j -> cast(pmod(hash(vec_id, j), 1000) as float) / 1000.0)")
+    val corpus = spark.range(500)
+      .select(col("id").as("vec_id")).withColumn("embedding", embExpr)
+    graft.sources.AnnIndex.buildIvf(corpus, "graft_bench_semingest_idx",
+      nCentroids = 16, refine = 1, buckets = 8)
+    val mem = MemoryStream[Long](spark)(spark.sqlContext.implicits.newLongEncoder)
+    val vectors = mem.toDF().select(col("value").as("vec_id"))
+      .withColumn("embedding", embExpr)
+    val q = graft.streaming.SemanticIngestGate.start(
+      vectors, "graft_bench_semingest_idx", "vec_id", "embedding",
+      s"$dir/out", s"$dir/reject", s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    try {
+      val perBatch = 1000
+      val batches = 4
+      // untimed warmup epoch, like every probe
+      mem.addData((0 until perBatch).map(j => 100000L + j))
+      q.processAllAvailable()
+      val start = System.nanoTime()
+      (0 until batches).foreach { i =>
+        mem.addData((0 until perBatch).map(j => 200000L + i * perBatch + j))
+        q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - start) / 1e9
+      batches * perBatch / secs
+    } finally {
+      q.stop()
+      confPrev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      deleteWithRetry(dir)
+    }
+  }
+
   /** Streaming ANN serve tail latency: per-epoch wall time over
     * single-batch epochs served from a stored IVF index through
     * [[graft.streaming.AnnServeStream]] (exactly-once epoch commit
@@ -399,9 +449,10 @@ object StreamBench {
     val (concMin, concEps, concMax) = minMedMax(() => concurrentThroughput(spark))
     val (muxMin, muxEps, muxMax) = minMedMax(() => multiplexedThroughput(spark))
     val (ingMin, ingestEps, ingMax) = minMedMax(() => ingestThroughput(spark))
+    val (semMin, semEps, semMax) = minMedMax(() => semanticThroughput(spark))
     // pinned-snapshot posture: what a serving tier actually runs
     // (measured ~25% lower p50 than resolve-per-batch; ServePinCompare)
     val (p50, p95) = serveLatency(spark, pinSnapshot = true)
-    f""""streaming":{"tws_events_per_s":${twsEps}%.0f,"tws_events_per_s_min":${twsMin}%.0f,"tws_events_per_s_max":${twsMax}%.0f,"tws_state_rows":$twsState,"sync_events_per_s":${syncEps}%.0f,"sync_events_per_s_min":${syncMin}%.0f,"sync_events_per_s_max":${syncMax}%.0f,"concurrent_events_per_s":${concEps}%.0f,"concurrent_events_per_s_min":${concMin}%.0f,"concurrent_events_per_s_max":${concMax}%.0f,"multiplexed_events_per_s":${muxEps}%.0f,"multiplexed_events_per_s_min":${muxMin}%.0f,"multiplexed_events_per_s_max":${muxMax}%.0f,"ingest_docs_per_s":${ingestEps}%.0f,"ingest_docs_per_s_min":${ingMin}%.0f,"ingest_docs_per_s_max":${ingMax}%.0f,"serve_p50_ms":${p50}%.0f,"serve_p95_ms":${p95}%.0f}"""
+    f""""streaming":{"tws_events_per_s":${twsEps}%.0f,"tws_events_per_s_min":${twsMin}%.0f,"tws_events_per_s_max":${twsMax}%.0f,"tws_state_rows":$twsState,"sync_events_per_s":${syncEps}%.0f,"sync_events_per_s_min":${syncMin}%.0f,"sync_events_per_s_max":${syncMax}%.0f,"concurrent_events_per_s":${concEps}%.0f,"concurrent_events_per_s_min":${concMin}%.0f,"concurrent_events_per_s_max":${concMax}%.0f,"multiplexed_events_per_s":${muxEps}%.0f,"multiplexed_events_per_s_min":${muxMin}%.0f,"multiplexed_events_per_s_max":${muxMax}%.0f,"ingest_docs_per_s":${ingestEps}%.0f,"ingest_docs_per_s_min":${ingMin}%.0f,"ingest_docs_per_s_max":${ingMax}%.0f,"semantic_docs_per_s":${semEps}%.0f,"semantic_docs_per_s_min":${semMin}%.0f,"semantic_docs_per_s_max":${semMax}%.0f,"serve_p50_ms":${p50}%.0f,"serve_p95_ms":${p95}%.0f}"""
   }
 }

@@ -199,6 +199,41 @@ object Similarity {
       .select(col(outId), col(outEmb), col("cent_id"))
   }
 
+  /** Fused [[assignToCentroids]] + [[probeCentroids]]: ONE batch×C
+    * scoring pass and ONE exchange yield, per query, the top-`n`
+    * centroids as a sorted array — element 1 is the assignment winner,
+    * elements 1..n the probe set. Tie-breaks are IDENTICAL to both
+    * ops (the array sorts on the same `(−sim, cent_id)` struct the
+    * `min_by`/window formulations order by), so consumers that need
+    * both halves — a streaming gate probing the index AND blocking
+    * in-batch pairs per assigned cluster — replace two broadcast
+    * joins, a window exchange and a `min_by` exchange with one
+    * broadcast join and one map-side-partial aggregation. That
+    * matters on trigger paths, where each exchange is a scheduled
+    * stage of fixed cost. Memory: `n ≤ C` structs per query in the
+    * partial aggregate (collect_list is capped by `slice` only after
+    * the merge, so the in-flight partial holds C structs — fine for
+    * C up to a few thousand; an index with more centroids should use
+    * the separate ops).
+    *
+    * Output: (query_id, qe, top: array<struct<ns, cent_id, s>>) with
+    * ns = −sim and s = the rounded similarity of that centroid.
+    */
+  def assignAndProbes(
+      df: DataFrame, cents: DataFrame, n: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(n >= 1, s"assignAndProbes needs n >= 1, got $n")
+    df.select(col(idCol).as("query_id"), col(embCol).as("qe"))
+      .join(broadcast(cents))
+      .select(col("query_id"), col("qe"), col("cent_id"),
+        cosineRounded(col("qe"), col("cent_e")).as("cent_sim"))
+      .groupBy(col("query_id"))
+      .agg(first(col("qe")).as("qe"),
+        slice(sort_array(collect_list(struct(
+          (lit(0d) - col("cent_sim")).as("ns"), col("cent_id"),
+          col("cent_sim").as("s")))), 1, n).as("top"))
+  }
+
   /** `refine` k-means update passes over deterministic seeds: assign
     * every vector to its nearest current centroid (map-side `max_by`),
     * then take the per-cluster element-wise mean in fixed point (×10⁶

@@ -316,4 +316,45 @@ class OpsSpec extends SparkSpec {
     assert(w1 == w2)
     assert(w1.flatten.forall(v => v >= -1.0 && v <= 1.0))
   }
+
+  test("assignAndProbes equals the separate assignment + probe ops, ties included") {
+    // duplicate centroids under different ids force a similarity tie —
+    // the fused op must break it exactly like min_by/row_number do:
+    // (−sim, cent_id) ascending, i.e. lower cent_id wins
+    val cents = Seq(
+      (10L, Array(1f, 0f)), (20L, Array(1f, 0f)), // tie pair
+      (30L, Array(0f, 1f)), (40L, Array(0.6f, 0.8f)))
+      .toDF("cent_id", "cent_e")
+    val vecs = spark.range(50).select(col("id").as("vec_id"))
+      .withColumn("embedding", expr(
+        "transform(sequence(0, 1), j -> cast(pmod(hash(vec_id, j), 1000) as float) / 1000.0)"))
+    val n = 3
+    val fused = Similarity.assignAndProbes(vecs, cents, n)
+    // element 1 == assignToCentroids' winner
+    val fusedAssign = fused
+      .select(col("query_id"), element_at(col("top"), 1).getField("cent_id"))
+      .as[(Long, Long)].collect().toMap
+    val sepAssign = Similarity
+      .assignToCentroids(vecs, cents, "vec_id", "embedding")
+      .select(col("vec_id"), col("cent_id")).as[(Long, Long)].collect().toMap
+    assert(fusedAssign == sepAssign)
+    // exploded 1..n == probeCentroids' probe set (per-query)
+    val fusedProbes = fused
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.cent_id")).as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sepProbes = Similarity
+      .probeCentroids(vecs, cents, "query_id", "qe", n, "vec_id", "embedding")
+      .select(col("query_id"), col("cent_id")).as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fusedProbes == sepProbes, s"probe sets drifted")
+    // and the tie: every query nearest the duplicated direction must
+    // report cent 10 (not 20) as its assignment
+    val tied = Similarity.assignAndProbes(
+      Seq((99L, Array(1f, 0f))).toDF("vec_id", "embedding"), cents, 2)
+      .select(element_at(col("top"), 1).getField("cent_id"),
+        element_at(col("top"), 2).getField("cent_id"))
+      .as[(Long, Long)].collect().head
+    assert(tied == ((10L, 20L)), s"tie-break drifted: $tied")
+  }
 }

@@ -200,4 +200,47 @@ class SemanticIngestGateSpec extends SparkSpec {
     assert(offIds.count(_ == 1L) == 2,
       s"without the gate the same-id duplicate must slip through: $offIds")
   }
+
+  test("a fresh data trigger runs exactly 5 actions (the per-trigger budget)") {
+    // the signature gate's round-9 treatment applied here: 1 batch
+    // checkpoint, 1 unified-reject checkpoint (id collisions + corpus
+    // probe + in-batch pairs, ONE plan), 2 epoch commits, 1 index
+    // append — counted as root SQL executions so the pin survives AQE's
+    // nested re-posts. A regression that re-introduces the
+    // per-consumer reject recompute (the pre-round-10 shape: both
+    // commits re-ran all three branches) or splits the probe into
+    // separate actions shows up here before it shows up in the bench.
+    val dir = Files.createTempDirectory("graft-semingest-budget").toString
+    buildIdx("sembudget_idx")
+
+    val actions = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case e: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+            if e.rootExecutionId.forall(_ == e.executionId) =>
+            actions.incrementAndGet(); ()
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SemanticIngestGate.applyBatch(spark, "sembudget_idx",
+        Seq((10L, diag), (11L, anti)).toDF("vec_id", "embedding"),
+        batchId = 0, "vec_id", "embedding", s"$dir/out", s"$dir/reject")
+      var last = -1
+      var stable = 0
+      val deadline = System.currentTimeMillis() + 10000
+      while (stable < 3 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        val now = actions.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(actions.get() == 5,
+      s"semantic per-trigger action budget is 5 (batch checkpoint, " +
+        s"unified-reject checkpoint, 2 epoch commits, 1 index append), " +
+        s"saw ${actions.get()}")
+  }
 }
