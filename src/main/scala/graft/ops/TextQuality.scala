@@ -90,6 +90,63 @@ object TextQuality {
       .orderBy(col(idCol))
   }
 
+  /** Train the frozen bigram-LM table [[scoreAgainstLm]] scores
+    * against — the production CCNet/Wenzek posture, where the LM
+    * trains ONCE on a reference corpus and new documents score against
+    * the frozen counts ([[bigramFluency]] is the self-scored
+    * one-corpus variant). Output: one row per observed bigram,
+    * `(w1, w2, cb, cp)` with `cb` = corpus count of the bigram and
+    * `cp` = corpus count of the prefix `w1·` — exactly the two tables
+    * the conditional probability P(w₂|w₁) = cb/cp needs, denormalized
+    * onto the bigram row so scoring pays ONE join. Vocab²-bounded;
+    * persist it (plain parquet table) and it becomes the reusable LM
+    * artifact of a quality pipeline.
+    */
+  def trainBigramLm(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df0.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("w"))
+      .repartition(col(idCol))
+    val bigrams = toks.select(explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1).as("w1"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("w2"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cb = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cp = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cp"))
+    cb.join(cp, Seq("w1")).select(col("w1"), col("w2"), col("cb"), col("cp"))
+  }
+
+  /** Score documents against a FROZEN LM table ([[trainBigramLm]]'s
+    * layout): avg over the doc's bigram instances of the quantized
+    * P(w₂|w₁), with UNSEEN bigrams contributing exactly 0 (the
+    * left-join null → no-smoothing convention; out-of-domain text
+    * scores toward 0 instead of being dropped). Same exactness
+    * discipline as [[bigramFluency]]: millionth-quantized terms before
+    * the int64 sum, one fixed floor sequence at the end. Scale: one
+    * data-sized join from doc bigrams onto the vocab²-bounded LM table,
+    * keyed on the bigram. Documents with fewer than two tokens have no
+    * bigrams and are absent from the output (score them by policy at
+    * the caller — the streaming gate treats missing as failing).
+    */
+  def scoreAgainstLm(
+      lm: DataFrame, df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df0.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("w"))
+      .repartition(col(idCol))
+    val bigrams = toks.select(col(idCol), explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1).as("w1"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("w2"))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    bigrams
+      .join(lm, Seq("w1", "w2"), "left")
+      .select(col(idCol),
+        coalesce(
+          floor(col("cb").cast("double") * 1000000.0 / col("cp") + 0.5)
+            .cast("long"),
+          lit(0L)).as("t6"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(sum(col("t6")).cast("double") / count(lit(1)) + 0.5) / 1000000.0)
+          .as("fluency6"))
+  }
+
   def repetitionSignals(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
     // single-file parquet plans as ONE partition; the interpreted n-gram
     // lambdas are CPU-heavy, so spread rows across cores first

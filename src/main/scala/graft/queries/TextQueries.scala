@@ -37,6 +37,52 @@ object TextQueries extends QueryPack {
       |  floor(CAST(SUM(t6) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0 AS fluency6
       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- LM2: trained-LM scoring split --------------------------------------
+  // The CCNet/Wenzek production posture lm1 only approximates: the LM
+  // trains on a REFERENCE corpus (doc_id % 10 <> 0), persists as a
+  // table, and a DISJOINT slice (doc_id % 10 = 0) scores against the
+  // frozen counts — unseen bigrams contribute exactly 0 (no smoothing).
+  // The persist + re-read is part of the exercised path: the scoring
+  // join reads the stored table, not the training lineage.
+  private def lm2Scored(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val t = s"graft_lm2_${graft.sources.Bucketing.dirSuffix(dir)}"
+    graft.sources.Bucketing.resetTable(s, t)
+    TextQuality.trainBigramLm(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text")
+      .write.format("parquet").saveAsTable(t)
+    TextQuality.scoreAgainstLm(s.table(t),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  private val lm2Sql =
+    s"""WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      |  FROM documents WHERE doc_id % 10 <> 0),
+      |bg AS (
+      |  SELECT w[i] AS w1, w[i+1] AS w2
+      |  FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM w)
+      |  WHERE i < len(w)),
+      |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+      |cp AS (SELECT w1, SUM(cb) AS cp FROM cb GROUP BY 1),
+      |sw AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |sbg AS (
+      |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      |  FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM sw)
+      |  WHERE i < len(w)),
+      |terms AS (
+      |  SELECT sbg.doc_id,
+      |    COALESCE(CAST(floor(CAST(cb.cb AS DOUBLE) * 1000000.0 / cp.cp + 0.5) AS BIGINT), 0) AS t6
+      |  FROM sbg
+      |  LEFT JOIN cb ON sbg.w1 = cb.w1 AND sbg.w2 = cb.w2
+      |  LEFT JOIN cp ON sbg.w1 = cp.w1)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  floor(CAST(SUM(t6) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0 AS fluency6
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- RQ1: repetition signals -------------------------------------------
   private def rq1Repetition(s: SparkSession, dir: String): DataFrame =
     TextQuality.repetitionSignals(Tables.load(s, dir, "documents"), "doc_id", "text")
@@ -389,6 +435,7 @@ object TextQueries extends QueryPack {
     Q("co1_cooccur_lift", "adjacent-pair co-occurrence lift (log-free PMI ranking)", co1CooccurLift, Some(co1Sql)),
     Q("ck1_chunking", "overlapping context-window chunking (32-token windows, stride 24)", ck1Chunking, Some(ck1Sql)),
     Q("lm1_bigram_fluency", "bigram-LM fluency score per doc (log-free perplexity stand-in, millionth-quantized terms)", lm1Fluency, Some(lm1Sql)),
+    Q("lm2_trained_lm_scoring", "trained-LM scoring split: bigram LM trained+persisted on a reference slice, disjoint docs scored against the frozen counts (unseen bigrams -> 0)", lm2Scored, Some(lm2Sql)),
     Q("rq1_repetition", "Gopher-style repetition quality signals (top-unigram / dup-trigram fractions)", rq1Repetition, Some(rq1Sql)),
     Q("tf1_tfidf_keywords", "top-3 keywords per doc by log-free TF-IDF", tf1Keywords, Some(tf1Sql)),
     Q("pii1_redact", "PII redaction pass with removal counts (planted deterministic contacts)", pii1Redact, Some(pii1Sql)),

@@ -19,6 +19,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * or the ingest-dedup tier; a row predicate splits map-side with no
   * shuffle at all — the per-trigger cost is one narrow pass over the
   * batch, flat in corpus size and in constraint count.
+  *
+  * `enrich` relaxes row-local where a constraint needs derived columns
+  * a projection can't produce — the canonical case is a perplexity
+  * band: join the batch against a FROZEN trained-LM table
+  * ([[graft.ops.TextQuality.scoreAgainstLm]]) and constrain on the
+  * score. The enrichment MUST be deterministic and row-preserving
+  * (joins against frozen reference tables, derived columns — never
+  * against data that moves between a crash and its replay), because a
+  * replayed batch recomputes it and must land identical epochs; its
+  * output columns are part of the committed rows.
   */
 object QualityGate {
 
@@ -26,7 +36,8 @@ object QualityGate {
   def applyBatch(
       spark: SparkSession, batch: DataFrame, batchId: Long,
       constraints: Seq[(String, Column)], outDir: String,
-      rejectDir: String): Unit = {
+      rejectDir: String,
+      enrich: DataFrame => DataFrame = identity): Unit = {
     require(constraints.nonEmpty, "QualityGate: no constraints")
     val marker = s"$outDir/_graft_quality_epoch"
     if (EpochCommit.readMarker(spark, marker).exists(_ >= batchId)) return
@@ -34,7 +45,7 @@ object QualityGate {
       val firstViolated = coalesce(
         (constraints.map { case (n, viol) => when(viol, lit(n)) } :+
           lit(null).cast("string")): _*)
-      val flagged = batch.withColumn("__violated", firstViolated)
+      val flagged = enrich(batch).withColumn("__violated", firstViolated)
         .localCheckpoint(true) // one pass feeds both epoch writes
       EpochCommit.commitEpoch(
         flagged.filter(col("__violated").isNotNull)
@@ -51,13 +62,15 @@ object QualityGate {
   def start(
       rows: DataFrame, constraints: Seq[(String, Column)], outDir: String,
       rejectDir: String, checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      enrich: DataFrame => DataFrame = identity): StreamingQuery =
     rows.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b.sparkSession, b, id, constraints, outDir, rejectDir); ()
+        applyBatch(b.sparkSession, b, id, constraints, outDir, rejectDir,
+          enrich); ()
       }
       .start()
 }

@@ -80,7 +80,65 @@ object ScaleProbe {
       val exp = math.log(t2 / t1) / math.log(factor.toDouble)
       f""""$name":{"t_$n1%d":$t1%.2f,"t_$n2%d":$t2%.2f,"rows_$n1%d":$c1,"rows_$n2%d":$c2,"exponent":$exp%.2f}"""
     }
-    println("{" + lines.mkString(",") + "}")
+
+    val embLines = embeddingExponents(spark, small, factor)
+    println("{" + (lines ++ embLines).mkString(",") + "}")
     spark.stop()
+  }
+
+  /** Clustered EMBEDDING corpus with the same fixed-density property as
+    * [[corpus]]: clusters of 4 mutually-near-dup vectors (within-cluster
+    * cosine ≈ 0.994 ≥ 0.9; the shared base direction is zero-centered
+    * uniform per cluster, so cross-cluster cosine concentrates near 0 —
+    * |cos| ≲ 3/√64 — and never crosses the threshold), true pair count
+    * 1.5n, exactly linear in n.
+    */
+  def embCorpus(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).selectExpr("id AS vec_id",
+      "transform(sequence(0, 63), j -> cast(pmod(hash(id div 4, j), 1000) / 1000.0 - 0.5 " +
+        "+ CASE WHEN j = (id % 4) * 7 THEN 0.05 * (1 + id % 4) ELSE 0.0 END as float)) AS embedding")
+
+  /** The semantic family's exponents, measured under each operator's
+    * documented SCALE POSTURE (the claim is sub-quadratic *given* the
+    * posture, so the probe must grow the knob with n):
+    *
+    *  - `sd1_semdedup`: K = n/50 centroids (constant expected cluster
+    *    occupancy) keeps the blocked pairwise O(n²/K) = O(n) — a fixed
+    *    K would re-grow the quadratic inside each block.
+    *  - `ivf_serve`: C = √n centroids, so serve cost per fixed 64-query
+    *    batch is O(q·(C + nProbe·n/C)) = O(q·√n) — exponent ≈ 0.5 is
+    *    the theory line, fixed costs drag the measured value below it.
+    *    Build (untimed here) is one assignment pass, linear.
+    */
+  private def embeddingExponents(
+      spark: SparkSession, small: Long, factor: Long): Seq[String] = {
+    import graft.ops.Similarity
+    import graft.sources.AnnIndex
+    def run(n: Long): Seq[(String, Double, Long)] = {
+      val vecs = embCorpus(spark, n).localCheckpoint(true)
+      val queries = embCorpus(spark, 64).localCheckpoint(true)
+      val table = s"graft_scaleprobe_ivf_$n"
+      AnnIndex.buildIvf(vecs, table,
+        nCentroids = math.max(4, math.sqrt(n.toDouble).toInt), refine = 1,
+        buckets = 8)
+      Seq(
+        "sd1_semdedup" -> (() => Similarity.semDedup(vecs,
+          nCentroids = math.max(4, (n / 50).toInt), refine = 1,
+          threshold = 0.9).count()),
+        "ivf_serve" -> (() => AnnIndex.ivfServe(spark, table, queries,
+          k = 10, nProbe = 2).count())
+      ).map { case (name, f) =>
+        val (secs, rows) = timed(f())
+        (name, secs, rows)
+      }
+    }
+    // untimed warmup (codegen for the scoring/assignment shapes)
+    run(400)
+    val r1 = run(small)
+    val r2 = run(small * factor)
+    r1.zip(r2).map { case ((name, t1, c1), (_, t2, c2)) =>
+      val exp = math.log(t2 / t1) / math.log(factor.toDouble)
+      f""""$name":{"t_$small%d":$t1%.2f,"t_${small * factor}%d":$t2%.2f,"rows_$small%d":$c1,"rows_${small * factor}%d":$c2,"exponent":$exp%.2f}"""
+    }
   }
 }

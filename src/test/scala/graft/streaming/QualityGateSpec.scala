@@ -58,4 +58,54 @@ class QualityGateSpec extends SparkSpec {
       assert(spark.read.parquet(s"$dir/reject").count() == 3)
     } finally q.stop()
   }
+
+  test("perplexity-band expectation: docs score against a frozen trained LM") {
+    import graft.ops.TextQuality
+    val dir = Files.createTempDirectory("graft-qgate-lm").toString
+    // the LM trains ONCE on the reference corpus and persists — the
+    // gate's enrichment reads the stored table, never the training
+    // lineage (the CCNet/Wenzek posture lm2 exercises in batch)
+    graft.sources.Bucketing.resetTable(spark, "qgate_lm")
+    TextQuality.trainBigramLm(
+        Seq((100L, "the quick brown fox jumps over the lazy dog"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .write.format("parquet").saveAsTable("qgate_lm")
+    val enrich: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      b => b.join(
+        TextQuality.scoreAgainstLm(spark.table("qgate_lm"), b, "doc_id", "text"),
+        Seq("doc_id"), "left")
+    val band = Seq(
+      // missing score (no bigrams) fails the band too — policy: a doc
+      // the LM cannot score does not pass a perplexity expectation
+      "fluency_band" -> (col("fluency6").isNull || col("fluency6") < 0.5))
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = QualityGate.start(mem.toDF().toDF("doc_id", "text"), band,
+      s"$dir/out", s"$dir/reject", s"$dir/ckpt",
+      Trigger.ProcessingTime("0 seconds"), enrich = enrich)
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps"), // in-distribution: (the,quick)=1/2, rest 1/1 → 0.875
+        (2L, "zyx qqq www eee"),           // token soup: all bigrams unseen → 0.0
+        (3L, "solo"))                      // one token: no bigrams → null score
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+        .select("doc_id", "fluency6").as[(Long, Double)].collect().toMap
+      assert(out == Map(1L -> 0.875), s"passing set drifted: $out")
+      val rejects = spark.read.parquet(s"$dir/reject")
+        .select("doc_id", "violated").as[(Long, String)].collect().toMap
+      assert(rejects == Map(2L -> "fluency_band", 3L -> "fluency_band"),
+        s"got $rejects")
+      // the committed rows CARRY the enrichment (score visible downstream)
+      assert(spark.read.parquet(s"$dir/reject")
+        .filter(col("doc_id") === 2L).select("fluency6")
+        .as[Option[Double]].collect().toSeq == Seq(Some(0.0)))
+      // replay: deterministic enrichment → identical epochs, no dupes
+      QualityGate.applyBatch(spark,
+        Seq((1L, "the quick brown fox jumps"), (2L, "zyx qqq www eee"),
+          (3L, "solo")).toDF("doc_id", "text"),
+        batchId = 0, band, s"$dir/out", s"$dir/reject", enrich)
+      assert(spark.read.parquet(s"$dir/out").count() == 1)
+      assert(spark.read.parquet(s"$dir/reject").count() == 2)
+    } finally q.stop()
+  }
 }
