@@ -345,15 +345,32 @@ object StreamBench {
       "spark.sql.sources.parallelPartitionDiscovery.threshold")
     val confPrev = confKeys.map(k => k -> spark.conf.getOption(k))
     val dir = Files.createTempDirectory("graft-bench-semingest").toFile
-    val embExpr = org.apache.spark.sql.functions.expr(
-      "transform(sequence(0, 63), j -> cast(pmod(hash(vec_id, j), 1000) as float) / 1000.0)")
-    val corpus = spark.range(500)
-      .select(col("id").as("vec_id")).withColumn("embedding", embExpr)
+    // zero-centered UNIT vectors: the gate's cosine is the raw dot
+    // product (unit-length contract), and random unit directions in
+    // 64-d concentrate at cos ≈ N(0, 1/64) — far below the 0.9
+    // threshold, so every distinct vector SURVIVES and appends (the
+    // gate's worst case, like ingestThroughput's all-distinct docs).
+    // The serve probes' positive-quadrant expr would instead put every
+    // cross dot at ~16 and measure the all-reject path.
+    def unitEmb(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      // opaque(): CollapseProject would otherwise inline the e0
+      // transform into the norm aggregate AND every normalize reference
+      // (the repetitionSignals trap), multiplying the interpreted-HOF
+      // work per row
+      df.withColumn("e0", graft.functions.ArrayHashes.opaque(
+          org.apache.spark.sql.functions.expr(
+            "transform(sequence(0, 63), j -> pmod(hash(vec_id, j), 1000) / 1000.0 - 0.5)")))
+        .withColumn("n0", graft.functions.ArrayHashes.opaque(
+          org.apache.spark.sql.functions.expr(
+            "sqrt(aggregate(e0, cast(0 as double), (a, y) -> a + y * y))")))
+        .withColumn("embedding", org.apache.spark.sql.functions.expr(
+          "transform(e0, x -> cast(x / n0 as float))"))
+        .drop("e0", "n0")
+    val corpus = unitEmb(spark.range(500).select(col("id").as("vec_id")))
     graft.sources.AnnIndex.buildIvf(corpus, "graft_bench_semingest_idx",
       nCentroids = 16, refine = 1, buckets = 8)
     val mem = MemoryStream[Long](spark)(spark.sqlContext.implicits.newLongEncoder)
-    val vectors = mem.toDF().select(col("value").as("vec_id"))
-      .withColumn("embedding", embExpr)
+    val vectors = unitEmb(mem.toDF().select(col("value").as("vec_id")))
     val q = graft.streaming.SemanticIngestGate.start(
       vectors, "graft_bench_semingest_idx", "vec_id", "embedding",
       s"$dir/out", s"$dir/reject", s"$dir/ckpt",
@@ -442,6 +459,16 @@ object StreamBench {
     * distribution and stays single-shot.
     */
   def jsonFragment(spark: SparkSession): String = {
+    // one UNTIMED full tws wave first: tws is the fragment's FIRST
+    // streaming probe and the batch queries before it warm none of the
+    // streaming/RocksDB codepaths — the round-10 A/B (r8 commit vs
+    // HEAD, 6 runs per JVM each) showed runs 1-2 of a fresh session
+    // read 15-17k ev/s while runs 3+ plateau at 22-24k on BOTH
+    // commits, so a median that includes the warming runs measures JIT
+    // progress, not the operator. The in-run warmup batch only absorbs
+    // per-query setup (codegen + RocksDB column-family init), not the
+    // cross-run C2 warmth this wave provides.
+    twsThroughput(spark)
     val twsRuns = IndexedSeq.fill(3)(twsThroughput(spark)).sortBy(_._1)
     val (twsEps, twsState) = twsRuns(1)
     val (twsMin, twsMax) = (twsRuns(0)._1, twsRuns(2)._1)

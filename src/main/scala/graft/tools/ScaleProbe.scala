@@ -94,9 +94,18 @@ object ScaleProbe {
     * 1.5n, exactly linear in n.
     */
   def embCorpus(spark: SparkSession, n: Long): DataFrame =
-    spark.range(n).selectExpr("id AS vec_id",
-      "transform(sequence(0, 63), j -> cast(pmod(hash(id div 4, j), 1000) / 1000.0 - 0.5 " +
-        "+ CASE WHEN j = (id % 4) * 7 THEN 0.05 * (1 + id % 4) ELSE 0.0 END as float)) AS embedding")
+    spark.range(n)
+      .selectExpr("id AS vec_id",
+        "transform(sequence(0, 63), j -> pmod(hash(id div 4, j), 1000) / 1000.0 - 0.5 " +
+          "+ CASE WHEN j = (id % 4) * 7 THEN 0.05 * (1 + id % 4) ELSE 0.0 END) AS e0")
+      // UNIT-normalize: the engine's cosine is the raw dot product
+      // (embeddings-table vectors are unit length), so an unnormalized
+      // synthetic corpus would put every within-block dot at ||v||² ≈
+      // 5.3 ≫ any threshold and measure the wrong semantics
+      .selectExpr("vec_id", "e0",
+        "sqrt(aggregate(e0, cast(0 as double), (a, y) -> a + y * y)) AS n0")
+      .selectExpr("vec_id",
+        "transform(e0, x -> cast(x / n0 as float)) AS embedding")
 
   /** The semantic family's exponents, measured under each operator's
     * documented SCALE POSTURE (the claim is sub-quadratic *given* the
