@@ -13,6 +13,53 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** CUSUM drift detection per group — the sequential change-point
+    * monitor (Page's cumulative sum): S_i = max(0, S_{i−1} + (x_i − k))
+    * with an alarm whenever S_i > h, computed WITHOUT the recursion via
+    * the prefix identity S_i = C_i − min(0, min_{j≤i} C_j) where C is
+    * the running sum of (x − k) — two ordered window passes per group.
+    * The reference k is the group mean plus `allowance` (choose ≈ σ/2
+    * to target a drift size, per the standard tuning); `h` is the alarm
+    * threshold (≈ 4-5σ).
+    *
+    * All arithmetic is fixed-point int64 (quantized at `scale`), so the
+    * running sums are EXACT under any window-aggregation strategy — a
+    * raw-double cumsum would hash-differ between Spark's sequential
+    * accumulation and an engine that evaluates window sums through a
+    * segment tree (DuckDB does), because the summation TREE differs
+    * even though the ordered frame is identical.
+    *
+    * Scale: one shuffle on the group key, in-partition sort per window
+    * (the rolling-aggregate shape); each group's scan is inherently
+    * sequential — the parallelism is the group count, exactly how a
+    * per-metric monitor shards at 100 TB. Output per group: n_points,
+    * n_alarms, max_s (back in value units).
+    */
+  def cusumDrift(
+      df: DataFrame, groupCol: String, valueCol: String,
+      orderCols: Seq[String], allowance: Double, h: Double,
+      scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = floor(col(valueCol).cast("double") * scale.toDouble + 0.5).cast("long")
+    val rows = df.select((col(groupCol) +: orderCols.map(col)) :+ q.as("q"): _*)
+    val means = rows.groupBy(col(groupCol)).agg(
+      floor(sum(col("q")).cast("double") / count(lit(1)) + 0.5).cast("long")
+        .as("mean_q"))
+    val allowQ = math.floor(allowance * scale + 0.5).toLong
+    val hQ = math.floor(h * scale + 0.5).toLong
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows.join(broadcast(means), Seq(groupCol))
+      .withColumn("dev", col("q") - col("mean_q") - lit(allowQ))
+      .withColumn("c", sum(col("dev")).over(w))
+      .withColumn("s", col("c") - least(lit(0L), min(col("c")).over(w)))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_points"),
+        count(when(col("s") > hQ, 1)).as("n_alarms"),
+        (max(col("s")).cast("double") / scale.toDouble).as("max_s"))
+  }
+
   /** Per-group z-score outlier detection: count of |z| > `zThresh`
     * rows and the rounded max |z| per group. `scale` is the fixed-point
     * quantization (10³ for values up to ~10⁵ at 10⁸ rows/group before

@@ -147,6 +147,65 @@ object TextQuality {
           .as("fluency6"))
   }
 
+  /** DSIR-style importance scoring for data selection (after Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): hashed n-gram (unigram + bigram) features bucket
+    * into `buckets` cells, the TARGET slice's bucket distribution p̂
+    * and the RAW corpus's q̂ are add-1 smoothed, and each document
+    * scores by how target-like its features are. The score is the
+    * engine-exact LOG-FREE surrogate this codebase uses wherever the
+    * paper says log (lm1's precedent): the arithmetic mean over the
+    * doc's feature instances of the millionth-quantized importance
+    * ratio r(b) = p̂(b)/q̂(b), instead of the paper's mean log-ratio —
+    * same selection spirit (documents whose features look drawn from
+    * the target distribution score high), none of libm's cross-engine
+    * non-reproducibility. Hashing is md5-prefix ([[graft.ops.Dedup.hash32]]),
+    * so buckets are identical in any engine.
+    *
+    * Scale: feature extraction is the word-count shape (explode +
+    * B-bounded aggregation with map-side partials); the distributions
+    * and ratio table are B rows (broadcast); scoring is one data-sized
+    * join from feature instances onto the B-row table. The quantized
+    * ratio arithmetic stays exact: both products are exact in double
+    * (counts ≪ 2²⁶), and the one division + scale runs in a fixed
+    * IEEE sequence mirrored in the oracle.
+    *
+    * Output: (idCol, n_features, dsir_score) per document.
+    */
+  def dsirScores(
+      df0: DataFrame, isTarget: Column, idCol: String, textCol: String,
+      buckets: Int = 256): DataFrame = {
+    val toks = df0.select(col(idCol), isTarget.as("__t"),
+        TextAnalysis.tokens(col(textCol)).as("w"))
+      .repartition(col(idCol))
+    val uni = toks.select(col(idCol), col("__t"), explode(col("w")).as("g"))
+    val big = toks.select(col(idCol), col("__t"), explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1).as("w1"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("w2"))).as("b"))
+      .select(col(idCol), col("__t"),
+        concat(col("b.w1"), lit(" "), col("b.w2")).as("g"))
+    // hashing feeds BOTH distributions and the scoring join — hash once
+    val feats = uni.unionByName(big)
+      .select(col(idCol), col("__t"),
+        pmod(graft.ops.Dedup.hash32(concat(lit("dsir|"), col("g"))),
+          lit(buckets)).as("bkt"))
+      .localCheckpoint(true)
+    val dist = feats.groupBy(col("bkt")).agg(
+      count(lit(1)).as("cq"),
+      count(when(col("__t"), 1)).as("ct"))
+    val totals = dist.agg(sum(col("cq")).as("tq"), sum(col("ct")).as("tt"))
+    val ratio = dist.crossJoin(broadcast(totals))
+      .select(col("bkt"),
+        floor((col("ct") + 1).cast("double") * (col("tq") + buckets)
+          / ((col("cq") + 1).cast("double") * (col("tt") + buckets))
+          * 1000000.0 + 0.5).cast("long").as("r6"))
+    feats.join(broadcast(ratio), Seq("bkt"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_features"),
+        (floor(sum(col("r6")).cast("double") / count(lit(1)) + 0.5) / 1000000.0)
+          .as("dsir_score"))
+  }
+
   def repetitionSignals(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
     // single-file parquet plans as ONE partition; the interpreted n-gram
     // lambdas are CPU-heavy, so spread rows across cores first

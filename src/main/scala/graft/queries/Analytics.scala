@@ -406,7 +406,49 @@ object Analytics extends QueryPack {
       |  CAST(SUM(qterm) AS DOUBLE) / 1000000.0 AS chi2
       |FROM terms GROUP BY n, dof""".stripMargin
 
+  // ---- CUS1: CUSUM drift detection ---------------------------------------
+  // Page's cumulative-sum change-point monitor per event type, the
+  // recursion S_i = max(0, S_{i-1} + (x_i - k)) unrolled into two
+  // ordered window passes (prefix sum − running prefix min) — see
+  // ops.Stats.cusumDrift for why the arithmetic must be fixed-point
+  // int64 (Spark's sequential window accumulation vs DuckDB's segment
+  // tree would hash-differ on a raw-double cumsum). k = mean + 25
+  // (≈ σ/2), h = 250 (≈ 5σ) for the events value distribution.
+  private def cus1Cusum(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.cusumDrift(Tables.load(s, dir, "events"),
+        "event_type", "value", Seq("ts", "event_id"),
+        allowance = 25.0, h = 250.0)
+      .orderBy(col("event_type"))
+
+  private val cus1Sql =
+    """WITH base AS (
+      |  SELECT event_type, ts, event_id,
+      |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS qv
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type,
+      |    CAST(floor(CAST(SUM(qv) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS mean_q
+      |  FROM base GROUP BY 1),
+      |d AS (
+      |  SELECT base.event_type, ts, event_id, qv - mean_q - 25000000 AS dev
+      |  FROM base JOIN m USING (event_type)),
+      |cum AS (
+      |  SELECT event_type, ts, event_id,
+      |    SUM(dev) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS cv
+      |  FROM d),
+      |stat AS (
+      |  SELECT event_type,
+      |    cv - least(0, MIN(cv) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      |                                ROWS UNBOUNDED PRECEDING)) AS sv
+      |  FROM cum)
+      |SELECT event_type, COUNT(*) AS n_points,
+      |  COUNT(CASE WHEN sv > 250000000 THEN 1 END) AS n_alarms,
+      |  CAST(MAX(sv) AS DOUBLE) / 1000000.0 AS max_s
+      |FROM stat GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override def all: Seq[Q] = Seq(
+    Q("cus1_cusum_drift", "CUSUM change-point monitor per event type (fixed-point prefix-sum identity, alarm count + max statistic)", cus1Cusum, Some(cus1Sql)),
     Q("cs1_chi_square", "chi-square independence test over a contingency table (fixed-point exact terms)", cs1ChiSquare, Some(cs1Sql)),
     Q("pa1_event_paths", "top-k 3-step user event paths (sequence mining via bounded user windows)", pa1TopPaths, Some(pa1Sql)),
     Q("mk1_markov_transitions", "first-order Markov event-transition matrix with row-normalized probabilities", mk1Markov, Some(mk1Sql)),

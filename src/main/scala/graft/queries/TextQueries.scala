@@ -83,6 +83,44 @@ object TextQueries extends QueryPack {
       |  floor(CAST(SUM(t6) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0 AS fluency6
       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- DSIR1: importance-resampling selection -----------------------------
+  // DSIR data selection (Xie et al. 2023) with the engine-exact
+  // log-free surrogate (see TextQuality.dsirScores): target slice =
+  // lang='en', raw = the whole corpus; top-50 most target-like docs.
+  private def dsir1Select(s: SparkSession, dir: String): DataFrame =
+    TextQuality.dsirScores(Tables.load(s, dir, "documents"),
+        col("lang") === "en", "doc_id", "text", buckets = 256)
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(50)
+
+  private val dsir1Sql =
+    s"""WITH w AS (
+      |  SELECT doc_id, lang = 'en' AS tgt,
+      |    string_split_regex(trim(text), '\\s+') AS w FROM documents),
+      |uni AS (SELECT doc_id, tgt, unnest(w) AS g FROM w),
+      |big AS (
+      |  SELECT doc_id, tgt, w[i] || ' ' || w[i+1] AS g
+      |  FROM (SELECT doc_id, tgt, w, generate_subscripts(w, 1) AS i FROM w)
+      |  WHERE i < len(w)),
+      |feats AS (
+      |  SELECT doc_id, tgt,
+      |    ('0x' || substr(md5('dsir|' || g), 1, 8))::BIGINT % 256 AS bkt
+      |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+      |dist AS (
+      |  SELECT bkt, COUNT(*) AS cq, COUNT(CASE WHEN tgt THEN 1 END) AS ct
+      |  FROM feats GROUP BY 1),
+      |tot AS (SELECT SUM(cq) AS tq, SUM(ct) AS tt FROM dist),
+      |ratio AS (
+      |  SELECT bkt,
+      |    CAST(floor(CAST(ct + 1 AS DOUBLE) * (tq + 256)
+      |      / (CAST(cq + 1 AS DOUBLE) * (tt + 256)) * 1000000.0 + 0.5) AS BIGINT) AS r6
+      |  FROM dist, tot)
+      |SELECT f.doc_id AS doc_id, COUNT(*) AS n_features,
+      |  floor(CAST(SUM(r6) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0 AS dsir_score
+      |FROM feats f JOIN ratio USING (bkt)
+      |GROUP BY f.doc_id
+      |ORDER BY dsir_score DESC, doc_id LIMIT 50""".stripMargin
+
   // ---- RQ1: repetition signals -------------------------------------------
   private def rq1Repetition(s: SparkSession, dir: String): DataFrame =
     TextQuality.repetitionSignals(Tables.load(s, dir, "documents"), "doc_id", "text")
@@ -436,6 +474,7 @@ object TextQueries extends QueryPack {
     Q("ck1_chunking", "overlapping context-window chunking (32-token windows, stride 24)", ck1Chunking, Some(ck1Sql)),
     Q("lm1_bigram_fluency", "bigram-LM fluency score per doc (log-free perplexity stand-in, millionth-quantized terms)", lm1Fluency, Some(lm1Sql)),
     Q("lm2_trained_lm_scoring", "trained-LM scoring split: bigram LM trained+persisted on a reference slice, disjoint docs scored against the frozen counts (unseen bigrams -> 0)", lm2Scored, Some(lm2Sql)),
+    Q("dsir1_importance_select", "DSIR importance-resampling selection: hashed unigram+bigram bucket distributions (target lang='en' vs raw), per-doc mean quantized importance ratio, top-50", dsir1Select, Some(dsir1Sql)),
     Q("rq1_repetition", "Gopher-style repetition quality signals (top-unigram / dup-trigram fractions)", rq1Repetition, Some(rq1Sql)),
     Q("tf1_tfidf_keywords", "top-3 keywords per doc by log-free TF-IDF", tf1Keywords, Some(tf1Sql)),
     Q("pii1_redact", "PII redaction pass with removal counts (planted deterministic contacts)", pii1Redact, Some(pii1Sql)),

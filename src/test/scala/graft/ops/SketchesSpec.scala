@@ -316,4 +316,45 @@ class SketchesSpec extends SparkSpec {
     // query completes and never emits a null row
     assert(got == Seq(("a", 60L)))
   }
+
+  test("cusumDrift matches the recursive S_i = max(0, S_{i-1} + dev) definition") {
+    val rnd = new scala.util.Random(7)
+    // three interleaved series; g1 gets a planted +150 level shift on
+    // its last ~20 points so the alarm path is exercised. The shift is
+    // late and large ON PURPOSE: k derives from the whole-series mean,
+    // so a long contamination window raises k by half the shift and
+    // cancels the very drift it should detect — the classic reason
+    // production CUSUM trains k on a reference period
+    val series = (1 to 600).map { i =>
+      val g = s"g${i % 3}"
+      val v = math.floor(rnd.nextDouble() * 10000) / 100.0
+      (g, i.toLong, if (g == "g1" && i > 540) v + 150.0 else v)
+    }
+    val got = graft.ops.Stats.cusumDrift(series.toDF("g", "i", "v"),
+        "g", "v", Seq("i"), allowance = 15.0, h = 250.0)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // driver-side reference: the textbook recursion, same fixed point
+    val scale = 1000000L
+    val byG = series.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => math.floor(t._3 * scale + 0.5).toLong))
+      .toMap
+    byG.foreach { case (g, qs) =>
+      val k = math.floor(qs.sum.toDouble / qs.size + 0.5).toLong +
+        math.floor(15.0 * scale + 0.5).toLong
+      val hQ = math.floor(250.0 * scale + 0.5).toLong
+      var s = 0L; var alarms = 0L; var maxS = 0L
+      qs.foreach { q =>
+        s = math.max(0L, s + (q - k))
+        if (s > hQ) alarms += 1
+        maxS = math.max(maxS, s)
+      }
+      assert(got(g) == ((qs.size.toLong, alarms, maxS.toDouble / scale)),
+        s"group $g drifted from the recursive definition: ${got(g)}")
+    }
+    assert(got("g1")._2 > 0, "the planted level shift must alarm")
+    assert(got("g0")._2 == 0 && got("g2")._2 == 0,
+      "undrifted series must stay under the threshold")
+  }
 }

@@ -150,4 +150,23 @@ class TextQualitySpec extends SparkSpec {
       .as[(Int, String, Long)].collect().toSeq
     assert(out == Seq((1, "p q", 2L)))
   }
+
+  test("dsirScores separates target-distribution docs from off-distribution ones") {
+    // disjoint vocabularies: every target feature lands in buckets where
+    // p̂/q̂ > 1 and every off-target feature where p̂/q̂ < 1, so the two
+    // score populations must separate COMPLETELY
+    val docs = (
+      (1 to 20).map(i => (i.toLong, "alpha beta gamma delta epsilon", true)) ++
+      (21 to 40).map(i => (i.toLong, "zeta eta theta iota kappa", false)))
+      .toDF("doc_id", "text", "is_tgt")
+    val scored = graft.ops.TextQuality
+      .dsirScores(docs, col("is_tgt"), "doc_id", "text", buckets = 64)
+      .select("doc_id", "dsir_score").as[(Long, Double)].collect().toMap
+    assert(scored.size == 40)
+    val (tgt, off) = scored.partition(_._1 <= 20)
+    assert(tgt.values.min > off.values.max,
+      s"target docs must outscore off-target: ${tgt.values.min} vs ${off.values.max}")
+    // identical docs score identically (hash + arithmetic deterministic)
+    assert(tgt.values.toSet.size == 1 && off.values.toSet.size == 1)
+  }
 }
