@@ -266,4 +266,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"sim4 degraded to an unbucketed join:\n$p")
   }
+
+  test("cus1: one sorted exchange drives both CUSUM windows; rollup adds no shuffle") {
+    // the prefix-sum and running-min windows share (partition, order),
+    // so the plan must sort ONCE and stack both Window nodes on that
+    // single hashpartitioning exchange — and the final per-group rollup
+    // must reuse the window partitioning (same key) instead of
+    // re-shuffling. The only other hash exchange is the tiny per-group
+    // mean, which then BROADCASTS into the data side.
+    val p = plan("cus1_cusum_drift")
+    val windows = "Window \\[".r.findAllIn(p).length
+    assert(windows == 2, s"expected the two stacked CUSUM windows, got $windows:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 2,
+      s"CUSUM must shuffle exactly twice (window input + mean agg), got $hashExchanges:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the mean side lost its broadcast:\n$p")
+  }
+
+  test("dsir1: ratio table broadcasts into the scoring join; the cut is a TakeOrdered") {
+    // the B-row importance-ratio table must BROADCAST into the
+    // data-sized feature join (a shuffle there moves the corpus), and
+    // the top-50 must plan as TakeOrderedAndProject, not a global sort.
+    // The one nested-loop join allowed is the 1-row totals scalar
+    // attach (IdentityBroadcastMode) — a real cartesian is a regression.
+    val p = plan("dsir1_importance_select")
+    assert(p.contains("TakeOrderedAndProject"), s"dsir1 plans a full sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dsir1's ratio join lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"dsir1 degraded to a cartesian:\n$p")
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 1 && (bnl == 0 || p.contains("IdentityBroadcastMode")),
+      s"only the 1-row totals attach may nested-loop:\n$p")
+  }
 }
