@@ -88,12 +88,19 @@ object Par {
             if (failure.compareAndSet(null, e)) tasks.foreach(_.cancel(true))
             else failure.get().addSuppressed(e) // Throwable synchronizes
         }
-        // clear any interrupt (self-cancel above, or a sibling's) so it
-        // can't leak into the pooled thread's next task
-        Thread.interrupted()
       }, ())
     }
-    tasks.foreach(pool.execute)
+    // clear any interrupt AFTER FutureTask.run returns, not inside the
+    // callable: a sibling's cancel(true) can deliver its interrupt
+    // between an in-body clear and run() publishing the final state —
+    // run()'s own handlePossibleCancellationInterrupt waits for that
+    // delivery but deliberately leaves the FLAG set, and a flag leaked
+    // to the pooled thread would fail its next (unrelated) task's first
+    // blocking call. After run() returns no further cancel can
+    // interrupt (state is no longer NEW), so this clear is complete.
+    tasks.foreach(t => pool.execute(() => {
+      try t.run() finally Thread.interrupted()
+    }))
     // await ALL: get() throws CancellationException for cancelled
     // siblings and nothing for completed ones — thunk failures were
     // already captured inside the task, never thrown here. An interrupt

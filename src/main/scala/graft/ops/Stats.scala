@@ -22,12 +22,19 @@ object Stats {
     * to target a drift size, per the standard tuning); `h` is the alarm
     * threshold (≈ 4-5σ).
     *
-    * All arithmetic is fixed-point int64 (quantized at `scale`), so the
+    * All arithmetic is fixed-point (quantized at `scale`), so the
     * running sums are EXACT under any window-aggregation strategy — a
     * raw-double cumsum would hash-differ between Spark's sequential
     * accumulation and an engine that evaluates window sums through a
     * segment tree (DuckDB does), because the summation TREE differs
-    * even though the ordered frame is identical.
+    * even though the ordered frame is identical. The prefix sums
+    * accumulate in DECIMAL(38,0), not int64: |C_n| can reach
+    * n·scale·|x−k|, which wraps a signed 64-bit value around 9·10⁷
+    * rows/group at scale 10⁶ and |x|~10⁵ — below the very
+    * rows-per-group posture this operator shards at. DuckDB widens
+    * SUM(BIGINT) to HUGEINT implicitly, so an int64 Spark sum would
+    * not only wrap, it would silently DIVERGE from the oracle;
+    * decimal(38,0) matches the int128 behavior to 10³⁸.
     *
     * Scale: one shuffle on the group key, in-partition sort per window
     * (the rolling-aggregate shape); each group's scan is inherently
@@ -43,17 +50,19 @@ object Stats {
     val q = floor(col(valueCol).cast("double") * scale.toDouble + 0.5).cast("long")
     val rows = df.select((col(groupCol) +: orderCols.map(col)) :+ q.as("q"): _*)
     val means = rows.groupBy(col(groupCol)).agg(
-      floor(sum(col("q")).cast("double") / count(lit(1)) + 0.5).cast("long")
-        .as("mean_q"))
+      floor(sum(col("q").cast("decimal(38,0)")).cast("double") / count(lit(1))
+        + 0.5).cast("long").as("mean_q"))
     val allowQ = math.floor(allowance * scale + 0.5).toLong
     val hQ = math.floor(h * scale + 0.5).toLong
     val w = Window.partitionBy(col(groupCol))
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rows.join(broadcast(means), Seq(groupCol))
-      .withColumn("dev", col("q") - col("mean_q") - lit(allowQ))
+      .withColumn("dev",
+        (col("q") - col("mean_q") - lit(allowQ)).cast("decimal(38,0)"))
       .withColumn("c", sum(col("dev")).over(w))
-      .withColumn("s", col("c") - least(lit(0L), min(col("c")).over(w)))
+      .withColumn("s",
+        col("c") - least(lit(0L).cast("decimal(38,0)"), min(col("c")).over(w)))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_points"),
         count(when(col("s") > hQ, 1)).as("n_alarms"),

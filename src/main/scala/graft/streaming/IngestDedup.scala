@@ -164,12 +164,15 @@ object IngestDedup {
     * nearly all overhead. The default matches the index's bucket count
     * (the probe join shuffles the batch side to the bucket width
     * anyway); size up with trigger volume on a cluster. Only ever
-    * LOWERS the session value; `None` inherits it. Both pins are
-    * session-wide WHILE THE STREAM RUNS and restored to their prior
-    * values when the query terminates (a
-    * [[org.apache.spark.sql.streaming.StreamingQueryListener]] on this
-    * query's id) — batch work multiplexed on the same session DURING
-    * the stream still sees the pinned values; pass `None` to opt out of
+    * LOWERS the session value; `None` inherits it. Both pins (shuffle
+    * width down, driver-side listing threshold up to 1024 — each
+    * appended epoch adds bucket files, and past 32 files every
+    * per-trigger resolution would spawn a distributed listing JOB)
+    * register in [[ConfPins]] and release when the query terminates —
+    * two gates sharing one session keep the pin until the LAST one
+    * stops, and a late async termination event cannot clobber a fresh
+    * restart's pin. Batch work multiplexed on the same session DURING
+    * a stream still sees the pinned values; pass `None` to opt out of
     * the shuffle pin entirely.
     */
   def start(
@@ -179,26 +182,10 @@ object IngestDedup {
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
       shufflePartitions: Option[Int] = Some(8)): StreamingQuery = {
     val spark = docs.sparkSession
-    // (key, value-to-restore) for every conf this start() changes
-    var restore = List.empty[(String, String)]
-    shufflePartitions.foreach { n =>
-      val cur = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      if (n < cur) {
-        restore ::= ("spark.sql.shuffle.partitions", cur.toString)
-        spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-      }
-    }
-    // keep index-table file listing DRIVER-side: each appended epoch
-    // adds bucket files, and once a table crosses the default 32-file
-    // threshold every per-trigger resolution spawns a distributed
-    // listing JOB — pure fixed cost at these directory sizes. Only ever
-    // RAISED, never lowered under a caller's own setting.
-    val listKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-    val curList = spark.conf.get(listKey).toInt
-    if (curList < 1024) {
-      restore ::= (listKey, curList.toString)
-      spark.conf.set(listKey, "1024")
-    }
+    // acquire BEFORE start so the first trigger already plans at the
+    // pinned width; the holder id is arbitrary (one per start call)
+    val release = ConfPins.acquireGatePins(spark, shufflePartitions,
+      java.util.UUID.randomUUID())
     val query = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -208,7 +195,7 @@ object IngestDedup {
           outDir, rejectDir, threshold); ()
       }
       .start()
-    QueryCleanup.restoreConfsOnTermination(spark, query, restore)
+    QueryCleanup.onTermination(spark, query)(release)
     query
   }
 }

@@ -40,15 +40,4 @@ object QueryCleanup {
     }
   }
 
-  /** Restore session confs to their recorded prior values at query
-    * termination — the restore half of a stream's start-time conf pin.
-    * Last-writer-wins if the caller changes the same conf mid-stream
-    * (documented at each pin site).
-    */
-  def restoreConfsOnTermination(spark: SparkSession, query: StreamingQuery,
-      confs: Seq[(String, String)]): Unit =
-    if (confs.nonEmpty)
-      onTermination(spark, query) { () =>
-        confs.foreach { case (k, v) => spark.conf.set(k, v) }
-      }
 }

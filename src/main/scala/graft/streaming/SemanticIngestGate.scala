@@ -192,10 +192,11 @@ object SemanticIngestGate {
     * index (build it first with [[AnnIndex.buildIvf]]).
     *
     * `shufflePartitions` sizes the session's shuffle width to the
-    * TRIGGER volume, same argument and same restore contract as
+    * TRIGGER volume, same argument and same [[ConfPins]] contract as
     * [[IngestDedup.start]]: only ever LOWERS the session value, `None`
     * inherits it, and both pins (shuffle width + driver-side listing
-    * threshold) are restored when the query terminates.
+    * threshold) release at query termination — the original restores
+    * only when the last pinned stream on the session stops.
     */
   def start(
       vectors: DataFrame, table: String, idCol: String, embCol: String,
@@ -205,24 +206,8 @@ object SemanticIngestGate {
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
       shufflePartitions: Option[Int] = Some(8)): StreamingQuery = {
     val spark = vectors.sparkSession
-    var restore = List.empty[(String, String)]
-    shufflePartitions.foreach { n =>
-      val cur = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      if (n < cur) {
-        restore ::= ("spark.sql.shuffle.partitions", cur.toString)
-        spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-      }
-    }
-    // keep index-table file listing DRIVER-side (same fixed-cost trap
-    // as IngestDedup: every appended epoch adds bucket files, and past
-    // 32 files each per-trigger resolution spawns a distributed listing
-    // job). Only ever RAISED.
-    val listKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-    val curList = spark.conf.get(listKey).toInt
-    if (curList < 1024) {
-      restore ::= (listKey, curList.toString)
-      spark.conf.set(listKey, "1024")
-    }
+    val release = ConfPins.acquireGatePins(spark, shufflePartitions,
+      java.util.UUID.randomUUID())
     val query = vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -232,7 +217,7 @@ object SemanticIngestGate {
           outDir, rejectDir, threshold, nProbe, checkIdCollisions); ()
       }
       .start()
-    QueryCleanup.restoreConfsOnTermination(spark, query, restore)
+    QueryCleanup.onTermination(spark, query)(release)
     query
   }
 }

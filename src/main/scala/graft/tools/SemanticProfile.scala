@@ -32,11 +32,13 @@ object SemanticProfile {
             starts.put(j.jobId, (System.nanoTime(), name)); ()
           }
           override def onJobEnd(
-              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-            val (t0, name) = starts.remove(j.jobId)
-            System.err.println(
-              f"[job ${j.jobId}%4d] ${(System.nanoTime() - t0) / 1e6}%6.0f ms  $name")
-          }
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            // the listener bus can drop a JobStart under load — a null
+            // here must not kill the listener (sibling tools' pattern)
+            Option(starts.remove(j.jobId)).foreach { case (t0, name) =>
+              System.err.println(
+                f"[job ${j.jobId}%4d] ${(System.nanoTime() - t0) / 1e6}%6.0f ms  $name")
+            }
         })
     (1 to runs).foreach { i =>
       println(f"semantic_docs_per_s[$i] = ${graft.StreamBench.semanticThroughput(spark)}%.0f")

@@ -99,13 +99,23 @@ class QualityGateSpec extends SparkSpec {
       assert(spark.read.parquet(s"$dir/reject")
         .filter(col("doc_id") === 2L).select("fluency6")
         .as[Option[Double]].collect().toSeq == Seq(Some(0.0)))
-      // replay: deterministic enrichment → identical epochs, no dupes
+      // replay that actually RECOMPUTES: drop the marker fast-path AND
+      // the out epoch (the crash state where only the reject half
+      // landed) — the replay must re-run the enrichment, recommit an
+      // identical out epoch, and skip the already-committed reject
+      // epoch without duplicating it
+      Files.delete(java.nio.file.Paths.get(s"$dir/out", "_graft_quality_epoch"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$dir/out/epoch=0"))
       QualityGate.applyBatch(spark,
         Seq((1L, "the quick brown fox jumps"), (2L, "zyx qqq www eee"),
           (3L, "solo")).toDF("doc_id", "text"),
         batchId = 0, band, s"$dir/out", s"$dir/reject", enrich)
-      assert(spark.read.parquet(s"$dir/out").count() == 1)
-      assert(spark.read.parquet(s"$dir/reject").count() == 2)
+      assert(spark.read.parquet(s"$dir/out")
+        .select("doc_id", "fluency6").as[(Long, Double)].collect().toMap
+        == Map(1L -> 0.875), "recomputed epoch must be value-identical")
+      assert(spark.read.parquet(s"$dir/reject").count() == 2,
+        "replay must not duplicate the committed reject epoch")
     } finally q.stop()
   }
 }
