@@ -87,4 +87,40 @@ object Graph {
       .select(explode(array(col("u"), col("b"), col("c"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Bounded SYNCHRONOUS k-core peel over an undirected pair list
+    * (id_a < id_b, each pair once): each round recomputes every
+    * vertex's degree within the CURRENT edge set and drops all
+    * sub-`k` vertices at once — the parallel formulation of the
+    * classic sequential peel, converging to the same k-core fixpoint
+    * (dropping a vertex only ever lowers neighbors' degrees, so the
+    * synchronous and sequential closures agree). `rounds` bounds the
+    * iteration like [[pageRankFixedPoint]]'s `iters`: a converged set
+    * is a fixpoint, so extra rounds are no-ops, and the FIXED count is
+    * what makes a non-recursive SQL oracle possible (unrolled CTEs) —
+    * size it to the expected cascade depth (deepest chain of
+    * dependent removals), not the graph size.
+    *
+    * Scale shape per round: one degree aggregation (map-side partials)
+    * + two semi joins, all keyed on vertex id; lineage cut per round.
+    * Returns (id, core_degree ≥ k) — each survivor's degree within the
+    * final surviving set.
+    */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val surv = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src"))
+      edges = edges
+        .join(surv, Seq("src"), "left_semi")
+        .join(surv.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+    }
+    edges.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+      .filter(col("core_degree") >= k)
+      .select(col("src").as("id"), col("core_degree"))
+  }
 }

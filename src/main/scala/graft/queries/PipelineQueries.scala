@@ -361,6 +361,59 @@ object PipelineQueries extends QueryPack {
       |SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank
       |FROM pr3 ORDER BY rank DESC, id LIMIT 50""".stripMargin
 
+  // ---- KC1: k-core decomposition over the near-dup graph -----------------
+  // Bounded synchronous peel (Graph.kCore): the dense near-clique
+  // component survives k = 10 while the sparse tail (degrees 1-7 on
+  // this graph at both SFs) cascades away; 3 rounds covers the
+  // cascade depth with a converged-fixpoint margin, and the FIXED
+  // round count is what lets the oracle unroll the peel as plain CTEs
+  // (the pr1 pattern — no recursion, both engines run exactly the
+  // same 3 rounds).
+  private def kc1KCore(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.kCore(sharedMinhashPairs(s, dir), k = 10, rounds = 3)
+      .orderBy(col("core_degree").desc, col("id"))
+      .limit(50)
+      .select(col("id").as("doc_id"), col("core_degree"))
+
+  private val kc1Sql =
+    s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    [('0x' || substr(md5(w), 1, 15))::BIGINT for w in words] AS wh,
+      |    [list_min([((('0x' || substr(md5('a' || chr(124) || CAST(i AS VARCHAR)), 1, 5))::BIGINT | 1)
+      |                 * ('0x' || substr(md5(w), 1, 8))::BIGINT
+      |                 + ('0x' || substr(md5('b' || chr(124) || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 4294967291
+      |                ) % 4294967291
+      |               for w in words]) for i in range(0, 32)] AS sig
+      |  FROM t),
+      |bands AS (
+      |  SELECT doc_id,
+      |    unnest([('0x' || substr(md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], '|')), 1, 15))::BIGINT
+      |            for b in range(0, 8)]) AS band_key
+      |  FROM sigs),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cands
+      |  JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
+      |  WHERE floor(CAST(len(list_intersect(sa.wh, sb.wh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(sa.wh, sb.wh))) * 1000000.0 + 0.5) / 1000000.0 >= 0.9),
+      |e0 AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |       UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+      |v1 AS (SELECT src FROM e0 GROUP BY src HAVING COUNT(*) >= 10),
+      |e1 AS (SELECT e.src, e.dst FROM e0 e
+      |       JOIN v1 a ON e.src = a.src JOIN v1 b ON e.dst = b.src),
+      |v2 AS (SELECT src FROM e1 GROUP BY src HAVING COUNT(*) >= 10),
+      |e2 AS (SELECT e.src, e.dst FROM e1 e
+      |       JOIN v2 a ON e.src = a.src JOIN v2 b ON e.dst = b.src),
+      |v3 AS (SELECT src FROM e2 GROUP BY src HAVING COUNT(*) >= 10),
+      |e3 AS (SELECT e.src, e.dst FROM e2 e
+      |       JOIN v3 a ON e.src = a.src JOIN v3 b ON e.dst = b.src)
+      |SELECT src AS doc_id, COUNT(*) AS core_degree
+      |FROM e3 GROUP BY src HAVING COUNT(*) >= 10
+      |ORDER BY core_degree DESC, doc_id LIMIT 50""".stripMargin
+
   // ---- TR1: exact triangle counts over the near-dup graph ----------------
   // Degree-ordered edge orientation (Suri-Vassilvitskii): every
   // triangle counted exactly once at its unique out-degree-2 apex —
@@ -1746,6 +1799,7 @@ object PipelineQueries extends QueryPack {
     Q("dd6_neardup_canonical", "near-dup canonicalization via min-label components", dd6NeardupCanonical, Some(dd6Sql)),
     Q("cc1_star_components", "connected components via alternating large-star/small-star contraction", cc1StarComponents, Some(dd6Sql)),
     Q("pr1_pagerank", "integer-exact damped PageRank over the near-dup graph (3 iterations)", pr1PageRank, Some(pr1Sql)),
+    Q("kc1_kcore", "k-core decomposition of the near-dup graph (bounded synchronous peel, k=10, 3 unrolled rounds)", kc1KCore, Some(kc1Sql)),
     Q("tr1_triangles", "exact per-node triangle counts via degree-ordered orientation (out-degree O(sqrt m))", tr1Triangles, Some(tr1Sql)),
     Q("pj1_prefix_jaccard", "EXACT Jaccard>=0.9 similarity self-join via df-ordered prefix filtering", pj1PrefixJaccard, Some(pj1Sql)),
     Q("dd7_component_best", "best-quality canonical pick per near-dup component", dd7ComponentBest, Some(dd7Sql)),

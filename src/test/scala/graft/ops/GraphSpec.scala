@@ -57,4 +57,28 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), s"got $got")
   }
+
+  test("kCore: the peel cascades down an attached chain; the clique survives intact") {
+    import spark.implicits._
+    // K5 on {1..5} plus the chain 8-7-6 hanging off vertex 1: at k = 2
+    // the chain peels one vertex PER ROUND (6 has degree 1, dropping it
+    // exposes 7, then 8) — the cascade the round bound must cover
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val edges = (k5 ++ Seq((1L, 8L), (7L, 8L), (6L, 7L))).toDF("id_a", "id_b")
+    val core = graft.ops.Graph.kCore(edges, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core == (1L to 5L).map(_ -> 4L).toMap,
+      s"2-core must be exactly the K5 with degree 4 each: $core")
+    // bounded early: after one round only 6 is gone, so 8 still shows a
+    // qualifying degree (its edge to the doomed 7 still counts) — the
+    // rounds bound is load-bearing, not decorative
+    val partial = graft.ops.Graph.kCore(edges, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(partial.contains(8L),
+      s"after 1 round the chain's last vertex must still linger: $partial")
+    // a converged set is a fixpoint: extra rounds change nothing
+    val extra = graft.ops.Graph.kCore(edges, k = 2, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(extra == core)
+  }
 }
