@@ -4,6 +4,8 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev tool: print the formatted physical plan (and optionally time) of
   * one registered query: `runMain graft.Explain <query> [sfDir] [time]`.
+  * `GRAFT_RAW=1` prints the raw executedPlan tree instead (the exact
+  * string PlanShapeSpec pins match against).
   */
 object Explain {
   def main(args: Array[String]): Unit = {
@@ -20,7 +22,9 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
-    df.explain("formatted")
+    if (sys.env.contains("GRAFT_RAW"))
+      println(df.queryExecution.executedPlan.toString)
+    else df.explain("formatted")
     if (args.length > 2) {
       val t0 = System.nanoTime()
       val n = df.count()
