@@ -111,9 +111,14 @@ object Graph {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
+      // materialized: surv feeds BOTH semi joins, and the differing
+      // projections defeat exchange reuse — unmaterialized, the full
+      // degree aggregation over the edge set would run twice per round
+      // (the triangleCounts `oriented` argument)
       val surv = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("src"))
+        .localCheckpoint(true)
       edges = edges
         .join(surv, Seq("src"), "left_semi")
         .join(surv.select(col("src").as("dst")), Seq("dst"), "left_semi")

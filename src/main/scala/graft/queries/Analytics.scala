@@ -411,7 +411,7 @@ object Analytics extends QueryPack {
   // recursion S_i = max(0, S_{i-1} + (x_i - k)) unrolled into two
   // ordered window passes (prefix sum − running prefix min) — see
   // ops.Stats.cusumDrift for why the arithmetic must be fixed-point
-  // int64 (Spark's sequential window accumulation vs DuckDB's segment
+  // decimal(38,0) (Spark's sequential window accumulation vs DuckDB's segment
   // tree would hash-differ on a raw-double cumsum). k = mean + 25
   // (≈ σ/2), h = 250 (≈ 5σ) for the events value distribution.
   private def cus1Cusum(s: SparkSession, dir: String): DataFrame =

@@ -17,20 +17,24 @@ import org.apache.spark.sql.SparkSession
   * original and all live holders, and the ORIGINAL value is restored
   * only when the LAST holder releases.
   *
-  * Sessions are keyed by identity (conf state is per-session). A
-  * caller who manually sets a pinned conf mid-stream is last-writer-
-  * wins until the next acquire/release recomputes, same caveat as the
-  * simple save/restore had.
+  * Sessions are keyed by the session OBJECT (SparkSession does not
+  * override equals/hashCode, so map keys are reference-identity —
+  * identityHashCode alone would merge two sessions on a hash
+  * collision). The entry is dropped when its last holder releases, so
+  * the map only retains sessions with live pins. A caller who
+  * manually sets a pinned conf mid-stream is last-writer-wins until
+  * the next acquire/release recomputes, same caveat as the simple
+  * save/restore had.
   */
 private[graft] object ConfPins {
   private final case class State(original: Long,
       holders: Map[java.util.UUID, Long])
   private val lock = new Object
   private val pins =
-    scala.collection.mutable.Map[(Int, String), State]()
+    scala.collection.mutable.Map[(SparkSession, String), State]()
 
-  private def sessionKey(spark: SparkSession, key: String): (Int, String) =
-    (System.identityHashCode(spark), key)
+  private def sessionKey(spark: SparkSession, key: String): (SparkSession, String) =
+    (spark, key)
 
   /** Register `qid`'s interest in `desired` for `key`. `lower = true`
     * pins that only ever LOWER the session value (effective = min of

@@ -186,15 +186,19 @@ object IngestDedup {
     // pinned width; the holder id is arbitrary (one per start call)
     val release = ConfPins.acquireGatePins(spark, shufflePartitions,
       java.util.UUID.randomUUID())
-    val query = docs.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b.sparkSession, table, b, id, idCol, textCol,
-          outDir, rejectDir, threshold); ()
-      }
-      .start()
+    val query =
+      // a start() failure never reaches the termination listener — the
+      // holder must release here or the session stays pinned forever
+      try docs.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(trigger)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          applyBatch(b.sparkSession, table, b, id, idCol, textCol,
+            outDir, rejectDir, threshold); ()
+        }
+        .start()
+      catch { case e: Throwable => release(); throw e }
     QueryCleanup.onTermination(spark, query)(release)
     query
   }

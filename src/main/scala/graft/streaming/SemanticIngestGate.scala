@@ -208,15 +208,19 @@ object SemanticIngestGate {
     val spark = vectors.sparkSession
     val release = ConfPins.acquireGatePins(spark, shufflePartitions,
       java.util.UUID.randomUUID())
-    val query = vectors.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b.sparkSession, table, b, id, idCol, embCol,
-          outDir, rejectDir, threshold, nProbe, checkIdCollisions); ()
-      }
-      .start()
+    val query =
+      // a start() failure never reaches the termination listener — the
+      // holder must release here or the session stays pinned forever
+      try vectors.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(trigger)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          applyBatch(b.sparkSession, table, b, id, idCol, embCol,
+            outDir, rejectDir, threshold, nProbe, checkIdCollisions); ()
+        }
+        .start()
+      catch { case e: Throwable => release(); throw e }
     QueryCleanup.onTermination(spark, query)(release)
     query
   }
