@@ -20,7 +20,12 @@ object Stats {
     * the running sum of (x − k) — two ordered window passes per group.
     * The reference k is the group mean plus `allowance` (choose ≈ σ/2
     * to target a drift size, per the standard tuning); `h` is the alarm
-    * threshold (≈ 4-5σ).
+    * threshold (≈ 4-5σ). Pass `reference` to pin k to a PRE-TRAINED
+    * level instead of the in-sample group mean — the production
+    * posture (a long contamination window raises the self-computed
+    * mean by half the shift and cancels the very drift it should
+    * detect), and the form the streaming
+    * [[graft.streaming.DriftMonitor]] maintains incrementally.
     *
     * All arithmetic is fixed-point (quantized at `scale`), so the
     * running sums are EXACT under any window-aggregation strategy — a
@@ -45,19 +50,26 @@ object Stats {
   def cusumDrift(
       df: DataFrame, groupCol: String, valueCol: String,
       orderCols: Seq[String], allowance: Double, h: Double,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L,
+      reference: Option[Double] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = floor(col(valueCol).cast("double") * scale.toDouble + 0.5).cast("long")
     val rows = df.select((col(groupCol) +: orderCols.map(col)) :+ q.as("q"): _*)
-    val means = rows.groupBy(col(groupCol)).agg(
-      floor(sum(col("q").cast("decimal(38,0)")).cast("double") / count(lit(1))
-        + 0.5).cast("long").as("mean_q"))
     val allowQ = math.floor(allowance * scale + 0.5).toLong
     val hQ = math.floor(h * scale + 0.5).toLong
     val w = Window.partitionBy(col(groupCol))
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rows.join(broadcast(means), Seq(groupCol))
+    val withMean = reference match {
+      case Some(r) => rows.withColumn("mean_q",
+        lit(math.floor(r * scale + 0.5).toLong))
+      case None =>
+        val means = rows.groupBy(col(groupCol)).agg(
+          floor(sum(col("q").cast("decimal(38,0)")).cast("double")
+            / count(lit(1)) + 0.5).cast("long").as("mean_q"))
+        rows.join(broadcast(means), Seq(groupCol))
+    }
+    withMean
       .withColumn("dev",
         (col("q") - col("mean_q") - lit(allowQ)).cast("decimal(38,0)"))
       .withColumn("c", sum(col("dev")).over(w))
