@@ -206,6 +206,103 @@ object TextQuality {
           .as("dsir_score"))
   }
 
+  /** Train the multinomial class-affinity model [[classifyByLift]]
+    * scores with — the naive-Bayes-shaped text classifier of a quality
+    * pipeline (CCNet's fastText language filter, GPT-3's quality
+    * classifier), in this codebase's engine-exact log-free form.
+    * One row per observed (token, class): the add-1-smoothed lift
+    * P(w|c)/P(w) quantized to millionths,
+    * lift6 = ⌊(cwc+1)(tot+V) / ((cc+V)(cw+1)) · 10⁶ + ½⌋, where cwc =
+    * count of w in class c, cc = class token total, cw = corpus count
+    * of w, tot = corpus token total, V = vocabulary size. Both products
+    * stay exact in double (counts ≪ 2²⁶ against multipliers ≪ 2²⁶),
+    * and the one division + scale runs a fixed IEEE sequence — dsir1's
+    * argument, so a frozen model scores identically in any engine.
+    *
+    * Also carried per row: `cc` and the global (tot, V) — everything a
+    * scorer needs to synthesize the UNSEEN-pair lift
+    * ⌊(tot+V)/((cc+V)(cw+1))·10⁶+½⌋ without re-reading the training
+    * corpus. The class table (label, cc) rides along denormalized
+    * because |classes| is a small constant. Vocab×classes-bounded;
+    * persist as plain parquet and it is the classifier artifact.
+    *
+    * Scale: token extraction is the word-count shape (explode +
+    * vocab-bounded aggregation with map-side partials); everything
+    * after the (w, label) count is vocab-sized or smaller.
+    */
+  def trainClassLift(
+      df0: DataFrame, labelCol: String, textCol: String): DataFrame = {
+    val ti = df0
+      .select(col(labelCol).as("label"),
+        TextAnalysis.tokens(col(textCol)).as("w"))
+      .repartition(col("label"))
+      .select(col("label"), explode(col("w")).as("w"))
+    val cwc = ti.groupBy(col("w"), col("label")).agg(count(lit(1)).as("cwc"))
+      .localCheckpoint(true) // feeds cc, cw, totals AND the model rows
+    val cc = cwc.groupBy(col("label")).agg(sum(col("cwc")).as("cc"))
+    val cw = cwc.groupBy(col("w")).agg(sum(col("cwc")).as("cw"))
+    val glob = cwc.agg(sum(col("cwc")).as("tot"),
+      count_distinct(col("w")).as("v"))
+    cwc.join(broadcast(cc), Seq("label"))
+      .join(cw, Seq("w"))
+      .crossJoin(broadcast(glob))
+      .select(col("w"), col("label"),
+        floor((col("cwc") + 1).cast("double") * (col("tot") + col("v"))
+          / ((col("cc") + col("v")).cast("double") * (col("cw") + 1))
+          * 1000000.0 + 0.5).cast("long").as("lift6"),
+        col("cw"), col("cc"), col("tot"), col("v"))
+  }
+
+  /** Classify documents against a [[trainClassLift]] model: each doc's
+    * affinity to class c is the arithmetic mean over its token
+    * instances of the quantized lift (the log-free surrogate for the
+    * naive-Bayes log-likelihood sum — lm1/dsir1's precedent), and the
+    * prediction is the argmax with ties broken to the
+    * lexicographically-first class. Tokens never seen in training
+    * contribute the fully-smoothed lift (cw = 0, cwc = 0); tokens seen
+    * but not in class c contribute the cwc = 0 lift — both synthesized
+    * from the model's denormalized (cc, tot, v), so scoring never
+    * touches the training corpus.
+    *
+    * Scale: ONE data-sized join from the doc's token instances onto
+    * the vocab-sized (w → cw) projection, a constant |classes|-way
+    * fan-out against the broadcast class table, one (doc, class)
+    * aggregation, then an argmax on the |docs|×|classes| table — the
+    * per-token work is flat in corpus size and the shuffles are keyed
+    * on doc id. Output: (idCol, predicted, score6).
+    */
+  def classifyByLift(
+      model: DataFrame, df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val classes = model.groupBy(col("label")).agg(
+      first(col("cc")).as("cc"), first(col("tot")).as("tot"),
+      first(col("v")).as("v"))
+    val cw = model.groupBy(col("w")).agg(first(col("cw")).as("cw"))
+    val toks = df0
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("w"))
+      .repartition(col(idCol))
+      .select(col(idCol), explode(col("w")).as("w"))
+    val terms = toks
+      .join(cw, Seq("w"), "left")
+      .crossJoin(broadcast(classes))
+      .join(model.select(col("w"), col("label"), col("lift6")),
+        Seq("w", "label"), "left")
+      .select(col(idCol), col("label"),
+        // absent (w,label) row ⇒ cwc = 0 ⇒ numerator (0+1)(tot+V);
+        // the float sequence mirrors trainClassLift's exactly
+        coalesce(col("lift6"),
+          floor(lit(1).cast("double") * (col("tot") + col("v"))
+            / ((col("cc") + col("v")).cast("double")
+              * (coalesce(col("cw"), lit(0L)) + 1))
+            * 1000000.0 + 0.5).cast("long")).as("l6"))
+    val scored = terms.groupBy(col(idCol), col("label"))
+      .agg(floor(sum(col("l6")).cast("double") / count(lit(1)) + 0.5)
+        .cast("long").as("s6"))
+    scored.groupBy(col(idCol))
+      .agg(min_by(col("label"), struct((-col("s6")).as("neg"), col("label")))
+        .as("predicted"),
+        max(col("s6")).as("score6"))
+  }
+
   def repetitionSignals(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
     // single-file parquet plans as ONE partition; the interpreted n-gram
     // lambdas are CPU-heavy, so spread rows across cores first

@@ -121,6 +121,60 @@ object TextQueries extends QueryPack {
       |GROUP BY f.doc_id
       |ORDER BY dsir_score DESC, doc_id LIMIT 50""".stripMargin
 
+  // ---- CL1: class-lift text classifier ------------------------------------
+  // The naive-Bayes-shaped classifier of a quality pipeline (CCNet's
+  // fastText language filter, GPT-3's quality classifier) in the
+  // engine-exact log-free form: train on doc_id % 10 <> 0 with
+  // label = lang, persist the (token, class) lift model as a table
+  // (the artifact path, lm2's precedent), classify the disjoint
+  // % 10 = 0 slice, and report the confusion matrix.
+  private def cl1Classify(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val t = s"graft_cl1_${graft.sources.Bucketing.dirSuffix(dir)}"
+    graft.sources.Bucketing.resetTable(s, t)
+    TextQuality.trainClassLift(docs.filter(col("doc_id") % 10 =!= 0),
+        "lang", "text")
+      .write.format("parquet").saveAsTable(t)
+    TextQuality.classifyByLift(s.table(t),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("lang").as("actual")), Seq("doc_id"))
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("actual"), col("predicted"))
+  }
+
+  private val cl1Sql =
+    s"""WITH ti AS (
+      |  SELECT lang AS label, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      |  FROM documents WHERE doc_id % 10 <> 0),
+      |cwc AS (SELECT w, label, COUNT(*) AS cwc FROM ti GROUP BY 1, 2),
+      |cc AS (SELECT label, SUM(cwc) AS cc FROM cwc GROUP BY 1),
+      |cw AS (SELECT w, SUM(cwc) AS cw FROM cwc GROUP BY 1),
+      |gl AS (SELECT SUM(cwc) AS tot, COUNT(DISTINCT w) AS v FROM cwc),
+      |te AS (
+      |  SELECT doc_id, lang AS actual,
+      |    unnest(string_split_regex(trim(text), '\\s+')) AS w
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |terms AS (
+      |  SELECT te.doc_id, te.actual, cc.label,
+      |    CAST(floor(CAST(COALESCE(cwc.cwc, 0) + 1 AS DOUBLE) * (gl.tot + gl.v)
+      |      / (CAST(cc.cc + gl.v AS DOUBLE) * (COALESCE(cw.cw, 0) + 1))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS l6
+      |  FROM te CROSS JOIN gl CROSS JOIN cc
+      |  LEFT JOIN cw ON te.w = cw.w
+      |  LEFT JOIN cwc ON te.w = cwc.w AND cc.label = cwc.label),
+      |sc AS (
+      |  SELECT doc_id, actual, label,
+      |    CAST(floor(CAST(SUM(l6) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS s6
+      |  FROM terms GROUP BY 1, 2, 3),
+      |pred AS (
+      |  SELECT doc_id, actual, label AS predicted,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY s6 DESC, label) AS rn
+      |  FROM sc)
+      |SELECT actual, predicted, COUNT(*) AS n_docs
+      |FROM pred WHERE rn = 1
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- RQ1: repetition signals -------------------------------------------
   private def rq1Repetition(s: SparkSession, dir: String): DataFrame =
     TextQuality.repetitionSignals(Tables.load(s, dir, "documents"), "doc_id", "text")
@@ -475,6 +529,7 @@ object TextQueries extends QueryPack {
     Q("lm1_bigram_fluency", "bigram-LM fluency score per doc (log-free perplexity stand-in, millionth-quantized terms)", lm1Fluency, Some(lm1Sql)),
     Q("lm2_trained_lm_scoring", "trained-LM scoring split: bigram LM trained+persisted on a reference slice, disjoint docs scored against the frozen counts (unseen bigrams -> 0)", lm2Scored, Some(lm2Sql)),
     Q("dsir1_importance_select", "DSIR importance-resampling selection: hashed unigram+bigram bucket distributions (target lang='en' vs raw), per-doc mean quantized importance ratio, top-50", dsir1Select, Some(dsir1Sql)),
+    Q("cl1_class_lift", "naive-Bayes-shaped class-lift text classifier: train+persist (token,class) lift model on a reference slice, classify the disjoint slice, confusion matrix", cl1Classify, Some(cl1Sql)),
     Q("rq1_repetition", "Gopher-style repetition quality signals (top-unigram / dup-trigram fractions)", rq1Repetition, Some(rq1Sql)),
     Q("tf1_tfidf_keywords", "top-3 keywords per doc by log-free TF-IDF", tf1Keywords, Some(tf1Sql)),
     Q("pii1_redact", "PII redaction pass with removal counts (planted deterministic contacts)", pii1Redact, Some(pii1Sql)),

@@ -169,4 +169,46 @@ class TextQualitySpec extends SparkSpec {
     // identical docs score identically (hash + arithmetic deterministic)
     assert(tgt.values.toSet.size == 1 && off.values.toSet.size == 1)
   }
+
+  test("classifyByLift recovers class-typical vocabulary; unseen ties break to first class") {
+    val train = Seq(
+      ("en", "the cat sat on the mat"),
+      ("en", "the dog ate the food"),
+      ("fr", "le chat est sur le tapis"),
+      ("fr", "le chien mange le pain"))
+      .toDF("lang", "text")
+    val model = TextQuality.trainClassLift(train, "lang", "text")
+    val test0 = Seq(
+      (1L, "the cat ate"),        // en vocabulary
+      (2L, "le chat mange"),      // fr vocabulary
+      (3L, "zz1 zz2 zz3"))        // never-seen tokens, balanced classes
+      .toDF("doc_id", "text")
+    val out = TextQuality.classifyByLift(model, test0, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == "en")
+    assert(out(2L)._1 == "fr")
+    // both classes have 11 training tokens (cc equal), so an all-unseen
+    // doc scores identically against each -> lexicographic tie-break
+    assert(out(3L)._1 == "en")
+    // the all-unseen score is exactly the smoothed floor (tot+V)/(cc+V):
+    // tot=22, V=16, cc=11 -> floor(38/27 * 1e6 + 0.5) = 1407407. (A
+    // class-EXCLUSIVE token hits the same value — (cwc+1) = (cw+1)
+    // cancels — so exclusive-vocab docs tie it; separation comes from
+    // the OTHER class's cwc=0-but-cw>0 lift being strictly smaller.)
+    assert(out(3L)._2 == 1407407L)
+    assert(out(1L)._2 == out(3L)._2)
+  }
+
+  test("classifyByLift scores off a persisted model identically (frozen-artifact path)") {
+    val train = Seq(("a", "alpha beta beta"), ("b", "gamma delta")).toDF("lang", "text")
+    val docs = Seq((1L, "beta beta gamma"), (2L, "delta delta")).toDF("doc_id", "text")
+    val model = TextQuality.trainClassLift(train, "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("cl_model").toString
+    model.write.mode("overwrite").parquet(dir)
+    val live = TextQuality.classifyByLift(model, docs, "doc_id", "text").collect().toSeq
+    val frozen = TextQuality.classifyByLift(spark.read.parquet(dir), docs, "doc_id", "text")
+      .collect().toSeq
+    assert(live.sortBy(_.getLong(0)).map(_.toString) ==
+      frozen.sortBy(_.getLong(0)).map(_.toString))
+  }
 }
