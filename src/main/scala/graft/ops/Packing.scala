@@ -32,6 +32,31 @@ object Packing {
         .cast("long"))
   }
 
+  /** Deterministic weighted interleaving of sources — materializes the
+    * global training order that realizes a mixture: the i-th row of
+    * source s is scheduled at virtual time vt = i / w_s (start-time
+    * fair queueing's schedule), so EVERY prefix of the vt order holds
+    * sources in proportion to their weights — the property epoch-level
+    * mixture sampling only gives in expectation, made exact and
+    * deterministic (no rand(), replays bit-identically).
+    *
+    * `weights` is one row per source: (sourceCol, w6) with w6 the
+    * millionth-quantized relative weight (only ratios matter — feed
+    * temperature/mixture weights from [[graft.ops.Stats]] unnormalized).
+    * vt = rank·10⁶ / w6 runs two exact IEEE steps (the product is exact
+    * below 2⁵³, the division is correctly rounded), so the schedule is
+    * engine-exact; order by (vt, sourceCol, src_rank) for the total
+    * order. The per-source rank is [[Ranking.withGroupedRank]] — no
+    * single-task window even when one source dominates the corpus.
+    * Output: df + (src_rank, vt).
+    */
+  def interleaveByWeight(
+      df: DataFrame, sourceCol: String, sort: Seq[org.apache.spark.sql.Column],
+      weights: DataFrame): DataFrame =
+    Ranking.withGroupedRank(df, sourceCol, "src_rank", sort)
+      .join(broadcast(weights), Seq(sourceCol))
+      .withColumn("vt", col("src_rank").cast("double") * 1000000.0 / col("w6"))
+
   /** Split each document into overlapping token chunks of `size` with
     * `stride` (< size gives overlap) — the context-window chunking step
     * before tokenizer sharding. Documents shorter than `size` yield one

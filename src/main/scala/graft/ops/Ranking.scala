@@ -70,6 +70,43 @@ object Ranking {
     ranked.withColumn(tileCol, tile).drop("__nt_rank")
   }
 
+  /** df + a per-group 1-based rank column — `row_number() OVER
+    * (PARTITION BY group ORDER BY sort)` without the per-group
+    * single-task window: a dominant group (one source holding half a
+    * 100 TB corpus) would otherwise serialize into ONE task. Same
+    * zipWithIndex scheme as [[withGlobalRank]], range-partitioned on
+    * (group, sort): under range partitioning each group spans a
+    * contiguous run of partitions in sort order, so the local rank
+    * inside a (partition, group) cell plus the group's row count in
+    * earlier partitions is the exact per-group rank. The offset table
+    * is O(P × groups-per-partition) rows (≈ P + G — contiguous runs
+    * mean most partitions hold 1-2 groups) and is computed with a
+    * window over that TINY table, never collected to the driver.
+    * `sort` must total-order within a group (include a tie-break).
+    */
+  def withGroupedRank(
+      df: DataFrame, groupCol: String, rankCol: String,
+      sort: Seq[Column]): DataFrame = {
+    val pinned = df
+      .repartitionByRange(col(groupCol) +: sort: _*)
+      .withColumn("__gg_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = pinned.groupBy(col("__gg_pid"), col(groupCol))
+      .agg(count(lit(1)).as("__gg_cnt"))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__gg_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__gg_off", coalesce(sum(col("__gg_cnt")).over(wOff), lit(0L)))
+      .select(col("__gg_pid"), col(groupCol), col("__gg_off"))
+    val wLocal = Window.partitionBy(col("__gg_pid"), col(groupCol))
+      .orderBy(sort: _*)
+    pinned
+      .withColumn("__gg_lr", row_number().over(wLocal))
+      .join(broadcast(offsets), Seq("__gg_pid", groupCol))
+      .withColumn(rankCol, col("__gg_off") + col("__gg_lr"))
+      .drop("__gg_pid", "__gg_lr", "__gg_off")
+  }
+
   private def rankAndCount(
       df: DataFrame, rankCol: String, sort: Seq[Column]): (DataFrame, Long) = {
     val pinned = df

@@ -48,6 +48,39 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE
+    * data-prep step): for each query vector, the top-k most similar
+    * corpus vectors whose LABEL DIFFERS — the negatives that sit
+    * closest to the decision boundary and carry the gradient signal.
+    * Exact by construction (brute scoring under the label filter);
+    * swap the corpus for an ANN candidate set when recall < 1 is
+    * acceptable at scale.
+    *
+    * Scale shape: the label-inequality broadcast join streams the
+    * corpus ONCE against the broadcast query set, and the per-query
+    * rank is the bounded-heap aggregator (map-side ≤ k-row partials),
+    * not a row_number window over the full scored set — sim7's
+    * formulation, which survives millions of candidates per query.
+    * Output: (query_id, neighbor_id, score, rank).
+    */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"),
+      col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"),
+      col(labelCol).as("n_label"))
+    val scored = c.join(broadcast(q), col("q_label") =!= col("n_label"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineRounded(col("qe"), col("ce")).as("score"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topKByScore(k)(col("score"), col("neighbor_id")).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("t"))
+      .select(col("query_id"), col("t._1").as("neighbor_id"),
+        col("t._2").as("score"), col("t._3").as("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplane weights in [-1, 1]: derived
     * from md5("p_i") prefixes, so any engine (or the DuckDB oracle) can
     * regenerate the identical planes. Cached driver/executor-side —

@@ -1544,6 +1544,65 @@ object PipelineQueries extends QueryPack {
       |  floor(q / (SELECT CAST(SUM(q) AS DOUBLE) FROM c) * 1000000.0 + 0.5) / 1000000.0 AS weight6
       |FROM c ORDER BY source""".stripMargin
 
+  // ---- IM1: weighted source interleaving ----------------------------------
+  // mx2 computes the temperature weights; this MATERIALIZES the
+  // training order that realizes them: start-time fair queueing's
+  // vt = rank/w schedule, so every prefix of the vt order holds
+  // sources in proportion to √n (checked on the first 300 rows). The
+  // per-source rank is the distributed grouped rank (no single-task
+  // window under a dominant source).
+  private def im1Interleave(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val w = docs.groupBy(col("source")).agg(
+      floor(sqrt(count(lit(1)).cast("double")) * 1000000.0 + 0.5)
+        .cast("long").as("w6"))
+    graft.ops.Packing.interleaveByWeight(
+        docs.select(col("doc_id"), col("source")), "source",
+        Seq(col("doc_id")), w)
+      .orderBy(col("vt"), col("source"), col("src_rank"))
+      .limit(300)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_prefix"))
+      .orderBy(col("source"))
+  }
+
+  private val im1Sql =
+    """WITH w AS (
+      |  SELECT source, CAST(floor(sqrt(COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) AS w6
+      |  FROM documents GROUP BY 1),
+      |r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+      |  FROM documents),
+      |v AS (
+      |  SELECT r.source, r.rk, CAST(r.rk AS DOUBLE) * 1000000.0 / w.w6 AS vt
+      |  FROM r JOIN w USING (source)),
+      |p AS (SELECT source FROM v ORDER BY vt, source, rk LIMIT 300)
+      |SELECT source, COUNT(*) AS n_prefix FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- HN1: hard-negative mining ------------------------------------------
+  // The DPR/SimCSE contrastive-training data-prep step: per query, the
+  // top-10 most similar corpus vectors with a DIFFERENT label —
+  // boundary-hugging negatives. sim7's bounded-heap rank shape under
+  // the label filter.
+  private def hn1HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val hn1Sql =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe, label AS ql
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce, label AS nl
+      |      FROM embeddings)
+      |SELECT query_id, neighbor_id, score, rank FROM (
+      |  SELECT query_id, neighbor_id, round(list_dot_product(qe, ce), 6) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY round(list_dot_product(qe, ce), 6) DESC, neighbor_id) AS rank
+      |  FROM q JOIN c ON ql <> nl)
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   // ---- CP1: end-to-end curation pipeline (composition proof) -------------
   // The whole corpus-prep chain as ONE dataflow: exact dedup → token
   // quality gate → per-source mixture downsampling → (source, lang)
@@ -1814,6 +1873,8 @@ object PipelineQueries extends QueryPack {
     Q("ws1_weighted_sample", "deterministic weighted Bernoulli sampling by doc length", ws1WeightedSample, Some(ws1Sql)),
     Q("mx1_mixture_weights", "deterministic corpus-mixture reweighting by source", mx1Mixture, Some(mx1Sql)),
     Q("mx2_temperature_weights", "temperature (alpha=0.5) mixture weights from source counts", mx2Temperature, Some(mx2Sql)),
+    Q("im1_interleaved_mix", "weighted source interleaving: vt=rank/weight fair-queueing schedule, prefix proportions match the sqrt(n) weights", im1Interleave, Some(im1Sql)),
+    Q("hn1_hard_negatives", "hard-negative mining: top-10 nearest different-label vectors per query (bounded-heap rank)", hn1HardNegatives, Some(hn1Sql)),
     Q("mv1_incremental_agg", "mergeable aggregate state: base+delta merge equals full recompute", mv1IncrementalAgg, Some(mv1Sql)),
     Q("mv2_retraction_agg", "retraction-maintained aggregate equals recompute over survivors", mv2Retraction, Some(mv2Sql)),
     Q("qc1_source_cap", "per-source contribution cap keeping best-quality docs", qc1SourceCap, Some(qc1Sql)),

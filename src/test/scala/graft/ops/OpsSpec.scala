@@ -317,6 +317,23 @@ class OpsSpec extends SparkSpec {
     assert(w1.flatten.forall(v => v >= -1.0 && v <= 1.0))
   }
 
+  test("hardNegatives excludes same-label vectors even when they are nearest") {
+    import spark.implicits._
+    // q's nearest neighbor (1) shares its label and must NOT appear;
+    // the top negatives are the nearest OTHER-label vectors in order
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), "x"),   // the query
+      (1L, Array(0.99f, 0.14f), "x"), // nearest overall, same label
+      (2L, Array(0.9f, 0.43f), "y"),
+      (3L, Array(0.7f, 0.71f), "y"),
+      (4L, Array(0.0f, 1.0f), "z"))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(vecs, vecs.filter(col("vec_id") === 0), k = 2)
+      .orderBy(col("rank")).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 3L))
+    assert(!out.map(_.getLong(1)).contains(1L), "same-label vector leaked in")
+  }
+
   test("assignAndProbes equals the separate assignment + probe ops, ties included") {
     // duplicate centroids under different ids force a similarity tie —
     // the fused op must break it exactly like min_by/row_number do:

@@ -82,6 +82,37 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("withGroupedRank equals per-group row_number and plans no unpartitioned window") {
+    // 3 groups of very different sizes (g0 dominates), dup v values
+    val grouped = (1 to 997)
+      .map(i => (s"g${(i * i) % 7 % (1 + i % 3)}", (i * 7919) % 250, i.toLong))
+      .toDF("g", "v", "id")
+    val got = Ranking.withGroupedRank(grouped, "g", "rk",
+      Seq(col("v").asc, col("id").asc))
+    val want = grouped.withColumn("rk",
+      row_number().over(Window.partitionBy(col("g"))
+        .orderBy(col("v").asc, col("id").asc)).cast("long"))
+    assert(sameRows(got, want))
+    assert(unpartitionedWindows(got).isEmpty)
+  }
+
+  test("interleaveByWeight prefixes hold sources in weight proportion") {
+    // a:600, b:300, c:100 rows with weights 6:3:1 -> any aligned prefix
+    // of the vt order holds them 6:3:1 (fair queueing's invariant)
+    val rows = (1 to 600).map(i => ("a", i.toLong)) ++
+      (1 to 300).map(i => ("b", i.toLong)) ++
+      (1 to 100).map(i => ("c", i.toLong))
+    val w = Seq(("a", 6000000L), ("b", 3000000L), ("c", 1000000L))
+      .toDF("src", "w6")
+    val out = Packing.interleaveByWeight(rows.toDF("src", "id"), "src",
+        Seq(col("id")), w)
+      .orderBy(col("vt"), col("src"), col("src_rank"))
+      .limit(100)
+      .groupBy(col("src")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 60L, "b" -> 30L, "c" -> 10L))
+  }
+
   test("rfm1_segments plans no unpartitioned window") {
     val df = graft.SparkEntry.queries("rfm1_segments")(spark, sfSmoke)
     assert(unpartitionedWindows(df).isEmpty)
