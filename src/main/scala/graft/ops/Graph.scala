@@ -106,6 +106,45 @@ object Graph {
     * Returns (id, core_degree ≥ k) — each survivor's degree within the
     * final surviving set.
     */
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007) made deterministic: labels start as the node's own id;
+    * each round every node adopts its neighbors' MOST FREQUENT label
+    * with ties broken to the smallest — no randomized visit order, so
+    * the result is a pure function of the graph and both engines run
+    * the identical `rounds` updates (the fixed round count is what
+    * lets the oracle unroll the recursion as plain CTEs, kCore's
+    * argument; LPA converges in a handful of rounds on the near-clique
+    * communities this pipeline feeds it). Known synchronous-LPA
+    * caveat: BIPARTITE structures (isolated edges, stars, even cycles)
+    * oscillate with period 2 instead of converging — deterministic,
+    * but such 2-colorable fragments report as split communities; odd
+    * cycles (any near-clique) converge.
+    *
+    * Scale shape per round: one data-sized join from edges onto the
+    * |V|-row label table (keyed on dst), one (node, label) count with
+    * map-side partials, one per-node argmax aggregation — all keyed
+    * shuffles, lineage cut per round. Returns (id, label).
+    */
+  def labelPropagation(pairs: DataFrame, rounds: Int): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val counts = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+      labels = counts.groupBy(col("src"))
+        .agg(min_by(col("label"), struct((-col("cnt")).as("n"), col("label")))
+          .as("label"))
+        .select(col("src").as("id"), col("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   def kCore(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
     var edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

@@ -414,6 +414,61 @@ object PipelineQueries extends QueryPack {
       |FROM e3 GROUP BY src HAVING COUNT(*) >= 10
       |ORDER BY core_degree DESC, doc_id LIMIT 50""".stripMargin
 
+  // ---- LP1: label-propagation communities over the near-dup graph --------
+  // Deterministic synchronous LPA (Graph.labelPropagation): most
+  // frequent neighbor label, ties to the smallest, 3 fixed rounds —
+  // the kc1 posture (fixed rounds ⇒ unrolled-CTE oracle, no
+  // recursion); on near-clique communities LPA converges in 2-3
+  // rounds, so the community sizes are the duplicate-class census.
+  private def lp1LabelProp(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.labelPropagation(sharedMinhashPairs(s, dir), rounds = 3)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("label"))
+      .limit(50)
+      .select(col("label").as("community"), col("n_members"))
+
+  private val lp1Sql =
+    s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    [('0x' || substr(md5(w), 1, 15))::BIGINT for w in words] AS wh,
+      |    [list_min([((('0x' || substr(md5('a' || chr(124) || CAST(i AS VARCHAR)), 1, 5))::BIGINT | 1)
+      |                 * ('0x' || substr(md5(w), 1, 8))::BIGINT
+      |                 + ('0x' || substr(md5('b' || chr(124) || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 4294967291
+      |                ) % 4294967291
+      |               for w in words]) for i in range(0, 32)] AS sig
+      |  FROM t),
+      |bands AS (
+      |  SELECT doc_id,
+      |    unnest([('0x' || substr(md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], '|')), 1, 15))::BIGINT
+      |            for b in range(0, 8)]) AS band_key
+      |  FROM sigs),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cands
+      |  JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
+      |  WHERE floor(CAST(len(list_intersect(sa.wh, sb.wh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(sa.wh, sb.wh))) * 1000000.0 + 0.5) / 1000000.0 >= 0.9),
+      |e0 AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |       UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+      |l0 AS (SELECT src AS id, src AS label FROM e0 GROUP BY src),
+      |l1 AS (SELECT src AS id, label FROM (
+      |  SELECT e.src, l.label,
+      |    row_number() OVER (PARTITION BY e.src ORDER BY COUNT(*) DESC, l.label) AS rn
+      |  FROM e0 e JOIN l0 l ON e.dst = l.id GROUP BY e.src, l.label) WHERE rn = 1),
+      |l2 AS (SELECT src AS id, label FROM (
+      |  SELECT e.src, l.label,
+      |    row_number() OVER (PARTITION BY e.src ORDER BY COUNT(*) DESC, l.label) AS rn
+      |  FROM e0 e JOIN l1 l ON e.dst = l.id GROUP BY e.src, l.label) WHERE rn = 1),
+      |l3 AS (SELECT src AS id, label FROM (
+      |  SELECT e.src, l.label,
+      |    row_number() OVER (PARTITION BY e.src ORDER BY COUNT(*) DESC, l.label) AS rn
+      |  FROM e0 e JOIN l2 l ON e.dst = l.id GROUP BY e.src, l.label) WHERE rn = 1)
+      |SELECT label AS community, COUNT(*) AS n_members FROM l3
+      |GROUP BY 1 ORDER BY n_members DESC, community LIMIT 50""".stripMargin
+
   // ---- TR1: exact triangle counts over the near-dup graph ----------------
   // Degree-ordered edge orientation (Suri-Vassilvitskii): every
   // triangle counted exactly once at its unique out-degree-2 apex —
@@ -1859,6 +1914,7 @@ object PipelineQueries extends QueryPack {
     Q("cc1_star_components", "connected components via alternating large-star/small-star contraction", cc1StarComponents, Some(dd6Sql)),
     Q("pr1_pagerank", "integer-exact damped PageRank over the near-dup graph (3 iterations)", pr1PageRank, Some(pr1Sql)),
     Q("kc1_kcore", "k-core decomposition of the near-dup graph (bounded synchronous peel, k=10, 3 unrolled rounds)", kc1KCore, Some(kc1Sql)),
+    Q("lp1_label_communities", "deterministic synchronous label propagation: majority neighbor label, min-label ties, 3 unrolled rounds, community census", lp1LabelProp, Some(lp1Sql)),
     Q("tr1_triangles", "exact per-node triangle counts via degree-ordered orientation (out-degree O(sqrt m))", tr1Triangles, Some(tr1Sql)),
     Q("pj1_prefix_jaccard", "EXACT Jaccard>=0.9 similarity self-join via df-ordered prefix filtering", pj1PrefixJaccard, Some(pj1Sql)),
     Q("dd7_component_best", "best-quality canonical pick per near-dup component", dd7ComponentBest, Some(dd7Sql)),

@@ -81,4 +81,16 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(extra == core)
   }
+
+  test("labelPropagation: cliques converge to their min id; components stay apart") {
+    import spark.implicits._
+    // two disconnected triangles (odd cycles converge under synchronous
+    // LPA; bipartite structures oscillate — documented in the scaladoc)
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+                    (10L, 11L), (11L, 12L), (10L, 12L)).toDF("id_a", "id_b")
+    val out = Graph.labelPropagation(pairs, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
 }
