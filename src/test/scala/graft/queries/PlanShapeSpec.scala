@@ -297,4 +297,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(bnl <= 1 && (bnl == 0 || p.contains("IdentityBroadcastMode")),
       s"only the 1-row totals attach may nested-loop:\n$p")
   }
+
+  test("hn1: bounded partial top-k under the label filter; query side broadcasts") {
+    // sim7's property under the different-label join: the exchange
+    // carries k-row partial heaps, never the scored candidate set, and
+    // the corpus streams once against the BROADCAST query side (the
+    // label-inequality join is nested-loop by nature, but only over
+    // the broadcast queries — a CartesianProduct would move the corpus)
+    val p = plan("hn1_hard_negatives")
+    assert(p.contains("partial_topkbyscore"),
+      s"hn1 lost the map-side partial top-k:\n$p")
+    assert(!p.contains("CartesianProduct"), s"hn1 degraded to a cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"hn1's query side lost its broadcast:\n$p")
+  }
+
+  test("im1: no unpartitioned window anywhere; the prefix cut is a TakeOrdered") {
+    // the grouped rank must keep its zipWithIndex shape — a regression
+    // to row_number over Window.partitionBy(source) alone would
+    // serialize a dominant source into one task (correct at test
+    // scale, fatal at 100 TB), and the 300-row prefix must plan as
+    // TakeOrderedAndProject, not a global sort
+    val df = SparkEntry.queries("im1_interleaved_mix")(spark, sfSmoke)
+    val unpart = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty, "im1 plans an unpartitioned window")
+    val p = plan("im1_interleaved_mix")
+    assert(p.contains("TakeOrderedAndProject"), s"im1 plans a full sort:\n$p")
+  }
 }
