@@ -48,6 +48,8 @@ object Packing {
     * engine-exact; order by (vt, sourceCol, src_rank) for the total
     * order. The per-source rank is [[Ranking.withGroupedRank]] — no
     * single-task window even when one source dominates the corpus.
+    * Sources absent from `weights` are DROPPED (inner join) — give
+    * every source a weight, or the omission silently filters.
     * Output: df + (src_rank, vt).
     */
   def interleaveByWeight(

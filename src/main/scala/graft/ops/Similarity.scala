@@ -61,6 +61,8 @@ object Similarity {
     * rank is the bounded-heap aggregator (map-side ≤ k-row partials),
     * not a row_number window over the full scored set — sim7's
     * formulation, which survives millions of candidates per query.
+    * NULL labels never match the inequality (SQL three-valued logic),
+    * so unlabeled rows participate on neither side.
     * Output: (query_id, neighbor_id, score, rank).
     */
   def hardNegatives(
