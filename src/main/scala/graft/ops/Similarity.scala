@@ -536,6 +536,15 @@ object Similarity {
     * map-side `min_by` assignment (one exchange), then
     * [[cosineNearDupPairs]] blocked on `cent_id` and a left-anti join
     * on the dropped ids. Nothing crosses cluster boundaries.
+    *
+    * K-SIZING AT SCALE (ScaleProbe round-10 finding): with K ∝ n
+    * (constant cluster occupancy) the pairwise stays O(n), but the
+    * ASSIGNMENT pass is n·K = Θ(n²) — measured exponent 1.09 at
+    * 20k→80k vectors where the 3k→12k probe read 0.01 (fixed costs
+    * hid it). At corpus scale either size K = Θ(√n) (balances both
+    * terms at O(n^1.5)) or assign hierarchically — √K coarse cells
+    * first, then only that cell's fine centroids (IVF's trick applied
+    * to the clustering step), keeping K ∝ n at O(n·√K).
     */
   def semDedup(
       corpus: DataFrame, nCentroids: Int, refine: Int, threshold: Double,

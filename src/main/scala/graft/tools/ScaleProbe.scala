@@ -62,7 +62,20 @@ object ScaleProbe {
           Dedup.prefixJaccardPairs(docs, "id", "text", threshold = 0.9).count()),
         "cc1_star_components" -> (() =>
           Dedup.alternatingStarComponents(pairs, docs.select(col("id")), "id").count()),
-        "tr1_triangles" -> (() => Graph.triangleCounts(pairs).count()))
+        "tr1_triangles" -> (() => Graph.triangleCounts(pairs).count()),
+        // linear-in-|E| claim: 3 rounds of keyed joins over the 1.5n pairs
+        "lp1_label_communities" -> (() =>
+          Graph.labelPropagation(pairs, rounds = 3).count()),
+        // word-count shapes + one data-sized token join; labels id%5 so
+        // |classes| stays constant while vocab and tokens grow with n
+        "cl1_class_lift" -> (() => {
+          val labeled = docs.withColumn("lang",
+            concat(lit("l"), pmod(col("id"), lit(5)).cast("string")))
+          val model = graft.ops.TextQuality.trainClassLift(
+            labeled.filter(pmod(col("id"), lit(10)) =!= 0), "lang", "text")
+          graft.ops.TextQuality.classifyByLift(model,
+            labeled.filter(pmod(col("id"), lit(10)) === 0), "id", "text").count()
+        }))
     }
 
     // JIT/codegen warmup on a tiny corpus, untimed
