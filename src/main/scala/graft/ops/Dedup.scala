@@ -345,6 +345,12 @@ object Dedup {
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SOCC'14) — the general-graph alternative to [[minLabelComponents]].
     *
+    * INPUT CONTRACT: `pairs` must be CANONICAL — id_a < id_b, no
+    * self-loops (what every pair producer in this package emits). The
+    * star steps rely on it; a flipped edge silently under-merges
+    * (least/greatest-normalize first if edges come from a mapping
+    * that can reverse order — ComponentMonitor's lesson).
+    *
     * Min-label propagation converges in O(diameter) edge-join rounds
     * (path-halving makes that ~O(log diameter)), which is ideal for the
     * clique-like near-dup graphs this package produces. Alternating
