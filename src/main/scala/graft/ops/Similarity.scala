@@ -548,14 +548,86 @@ object Similarity {
     */
   def semDedup(
       corpus: DataFrame, nCentroids: Int, refine: Int, threshold: Double,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      hierarchical: Boolean = false): DataFrame = {
     val cents = ivfCentroids(corpus, nCentroids, refine, idCol, embCol)
-    val assigned = assignToCentroids(corpus, cents, idCol, embCol, idCol, embCol)
+    val assign =
+      if (hierarchical)
+        assignToCentroidsHierarchical(corpus, cents, idCol, embCol, idCol, embCol)
+          .drop("cent_sim")
+      else assignToCentroids(corpus, cents, idCol, embCol, idCol, embCol)
+    val assigned = assign
       .localCheckpoint(true) // pairs + survivors both read it; cluster once
     val dropped = cosineNearDupPairs(assigned, threshold, "cent_id", idCol, embCol)
       .select(col("id_b").as(idCol)).distinct()
     assigned.join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("cent_id"))
+  }
+
+  /** Two-level (coarse → fine) centroid assignment — the O(n·√K)
+    * answer to the ScaleProbe round-10 finding that flat assignment's
+    * n·K scoring is the quadratic hiding in K ∝ n SemDeDup (IVF's own
+    * coarse-quantizer trick applied to the clustering step):
+    *
+    *  1. the K fine centroids are THEMSELVES clustered into
+    *     Kc = ⌈√K⌉ coarse cells (K·Kc work — negligible);
+    *  2. each vector scores only the Kc coarse cells (n·√K);
+    *  3. then only its winning cell's fine centroids (n·K/Kc ≈ n·√K).
+    *
+    * APPROXIMATE by design: a vector near a coarse boundary may pick a
+    * slightly-worse fine centroid than flat assignment would. Measured
+    * on the adversarial ScaleProbe fixture (500 tight clusters vs 40
+    * centroids, near-orthogonal geometry — argmaxes weakly
+    * determined): per-vector argmax agreement with flat is ~62%, but
+    * the metric that matters for SemDeDup — blocking recall — holds
+    * up: 87% of true near-dups still dropped vs flat's 94%
+    * (spec-pinned at ≤1.25× flat's survivor count in `OpsSpec`).
+    * Every tie-break is the flat path's
+    * (−sim, id) `min_by`, so the result is deterministic, and every
+    * assigned fine centroid provably belongs to the vector's winning
+    * cell. Cells left empty by the fine→cell assignment are excluded
+    * from step 2, so no vector can strand in a fineless cell.
+    * Output schema = [[assignToCentroidsWithSim]].
+    */
+  def assignToCentroidsHierarchical(
+      df: DataFrame, cents0: DataFrame, outId: String, outEmb: String,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    // the centroid frame usually carries an n-sized training lineage
+    // (ivfCentroids' refine pass); count + coarse training + cellOf
+    // would re-run it THREE times unmaterialized
+    val cents = cents0.localCheckpoint(true)
+    val k = cents.count()
+    val kc = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val coarse = ivfCentroids(
+      cents.select(col("cent_id").as("vec_id"), col("cent_e").as("embedding")),
+      kc, refine = 1)
+      .select(col("cent_id").as("cell_id"), col("cent_e").as("cell_e"))
+      .localCheckpoint(true)
+    // fine centroid -> its coarse cell (K·Kc, tiny)
+    val cellOf = assignToCentroids(
+      cents.select(col("cent_id").as("vec_id"), col("cent_e").as("embedding")),
+      coarse.select(col("cell_id").as("cent_id"), col("cell_e").as("cent_e")),
+      "f_id", "f_e")
+      .select(col("f_id"), col("f_e"), col("cent_id").as("cell_id"))
+      .localCheckpoint(true)
+    val usedCells = coarse.join(
+      cellOf.select(col("cell_id")).distinct(), Seq("cell_id"), "left_semi")
+    // vector -> nearest (non-empty) coarse cell: n·Kc scoring
+    val vecCell = assignToCentroids(df,
+      usedCells.select(col("cell_id").as("cent_id"), col("cell_e").as("cent_e")),
+      outId, outEmb, idCol, embCol)
+      .select(col(outId), col(outEmb), col("cent_id").as("cell_id"))
+    // vector -> nearest fine centroid WITHIN its cell: n·(K/Kc) scoring
+    vecCell.join(broadcast(cellOf), Seq("cell_id"))
+      .select(col(outId), col(outEmb),
+        col("f_id").as("cent_id"),
+        cosineRounded(col(outEmb), col("f_e")).as("cent_sim"))
+      .groupBy(col(outId))
+      .agg(min_by(struct(col("cent_id"), col(outEmb).as("e"),
+          col("cent_sim").as("s")),
+        struct((lit(0d) - col("cent_sim")).as("ns"), col("cent_id"))).as("m"))
+      .select(col(outId), col("m.e").as(outEmb), col("m.cent_id").as("cent_id"),
+        col("m.s").as("cent_sim"))
   }
 
   def cosineNearDupPairs(

@@ -147,6 +147,11 @@ object ScaleProbe {
         "sd1_semdedup" -> (() => Similarity.semDedup(vecs,
           nCentroids = math.max(4, (n / 50).toInt), refine = 1,
           threshold = 0.9).count()),
+        // the O(n·√K) two-level assignment under the SAME K = n/50
+        // posture — the fix for sd1's n·K assignment term
+        "sd1_semdedup_hier" -> (() => Similarity.semDedup(vecs,
+          nCentroids = math.max(4, (n / 50).toInt), refine = 1,
+          threshold = 0.9, hierarchical = true).count()),
         "ivf_serve" -> (() => AnnIndex.ivfServe(spark, table, queries,
           k = 10, nProbe = 2).count())
       ).map { case (name, f) =>

@@ -317,6 +317,34 @@ class OpsSpec extends SparkSpec {
     assert(w1.flatten.forall(v => v >= -1.0 && v <= 1.0))
   }
 
+  test("hierarchical assignment: deterministic, schema-equal, blocking recall within 1.25x of flat") {
+    val vecs = graft.tools.ScaleProbe.embCorpus(spark, 2000).localCheckpoint(true)
+    val cents = Similarity.ivfCentroids(vecs, 40, refine = 1).localCheckpoint(true)
+    val flat = Similarity.assignToCentroidsWithSim(vecs, cents, "vec_id", "embedding")
+      .select("vec_id", "cent_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def run() = Similarity
+      .assignToCentroidsHierarchical(vecs, cents, "vec_id", "embedding")
+    val h1 = run().select("vec_id", "cent_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h2 = run().select("vec_id", "cent_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 == h2, "hierarchical assignment must be deterministic")
+    assert(run().columns.toSeq == Seq("vec_id", "embedding", "cent_id", "cent_sim"))
+    assert(h1.size == 2000, "no vector may strand in a fineless cell")
+    // argmax agreement with flat is NOT the op's contract (on this
+    // adversarial fixture — 500 tight clusters vs 40 centroids on
+    // near-orthogonal geometry — coarse routing flips ~38% of weakly
+    // determined argmaxes); what matters is BLOCKING quality, pinned
+    // on semDedup below: flat keeps 592 of 2000 (94% of the 1500 true
+    // dups dropped), hierarchical must stay within 1.25× of it
+    val flatSurv = Similarity.semDedup(vecs, 40, 1, 0.9).count()
+    val hierSurv = Similarity.semDedup(vecs, 40, 1, 0.9, hierarchical = true).count()
+    assert(hierSurv <= math.ceil(flatSurv * 1.25).toLong,
+      s"hierarchical blocking lost too much drop-recall: $hierSurv vs flat $flatSurv")
+    assert(flat.size == 2000)
+  }
+
   test("hardNegatives excludes same-label vectors even when they are nearest") {
     import spark.implicits._
     // q's nearest neighbor (1) shares its label and must NOT appear;
