@@ -121,6 +121,77 @@ object TextQueries extends QueryPack {
       |GROUP BY f.doc_id
       |ORDER BY dsir_score DESC, doc_id LIMIT 50""".stripMargin
 
+  // ---- RHO1: excess-fluency selection --------------------------------------
+  // The two-model selection posture (RHO-loss / DoReMi's spirit in the
+  // engine's log-free terms): score held-out docs against a
+  // TARGET-domain LM (lang='en' reference slice) AND a general LM
+  // (whole reference slice), select by the EXCESS f_tgt − f_ref —
+  // "fluent under the target model beyond what general fluency
+  // explains". One extra subtraction of two already-engine-exact
+  // quantized scores, so the ranking is deterministic in any engine;
+  // unseen bigrams contribute 0 on both sides (lm2's convention).
+  private def rho1Select(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val trainSlice = docs.filter(col("doc_id") % 10 =!= 0)
+    val tgt = TextQuality.trainBigramLm(
+      trainSlice.filter(col("lang") === "en"), "doc_id", "text")
+    val ref = TextQuality.trainBigramLm(trainSlice, "doc_id", "text")
+    val held = docs.filter(col("doc_id") % 10 === 0)
+    val ft = TextQuality.scoreAgainstLm(tgt, held, "doc_id", "text")
+      .select(col("doc_id"), col("fluency6").as("f_tgt"))
+    val fr = TextQuality.scoreAgainstLm(ref, held, "doc_id", "text")
+      .select(col("doc_id"), col("fluency6").as("f_ref"))
+    ft.join(fr, Seq("doc_id"))
+      .select(col("doc_id"), col("f_tgt"), col("f_ref"),
+        (col("f_tgt") - col("f_ref")).as("excess"))
+      .orderBy(col("excess").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  private val rho1Sql =
+    s"""WITH tw AS (
+      |  SELECT string_split_regex(trim(text), '\\s+') AS w
+      |  FROM documents WHERE doc_id % 10 <> 0 AND lang = 'en'),
+      |tbg AS (
+      |  SELECT w[i] AS w1, w[i+1] AS w2
+      |  FROM (SELECT w, generate_subscripts(w, 1) AS i FROM tw) WHERE i < len(w)),
+      |tcb AS (SELECT w1, w2, COUNT(*) AS cb FROM tbg GROUP BY 1, 2),
+      |tcp AS (SELECT w1, SUM(cb) AS cp FROM tcb GROUP BY 1),
+      |rw AS (
+      |  SELECT string_split_regex(trim(text), '\\s+') AS w
+      |  FROM documents WHERE doc_id % 10 <> 0),
+      |rbg AS (
+      |  SELECT w[i] AS w1, w[i+1] AS w2
+      |  FROM (SELECT w, generate_subscripts(w, 1) AS i FROM rw) WHERE i < len(w)),
+      |rcb AS (SELECT w1, w2, COUNT(*) AS cb FROM rbg GROUP BY 1, 2),
+      |rcp AS (SELECT w1, SUM(cb) AS cp FROM rcb GROUP BY 1),
+      |hw AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |hbg AS (
+      |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      |  FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM hw)
+      |  WHERE i < len(w)),
+      |ft AS (
+      |  SELECT doc_id,
+      |    floor(CAST(SUM(COALESCE(CAST(floor(CAST(tcb.cb AS DOUBLE) * 1000000.0 / tcp.cp + 0.5) AS BIGINT), 0)) AS DOUBLE)
+      |      / COUNT(*) + 0.5) / 1000000.0 AS f_tgt
+      |  FROM hbg
+      |  LEFT JOIN tcb ON hbg.w1 = tcb.w1 AND hbg.w2 = tcb.w2
+      |  LEFT JOIN tcp ON hbg.w1 = tcp.w1
+      |  GROUP BY doc_id),
+      |fr AS (
+      |  SELECT doc_id,
+      |    floor(CAST(SUM(COALESCE(CAST(floor(CAST(rcb.cb AS DOUBLE) * 1000000.0 / rcp.cp + 0.5) AS BIGINT), 0)) AS DOUBLE)
+      |      / COUNT(*) + 0.5) / 1000000.0 AS f_ref
+      |  FROM hbg
+      |  LEFT JOIN rcb ON hbg.w1 = rcb.w1 AND hbg.w2 = rcb.w2
+      |  LEFT JOIN rcp ON hbg.w1 = rcp.w1
+      |  GROUP BY doc_id)
+      |SELECT ft.doc_id AS doc_id, f_tgt, f_ref, f_tgt - f_ref AS excess
+      |FROM ft JOIN fr ON ft.doc_id = fr.doc_id
+      |ORDER BY excess DESC, ft.doc_id LIMIT 50""".stripMargin
+
   // ---- CL1: class-lift text classifier ------------------------------------
   // The naive-Bayes-shaped classifier of a quality pipeline (CCNet's
   // fastText language filter, GPT-3's quality classifier) in the
@@ -530,6 +601,7 @@ object TextQueries extends QueryPack {
     Q("lm2_trained_lm_scoring", "trained-LM scoring split: bigram LM trained+persisted on a reference slice, disjoint docs scored against the frozen counts (unseen bigrams -> 0)", lm2Scored, Some(lm2Sql)),
     Q("dsir1_importance_select", "DSIR importance-resampling selection: hashed unigram+bigram bucket distributions (target lang='en' vs raw), per-doc mean quantized importance ratio, top-50", dsir1Select, Some(dsir1Sql)),
     Q("cl1_class_lift", "naive-Bayes-shaped class-lift text classifier: train+persist (token,class) lift model on a reference slice, classify the disjoint slice, confusion matrix", cl1Classify, Some(cl1Sql)),
+    Q("rho1_excess_fluency", "two-model excess-fluency selection: held-out docs scored against target-domain AND general frozen LMs, top-50 by f_tgt - f_ref", rho1Select, Some(rho1Sql)),
     Q("rq1_repetition", "Gopher-style repetition quality signals (top-unigram / dup-trigram fractions)", rq1Repetition, Some(rq1Sql)),
     Q("tf1_tfidf_keywords", "top-3 keywords per doc by log-free TF-IDF", tf1Keywords, Some(tf1Sql)),
     Q("pii1_redact", "PII redaction pass with removal counts (planted deterministic contacts)", pii1Redact, Some(pii1Sql)),
