@@ -333,14 +333,24 @@ object Sketches {
     * unpartitioned window over data-sized input.
     */
   def binQuantiles(
-      df: DataFrame, valueCol: String, width: Double, ps: Seq[Double]): DataFrame = {
+      df: DataFrame, valueCol: String, width: Double, ps: Seq[Double]): DataFrame =
+    quantilesFromBins(
+      df.select(floor(col(valueCol).cast("double") / width).cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("c")),
+      width, ps)
+
+  /** The bins → quantiles half of [[binQuantiles]], callable on an
+    * already-materialized (bin, c) table — the shape a cross-trigger
+    * maintainer stores ([[graft.streaming.QuantileMonitor]]): bin
+    * counts are ADDITIVE, so the folded table is exactly what one
+    * batch scan would have produced.
+    */
+  def quantilesFromBins(
+      bins0: DataFrame, width: Double, ps: Seq[Double]): DataFrame = {
     // the source is scanned ONCE: the bounded bin table materializes
     // eagerly, and every quantile branch (plus the total) reads the
     // checkpointed bins, not the input
-    val bins = df
-      .select(floor(col(valueCol).cast("double") / width).cast("long").as("bin"))
-      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+    val bins = bins0.select(col("bin"), col("c")).localCheckpoint(true)
     val one = bins.coalesce(1).withColumn("__bq_pid", spark_partition_id())
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__bq_pid"))
       .orderBy(col("bin")).rowsBetween(
