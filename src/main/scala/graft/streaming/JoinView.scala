@@ -57,7 +57,7 @@ object JoinView {
   /** Value-aggregated signed multiplicities for one side of one batch:
     * group by every payload column, Σ(±1), zero-sum values vanish.
     */
-  private def sided(batch: DataFrame, opCol: String): DataFrame = {
+  private[streaming] def sided(batch: DataFrame, opCol: String): DataFrame = {
     val sign = when(col(opCol) === "DELETE", -1L)
       .when(col(opCol) === "INSERT", 1L)
       .otherwise(raise_error(concat(
@@ -74,7 +74,7 @@ object JoinView {
   /** One side's join contribution: the (small, value-aggregated) delta
     * broadcast against the stored other side; multiplicities multiply.
     */
-  private def joinMult(delta: DataFrame, stored: DataFrame,
+  private[streaming] def joinMult(delta: DataFrame, stored: DataFrame,
       keys: Seq[String], deltaIsLeft: Boolean): DataFrame = {
     val d = broadcast(delta.withColumnRenamed("state_cnt", "__cd"))
     val s = stored.withColumnRenamed("state_cnt", "__cs")

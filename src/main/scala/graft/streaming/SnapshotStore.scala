@@ -613,11 +613,16 @@ final class SnapshotStore(
   // ---- additive multiplicity tables --------------------------------
   //
   // The THIRD table kind next to full bases and CDC delta chains: rows
-  // are (payload…, state_cnt) with SIGNED multiplicities, a commit
-  // APPENDS a batch's deltas — O(|batch|) written per trigger, never a
-  // state rewrite — and a read sums state_cnt per payload value and
-  // drops the zeros (merge-on-read). Every `compactEvery`-th commit
-  // folds the chain into an aggregated base, bounding read fan-in.
+  // are (payload…, measures…) where every measure column is SIGNED and
+  // summable — a commit APPENDS a batch's deltas (O(|batch|) written
+  // per trigger, never a state rewrite) and a read sums each measure
+  // per payload value and drops the all-zero rows (merge-on-read).
+  // The default single measure `state_cnt` is the counting-IVM
+  // multiplicity; MULTIPLE measures make the kind carry any
+  // sufficient-statistic rollup whose merge is addition — e.g. an
+  // aggregate view's per-group (state_cnt, state_qsum) pair
+  // ([[JoinAggView]]). Every `compactEvery`-th commit folds the chain
+  // into an aggregated base, bounding read fan-in.
   // This is the counting-IVM backing [[JoinView]] needs: its per-
   // trigger O(|state|) state-merge rewrite becomes a delta append,
   // while replay safety keeps the same shape as commitDelta (atomic
@@ -630,6 +635,17 @@ final class SnapshotStore(
   private def tableKind(table: String): Option[String] =
     if (exists(kindFile(table))) Some(readString(kindFile(table)).trim) else None
 
+  /** An additive table's measure columns, from its kind marker:
+    * `additive` = the classic single `state_cnt`; `additive:c1,c2` = a
+    * multi-measure chain. None for CDC/base tables.
+    */
+  private def additiveCols(table: String): Option[Seq[String]] =
+    tableKind(table).collect {
+      case "additive"                       => Seq("state_cnt")
+      case k if k.startsWith("additive:")   =>
+        k.stripPrefix("additive:").split(",").toSeq.map(_.trim)
+    }
+
   /** Refuse CDC-layout reads of an additive table LOUDLY: the CDC
     * reconstruction would bind (seq, operation, pk) roles onto join
     * payload columns and produce garbage — and right after a
@@ -639,31 +655,43 @@ final class SnapshotStore(
     * additive commit turns that into an immediate error.
     */
   private def refuseAdditive(table: String, op: String): Unit =
-    if (tableKind(table).contains("additive"))
+    if (additiveCols(table).isDefined)
       throw new IllegalStateException(
         s"$op: table '$table' is an ADDITIVE multiplicity table — read " +
           "it with additiveSnapshot/additiveSnapshotAt (CDC-layout " +
           "reconstruction would misparse its columns)")
 
-  /** Append one batch of signed-multiplicity rows as a delta version.
+  /** Append one batch of signed-measure rows as a delta version.
     * `delta`'s layout must match the chain's exactly (additive rows
     * have no positional roles to re-derive — a drifting layout would
-    * sum across misaligned columns); the last column is conventionally
-    * the count, but reconstruction keys on NAME (`cntCol` of
-    * [[additiveSnapshot]]).
+    * sum across misaligned columns); reconstruction keys measure
+    * columns by NAME — `cntCols` at first commit fixes them for the
+    * chain's lifetime (recorded in the kind marker), defaulting to the
+    * single counting-IVM multiplicity `state_cnt`.
     */
   def commitAdditive(table: String, delta: DataFrame,
-      meta: Option[String] = None): Int = {
-    tableKind(table) match {
-      case Some("additive") => ()
-      case Some(k) => throw new IllegalStateException(
-        s"commitAdditive: table '$table' has kind '$k'")
+      meta: Option[String] = None,
+      cntCols: Seq[String] = Seq("state_cnt")): Int = {
+    require(cntCols.nonEmpty && cntCols.forall(delta.columns.contains),
+      s"commitAdditive: measure columns ${cntCols.mkString(", ")} must " +
+        s"all exist in the delta (${delta.columns.mkString(", ")})")
+    additiveCols(table) match {
+      case Some(cols) =>
+        if (cols != cntCols) throw new IllegalStateException(
+          s"commitAdditive: table '$table' sums ${cols.mkString(", ")}; " +
+            s"this commit declared ${cntCols.mkString(", ")} — measure " +
+            "columns are fixed at the chain's first commit")
+      case None if tableKind(table).isDefined =>
+        throw new IllegalStateException(
+          s"commitAdditive: table '$table' has kind '${tableKind(table).get}'")
       case None =>
         if (currentVersion(table) > 0) throw new IllegalStateException(
           s"commitAdditive: table '$table' already holds CDC/base " +
             "versions — additive and CDC chains cannot mix in one table")
         fs.mkdirs(new Path(tableDir(table)))
-        writeString(kindFile(table), "additive")
+        writeString(kindFile(table),
+          if (cntCols == Seq("state_cnt")) "additive"
+          else s"additive:${cntCols.mkString(",")}")
     }
     val incoming = delta.schema.fields.toSeq
       .map(f => f.name -> f.dataType.catalogString)
@@ -694,29 +722,28 @@ final class SnapshotStore(
     flipPointer(table, next)
   }
 
-  /** Current contents of an additive table: Σ state_cnt per payload
-    * value over base ⊕ outstanding deltas, zero-sum values dropped.
-    * Read cost: one (possibly aggregated-base) scan + O(|deltas|) —
-    * the merge-on-read trade that buys O(|batch|) writes.
+  /** Current contents of an additive table: Σ of each measure column
+    * per payload value over base ⊕ outstanding deltas, all-zero rows
+    * dropped. Read cost: one (possibly aggregated-base) scan +
+    * O(|deltas|) — the merge-on-read trade that buys O(|batch|)
+    * writes. Measure columns come from the chain's kind marker.
     */
-  def additiveSnapshot(table: String, schema: StructType,
-      cntCol: String = "state_cnt"): DataFrame =
-    additiveSnapshotAt(table, currentVersion(table), schema, cntCol)
+  def additiveSnapshot(table: String, schema: StructType): DataFrame =
+    additiveSnapshotAt(table, currentVersion(table), schema)
 
   /** [[additiveSnapshot]] at an explicit version (time travel; also the
     * compaction fold's input).
     */
-  def additiveSnapshotAt(table: String, version: Int, schema: StructType,
-      cntCol: String = "state_cnt"): DataFrame = {
+  def additiveSnapshotAt(table: String, version: Int, schema: StructType): DataFrame = {
     if (version == 0)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     // the inverse misuse guard: a CDC/base chain summed per payload
     // value is equally silent garbage
-    if (!tableKind(table).contains("additive"))
+    val measures = additiveCols(table).getOrElse(
       throw new IllegalStateException(
         s"additiveSnapshotAt: table '$table' is not an additive " +
-          "multiplicity table — read it with snapshot/snapshotAt")
+          "multiplicity table — read it with snapshot/snapshotAt"))
     require(version >= horizon(table),
       s"additiveSnapshotAt: v$version is below the vacuum horizon " +
         s"v${horizon(table)} of $table — its history was reclaimed")
@@ -727,10 +754,14 @@ final class SnapshotStore(
       if (b == version) None
       else Some(readDeltas(table, b + 1, version).drop("__v"))
     val all = (base.toSeq ++ deltas.toSeq).reduce(_ unionByName _)
-    val payload = all.columns.filterNot(_ == cntCol)
+    val payload = all.columns.filterNot(measures.contains)
+    // drop only ALL-zero rows: a multi-measure state like (count 0,
+    // qsum ≠ 0) is a legitimate partial that must survive the fold
+    // (MatView's group-moving-update argument)
     all.groupBy(payload.map(col): _*)
-      .agg(sum(col(cntCol)).as(cntCol))
-      .filter(col(cntCol) =!= 0L)
+      .agg(measures.map(m => sum(col(m)).as(m)).head,
+        measures.map(m => sum(col(m)).as(m)).tail: _*)
+      .filter(measures.map(col(_) =!= 0L).reduce(_ || _))
   }
 
   /** Fold each audit date partition's append-per-trigger files into one
