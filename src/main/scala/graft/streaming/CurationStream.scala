@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.streaming.CurationStream.SemanticTier
+
+/** The FULL streaming curation ladder in one exactly-once stream — the
+  * end-to-end topology a production ingest actually runs, composing
+  * the three gates this engine already proves individually:
+  *
+  * {{{
+  *   docs ──▶ ① quality gate ──▶ ② signature dedup gate ──▶ ③ semantic
+  *            (row constraints)   (MinHash vs corpus index)  gate (IVF,
+  *                 │ rejects           │ rejects             optional)
+  *                 ▼                   ▼                        │ rejects
+  *            quality_reject       dup_reject                sem_reject
+  *                                                              │
+  *                                                           curated +
+  *                                                           both indexes
+  * }}}
+  *
+  * …which is `cp2_dedup_ladder`'s batch composition re-expressed as a
+  * stream: every tier's decisions persist, so a near-dup arriving an
+  * hour after its original is still blocked, and the curated output is
+  * exactly what the batch ladder would have kept given the same
+  * trigger order.
+  *
+  * The composition adds NO new exactly-once machinery — that is the
+  * point. Each tier is idempotent per `batchId`
+  * ([[QualityGate.applyBatch]], [[IngestDedup.applyBatch]],
+  * [[SemanticIngestGate.applyBatch]]), and tier k+1 consumes tier k's
+  * COMMITTED epoch directory (`…/epoch=<batchId>`, atomic rename) —
+  * a frozen, deterministic input. A crash anywhere replays the whole
+  * ladder: completed tiers skip on their own markers/epoch dirs,
+  * the first incomplete tier recomputes from the same frozen upstream
+  * epoch, and downstream tiers follow. No cross-tier transaction, no
+  * new crash windows — the handoff through an immutable epoch dir is
+  * the coordination.
+  *
+  * Per-trigger cost = the tiers' own costs (each flat in corpus size)
+  * plus one epoch-dir read per tier boundary — the price of the frozen
+  * handoff, O(|surviving batch|) and narrow. At 100 TB the ladder's
+  * order is also the cost order: the free row-local constraints drop
+  * rows before the hash probe, the cheap signature probe drops
+  * near-exact dups before the embedding probe.
+  *
+  * Directory layout under `root`: `quality_reject`, `dup_reject`,
+  * `sem_reject` (when semantic), `quality_pass` (tier-1→2 handoff),
+  * `sig_pass` (tier-2→3 handoff, only when semantic) and `curated`
+  * (the final output — tier 2's when no semantic tier). All epoch-
+  * partitioned.
+  */
+object CurationStream {
+
+  /** Tier-3 config: `table` is an [[graft.sources.AnnIndex]] IVF index;
+    * `embCol` must be a column of the document stream (it rides through
+    * tiers 1-2 as payload).
+    */
+  final case class SemanticTier(
+      table: String, embCol: String, threshold: Double = 0.9, nProbe: Int = 2)
+
+  /** One micro-batch through the whole ladder (idempotent per
+    * `batchId`). `table` is the tier-2 [[graft.sources.DedupIndex]].
+    */
+  def applyBatch(
+      spark: SparkSession, batch: DataFrame, batchId: Long,
+      constraints: Seq[(String, Column)], table: String, idCol: String,
+      textCol: String, root: String, threshold: Double = 0.9,
+      semantic: Option[SemanticTier] = None,
+      enrich: DataFrame => DataFrame = identity): Unit = {
+    QualityGate.applyBatch(spark, batch, batchId, constraints,
+      s"$root/quality_pass", s"$root/quality_reject", enrich)
+    // the frozen tier-1 epoch, read WITHOUT the partition column —
+    // downstream tiers see the original payload schema
+    val qualityPass = spark.read.parquet(s"$root/quality_pass/epoch=$batchId")
+    val sigOut = if (semantic.isDefined) s"$root/sig_pass" else s"$root/curated"
+    IngestDedup.applyBatch(spark, table, qualityPass, batchId, idCol,
+      textCol, sigOut, s"$root/dup_reject", threshold)
+    semantic.foreach { sem =>
+      val sigPass = spark.read.parquet(s"$sigOut/epoch=$batchId")
+      // id-collision checking stays ON: tier 2 only deduplicates ids
+      // within its own batch/index — the SEMANTIC index's id space is
+      // separate and can still collide
+      SemanticIngestGate.applyBatch(spark, sem.table, sigPass, batchId,
+        idCol, sem.embCol, s"$root/curated", s"$root/sem_reject",
+        sem.threshold, sem.nProbe, checkIdCollisions = true)
+    }
+  }
+
+  /** Run the ladder over a document stream. Build the tier-2 index
+    * ([[graft.sources.DedupIndex.build]]) and — when `semantic` is set —
+    * the tier-3 IVF index ([[graft.sources.AnnIndex.buildIvf]]) first.
+    * Session pins follow [[IngestDedup.start]]'s contract.
+    */
+  def start(
+      docs: DataFrame, constraints: Seq[(String, Column)], table: String,
+      idCol: String, textCol: String, root: String, checkpoint: String,
+      threshold: Double = 0.9, semantic: Option[SemanticTier] = None,
+      enrich: DataFrame => DataFrame = identity,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      shufflePartitions: Option[Int] = Some(8)): StreamingQuery = {
+    val spark = docs.sparkSession
+    val release = ConfPins.acquireGatePins(spark, shufflePartitions,
+      java.util.UUID.randomUUID())
+    val query =
+      try docs.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(trigger)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          applyBatch(b.sparkSession, b, id, constraints, table, idCol,
+            textCol, root, threshold, semantic, enrich); ()
+        }
+        .start()
+      catch { case e: Throwable => release(); throw e }
+    QueryCleanup.onTermination(spark, query)(release)
+    query
+  }
+}

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.{AnnIndex, DedupIndex}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** The composed streaming curation ladder: quality constraints, the
+  * signature dedup gate, and (optionally) the semantic gate run as ONE
+  * stream, every tier exactly-once, tier k+1 reading tier k's frozen
+  * epoch. The contract under test: the curated output equals what the
+  * tiers produce run independently in trigger order, each reject lands
+  * in its tier's directory exactly once, and a crash between tiers
+  * replays to the identical state.
+  */
+class CurationStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(s: String) = s * 6 // ~18 words: non-degenerate shingles
+
+  private val constraints = Seq(
+    ("EMPTY_TEXT", length(trim(col("text"))) === 0),
+    ("TOO_SHORT", length(col("text")) < 40))
+
+  test("three-tier trigger flow: each reject lands in its tier, survivors reach curated and the index") {
+    val dir = Files.createTempDirectory("graft-curation").toString
+    val corpus = Seq((1L, doc("the quick brown fox "))).toDF("doc_id", "text")
+    DedupIndex.build(corpus, "curation_idx", "doc_id", "text")
+    val baseRows = spark.table("curation_idx").count()
+
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = CurationStream.start(mem.toDF().toDF("doc_id", "text"),
+      constraints, "curation_idx", "doc_id", "text",
+      root = s"$dir/cur", checkpoint = s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    try {
+      // trigger 1: 10 quality-rejected (short), 11 dup of the corpus,
+      // 12 new (survives all tiers)
+      mem.addData(
+        (10L, "too short"),
+        (11L, doc("the quick brown fox ")),
+        (12L, doc("sphinx of black quartz judge ")))
+      q.processAllAvailable()
+      // trigger 2: 20 = near-dup of trigger-1 SURVIVOR 12 (cross-trigger
+      // block through the grown index), 21 quality-rejected, 22 new
+      mem.addData(
+        (20L, doc("sphinx of black quartz judge ")),
+        (21L, ""),
+        (22L, doc("how vexingly daft zebras jump ")))
+      q.processAllAvailable()
+
+      val curated = spark.read.parquet(s"$dir/cur/curated")
+        .select("doc_id").as[Long].collect().toSet
+      assert(curated == Set(12L, 22L), s"curated drifted: $curated")
+
+      val qRejects = spark.read.parquet(s"$dir/cur/quality_reject")
+        .select("doc_id", "violated").as[(Long, String)].collect().toSet
+      assert(qRejects == Set((10L, "TOO_SHORT"), (21L, "EMPTY_TEXT")))
+
+      val dRejects = spark.read.parquet(s"$dir/cur/dup_reject")
+        .select("doc_id", "dup_of", "reason").as[(Long, Long, String)]
+        .collect().toSet
+      assert(dRejects == Set(
+        (11L, 1L, "DUP_OF_CORPUS"), (20L, 12L, "DUP_OF_CORPUS")))
+
+      // the index grew by exactly the curated docs' band rows
+      spark.catalog.refreshTable("curation_idx")
+      assert(spark.table("curation_idx").count() - baseRows == 2 * 8,
+        "index must grow by ladder survivors only")
+    } finally q.stop()
+  }
+
+  test("crash between tiers replays the ladder to the identical state") {
+    val dir = Files.createTempDirectory("graft-curation-crash").toString
+    DedupIndex.build(Seq((1L, doc("the quick brown fox ")))
+      .toDF("doc_id", "text"), "curationcrash_idx", "doc_id", "text")
+    val batch = Seq(
+      (30L, "short"),
+      (31L, doc("pack my box with jugs ")),
+      (32L, doc("pack my box with jugs "))).toDF("doc_id", "text")
+
+    // crash after tier 1: only the quality gate committed its epoch
+    QualityGate.applyBatch(spark, batch, 0L, constraints,
+      s"$dir/cur/quality_pass", s"$dir/cur/quality_reject")
+    // the replay runs the WHOLE ladder: tier 1 skips on its marker,
+    // tiers 2-3 compute from the frozen quality_pass epoch
+    CurationStream.applyBatch(spark, batch, 0L, constraints,
+      "curationcrash_idx", "doc_id", "text", s"$dir/cur")
+    // …and a full second replay is a no-op everywhere
+    CurationStream.applyBatch(spark, batch, 0L, constraints,
+      "curationcrash_idx", "doc_id", "text", s"$dir/cur")
+
+    val curated = spark.read.parquet(s"$dir/cur/curated")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(curated == Seq(31L), s"replayed ladder drifted: $curated")
+    assert(spark.read.parquet(s"$dir/cur/quality_reject").count() == 1)
+    val dup = spark.read.parquet(s"$dir/cur/dup_reject")
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(dup == Set((32L, 31L)), "in-batch dup must reject exactly once")
+  }
+
+  test("semantic tier: an embedding near-dup passes tiers 1-2 and is blocked at tier 3") {
+    val dir = Files.createTempDirectory("graft-curation-sem").toString
+    DedupIndex.build(Seq((1L, doc("the quick brown fox ")))
+      .toDF("doc_id", "text"), "curationsem_sig", "doc_id", "text")
+    // semantic corpus: the unit axes (SemanticIngestGateSpec's geometry)
+    AnnIndex.buildIvf(Seq((100L, Array(1f, 0f)), (101L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding"), "curationsem_ann",
+      nCentroids = 2, refine = 0, buckets = 2)
+
+    // 40: textually NEW but embedding-identical to stored vector 100 —
+    // only the semantic tier can catch it. 41: new in both spaces.
+    val batch = Seq(
+      (40L, doc("sphinx of black quartz judge "), Array(1f, 0f)),
+      (41L, doc("how vexingly daft zebras jump "), Array(0.6f, 0.8f)))
+      .toDF("doc_id", "text", "embedding")
+    CurationStream.applyBatch(spark, batch, 0L, constraints,
+      "curationsem_sig", "doc_id", "text", s"$dir/cur",
+      semantic = Some(CurationStream.SemanticTier("curationsem_ann", "embedding")))
+
+    // both passed the signature tier (sig_pass holds 40 and 41)…
+    val sigPass = spark.read.parquet(s"$dir/cur/sig_pass")
+      .select("doc_id").as[Long].collect().toSet
+    assert(sigPass == Set(40L, 41L))
+    // …but only 41 survived the semantic tier
+    val curated = spark.read.parquet(s"$dir/cur/curated")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(curated == Seq(41L), s"semantic tier must block 40: $curated")
+    val sem = spark.read.parquet(s"$dir/cur/sem_reject")
+      .select("doc_id", "dup_of", "reason").as[(Long, Long, String)]
+      .collect().toSet
+    assert(sem == Set((40L, 100L, "DUP_OF_CORPUS")))
+    // the embedding column rode through tiers 1-2 as payload
+    assert(spark.read.parquet(s"$dir/cur/curated").columns.contains("embedding"))
+  }
+}
