@@ -25,4 +25,59 @@ object Skew {
       .drop("__salt_i")
     saltedL.join(saltedR, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Bloom-pruned join — the runtime-filter trick for selective joins
+    * at scale: when the dim side is FILTERED to a sliver of its keys
+    * but too large (or too late in the plan) to broadcast whole, a
+    * constant-size Bloom filter over its keys
+    * ([[Sketches.bloomBuild]], mBits/32 rows regardless of dim size)
+    * prunes the fact BEFORE the join's shuffle, so the exchange
+    * carries only rows that can possibly match (plus the filter's
+    * false-positive sliver, which the real join removes — pruning is
+    * sound exactly because Bloom filters have no false NEGATIVES).
+    *
+    * The probe is shuffle-free by construction: the fact flows through
+    * `k` broadcast hash joins against the word table (one per hash
+    * function, each an equi-join on the row's bit-word index) and a
+    * codegen'd bit test — no explode of the fact, no aggregation, no
+    * UDF. Fact rows whose word has no entry drop at the join itself
+    * (an absent word means no bit set).
+    *
+    * Only meaning-preserving for `inner` and `left_semi` joins (a
+    * pruned fact row is one the join would drop anyway); refuses other
+    * types loudly.
+    */
+  def bloomPrunedJoin(
+      fact: DataFrame, dim: DataFrame, key: String,
+      mBits: Int = 1 << 20, k: Int = 4,
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_semi",
+      s"bloomPrunedJoin: pruning the fact is only sound for inner/" +
+        s"left_semi joins, not '$joinType'")
+    bloomPruneFact(fact, dim, key, mBits, k).join(dim, Seq(key), joinType)
+  }
+
+  /** The pruning pass alone: `fact` reduced to rows whose `key` the
+    * Bloom filter over `dim(key)` might contain — a superset of the
+    * true matches (never a false negative), usually a tiny one.
+    */
+  def bloomPruneFact(
+      fact: DataFrame, dim: DataFrame, key: String,
+      mBits: Int = 1 << 20, k: Int = 4): DataFrame = {
+    val words = Sketches.bloomBuild(dim, col(key), mBits, k)
+    (0 until k).foldLeft(fact) { (df, r) =>
+      // EXACTLY bloomBuild's position arithmetic, or the probe tests
+      // the wrong bits
+      val pos = pmod(Dedup.hash60(
+        concat_ws("|", lit(r.toString), col(key).cast("string"))),
+        lit(mBits.toLong))
+      df.withColumn(s"__pos$r", pos)
+        .withColumn(s"__word$r", (col(s"__pos$r") / 32).cast("long"))
+        .join(broadcast(words.select(col("word").as(s"__word$r"),
+          col("bits").as(s"__bits$r"))), Seq(s"__word$r"), "inner")
+        .filter(expr(
+          s"(shiftright(__bits$r, cast(pmod(__pos$r, 32) as int)) & 1) = 1"))
+        .drop(s"__pos$r", s"__word$r", s"__bits$r")
+    }
+  }
 }

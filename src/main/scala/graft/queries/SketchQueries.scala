@@ -562,7 +562,39 @@ object SketchQueries extends QueryPack {
       |HAVING COUNT(*) * 10000 > (SELECT COUNT(*) FROM events) * 75
       |ORDER BY cnt DESC, v""".stripMargin
 
+  // ---- BFJ1: Bloom-pruned selective join -----------------------------------
+  // The runtime-filter posture: a constant-size Bloom filter over the
+  // FILTERED dim's keys prunes the fact before the join's shuffle — at
+  // 100 TB the exchange carries the matching sliver (+ the removable
+  // false-positive sliver) instead of the whole fact. The oracle is the
+  // PLAIN join: pruning must be invisible in the result.
+  private def bfj1BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+    val fact = Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey").as("p_partkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val dim = Tables.load(s, dir, "part").filter(col("p_size") === 1)
+      .select(col("p_partkey"), col("p_brand"))
+    graft.ops.Skew.bloomPrunedJoin(fact, dim, "p_partkey", mBits = 1 << 16)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec2(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  private val bfj1Sql =
+    """SELECT p_brand, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size = 1
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   override def all: Seq[Q] = Seq(
+    Q("bfj1_bloom_pruned_join", "Bloom-pruned selective fact⋈dim join (constant-size runtime filter ahead of the shuffle; result ≡ plain join)", bfj1BloomJoin, Some(bfj1Sql)),
     Q("cov1_embedding_covariance", "upper-triangle embedding covariance matrix (PCA/whitening prep, exact fixed-point sufficient statistics)", cov1Covariance, Some(cov1Sql)),
     Q("je1_joinsize_estimate", "join-cardinality estimate from two count-min sketches (inner-product upper bound) vs exact", je1JoinSize, Some(je1Sql)),
     Q("hh1_heavy_hitters", "exact heavy hitters: Misra-Gries bounded candidate pass + exact second pass", hh1HeavyHitters, Some(hh1Sql)),
