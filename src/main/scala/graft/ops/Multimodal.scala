@@ -260,6 +260,82 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** [[gradientPngTable]] with a one-pixel "retouch": pixel (14, 0) is
+    * painted white. Column 14 is sampled ONLY as the right operand of
+    * dHash bit (x=7, y=0) (sx1 = 8·16/9 = 14, sy = 0), so the
+    * retouched image's 64-bit dHash differs from its class's by AT
+    * MOST one bit — the planted near-duplicate (a re-encoded /
+    * lightly-edited variant of a stored image) that perceptual
+    * NEAR-dup matching exists to catch and exact-hash grouping (mm5)
+    * cannot.
+    */
+  def gradientPngTableRetouched(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val cls = id % 50
+        val img = new java.awt.image.BufferedImage(
+          16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val v = if (x == 14 && y == 0) 255 else gradientValue(cls, x, y)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Perceptual NEAR-dup probe via Hamming-band blocking — the image
+    * analog of the MinHash band join: to find every stored image
+    * within Hamming distance ≤ `maxDist` of each probe's dHash, split
+    * the 64-bit hash into `maxDist + 1` contiguous bands; by
+    * pigeonhole, any pair within the distance budget agrees EXACTLY on
+    * at least one band, so a band equi-join produces a candidate
+    * superset with ZERO false negatives and the codegen'd
+    * `bit_count(xor)` verification removes band-only collisions.
+    * Never a quadratic stage: candidates per probe ≈ corpus / 2^bandBits
+    * per band under dispersed hashes. (A degenerate hot band value —
+    * e.g. an all-zero band from flat images — skews the join like any
+    * hot key; salt it or pre-split frequent band values if a corpus
+    * exhibits one.)
+    *
+    * Inputs are (doc_id, phash) frames ([[dHash64]]'s shape); output:
+    * (probe_id, match_id, hamming_dist), one row per qualifying pair.
+    */
+  def dHashNearDupPairs(
+      corpus: DataFrame, probes: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist $maxDist out of range")
+    val bands = maxDist + 1
+    val width = (64 + bands - 1) / bands // ceil: pigeonhole needs ≥1 full cover
+    def banded(df: DataFrame, idAs: String, hashAs: String): DataFrame =
+      df.select(col("doc_id").as(idAs), col("phash").as(hashAs),
+        posexplode(array((0 until bands).map { i =>
+          // arithmetic shift + mask: identical band bits whether or not
+          // bit 63 (the sign) is set
+          shiftright(col("phash"), i * width)
+            .bitwiseAND(lit((1L << math.min(width, 63)) - 1L))
+        }: _*)).as(Seq("band", "band_key")))
+    banded(corpus, "match_id", "c_hash")
+      .join(banded(probes, "probe_id", "p_hash"), Seq("band", "band_key"))
+      .select(col("probe_id"), col("match_id"), col("p_hash"), col("c_hash"))
+      .distinct() // a close pair agrees on MANY bands — emit it once
+      .withColumn("hamming_dist",
+        bit_count(col("p_hash").bitwiseXOR(col("c_hash"))))
+      .filter(col("hamming_dist") <= maxDist)
+      .select(col("probe_id"), col("match_id"), col("hamming_dist"))
+  }
+
   // ---- real audio decode (JDK javax.sound.sampled) -----------------------
 
   /** The synthesized sample value at index `i` for document `id` — the

@@ -111,6 +111,55 @@ object Extras extends QueryPack {
       |SELECT phash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
       |FROM bits GROUP BY phash ORDER BY phash""".stripMargin
 
+  // ---- MM7: perceptual NEAR-dup probe (Hamming-band blocking) ------------
+  // The near-dup half mm5's exact-hash grouping cannot do: each class
+  // representative (docs 0-49, one per gradient class) is probed with a
+  // RETOUCHED variant of its image (one pixel painted white — at most
+  // one dHash bit moves), and the Hamming-band join finds every stored
+  // image within distance 3. Cross-class dHash distances are ≥ 12 by
+  // the gradient arithmetic, so each probe matches exactly its own
+  // class at distance ∈ {0, 1}. The oracle is the NAIVE QUADRATIC
+  // bit_count(xor) join over arithmetically-predicted hashes — a hash
+  // match certifies the banding has zero false negatives AND that the
+  // retouch survived the real codec round trip.
+  private def mm7PhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val reps = Tables.load(s, dir, "documents").filter(col("doc_id") < 50)
+    val corpus = Multimodal.dHash64(Multimodal.gradientPngTable(reps))
+    val probes = Multimodal.dHash64(Multimodal.gradientPngTableRetouched(reps))
+    Multimodal.dHashNearDupPairs(corpus, probes, maxDist = 3)
+      .orderBy(col("probe_id"), col("match_id"))
+  }
+
+  private val mm7Sql =
+    """WITH g AS (SELECT doc_id, doc_id % 50 AS cls FROM documents WHERE doc_id < 50),
+      |grid AS (SELECT x.range AS x, y.range AS y FROM range(0, 8) x, range(0, 8) y),
+      |s AS (
+      |  SELECT doc_id, cls, x, y,
+      |    ((1 + cls % 7) * (((x + 1) * 16) // 9) * (((x + 1) * 16) // 9)
+      |      + (1 + cls % 11) * (y * 2) * (y * 2)
+      |      + (cls % 13) * (((x + 1) * 16) // 9) * (y * 2) + cls * 17) % 256 AS gv1,
+      |    ((1 + cls % 7) * ((x * 16) // 9) * ((x * 16) // 9)
+      |      + (1 + cls % 11) * (y * 2) * (y * 2)
+      |      + (cls % 13) * ((x * 16) // 9) * (y * 2) + cls * 17) % 256 AS gv0
+      |  FROM g, grid),
+      |cb AS (
+      |  SELECT doc_id, CAST(SUM(CASE WHEN gv1 > gv0
+      |    THEN CASE WHEN y * 8 + x = 63 THEN -9223372036854775807 - 1
+      |              ELSE CAST(1 AS BIGINT) << CAST(y * 8 + x AS INTEGER) END
+      |    ELSE 0 END) AS BIGINT) AS phash
+      |  FROM s GROUP BY doc_id),
+      |pb AS (
+      |  SELECT doc_id, CAST(SUM(CASE WHEN
+      |      (CASE WHEN x = 7 AND y = 0 THEN 255 ELSE gv1 END) > gv0
+      |    THEN CASE WHEN y * 8 + x = 63 THEN -9223372036854775807 - 1
+      |              ELSE CAST(1 AS BIGINT) << CAST(y * 8 + x AS INTEGER) END
+      |    ELSE 0 END) AS BIGINT) AS phash
+      |  FROM s GROUP BY doc_id)
+      |SELECT p.doc_id AS probe_id, c.doc_id AS match_id,
+      |  CAST(bit_count(xor(p.phash, c.phash)) AS INTEGER) AS hamming_dist
+      |FROM pb p JOIN cb c ON bit_count(xor(p.phash, c.phash)) <= 3
+      |ORDER BY probe_id, match_id""".stripMargin
+
   // ---- MM6: REAL WAV decode (javax.sound.sampled) ------------------------
   // Encode 640 samples of deterministic 16-bit PCM pseudo-noise per doc
   // as a genuine RIFF/WAVE file, decode it back through the JDK audio
@@ -348,6 +397,7 @@ object Extras extends QueryPack {
     Q("mm3_png_decode", "multimodal: real JDK PNG encode→decode round trip", mm3PngDecode, Some(mm3Sql)),
     Q("mm4_resize", "multimodal: decode → nearest-neighbor resize → re-encode → decode", mm4Resize, Some(mm4Sql)),
     Q("mm5_phash_dedup", "multimodal: perceptual dHash dedup over real decoded pixels", mm5PhashDedup, Some(mm5Sql)),
+    Q("mm7_phash_neardup", "multimodal: Hamming-band perceptual NEAR-dup probe (retouched variants matched within distance 3; quadratic oracle certifies zero false negatives)", mm7PhashNearDup, Some(mm7Sql)),
     Q("mm6_wav_features", "multimodal: real JDK WAV encode->decode + per-frame audio features", mm6WavFeatures, Some(mm6Sql)),
     Q("sk1_salted_join", "salted join spreads a deliberately hot key", sk1SaltedJoin, Some(sk1Sql)),
     Q("p7_debezium_decimal", "P7 VariableScaleDecimal custom Expression", p7DebeziumDecimal, Some(p7Sql)),

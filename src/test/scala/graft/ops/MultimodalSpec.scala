@@ -92,6 +92,39 @@ class MultimodalSpec extends SparkSpec {
     assert(top.count() == 6)
   }
 
+  test("Hamming-band near-dup pairs == brute force, including the distance boundary") {
+    // synthetic hashes with known pairwise distances: the band join's
+    // pigeonhole guarantee (zero false negatives at ≤ maxDist) and the
+    // verification filter (maxDist+1 excluded) both pinned, plus the
+    // sign bit (63) and a distance-0 pair that matches in EVERY band
+    // yet must emit once
+    val base = 0x0123456789ABCDEFL
+    val corpus = Seq(
+      (1L, base),
+      (2L, base ^ (1L << 63)), // d=1 via the sign bit
+      (3L, base ^ 0x7L), // d=3: exactly maxDist
+      (4L, base ^ 0xFL), // d=4: just over
+      (5L, 0L)).toDF("doc_id", "phash")
+    val probes = Seq((10L, base)).toDF("doc_id", "phash")
+    val got = Multimodal.dHashNearDupPairs(corpus, probes, maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((10L, 1L, 0), (10L, 2L, 1), (10L, 3L, 3)))
+  }
+
+  test("retouched gradient PNGs are within one dHash bit of their class, and only their class") {
+    val reps = graft.Tables.load(spark, sfSmoke, "documents")
+      .filter($"doc_id" < 50)
+    val corpus = Multimodal.dHash64(Multimodal.gradientPngTable(reps))
+    val probes = Multimodal.dHash64(Multimodal.gradientPngTableRetouched(reps))
+    val pairs = Multimodal.dHashNearDupPairs(corpus, probes, maxDist = 3)
+      .as[(Long, Long, Int)].collect()
+    // every probe matches exactly its own representative (cross-class
+    // gradient distances are ≥ 12), at distance 0 or 1 (the single
+    // retouched pixel feeds exactly one dHash comparison)
+    assert(pairs.length == 50)
+    assert(pairs.forall { case (p, m, d) => p == m && d <= 1 })
+  }
+
   test("dHash survives a full transcode (decode → resample → re-encode)") {
     // the perceptual-dedup claim: the hash is a function of the image,
     // not its encoding — a second trip through the codec (same-size
