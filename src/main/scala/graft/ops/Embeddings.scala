@@ -81,6 +81,67 @@ object Embeddings {
           / 1.0e12).as("cov6"))
   }
 
+  /** Top principal component by fixed-point POWER ITERATION over the
+    * covariance matrix — the whitening/PCA direction a curation
+    * pipeline uses to center or de-bias an embedding space. The
+    * sufficient-statistics split is the whole scale story: ONE corpus
+    * pass builds the d²/2-row covariance ([[covarianceMatrix]], the
+    * exchange never carries corpus rows), and the iteration then runs
+    * entirely on constant-size tables (d² matrix × d vector), so the
+    * 100 TB cost is exactly one covariance pass.
+    *
+    * Engine-exactness (the pr1 integer-fixpoint pattern): the matrix
+    * quantizes to millionths (int64), v₀ = ⌊10⁶/√d + ½⌋ per dim, and
+    * each iteration is
+    *
+    *  - wᵢ = ⌊Σⱼ c6ᵢⱼ·v6ⱼ / 10⁶⌋ — an INTEGER sum (order-free) and a
+    *    floor on an exactly-representable double;
+    *  - ‖w‖ = √(Σ wᵢ²) — exact int64 sum, correctly-rounded IEEE sqrt
+    *    (overflow envelope: |w6| ≲ 10⁶·λmax, so Σ w² stays below 2⁵³
+    *    for λmax·√d ≲ 10, far above any unit-normalized corpus);
+    *  - v6ᵢ = ⌊w6ᵢ·10⁶/‖w‖ + ½⌋ — two IEEE ops in fixed order.
+    *
+    * Every step is bit-identical in any engine, so an oracle can unroll
+    * the iterations as plain CTEs and hash-match an ITERATIVE
+    * eigensolver. Output: (dim, pc6, lambda6) — the quantized unit
+    * direction and the Rayleigh-style ‖Cv‖ eigenvalue estimate.
+    */
+  def topPcPowerIteration(
+      df: DataFrame, vecCol: String, dims: Int, iters: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    val tri = covarianceMatrix(df, vecCol)
+      .select(col("i"), col("j"),
+        floor(col("cov6") * 1000000.0 + 0.5).cast("long").as("c6"))
+    // the full (symmetric) matrix, materialized ONCE: the iteration
+    // below references it in every matrix-vector join, and an
+    // unmaterialized plan would re-run the corpus-sized covariance
+    // pass per reference
+    val full = tri.unionByName(tri.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("c6")))
+      .localCheckpoint(true)
+    val v0q = math.floor(1000000.0 / math.sqrt(dims.toDouble) + 0.5).toLong
+    var v: DataFrame = spark.range(1, dims + 1)
+      .select(col("id").as("j"), lit(v0q).as("v6"))
+    var norm: DataFrame = null
+    (0 until iters).foreach { _ =>
+      val w = full.join(v, Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(col("c6") * col("v6")).as("wraw"))
+        .select(col("i"),
+          floor(col("wraw").cast("double") / 1000000.0).cast("long").as("w6"))
+      norm = w.agg(sqrt(sum(col("w6") * col("w6")).cast("double")).as("nrm"))
+      v = w.crossJoin(broadcast(norm))
+        .select(col("i").as("j"),
+          floor(col("w6").cast("double") * 1000000.0 / col("nrm") + 0.5)
+            .cast("long").as("v6"))
+    }
+    v.crossJoin(broadcast(norm))
+      .select(col("j").as("dim"),
+        (col("v6").cast("double") / 1000000.0).as("pc6"),
+        (floor(col("nrm") + 0.5) / 1000000.0).as("lambda6"))
+      .orderBy(col("dim"))
+  }
+
   /** Per-dimension mean/variance over the corpus, in overflow-safe
     * fixed-point: values scale to integers q = ⌊v·10⁶ + ½⌋, sums and
     * sums-of-squares stay exact int64 (|v| ≤ 10³ and n ≤ 10⁸ before

@@ -562,6 +562,55 @@ object SketchQueries extends QueryPack {
       |HAVING COUNT(*) * 10000 > (SELECT COUNT(*) FROM events) * 75
       |ORDER BY cnt DESC, v""".stripMargin
 
+  // ---- PCA1: top principal component by power iteration -------------------
+  // The PCA/whitening direction from cov1's sufficient statistics: one
+  // corpus pass builds the covariance, then three fixed-point power
+  // iterations run on constant-size tables. Integer matrix-vector sums
+  // + correctly-rounded sqrt/divisions make an ITERATIVE eigensolver
+  // hash-matchable — the oracle unrolls the three iterations as CTEs.
+  private def pca1TopPc(s: SparkSession, dir: String): DataFrame =
+    Embeddings.topPcPowerIteration(
+      Tables.load(s, dir, "embeddings"), "embedding", dims = 64)
+
+  private val pca1Sql = {
+    val cov =
+      """p AS (
+        |  SELECT i, j,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qi,
+        |    CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qj
+        |  FROM embeddings, range(1, 65) t(i), range(1, 65) u(j)
+        |  WHERE j >= i),
+        |a AS (
+        |  SELECT i, j, COUNT(*) AS n, CAST(SUM(qi) AS BIGINT) AS si,
+        |    CAST(SUM(qj) AS BIGINT) AS sj, CAST(SUM(qi * qj) AS BIGINT) AS sij
+        |  FROM p GROUP BY i, j),
+        |tri AS (
+        |  SELECT i, j,
+        |    CAST(floor((CAST(sij AS DOUBLE) / n
+        |      - (CAST(si AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n))
+        |      / 1000000000000.0 * 1000000.0 + 0.5) AS BIGINT) AS c6
+        |  FROM a),
+        |f AS (SELECT i, j, c6 FROM tri
+        |      UNION ALL SELECT j AS i, i AS j, c6 FROM tri WHERE i <> j),
+        |v0 AS (SELECT range AS j, CAST(125000 AS BIGINT) AS v6 FROM range(1, 65))""".stripMargin
+    val its = (1 to 3).map { k =>
+      s"""w$k AS (
+        |  SELECT f.i AS i,
+        |    CAST(floor(CAST(SUM(f.c6 * v.v6) AS DOUBLE) / 1000000.0) AS BIGINT) AS w6
+        |  FROM f JOIN v${k - 1} v ON f.j = v.j GROUP BY f.i),
+        |n$k AS (SELECT sqrt(CAST(SUM(w6 * w6) AS DOUBLE)) AS nrm FROM w$k),
+        |v$k AS (
+        |  SELECT i AS j,
+        |    CAST(floor(CAST(w6 AS DOUBLE) * 1000000.0 / nrm + 0.5) AS BIGINT) AS v6
+        |  FROM w$k, n$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $cov,
+      |$its
+      |SELECT v.j AS dim, CAST(v6 AS DOUBLE) / 1000000.0 AS pc6,
+      |  floor(nrm + 0.5) / 1000000.0 AS lambda6
+      |FROM v3 v, n3 ORDER BY dim""".stripMargin
+  }
+
   // ---- BFJ1: Bloom-pruned selective join -----------------------------------
   // The runtime-filter posture: a constant-size Bloom filter over the
   // FILTERED dim's keys prunes the fact before the join's shuffle — at
@@ -595,6 +644,7 @@ object SketchQueries extends QueryPack {
 
   override def all: Seq[Q] = Seq(
     Q("bfj1_bloom_pruned_join", "Bloom-pruned selective fact⋈dim join (constant-size runtime filter ahead of the shuffle; result ≡ plain join)", bfj1BloomJoin, Some(bfj1Sql)),
+    Q("pca1_power_iteration", "top principal component via fixed-point power iteration over the covariance sufficient statistics (one corpus pass; iterations on constant-size tables)", pca1TopPc, Some(pca1Sql)),
     Q("cov1_embedding_covariance", "upper-triangle embedding covariance matrix (PCA/whitening prep, exact fixed-point sufficient statistics)", cov1Covariance, Some(cov1Sql)),
     Q("je1_joinsize_estimate", "join-cardinality estimate from two count-min sketches (inner-product upper bound) vs exact", je1JoinSize, Some(je1Sql)),
     Q("hh1_heavy_hitters", "exact heavy hitters: Misra-Gries bounded candidate pass + exact second pass", hh1HeavyHitters, Some(hh1Sql)),

@@ -262,6 +262,31 @@ class SketchesSpec extends SparkSpec {
       "covariance diagonal must agree with dimStats variance")
   }
 
+  test("power iteration recovers a planted spike direction as a unit vector") {
+    // corpus = s·u + small deterministic noise, u = (3,4)/5: the top PC
+    // must align with u, the returned direction must be unit-norm, and
+    // the eigenvalue estimate must dominate every single-dim variance
+    // (λmax ≥ Cᵢᵢ for symmetric PSD matrices)
+    val rows = (0 until 400).map { i =>
+      val s = (i % 21 - 10) / 10.0f // spike coefficient in [-1, 1]
+      val n1 = ((i * 7) % 11 - 5) / 100.0f
+      val n2 = ((i * 13) % 11 - 5) / 100.0f
+      Seq(0.6f * s + n1, 0.8f * s + n2)
+    }.toDF("embedding")
+    val pc = Embeddings.topPcPowerIteration(rows, "embedding", dims = 2)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    val v = pc.map(_._2)
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-3, s"direction not unit: $norm")
+    val cos = math.abs(v(0) * 0.6 + v(1) * 0.8)
+    assert(cos > 0.999, s"did not recover the planted spike: cos=$cos")
+    val lambda = pc.head._3
+    val vars = Embeddings.dimStats(rows, "embedding")
+      .select(col("var6")).as[Double].collect()
+    assert(vars.forall(lambda >= _ - 1e-6),
+      s"eigenvalue estimate $lambda below a diagonal entry ${vars.toSeq}")
+  }
+
   test("misra-gries: bounded summary keeps every value above n/(k+1), any order") {
     // 2000 rows: 'hot' 300×, 'warm' 150×, 180 cold values ~8-9× each.
     // k=12 → guarantee floor n/13 ≈ 154: hot MUST survive; stored
