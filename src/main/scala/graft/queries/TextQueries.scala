@@ -13,6 +13,111 @@ object TextQueries extends QueryPack {
   private val wordsFrom =
     "(SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)"
 
+  // ---- C4F1: heuristic filter pack ----------------------------------------
+  // The C4/Gopher rule-based pre-filter as a first-failing-rule report
+  // (QualityGate's severity-order semantics, batch form): word-count
+  // band, lexical-diversity floor, and label-vs-detected language
+  // agreement — the cheap row-local rules a curation run applies
+  // BEFORE any hashing. One narrow pass + one tiny groupBy: flat in
+  // corpus size, no shuffle of document rows beyond the |rules|-row
+  // aggregation.
+  private def c4f1Filters(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextAnalysis
+    val wc = TextAnalysis.tokenCount(col("text"))
+    val ttr = TextAnalysis.typeTokenRatio(col("text"))
+    val verdict = when(wc < 20, "TOO_SHORT")
+      .when(wc > 90, "TOO_LONG")
+      .when(ttr < 0.35, "LOW_DIVERSITY")
+      .when(TextAnalysis.langId(col("text")) =!= col("lang"), "LANG_MISMATCH")
+      .otherwise("KEPT")
+    Tables.load(s, dir, "documents")
+      .select(verdict.as("verdict"))
+      .groupBy(col("verdict")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("verdict"))
+  }
+
+  private val c4f1Sql =
+    s"""WITH w AS $wordsFrom,
+      |sig AS (
+      |  SELECT d.doc_id, d.lang, len(w.w) AS wc,
+      |    floor(CAST(len(list_distinct(w.w)) AS DOUBLE) / len(w.w) * 1000000.0 + 0.5)
+      |      / 1000000.0 AS ttr,
+      |    len(list_filter(w.w, x -> x IN ('der','die','das','und','ist'))) AS de_hits,
+      |    len(list_filter(w.w, x -> x IN ('the','a','and','of','is','to','in'))) AS en_hits,
+      |    len(list_filter(w.w, x -> x IN ('el','la','de','que','y'))) AS es_hits,
+      |    len(list_filter(w.w, x -> x IN ('le','la','et','les','des'))) AS fr_hits
+      |  FROM documents d JOIN w ON d.doc_id = w.doc_id),
+      |v AS (
+      |  SELECT CASE
+      |    WHEN wc < 20 THEN 'TOO_SHORT'
+      |    WHEN wc > 90 THEN 'TOO_LONG'
+      |    WHEN ttr < 0.35 THEN 'LOW_DIVERSITY'
+      |    WHEN (CASE WHEN greatest(de_hits*4+0, en_hits*4+1, es_hits*4+2, fr_hits*4+3) >= 4
+      |      THEN CASE greatest(de_hits*4+0, en_hits*4+1, es_hits*4+2, fr_hits*4+3) % 4
+      |        WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es' ELSE 'fr' END
+      |      ELSE 'und' END) <> lang THEN 'LANG_MISMATCH'
+      |    ELSE 'KEPT' END AS verdict
+      |  FROM sig)
+      |SELECT verdict, COUNT(*) AS n_docs FROM v GROUP BY verdict
+      |ORDER BY verdict""".stripMargin
+
+  // ---- CARD1: dataset card -------------------------------------------------
+  // The per-source corpus report a training run publishes alongside the
+  // data (datasheet posture): volume, token mass, language mix, and a
+  // near-dup-aware uniqueness ratio (distinct 5-gram shingle
+  // fingerprints / docs — exact-dup-free corpora still show their
+  // near-dup classes here). Majority language ties break
+  // alphabetically-first via a min over (−count, lang) pairs — the
+  // engine-deterministic argmax. One pass + per-source aggregation;
+  // every shuffle key is `source`.
+  private def card1DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextAnalysis
+    val d = Tables.load(s, dir, "documents")
+      .select(col("source"), col("lang"), col("n_chars"),
+        TextAnalysis.tokenCount(col("text")).as("wc"),
+        TextAnalysis.shingleFingerprint(col("text"), 5).as("fp"))
+    val langMode = d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(min_by(col("lang"), struct((-col("cnt")).as("nc"), col("lang")))
+        .as("top_lang"), count(lit(1)).as("n_langs"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("wc")).as("n_tokens"),
+        graft.ops.TextAnalysis.round6(
+          sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars"),
+        graft.ops.TextAnalysis.round6(
+          count_distinct(col("fp")).cast("double") / count(lit(1)))
+          .as("uniq_ratio"))
+      .join(langMode, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("mean_chars"), col("uniq_ratio"), col("n_langs"), col("top_lang"))
+      .orderBy(col("source"))
+  }
+
+  private val card1Sql =
+    s"""WITH w AS $wordsFrom,
+      |base AS (
+      |  SELECT d.source, d.lang, d.n_chars, len(w.w) AS wc,
+      |    list_min([md5(array_to_string(w.w[i:i+4], ' '))
+      |      for i in range(1, len(w.w) - 3)]) AS fp
+      |  FROM documents d JOIN w ON d.doc_id = w.doc_id),
+      |lm AS (
+      |  SELECT source, lang, COUNT(*) AS cnt FROM base GROUP BY 1, 2),
+      |top AS (
+      |  SELECT source, lang AS top_lang, n_langs FROM (
+      |    SELECT source, lang, cnt,
+      |      COUNT(*) OVER (PARTITION BY source) AS n_langs,
+      |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, lang) AS rn
+      |    FROM lm) WHERE rn = 1)
+      |SELECT b.source AS source, COUNT(*) AS n_docs,
+      |  CAST(SUM(wc) AS BIGINT) AS n_tokens,
+      |  floor(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_chars,
+      |  floor(CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS uniq_ratio,
+      |  any_value(n_langs) AS n_langs, any_value(top_lang) AS top_lang
+      |FROM base b JOIN top t ON b.source = t.source
+      |GROUP BY b.source ORDER BY source""".stripMargin
+
   // ---- LM1: bigram-LM fluency score ---------------------------------------
   // The log-free perplexity stand-in: avg in-corpus conditional bigram
   // probability per doc. Terms quantize to millionths before the sum
@@ -593,6 +698,8 @@ object TextQueries extends QueryPack {
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   override def all: Seq[Q] = Seq(
+    Q("c4f1_heuristic_filters", "C4/Gopher rule-based pre-filter: first-failing-rule verdict report (word-count band, diversity floor, language agreement)", c4f1Filters, Some(c4f1Sql)),
+    Q("card1_dataset_card", "per-source dataset card: volume, token mass, language mix, near-dup-aware uniqueness ratio (datasheet posture)", card1DatasetCard, Some(card1Sql)),
     Q("to1_tokenize_ids", "tokenizer id-mapping vs broadcast top-20 vocab (OOV=0, id-sequence digest)", to1TokenizeIds, Some(to1Sql)),
     Q("ii1_inverted_index", "bigram phrase index: term -> sorted postings digest, maxDf hot-term guard", ii1InvertedIndex, Some(ii1Sql)),
     Q("co1_cooccur_lift", "adjacent-pair co-occurrence lift (log-free PMI ranking)", co1CooccurLift, Some(co1Sql)),
