@@ -32,6 +32,38 @@ object Packing {
         .cast("long"))
   }
 
+  /** Harmonic SHELF packing — the bin-packing answer with a provable
+    * no-overflow guarantee that [[packWindows]]' streaming
+    * approximation trades away: items are grouped into capacity
+    * classes k = ⌊budget / n_tokens⌋ (every item in class k fits k per
+    * bin, since its length ≤ budget/k), ranked within their class, and
+    * assigned bin ⌊(rank−1)/k⌋. Every bin's total is ≤ budget BY
+    * CONSTRUCTION, and every full bin is more than half full
+    * (k items, each > budget/(k+1) ⇒ fill > k/(k+1) ≥ ½) — the
+    * classic harmonic-shelf bound, deterministic end to end.
+    *
+    * Items LONGER than the budget get k = 0 and a bin of their own
+    * (truncation is the tokenizer's decision, not the packer's).
+    *
+    * Scale: the per-class rank is [[Ranking.withGroupedRank]]'s grouped
+    * zipWithIndex — one range exchange + O(P+G)-row offset metadata,
+    * no single-task window even when one length class dominates (at a
+    * 2048 budget, real corpora concentrate in a handful of classes).
+    * Output: df + (cap_class, shelf_rank, bin_idx).
+    */
+  def shelfPack(df: DataFrame, idCol: String, nTokensCol: String,
+      budget: Int): DataFrame = {
+    require(budget > 0, s"budget $budget must be positive")
+    val withClass = df.withColumn("cap_class",
+      floor(lit(budget.toLong) / col(nTokensCol)).cast("long"))
+    Ranking.withGroupedRank(withClass, "cap_class", "shelf_rank",
+        Seq(col(nTokensCol), col(idCol)))
+      .withColumn("bin_idx",
+        when(col("cap_class") > 0,
+          floor((col("shelf_rank") - 1).cast("double") / col("cap_class")))
+          .otherwise(col("shelf_rank") - 1).cast("long"))
+  }
+
   /** Deterministic weighted interleaving of sources — materializes the
     * global training order that realizes a mixture: the i-th row of
     * source s is scheduled at virtual time vt = i / w_s (start-time

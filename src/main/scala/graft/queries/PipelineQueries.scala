@@ -1440,6 +1440,36 @@ object PipelineQueries extends QueryPack {
       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
       |FROM c GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin
 
+  // ---- PK2: harmonic shelf packing ----------------------------------------
+  // pk1's streaming pack can overflow a window by one document; shelf
+  // packing never overflows: capacity class k = ⌊budget/len⌋ holds k
+  // items per bin by construction (each ≤ budget/k), every full bin is
+  // > k/(k+1) ≥ ½ full, and the per-class rank is the distributed
+  // grouped zipWithIndex (no single-task window under a dominant
+  // class). Budget 128 puts the 10-99-token docs in classes 1-12.
+  private def pk2ShelfPacking(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("wc"))
+    graft.ops.Packing.shelfPack(docs, "doc_id", "wc", budget = 128)
+      .groupBy(col("cap_class"), col("bin_idx"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("wc")).as("bin_tokens"))
+      .orderBy(col("cap_class"), col("bin_idx"))
+  }
+
+  private val pk2Sql =
+    """WITH t AS (SELECT doc_id,
+      |             len(string_split_regex(trim(text), '\s+')) AS wc
+      |           FROM documents),
+      |c AS (SELECT doc_id, wc, 128 // wc AS cap_class FROM t),
+      |r AS (SELECT doc_id, wc, cap_class,
+      |        ROW_NUMBER() OVER (PARTITION BY cap_class
+      |                           ORDER BY wc, doc_id) AS rn FROM c)
+      |SELECT CAST(cap_class AS BIGINT) AS cap_class,
+      |  CAST(CASE WHEN cap_class > 0 THEN (rn - 1) // cap_class
+      |            ELSE rn - 1 END AS BIGINT) AS bin_idx,
+      |  COUNT(*) AS n_docs, CAST(SUM(wc) AS BIGINT) AS bin_tokens
+      |FROM r GROUP BY 1, 2 ORDER BY cap_class, bin_idx""".stripMargin
+
   // ---- SM1: deterministic hash sampling (stratified by lang) -------------
   // Reservoir/rand() sampling is irreproducible across engines and
   // re-runs; hash-mod sampling is the pipeline-grade equivalent: the
@@ -1925,6 +1955,7 @@ object PipelineQueries extends QueryPack {
     Q("dd8_dup_spans", "duplicated-span coverage: interval-merged cross-doc 8-gram runs", dd8DupSpans, Some(dd8Sql)),
     Q("dc1_decontaminate", "train/eval n-gram containment (inverted-index join)", dc1Decontaminate, Some(dc1Sql)),
     Q("pk1_sequence_packing", "greedy packing into 2048-token context windows", pk1SequencePacking, Some(pk1Sql)),
+    Q("pk2_shelf_packing", "harmonic shelf packing: capacity-class bins that never overflow, full bins > half full by construction", pk2ShelfPacking, Some(pk2Sql)),
     Q("sm1_hash_sample", "deterministic hash-mod sampling, lang-stratified", sm1HashSample, Some(sm1Sql)),
     Q("ws1_weighted_sample", "deterministic weighted Bernoulli sampling by doc length", ws1WeightedSample, Some(ws1Sql)),
     Q("mx1_mixture_weights", "deterministic corpus-mixture reweighting by source", mx1Mixture, Some(mx1Sql)),

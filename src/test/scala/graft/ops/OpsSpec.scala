@@ -168,6 +168,27 @@ class OpsSpec extends SparkSpec {
     assert(again == packed.select("doc_id", "pack_id").collect().toSet)
   }
 
+  test("shelf packing: bins never overflow, full bins are > half full, oversize docs sit alone") {
+    // lengths across classes k=1..5 of budget 100, plus two oversize
+    val docs = ((1 to 60).map(i => (i.toLong, 15 + (i * 13) % 80)) ++
+      Seq((101L, 150), (102L, 999))).toDF("doc_id", "wc")
+    val packed = Packing.shelfPack(docs, "doc_id", "wc", budget = 100)
+    val bins = packed.groupBy("cap_class", "bin_idx")
+      .agg(count(lit(1)).as("n"), sum("wc").as("t"))
+      .as[(Long, Long, Long, Long)].collect()
+    // the harmonic guarantee: class-k bins hold ≤ k items totalling
+    // ≤ budget — NEVER an overflow (pk1's trade, closed)
+    assert(bins.filter(_._1 > 0).forall { case (k, _, n, t) => n <= k && t <= 100 })
+    // every FULL bin (k items) is more than half the budget
+    assert(bins.filter { case (k, _, n, _) => k > 0 && n == k }
+      .forall(_._4 > 50))
+    // oversize docs (k = 0) land one per bin
+    assert(bins.filter(_._1 == 0L).forall(_._3 == 1L))
+    assert(bins.count(_._1 == 0L) == 2)
+    // nothing lost
+    assert(packed.count() == 62)
+  }
+
   test("language ID picks the stopword-dominant language") {
     val out = TextAnalysis.langId(col("text"))
     val got = docs.select($"doc_id", out.as("l")).as[(Long, String)].collect().toMap
