@@ -186,15 +186,20 @@ class JoinAggViewSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Option[Double], Option[String], String, String)]
     val changes = mem.toDF().toDF("k", "price", "nation", "side", "op")
+    // ProcessingTime(0) + processAllAvailable, NOT AvailableNow: the
+    // latter snapshots offsets at start, so data added after start()
+    // races the snapshot and can be silently skipped (observed flake)
     val q = JoinAggView.start(changes, store, "AGS", Seq("k"),
       aCols = Seq("price"), bCols = Seq("nation"), gKeys = Seq("nation"),
       valueCol = "price", sideCol = "side", opCol = "op",
-      checkpoint = s"$dir/chk", trigger = Trigger.AvailableNow())
-    mem.addData(
-      ("c1", Some(9.0), None, "A", "INSERT"),
-      ("c1", None, Some("DE"), "B", "INSERT"),
-      ("c2", Some(1.0), None, "A", "INSERT"))
-    q.processAllAvailable(); q.stop(); q.awaitTermination()
-    assert(agg(store, "AGS") == Set(("DE", 1L, 9.0)))
+      checkpoint = s"$dir/chk", trigger = Trigger.ProcessingTime("0 seconds"))
+    try {
+      mem.addData(
+        ("c1", Some(9.0), None, "A", "INSERT"),
+        ("c1", None, Some("DE"), "B", "INSERT"),
+        ("c2", Some(1.0), None, "A", "INSERT"))
+      q.processAllAvailable()
+      assert(agg(store, "AGS") == Set(("DE", 1L, 9.0)))
+    } finally q.stop()
   }
 }
