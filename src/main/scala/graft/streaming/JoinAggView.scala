@@ -91,6 +91,40 @@ object JoinAggView {
       store.commitAdditive(bT, dB, meta = Some(batchId.toString))
   }
 
+  /** Maintain the rollup over two STORE tables from their CHANGE FEEDS
+    * — the lakehouse form, mirroring [[JoinView.refreshFromStore]] and
+    * simpler than the streaming path: the side states ARE the tables'
+    * versions, so the whole refresh is ONE atomic additive commit
+    * whose meta records the reflected `(versionA, versionB)` pair — no
+    * multi-table crash window; a replay recomputes from the same pair.
+    * Per refresh: the shared ΔJ terms ([[JoinView.deltaJoinTerms]],
+    * O(|changes| + the touched snapshot projections)) fold into the
+    * per-group aggregate delta and append O(|touched groups|) rows.
+    * Returns the `(versionA, versionB)` the rollup now reflects.
+    */
+  def refreshFromStore(
+      store: SnapshotStore, viewTable: String, tableA: String,
+      tableB: String, keys: Seq[String], aCols: Seq[String],
+      bCols: Seq[String], gKeys: Seq[String], valueCol: String,
+      scale: Long = 100L): (Int, Int) = {
+    val (tA, tB) = (store.currentVersion(tableA), store.currentVersion(tableB))
+    val (vA, vB) = store.currentMeta(viewTable)
+      .map { m => val p = m.split(":"); (p(0).toInt, p(1).toInt) }
+      .getOrElse((0, 0))
+    if (vA == tA && vB == tB) return (vA, vB)
+    JoinView.deltaJoinTerms(store, tableA, tableB, keys,
+      keys ++ aCols, keys ++ bCols, vA, vB, tA, tB) match {
+      case Seq() => (vA, vB) // one-sided backlog vs an empty partner: ΔJ = ∅
+      case ts =>
+        val dAgg = Incremental.aggState(ts.reduce(_ unionByName _), gKeys,
+            valueCol, scale, signCol = Some("state_cnt"))
+          .filter(col("state_cnt") =!= 0L || col("state_qsum") =!= 0L)
+        store.commitAdditive(viewTable, dAgg, meta = Some(s"$tA:$tB"),
+          cntCols = MeasureCols)
+        (tA, tB)
+    }
+  }
+
   /** The maintained rollup, presented as (gKeys, n_rows, total_value,
     * mean_value) — [[Incremental.finish]] over the additive snapshot.
     */

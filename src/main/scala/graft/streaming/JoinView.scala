@@ -146,8 +146,33 @@ object JoinView {
       .map { m => val p = m.split(":"); (p(0).toInt, p(1).toInt) }
       .getOrElse((0, 0))
     if (vA == tA && vB == tB) return (vA, vB)
-    val aProj = keys ++ aCols
-    val bProj = keys ++ bCols
+    deltaJoinTerms(store, tableA, tableB, keys, keys ++ aCols, keys ++ bCols,
+      vA, vB, tA, tB) match {
+      case Seq() =>
+        // one side changed but the other has never held a row: ΔJ = ∅.
+        // Do NOT commit — the view keeps reflecting (vA, vB), and a
+        // later refresh rebuilds the same (empty) term from the same
+        // pair, so nothing is lost or double-counted.
+        (vA, vB)
+      case ts =>
+        // ΔJ appends additively: each refresh writes O(|ΔJ|), and the
+        // view reconstructs by multiplicity sum like the streaming path
+        store.commitAdditive(viewTable, ts.reduce(_ unionByName _),
+          meta = Some(s"$tA:$tB"))
+        (tA, tB)
+    }
+  }
+
+  /** The ΔJ terms of one store-to-store refresh step:
+    * ΔA ⋈ B@vB ⊕ A@tA ⋈ ΔB, each side's Δ the signed value-grouped
+    * difference of the touched rows' (before, after) images. Shared by
+    * [[refreshFromStore]] and [[JoinAggView.refreshFromStore]]. Empty
+    * when the only changed side has never had a partner row.
+    */
+  private[streaming] def deltaJoinTerms(
+      store: SnapshotStore, tableA: String, tableB: String,
+      keys: Seq[String], aProj: Seq[String], bProj: Seq[String],
+      vA: Int, vB: Int, tA: Int, tB: Int): Seq[DataFrame] = {
     def grouped(df: DataFrame, cols: Seq[String]): DataFrame =
       df.select(cols.map(col): _*).groupBy(cols.map(col): _*)
         .agg(count(lit(1)).cast("long").as("state_cnt"))
@@ -165,20 +190,7 @@ object JoinView {
     if (vB < tB && tA > 0)
       terms += joinMult(sidedDelta(tableB, vB, tB, bProj),
         grouped(store.snapshotAt(tableA, tA), aProj), keys, deltaIsLeft = false)
-    terms.result() match {
-      case Seq() =>
-        // one side changed but the other has never held a row: ΔJ = ∅.
-        // Do NOT commit — the view keeps reflecting (vA, vB), and a
-        // later refresh rebuilds the same (empty) term from the same
-        // pair, so nothing is lost or double-counted.
-        (vA, vB)
-      case ts =>
-        // ΔJ appends additively: each refresh writes O(|ΔJ|), and the
-        // view reconstructs by multiplicity sum like the streaming path
-        store.commitAdditive(viewTable, ts.reduce(_ unionByName _),
-          meta = Some(s"$tA:$tB"))
-        (tA, tB)
-    }
+    terms.result()
   }
 
   /** Run the view over ONE tagged change stream (`sideCol` ∈ A|B; rows

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 import org.apache.spark.sql.streaming.Trigger
 import java.nio.file.Files
 
@@ -178,6 +179,55 @@ class JoinAggViewSpec extends SparkSpec {
     val got = store.additiveSnapshot("M2", null)
       .as[(String, Long, Long)].collect().toSet
     assert(got == Set(("g1", 3L, 60L)))
+  }
+
+  test("refreshFromStore maintains the rollup over two delta-chain store tables") {
+    val dir = Files.createTempDirectory("graft-jointagg-cdf").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    def commitA(rows: (Long, String, Int, String, Double)*): Int =
+      store.commitDelta("RA", rows.toDF("seq", "operation", "ID", "K", "PRICE"),
+        "ID", "seq", Seq("K", "PRICE"))
+    def commitB(rows: (Long, String, Int, String, String)*): Int =
+      store.commitDelta("RB", rows.toDF("seq", "operation", "ID", "K", "NATION"),
+        "ID", "seq", Seq("K", "NATION"))
+    def refresh() = JoinAggView.refreshFromStore(store, "RAGG", "RA", "RB",
+      Seq("K"), Seq("PRICE"), Seq("NATION"), Seq("NATION"), "PRICE")
+    def expected(): Set[(String, Long, Double)] =
+      store.snapshot("RA", null).select("K", "PRICE")
+        .join(store.snapshot("RB", null).select("K", "NATION"), "K")
+        .groupBy("NATION").agg(count(lit(1)), sum(col("PRICE")))
+        .as[(String, Long, Double)].collect().toSet
+    def got(): Set[(String, Long, Double)] =
+      JoinAggView.snapshot(store, "RAGG", Seq("NATION"))
+        .select("NATION", "n_rows", "total_value")
+        .as[(String, Long, Double)].collect().toSet
+
+    // one-sided backlog vs an empty partner: no commit at all
+    commitA((1L, "INSERT", 1, "k1", 5.0), (2L, "INSERT", 2, "k2", 2.5))
+    assert(refresh() == (0, 0))
+    assert(store.currentVersion("RAGG") == 0)
+
+    // B arrives: its delta joins the CURRENT A (absorbs the backlog)
+    commitB((10L, "INSERT", 10, "k1", "DE"), (11L, "INSERT", 11, "k2", "FR"))
+    refresh()
+    assert(got() == expected())
+    assert(got() == Set(("DE", 1L, 5.0), ("FR", 1L, 2.5)))
+
+    // group-moving B update (k1: DE→FR) + a second A row in one refresh
+    commitB((12L, "UPDATE", 10, "k1", "FR"))
+    commitA((3L, "INSERT", 3, "k1", 1.25))
+    refresh()
+    assert(got() == expected())
+    assert(got() == Set(("FR", 3L, 8.75)))
+
+    // deleting an A row retracts exactly its contribution; replayed
+    // refresh (already caught up) is a no-op
+    commitA((4L, "DELETE", 2, "k2", 2.5))
+    refresh()
+    assert(got() == expected())
+    val vv = store.currentVersion("RAGG")
+    refresh()
+    assert(store.currentVersion("RAGG") == vv, "no-op refresh must not commit")
   }
 
   test("streaming start maintains the rollup over one tagged change stream") {
