@@ -308,7 +308,12 @@ object Multimodal {
     * per band under dispersed hashes. (A degenerate hot band value —
     * e.g. an all-zero band from flat images — skews the join like any
     * hot key; salt it or pre-split frequent band values if a corpus
-    * exhibits one.)
+    * exhibits one.) Posture note for SELF-joins: with 16-bit bands,
+    * accidental band collisions grow Θ(n²/2¹⁶) once the corpus
+    * approaches 2^bandBits rows per band — at that scale either keep
+    * the probe-vs-corpus serve shape (cost linear in the corpus for a
+    * bounded probe set; ScaleProbe measures it) or widen bands /
+    * multi-index the way production image-dedup systems do.
     *
     * Inputs are (doc_id, phash) frames ([[dHash64]]'s shape); output:
     * (probe_id, match_id, hamming_dist), one row per qualifying pair.

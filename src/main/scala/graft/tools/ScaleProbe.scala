@@ -95,8 +95,62 @@ object ScaleProbe {
     }
 
     val embLines = embeddingExponents(spark, small, factor)
-    println("{" + (lines ++ embLines).mkString(",") + "}")
+    val bandLines = hashBandExponents(spark, small * 10, factor)
+    val bloomLines = bloomJoinExponents(spark, small * 400, factor)
+    println("{" + (lines ++ embLines ++ bandLines ++ bloomLines).mkString(",") + "}")
     spark.stop()
+  }
+
+  /** mm7's Hamming-band probe under its SERVE posture (fixed probe set
+    * vs a growing corpus): clusters of 4 hashes within distance ≤ 2
+    * (base = xxhash64 of the cluster id; variant k flips bit 7k),
+    * cross-cluster ≈ 32 bits apart. 64 fixed probes each match their
+    * own cluster — 256 result rows at every n, so time growth is pure
+    * corpus-side cost: banding explode + the broadcast-probe join,
+    * linear in n. (The SELF-join posture is different: 16-bit bands
+    * collide at Θ(n²/2¹⁶) once a corpus approaches 2^bandBits per
+    * band — the scaladoc's wider-bands/multi-index caveat.)
+    */
+  private def hashBandExponents(
+      spark: SparkSession, small: Long, factor: Long): Seq[String] = {
+    import graft.ops.Multimodal
+    def hashes(n: Long): DataFrame =
+      spark.range(n).selectExpr("id AS doc_id",
+        """CASE WHEN id % 4 = 0 THEN xxhash64(id div 4)
+          |ELSE xxhash64(id div 4) ^ shiftleft(cast(1 as bigint),
+          |  cast((id % 4) * 7 as int)) END AS phash""".stripMargin)
+    def run(n: Long): (Double, Long) = {
+      val corpus = hashes(n).localCheckpoint(true)
+      val probes = hashes(64).localCheckpoint(true)
+      timed(Multimodal.dHashNearDupPairs(corpus, probes, maxDist = 3).count())
+    }
+    run(2000) // untimed codegen warmup
+    val (t1, c1) = run(small)
+    val (t2, c2) = run(small * factor)
+    val exp = math.log(t2 / t1) / math.log(factor.toDouble)
+    Seq(f""""mm7_band_probe":{"t_$small%d":$t1%.2f,"t_${small * factor}%d":$t2%.2f,"rows_$small%d":$c1,"rows_${small * factor}%d":$c2,"exponent":$exp%.2f}""")
+  }
+
+  /** bfj1's Bloom prune under a fixed 1%% -selective dim: the claim is
+    * (a) the prune keeps ≈ the matching sliver (reduction factor
+    * reported as rows vs fact n) and (b) cost is one linear pass —
+    * k broadcast word joins, no exchange of the fact.
+    */
+  private def bloomJoinExponents(
+      spark: SparkSession, small: Long, factor: Long): Seq[String] = {
+    import graft.ops.Skew
+    def run(n: Long): (Double, Long) = {
+      val fact = spark.range(n).selectExpr("id AS k", "id % 97 AS payload")
+        .localCheckpoint(true)
+      val dim = spark.range(n / 100).selectExpr("id * 100 AS k")
+        .localCheckpoint(true)
+      timed(Skew.bloomPruneFact(fact, dim, "k", mBits = 1 << 20, k = 4).count())
+    }
+    run(50000) // untimed warmup
+    val (t1, c1) = run(small)
+    val (t2, c2) = run(small * factor)
+    val exp = math.log(t2 / t1) / math.log(factor.toDouble)
+    Seq(f""""bfj1_bloom_prune":{"t_$small%d":$t1%.2f,"t_${small * factor}%d":$t2%.2f,"rows_$small%d":$c1,"rows_${small * factor}%d":$c2,"exponent":$exp%.2f}""")
   }
 
   /** Clustered EMBEDDING corpus with the same fixed-density property as
