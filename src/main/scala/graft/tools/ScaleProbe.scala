@@ -122,7 +122,10 @@ object ScaleProbe {
     def run(n: Long): (Double, Long) = {
       val corpus = hashes(n).localCheckpoint(true)
       val probes = hashes(64).localCheckpoint(true)
-      timed(Multimodal.dHashNearDupPairs(corpus, probes, maxDist = 3).count())
+      // min-of-2: single draws at sub-second scale measure JIT, not plan
+      val a = timed(Multimodal.dHashNearDupPairs(corpus, probes, maxDist = 3).count())
+      val b = timed(Multimodal.dHashNearDupPairs(corpus, probes, maxDist = 3).count())
+      (math.min(a._1, b._1), a._2)
     }
     run(2000) // untimed codegen warmup
     val (t1, c1) = run(small)
@@ -131,20 +134,26 @@ object ScaleProbe {
     Seq(f""""mm7_band_probe":{"t_$small%d":$t1%.2f,"t_${small * factor}%d":$t2%.2f,"rows_$small%d":$c1,"rows_${small * factor}%d":$c2,"exponent":$exp%.2f}""")
   }
 
-  /** bfj1's Bloom prune under a fixed 1%% -selective dim: the claim is
-    * (a) the prune keeps ≈ the matching sliver (reduction factor
-    * reported as rows vs fact n) and (b) cost is one linear pass —
-    * k broadcast word joins, no exchange of the fact.
+  /** bfj1's Bloom prune with the DIM HELD FIXED while the fact grows —
+    * the operator's actual claim is fact-side: cost is one linear
+    * codegen pass (k broadcast word joins, no exchange of the fact)
+    * and the kept rows track the matching sliver. The filter must be
+    * SIZED to the dim (mBits ∝ |dim keys|) — a probe that grew the dim
+    * under a fixed 2²⁰-bit filter measured fp blow-up (7% of a 19.2M
+    * fact passing), the production sizing rule demonstrated by its
+    * violation.
     */
   private def bloomJoinExponents(
       spark: SparkSession, small: Long, factor: Long): Seq[String] = {
     import graft.ops.Skew
+    val dim = spark.range(small / 400).selectExpr("id * 400 AS k")
+      .localCheckpoint(true)
     def run(n: Long): (Double, Long) = {
       val fact = spark.range(n).selectExpr("id AS k", "id % 97 AS payload")
         .localCheckpoint(true)
-      val dim = spark.range(n / 100).selectExpr("id * 100 AS k")
-        .localCheckpoint(true)
-      timed(Skew.bloomPruneFact(fact, dim, "k", mBits = 1 << 20, k = 4).count())
+      val a = timed(Skew.bloomPruneFact(fact, dim, "k", mBits = 1 << 20, k = 4).count())
+      val b = timed(Skew.bloomPruneFact(fact, dim, "k", mBits = 1 << 20, k = 4).count())
+      (math.min(a._1, b._1), a._2)
     }
     run(50000) // untimed warmup
     val (t1, c1) = run(small)
