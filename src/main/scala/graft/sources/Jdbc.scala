@@ -12,6 +12,28 @@ import org.apache.spark.sql.functions._
   */
 object Jdbc {
 
+  /** Spark's Derby dialect maps StringType → CLOB, which poisons the
+    * merge-sink path twice: CLOB staging columns can't MERGE into
+    * VARCHAR targets, and — subtler — `createTableColumnTypes` only
+    * fixes the DDL, while the writer still calls
+    * `setNull(Types.CLOB)` for NULL strings, which Derby refuses to
+    * convert into a VARCHAR column (surfaces the first time a staged
+    * net-change carries a NULL data column, i.e. every DELETE row).
+    * A VARCHAR-first dialect registered ahead of the builtin fixes
+    * both; non-string types fall through to the builtin mapping.
+    */
+  private object DerbyVarcharDialect extends org.apache.spark.sql.jdbc.JdbcDialect {
+    override def canHandle(url: String): Boolean = url.startsWith("jdbc:derby")
+    override def getJDBCType(dt: org.apache.spark.sql.types.DataType)
+        : Option[org.apache.spark.sql.jdbc.JdbcType] = dt match {
+      case org.apache.spark.sql.types.StringType =>
+        Some(org.apache.spark.sql.jdbc.JdbcType("VARCHAR(4000)", java.sql.Types.VARCHAR))
+      case _ => None
+    }
+  }
+  private lazy val dialectRegistered: Unit =
+    org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(DerbyVarcharDialect)
+
   /** S4: batch read with pushdown — Spark pushes filters/limits into
     * the dbtable subquery.
     */
@@ -56,6 +78,7 @@ object Jdbc {
       opCol: String = "OPERATION", seqCol: Option[String] = None,
       stagingColumnTypes: Option[String] = None,
       props: java.util.Properties = new java.util.Properties): Unit = {
+    dialectRegistered
     val collapsed = seqCol.fold(batch) { s =>
       batch.withColumn("__rn", row_number().over(
           Window.partitionBy(col(pk)).orderBy(col(s).desc)))
@@ -70,6 +93,84 @@ object Jdbc {
       val st = conn.createStatement()
       try st.executeUpdate(mergeSql(target, staging, pk, dataCols, opCol))
       finally st.close()
+    } finally conn.close()
+  }
+
+  /** Incremental STORE → JDBC sync — the lakehouse-to-serving-database
+    * catch-up the reference's whole pipeline exists for, driven from
+    * the store's own change history: MERGE only the NET changes since
+    * the last synced version ([[graft.streaming.SnapshotStore.netChanges]]
+    * — per-pk INSERT/UPDATE/DELETE classification with the engine's
+    * apply semantics, O(|changes|), never a full-table diff).
+    *
+    * Exactly-once without distributed transactions: the watermark (the
+    * last synced store version) lives IN the target database
+    * (`GRAFT_SYNC_STATE`), and the MERGE + watermark update commit in
+    * ONE local transaction. Crash windows: after the staging overwrite
+    * → no target state changed, replay re-stages; inside the
+    * transaction → rolled back, replay re-runs. And even a duplicated
+    * MERGE of the same net-change set is value-idempotent: re-INSERTs
+    * hit MATCHED → same-value UPDATE, re-DELETEs of missing keys no-op
+    * (the upsert-conversion semantics the reference's
+    * `CdcSyncService` applies). Returns the store version the target
+    * now reflects.
+    */
+  def syncFromStore(store: graft.streaming.SnapshotStore, table: String,
+      url: String, target: String, staging: String,
+      stagingColumnTypes: Option[String] = None,
+      props: java.util.Properties = new java.util.Properties): Int = {
+    dialectRegistered
+    val toV = store.currentVersion(table)
+    val fromV = syncedVersion(url, target, props)
+    if (fromV == toV) return toV
+    // UPPERCASE the staged columns: Spark creates JDBC columns
+    // case-sensitively, and the MERGE's unquoted identifiers fold to
+    // upper in ANSI databases — lowercase staging columns would be
+    // unreferenceable (P11's normalization, applied at the sink)
+    val net0 = store.netChanges(table, fromV, toV)
+    val net = net0.toDF(net0.columns.map(_.toUpperCase): _*)
+    val pk = net.columns(0)
+    val dataCols = net.columns.drop(2).toSeq
+    val w = net.select((pk +: dataCols :+ "CHANGE_TYPE").map(col): _*)
+      .write.mode("overwrite")
+    stagingColumnTypes.fold(w)(t => w.option("createTableColumnTypes", t))
+      .jdbc(url, staging, props)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(mergeSql(target, staging, pk, dataCols, "CHANGE_TYPE"))
+        if (st.executeUpdate(
+            s"UPDATE GRAFT_SYNC_STATE SET V = $toV WHERE TBL = '$target'") == 0)
+          st.executeUpdate(
+            s"INSERT INTO GRAFT_SYNC_STATE VALUES ('$target', $toV)")
+      } finally st.close()
+      conn.commit()
+    } catch {
+      case e: Throwable =>
+        try conn.rollback() catch { case _: Throwable => () }
+        throw e
+    } finally conn.close()
+    toV
+  }
+
+  /** The target-side watermark: the store version `target` reflects
+    * (0 = never synced). Creates the state table on first contact.
+    */
+  def syncedVersion(url: String, target: String,
+      props: java.util.Properties = new java.util.Properties): Int = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try {
+        try st.executeUpdate(
+          "CREATE TABLE GRAFT_SYNC_STATE (TBL VARCHAR(128) PRIMARY KEY, V INT)")
+        catch { case _: java.sql.SQLException => () } // already exists
+        val rs = st.executeQuery(
+          s"SELECT V FROM GRAFT_SYNC_STATE WHERE TBL = '$target'")
+        try { if (rs.next()) rs.getInt(1) else 0 } finally rs.close()
+      } finally st.close()
     } finally conn.close()
   }
 }

@@ -65,6 +65,46 @@ class JdbcDerbySpec extends SparkSpec {
     assert(readTarget("TGT_LWW") == Seq((1L, "second", 2)))
   }
 
+  test("store → JDBC incremental sync: net changes only, watermarked in the target, replay-idempotent") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-jdbc-sync").toString
+    val store = new graft.streaming.SnapshotStore(spark, s"$dir/store")
+    def commit(rows: (Long, String, Long, String, Int)*): Int =
+      store.commitDelta("SRC", rows.toDF("seq", "operation", "ID", "NAME", "AMT"),
+        "ID", "seq", Seq("NAME", "AMT"))
+    def sync(): Int = Jdbc.syncFromStore(store, "SRC", url, "SYNC_TGT",
+      "SYNC_STG", stagingColumnTypes =
+        Some("NAME VARCHAR(64), CHANGE_TYPE VARCHAR(10)"))
+    def snapshotRows(): Seq[(Long, String, Int)] =
+      store.snapshot("SRC", null).select("ID", "NAME", "AMT")
+        .orderBy(col("ID")).as[(Long, String, Int)].collect().toSeq
+
+    ddl("CREATE TABLE SYNC_TGT (ID BIGINT PRIMARY KEY, NAME VARCHAR(64), AMT INT)")
+    // v1-v2: inserts land; the target catches up to the snapshot
+    commit((1L, "INSERT", 1, "a", 10), (2L, "INSERT", 2, "b", 20))
+    commit((3L, "INSERT", 3, "c", 30))
+    assert(sync() == 2)
+    assert(readTarget("SYNC_TGT") == snapshotRows())
+
+    // v3: update + delete + insert — only NET changes cross the wire
+    commit((4L, "UPDATE", 1, "a2", 11), (5L, "DELETE", 2, "b", 0),
+      (6L, "INSERT", 4, "d", 40))
+    assert(sync() == 3)
+    assert(readTarget("SYNC_TGT") == snapshotRows())
+    assert(readTarget("SYNC_TGT") == Seq((1L, "a2", 11), (3L, "c", 30), (4L, "d", 40)))
+
+    // caught up: sync is a version-check no-op
+    assert(sync() == 3)
+    assert(Jdbc.syncedVersion(url, "SYNC_TGT") == 3)
+
+    // crash replay: roll the watermark back (exactly what a crash
+    // between staging and the MERGE transaction leaves) and re-sync —
+    // the duplicated MERGE must be value-idempotent
+    ddl("UPDATE GRAFT_SYNC_STATE SET V = 2 WHERE TBL = 'SYNC_TGT'")
+    assert(sync() == 3)
+    assert(readTarget("SYNC_TGT") == snapshotRows())
+  }
+
   test("S4: Spark JDBC read pushes a filter into the scan") {
     ddl(
       "CREATE TABLE TGT_RD (ID BIGINT PRIMARY KEY, NAME VARCHAR(64), AMT INT)",
