@@ -155,6 +155,75 @@ object Jdbc {
     toV
   }
 
+  /** Schema evolution at the JDBC sink, with the SAME contract the
+    * store enforces ([[graft.streaming.SnapshotStore]] /
+    * `SchemaEvolutionSpec`): NEW batch columns propagate as
+    * `ALTER TABLE ADD COLUMN` (nullable — old rows read NULL, exactly
+    * like the store's add-column-at-a-compaction-boundary), while
+    * drops and retypes REFUSE loudly — a silently narrowed or
+    * re-typed serving table is corruption, not evolution. Target
+    * columns absent from the batch are fine (the sink writes a
+    * subset). Types come from the registered dialect (VARCHAR-first
+    * on Derby), widened to the JDBC defaults.
+    */
+  def ensureColumns(url: String, target: String,
+      schema: org.apache.spark.sql.types.StructType,
+      props: java.util.Properties = new java.util.Properties): Seq[String] = {
+    dialectRegistered
+    import org.apache.spark.sql.types._
+    def ddlType(dt: DataType): String =
+      org.apache.spark.sql.jdbc.JdbcDialects.get(url).getJDBCType(dt)
+        .map(_.databaseTypeDefinition).getOrElse(dt match {
+          case LongType => "BIGINT"
+          case IntegerType => "INTEGER"
+          case DoubleType => "DOUBLE"
+          case FloatType => "REAL"
+          case BooleanType => "BOOLEAN"
+          case TimestampType => "TIMESTAMP"
+          case DateType => "DATE"
+          case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+          case StringType => "VARCHAR(4000)"
+          case other => throw new IllegalArgumentException(
+            s"ensureColumns: no JDBC mapping for $other")
+        })
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val existing = scala.collection.mutable.LinkedHashMap[String, Int]()
+      val rs = conn.getMetaData.getColumns(null, null, target.toUpperCase, null)
+      try while (rs.next())
+        existing += rs.getString("COLUMN_NAME").toUpperCase -> rs.getInt("DATA_TYPE")
+      finally rs.close()
+      require(existing.nonEmpty, s"ensureColumns: target $target does not exist")
+      val added = Seq.newBuilder[String]
+      schema.fields.foreach { f =>
+        val name = f.name.toUpperCase
+        existing.get(name) match {
+          case None =>
+            val st = conn.createStatement()
+            try st.executeUpdate(
+              s"ALTER TABLE $target ADD COLUMN $name ${ddlType(f.dataType)}")
+            finally st.close()
+            added += name
+          case Some(sqlType) =>
+            val batchIsString = f.dataType == StringType
+            val targetIsString = sqlType == java.sql.Types.VARCHAR ||
+              sqlType == java.sql.Types.CLOB || sqlType == java.sql.Types.CHAR
+            val batchIsNumeric = f.dataType.isInstanceOf[NumericType]
+            val targetIsNumeric = Set(java.sql.Types.BIGINT, java.sql.Types.INTEGER,
+              java.sql.Types.SMALLINT, java.sql.Types.DOUBLE, java.sql.Types.FLOAT,
+              java.sql.Types.REAL, java.sql.Types.DECIMAL, java.sql.Types.NUMERIC)
+              .contains(sqlType)
+            if ((batchIsString && targetIsNumeric) || (batchIsNumeric && targetIsString))
+              throw new IllegalStateException(
+                s"ensureColumns: column $name changed KIND (batch " +
+                  s"${f.dataType.simpleString} vs target sql-type $sqlType) — " +
+                  "retypes are refused; rebuild the target explicitly")
+        }
+      }
+      added.result()
+    } finally conn.close()
+  }
+
   /** The target-side watermark: the store version `target` reflects
     * (0 = never synced). Creates the state table on first contact.
     */

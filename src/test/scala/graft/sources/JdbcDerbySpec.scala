@@ -105,6 +105,31 @@ class JdbcDerbySpec extends SparkSpec {
     assert(readTarget("SYNC_TGT") == snapshotRows())
   }
 
+  test("sink schema evolution: new columns ALTER in as nullable, retypes refuse") {
+    ddl("CREATE TABLE EVO_TGT (ID BIGINT PRIMARY KEY, NAME VARCHAR(64), AMT INT)",
+      "INSERT INTO EVO_TGT VALUES (1, 'pre', 10)")
+    // a wider batch schema: EMAIL is new → ALTER TABLE ADD (nullable)
+    val widened = Seq((2L, "new", 20, "a@b.c", "INSERT", 1L))
+      .toDF("ID", "NAME", "AMT", "EMAIL", "OPERATION", "SEQ")
+    assert(Jdbc.ensureColumns(url, "EVO_TGT", widened.drop("OPERATION", "SEQ").schema)
+      == Seq("EMAIL"))
+    // idempotent: a second call adds nothing
+    assert(Jdbc.ensureColumns(url, "EVO_TGT", widened.drop("OPERATION", "SEQ").schema)
+      .isEmpty)
+    Jdbc.mergeBatch(widened, url, "EVO_TGT", "EVO_STG", "ID",
+      Seq("NAME", "AMT", "EMAIL"), seqCol = Some("SEQ"))
+    // pre-evolution rows read NULL in the new column; new rows carry it
+    val rows = Jdbc.read(spark, url, "EVO_TGT", props).orderBy("ID")
+      .select("ID", "EMAIL").as[(Long, Option[String])].collect().toSeq
+    assert(rows == Seq((1L, None), (2L, Some("a@b.c"))))
+    // a KIND change refuses loudly (the store's retype contract)
+    val retyped = Seq((1L, 99L)).toDF("ID", "NAME") // NAME now numeric
+    val e = intercept[IllegalStateException] {
+      Jdbc.ensureColumns(url, "EVO_TGT", retyped.schema)
+    }
+    assert(e.getMessage.contains("retypes are refused"))
+  }
+
   test("S4: Spark JDBC read pushes a filter into the scan") {
     ddl(
       "CREATE TABLE TGT_RD (ID BIGINT PRIMARY KEY, NAME VARCHAR(64), AMT INT)",
