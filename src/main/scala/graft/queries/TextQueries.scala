@@ -13,6 +13,44 @@ object TextQueries extends QueryPack {
   private val wordsFrom =
     "(SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)"
 
+  // ---- UC1: Unicode NFC normalization (native Expression) -----------------
+  // The pre-hash canonicalization step: decomposed sequences (e +
+  // U+0301) and the composed é are the SAME text but different bytes,
+  // so un-normalized corpora under-deduplicate. Planted fixture:
+  // doc_id % 4 copies of the decomposed pair + one zero-width space;
+  // the codegen'd NfcNormalize Expression composes them and the strip
+  // removes the ZWS. The oracle runs DuckDB's utf8proc NFC over the
+  // identical planted string — a hash match certifies both engines
+  // implement the same Unicode normalization.
+  private def uc1UnicodeClean(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NfcNormalize.nfc_normalize
+    val planted = concat(col("text"), lit(" x"),
+      element_at(array(lit(""), lit("e\u0301"), lit("e\u0301e\u0301"),
+        lit("e\u0301e\u0301e\u0301")), (col("doc_id") % 4 + 1).cast("int")),
+      lit("\u200B"))
+    val cleaned = regexp_replace(nfc_normalize(planted), lit("\u200B"), lit(""))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        length(planted).cast("long").as("len_raw"),
+        length(cleaned).cast("long").as("len_norm"),
+        md5(cleaned).as("norm_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val uc1Sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    text || ' x' || repeat('e' || chr(769), CAST(doc_id % 4 AS INTEGER))
+      |      || chr(8203) AS planted
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, planted,
+      |    regexp_replace(nfc_normalize(planted), chr(8203), '', 'g') AS cleaned
+      |  FROM p)
+      |SELECT doc_id, CAST(length(planted) AS BIGINT) AS len_raw,
+      |  CAST(length(cleaned) AS BIGINT) AS len_norm, md5(cleaned) AS norm_md5
+      |FROM c ORDER BY doc_id""".stripMargin
+
   // ---- C4F1: heuristic filter pack ----------------------------------------
   // The C4/Gopher rule-based pre-filter as a first-failing-rule report
   // (QualityGate's severity-order semantics, batch form): word-count
@@ -698,6 +736,7 @@ object TextQueries extends QueryPack {
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   override def all: Seq[Q] = Seq(
+    Q("uc1_unicode_clean", "Unicode NFC normalization via a native codegen Expression + zero-width strip (the pre-hash canonicalization step; oracle = DuckDB's utf8proc NFC)", uc1UnicodeClean, Some(uc1Sql)),
     Q("c4f1_heuristic_filters", "C4/Gopher rule-based pre-filter: first-failing-rule verdict report (word-count band, diversity floor, language agreement)", c4f1Filters, Some(c4f1Sql)),
     Q("card1_dataset_card", "per-source dataset card: volume, token mass, language mix, near-dup-aware uniqueness ratio (datasheet posture)", card1DatasetCard, Some(card1Sql)),
     Q("to1_tokenize_ids", "tokenizer id-mapping vs broadcast top-20 vocab (OOV=0, id-sequence digest)", to1TokenizeIds, Some(to1Sql)),

@@ -135,4 +135,31 @@ class FunctionsSpec extends SparkSpec {
     // 31 planes is the top of the int bitmask range and must plan fine
     assert(df.select(VectorOps.srp_bucket(col("e"), 31, 2)).head().getInt(0) >= 0)
   }
+
+  test("nfc_normalize: composes decomposed sequences, idempotent, null-safe, codegen == interpreted") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.NfcNormalize.nfc_normalize
+    val df = Seq(
+      ("e\u0301 plain ascii", 1L), // decomposed e + COMBINING ACUTE
+      ("\u00E9 already composed", 2L),
+      (null.asInstanceOf[String], 3L)).toDF("t", "id")
+    val out = df.select(col("id"), nfc_normalize(col("t")).as("n"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L).get.startsWith("\u00E9"), "must compose to U+00E9")
+    assert(out(1L).get.length == "e\u0301 plain ascii".length - 1)
+    assert(out(2L).get == "\u00E9 already composed", "already-NFC input unchanged")
+    assert(out(3L).isEmpty, "null in, null out")
+    // idempotence + interpreted path agrees with codegen
+    val twice = df.filter(col("id") === 1L)
+      .select(nfc_normalize(nfc_normalize(col("t")))).head().getString(0)
+    assert(twice == out(1L).get)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val interp = graft.functions.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        UTF8String.fromString("e\u0301x"), org.apache.spark.sql.types.StringType))
+      .eval(InternalRow.empty)
+    assert(interp.toString == "\u00E9x")
+  }
 }
