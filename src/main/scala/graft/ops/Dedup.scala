@@ -608,6 +608,61 @@ object Dedup {
           .cast("double") / col("n_tokens")).as("dup_frac"))
   }
 
+  // ---- line-level corpus dedup --------------------------------------------
+
+  /** Line-level corpus dedup — the CCNet / RefinedWeb line-wise pass
+    * (Wenzek et al. 2020 §3.1 run it BEFORE document dedup): a line
+    * occurring in ≥ `minDocs` DISTINCT documents is boilerplate
+    * (headers, cookie banners, navigation chrome) and is removed from
+    * every document it appears in; the survivors reassemble in their
+    * original order. Complements [[dupSpanCoverage]] (which *measures*
+    * duplicated spans) by actually REWRITING the text, and
+    * [[exactDedup]] (which drops whole documents, not shared lines).
+    *
+    * Output: (idCol, n_lines, n_dropped, clean_text) — one row per
+    * input document; a document of pure boilerplate keeps an empty
+    * clean_text rather than vanishing (dropping it is the quality
+    * gate's decision, made on n_dropped/n_lines).
+    *
+    * Scale shape:
+    *  1. lines are a narrow posexplode — O(lines) rows, the only
+    *     corpus-sized projection;
+    *  2. ONE groupBy(line) with map-side partial aggregation finds the
+    *     boilerplate set (word-count shape; a corpus-hot line collapses
+    *     per partition before the exchange);
+    *  3. ONE hash join flags dup occurrences, then a doc-keyed
+    *     aggregate reassembles — collect_list is per-DOCUMENT bounded,
+    *     never corpus-sized.
+    * The group/join key is the line text itself — exact string equality
+    * IS the operator's semantics (and what the oracle restates); keying
+    * on a 60-bit hash instead would shave exchange bytes at the cost of
+    * a collision silently deleting an innocent line at ~10⁹-line scale.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), "\n", -1)))
+      .toDF("id", "pos", "line")
+    val dups = lines.groupBy(col("line"))
+      .agg(count_distinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("line"), lit(1).as("__dup"))
+    lines.join(dups, Seq("line"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(col("__dup")).as("n_dropped"), // count skips the non-dup nulls
+        // kept lines back in document order: when() yields null on dup
+        // rows and collect_list skips nulls; array_sort on the (pos,
+        // line) struct orders by pos (unique within a doc)
+        array_join(transform(
+          array_sort(collect_list(when(col("__dup").isNull,
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"))
+      .select(col("id").as(idCol), col("n_lines"), col("n_dropped"),
+        col("clean_text"))
+  }
+
   /** SimHash near-dup pairs: candidates share one of 4 8-bit chunks
     * (standard simhash blocking), verified by Hamming ≤ maxDist.
     */

@@ -1382,6 +1382,36 @@ object PipelineQueries extends QueryPack {
       |    / 1000000.0 AS dup_frac
       |FROM nt LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ---- LD1: line-level corpus dedup (CCNet/RefinedWeb line-wise pass) ----
+  // The test corpus is single-line, so the query PLANTS line structure
+  // the same way uc1 plants decomposed characters: both engines derive
+  // the identical multi-line corpus (every " table " becomes a newline —
+  // replace() is left-to-right non-overlapping in both), then drop lines
+  // shared by >=2 distinct docs and reassemble the survivors in order.
+  private def ld1LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(col("text"), " table ", "\n").as("text"))
+    Dedup.lineDedup(docs, "doc_id", "text", minDocs = 2)
+      .orderBy(col("doc_id"))
+  }
+
+  private val ld1Sql =
+    """WITH d AS (SELECT doc_id,
+      |             string_split(replace(text, ' table ', chr(10)), chr(10)) AS w
+      |           FROM documents),
+      |p AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM d),
+      |l AS (SELECT doc_id, pos, w[pos] AS line FROM p),
+      |dup AS (SELECT line FROM l GROUP BY line
+      |        HAVING COUNT(DISTINCT doc_id) >= 2),
+      |j AS (SELECT l.doc_id, l.pos, l.line, dup.line IS NOT NULL AS isdup
+      |      FROM l LEFT JOIN dup USING (line))
+      |SELECT doc_id, COUNT(*) AS n_lines,
+      |  CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  COALESCE(string_agg(CASE WHEN NOT isdup THEN line END, chr(10)
+      |                      ORDER BY pos), '') AS clean_text
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- DC1: train/eval decontamination (n-gram containment) --------------
   // src0 plays the eval set; every other source is training data. The
   // inverted-index join finds eval docs whose 3-gram sets sit ≥50%
@@ -1953,6 +1983,7 @@ object PipelineQueries extends QueryPack {
     Q("dd4_ngram_jaccard", "3-gram Jaccard dedup, blocked by source+lang", dd4NgramJaccard, Some(dd4Sql)),
     Q("dd5_cosine_neardup", "embedding-cosine near-dup, label-blocked", dd5CosineNearDup, Some(dd5Sql)),
     Q("dd8_dup_spans", "duplicated-span coverage: interval-merged cross-doc 8-gram runs", dd8DupSpans, Some(dd8Sql)),
+    Q("ld1_line_dedup", "line-level corpus dedup: drop lines shared by >=2 docs, reassemble survivors in order (CCNet line-wise pass)", ld1LineDedup, Some(ld1Sql)),
     Q("dc1_decontaminate", "train/eval n-gram containment (inverted-index join)", dc1Decontaminate, Some(dc1Sql)),
     Q("pk1_sequence_packing", "greedy packing into 2048-token context windows", pk1SequencePacking, Some(pk1Sql)),
     Q("pk2_shelf_packing", "harmonic shelf packing: capacity-class bins that never overflow, full bins > half full by construction", pk2ShelfPacking, Some(pk2Sql)),

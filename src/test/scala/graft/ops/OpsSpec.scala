@@ -60,6 +60,27 @@ class OpsSpec extends SparkSpec {
       (6L, 9L, 2L, 9L, 1.0)))
   }
 
+  test("lineDedup drops cross-doc boilerplate lines and reassembles in order") {
+    // "SUBSCRIBE NOW" appears in docs 1/2/3 (boilerplate, dropped
+    // everywhere); "unique to one" repeats WITHIN doc 1 only (one
+    // distinct doc — kept, both copies); doc 4 is pure boilerplate and
+    // must survive as an empty rewrite, not vanish.
+    val d = Seq(
+      (1L, "unique to one\nSUBSCRIBE NOW\nunique to one\nbody text a"),
+      (2L, "body text b\nSUBSCRIBE NOW"),
+      (3L, "SUBSCRIBE NOW\nbody text c"),
+      (4L, "SUBSCRIBE NOW")).toDF("doc_id", "text")
+    val rows = Dedup.lineDedup(d, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_dropped", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(rows == Seq(
+      (1L, 4L, 1L, "unique to one\nunique to one\nbody text a"),
+      (2L, 2L, 1L, "body text b"),
+      (3L, 2L, 1L, "body text c"),
+      (4L, 1L, 1L, "")))
+  }
+
   test("semDedup drops the higher id of within-cluster near-dups only") {
     // seeds (refine=0) are ids 0/1 = the unit axes. 2=(0.8,0.6) lands
     // in cluster 0 and pairs with 0 at cos 0.8 >= 0.75 -> dropped;
