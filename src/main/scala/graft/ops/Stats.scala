@@ -280,7 +280,7 @@ object Stats {
     // COMPLETE the table: zero-observation cells are absent from the
     // groupBy but still contribute (O=0 ⇒ term = E) — the r×c cross of
     // the tiny marginal tables restores them
-    rt.crossJoin(ct)
+    rt.crossJoin(broadcast(ct))
       .join(cells, Seq("a", "b"), "left")
       .withColumn("o", coalesce(col("o"), lit(0L)))
       .crossJoin(broadcast(tot))
