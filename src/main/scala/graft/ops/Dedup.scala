@@ -640,14 +640,31 @@ object Dedup {
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
       minDocs: Int = 2): DataFrame = {
-    val lines = df
-      .select(col(idCol).as("id"), posexplode(split(col(textCol), "\n", -1)))
-      .toDF("id", "pos", "line")
+    val lines = explodeLines(df, idCol, textCol)
     val dups = lines.groupBy(col("line"))
       .agg(count_distinct(col("id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-      .select(col("line"), lit(1).as("__dup"))
-    lines.join(dups, Seq("line"), "left")
+      .select(col("line"))
+    rewriteDroppingLines(lines, dups).withColumnRenamed("id", idCol)
+  }
+
+  /** One row per (document, line): (id, pos, line) — [[lineDedup]]'s
+    * explode stage, shared with the streaming gate
+    * ([[graft.streaming.LineDedupGate]]) whose boilerplate set comes
+    * from cross-trigger state instead of a corpus groupBy.
+    */
+  def explodeLines(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), posexplode(split(col(textCol), "\n", -1)))
+      .toDF("id", "pos", "line")
+
+  /** [[lineDedup]]'s rewrite stage: drop every occurrence of a line in
+    * `dupLines` (a one-column `line` frame) and reassemble the
+    * survivors in document order. Output: (id, n_lines, n_dropped,
+    * clean_text).
+    */
+  def rewriteDroppingLines(lines: DataFrame, dupLines: DataFrame): DataFrame =
+    lines.join(dupLines.select(col("line"), lit(1).as("__dup")),
+        Seq("line"), "left")
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_lines"),
@@ -659,9 +676,7 @@ object Dedup {
           array_sort(collect_list(when(col("__dup").isNull,
             struct(col("pos"), col("line"))))),
           x => x.getField("line")), "\n").as("clean_text"))
-      .select(col("id").as(idCol), col("n_lines"), col("n_dropped"),
-        col("clean_text"))
-  }
+      .select(col("id"), col("n_lines"), col("n_dropped"), col("clean_text"))
 
   /** SimHash near-dup pairs: candidates share one of 4 8-bit chunks
     * (standard simhash blocking), verified by Hamming ≤ maxDist.

@@ -108,6 +108,8 @@ object Embeddings {
     */
   def topPcPowerIteration(
       df: DataFrame, vecCol: String, dims: Int, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"topPcPowerIteration: iters $iters must be >= 1 " +
+      "(the output normalizes by the last iteration's norm)")
     val spark = df.sparkSession
     val tri = covarianceMatrix(df, vecCol)
       .select(col("i"), col("j"),

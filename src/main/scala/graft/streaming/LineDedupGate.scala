@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Streaming line-level dedup — [[graft.ops.Dedup.lineDedup]]'s
+  * cross-trigger form, and the boilerplate-removal tier a production
+  * ingest runs in front of the document gates: per-line distinct-doc
+  * counts accumulate in a store table across triggers, and every
+  * micro-batch's documents are REWRITTEN against the corpus-so-far —
+  * a cookie banner that first looked unique in trigger 1 starts being
+  * stripped the moment a second document carries it.
+  *
+  * Streaming semantics, stated honestly: a batch is rewritten against
+  * the line counts of everything seen UP TO AND INCLUDING itself —
+  * earlier epochs are immutable, so a line that only later becomes
+  * common is NOT retroactively removed from them (CCNet has the same
+  * property: its counts come from whatever pass built the hash table).
+  * What IS exact is the count state: after any trigger prefix it
+  * equals the batch recount over the concatenated input (integer
+  * addition is the whole merge), which is the spec-pinned contract,
+  * alongside cross-trigger blocking and replay idempotence.
+  *
+  * State is the store's ADDITIVE kind with the line text as payload —
+  * per-trigger writes are O(|batch's distinct lines|) deltas, the
+  * chain folds at compaction boundaries, and the distinct-doc counts
+  * are additive across triggers because each document id arrives once
+  * (the stream contract; an upstream signature gate enforces it).
+  * State size is O(distinct lines) rows — the honest cost of the
+  * CCNet pass. At 100 TB the payload could be hash60(line) instead of
+  * the text (narrower state, same joins); the text is kept here
+  * because exact string equality is the operator's semantics and a
+  * 60-bit collision would silently strip an innocent line (the batch
+  * op's argument).
+  *
+  * Exactly-once: the cleaned epoch publishes FIRST
+  * ([[EpochCommit.commitEpoch]], atomic rename), the count delta
+  * commits SECOND (batch id in the additive commit's meta). The order
+  * is load-bearing: a replay after a crash between the two recomputes
+  * the rewrite against the SAME state (its own counts haven't landed),
+  * reproduces the identical epoch (skipped by the epoch dir), then
+  * lands the counts. The reverse order would rewrite the replayed
+  * batch against state that already includes itself — every in-batch
+  * line would cross `minDocs` spuriously.
+  */
+object LineDedupGate {
+
+  private val countSchema = StructType(Seq(
+    StructField("line", StringType), StructField("state_cnt", LongType)))
+
+  /** One micro-batch through the gate (idempotent per `batchId`):
+    * publish the rewritten docs to `outDir/epoch=<batchId>`, then fold
+    * the batch's per-line distinct-doc counts into `table`.
+    */
+  def applyBatch(
+      store: SnapshotStore, table: String, batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, outDir: String,
+      minDocs: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    val epochDone = EpochCommit.epochExists(spark, outDir, batchId)
+    val countsDone = store.currentMeta(table).exists(_.toLong >= batchId)
+    if (epochDone && countsDone) return // fully landed epoch
+    val lines = graft.ops.Dedup.explodeLines(batch, idCol, textCol)
+      .localCheckpoint(true) // feeds the counts AND the rewrite
+    val bc = lines.groupBy(col("line"))
+      .agg(count_distinct(col("id")).cast("long").as("state_cnt"))
+      .localCheckpoint(true)
+    if (!epochDone) {
+      // threshold over state ⊕ this batch: in-batch cross-doc
+      // boilerplate blocks immediately, not one trigger late
+      val dups = bc.unionByName(store.additiveSnapshot(table, countSchema))
+        .groupBy(col("line")).agg(sum(col("state_cnt")).as("n_docs"))
+        .filter(col("n_docs") >= minDocs)
+        .select(col("line"))
+      EpochCommit.commitEpoch(
+        graft.ops.Dedup.rewriteDroppingLines(lines, dups)
+          .withColumnRenamed("id", idCol),
+        outDir, batchId)
+    }
+    if (!countsDone)
+      store.commitAdditive(table, bc, meta = Some(batchId.toString))
+  }
+
+  /** The accumulated per-line counts: (line, n_docs), the gate's
+    * queryable surface (and the spec's incremental-equals-batch side).
+    */
+  def lineCounts(spark: SparkSession, store: SnapshotStore, table: String): DataFrame =
+    store.additiveSnapshot(table, countSchema)
+      .withColumnRenamed("state_cnt", "n_docs")
+
+  /** Run the gate over a document stream. */
+  def start(
+      docs: DataFrame, store: SnapshotStore, table: String,
+      idCol: String, textCol: String, outDir: String, checkpoint: String,
+      minDocs: Int = 2,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyBatch(store, table, b, id, idCol, textCol, outDir, minDocs); ()
+      }
+      .start()
+}

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** The streaming line-dedup gate's three contracts: (1) cross-trigger
+  * blocking — a line's doc count accumulates across triggers and strips
+  * from the first batch where it crosses minDocs; (2) the count state
+  * is EXACTLY the batch recount after any trigger prefix; (3) replay
+  * idempotence across both crash windows (epoch landed / counts not,
+  * and fully landed).
+  */
+class LineDedupGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cleanOf(outDir: String, epoch: Long): Map[Long, (Long, Long, String)] =
+    spark.read.parquet(s"$outDir/epoch=$epoch")
+      .select("doc_id", "n_lines", "n_dropped", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("cross-trigger blocking, in-batch blocking, count state exact, replay idempotent") {
+    val dir = Files.createTempDirectory("graft-ldg").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    val out = s"$dir/clean"
+
+    // trigger 0: docs 1/2 share "SUBSCRIBE NOW" (in-batch cross-doc →
+    // stripped immediately); "rare line" appears only in doc 1 (kept)
+    val b0 = Seq(
+      (1L, "rare line\nSUBSCRIBE NOW\nbody a"),
+      (2L, "SUBSCRIBE NOW\nbody b")).toDF("doc_id", "text")
+    LineDedupGate.applyBatch(store, "LD", b0, 0L, "doc_id", "text", out)
+    val e0 = cleanOf(out, 0L)
+    assert(e0(1L) == ((3L, 1L, "rare line\nbody a")))
+    assert(e0(2L) == ((2L, 1L, "body b")))
+
+    // trigger 1: doc 3 carries "SUBSCRIBE NOW" (count already 2 →
+    // stripped from a SINGLE occurrence, the cross-trigger block) and
+    // "rare line" (count reaches 2 WITH this batch → stripped here,
+    // but trigger 0's epoch is immutable and keeps its copy)
+    val b1 = Seq((3L, "rare line\nSUBSCRIBE NOW\nbody c")).toDF("doc_id", "text")
+    LineDedupGate.applyBatch(store, "LD", b1, 1L, "doc_id", "text", out)
+    assert(cleanOf(out, 1L)(3L) == ((3L, 2L, "body c")))
+    assert(cleanOf(out, 0L)(1L)._3 == "rare line\nbody a",
+      "earlier epochs are immutable")
+
+    // count state == batch recount over everything fed so far
+    val expected = graft.ops.Dedup
+      .explodeLines(b0.unionByName(b1), "doc_id", "text")
+      .groupBy("line").agg(count_distinct(col("id")).as("n_docs"))
+      .as[(String, Long)].collect().toMap
+    val got = LineDedupGate.lineCounts(spark, store, "LD")
+      .as[(String, Long)].collect().toMap
+    assert(got == expected, "count state drifted from the batch recount")
+
+    // replay of a fully-landed trigger: no new store version, epoch kept
+    val v = store.currentVersion("LD")
+    LineDedupGate.applyBatch(store, "LD", b1, 1L, "doc_id", "text", out)
+    assert(store.currentVersion("LD") == v)
+    assert(cleanOf(out, 1L)(3L) == ((3L, 2L, "body c")))
+  }
+
+  test("crash between epoch publish and count commit replays to the same epoch") {
+    val dir = Files.createTempDirectory("graft-ldg-crash").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    val out = s"$dir/clean"
+    val b0 = Seq(
+      (1L, "shared\nkeep a"),
+      (2L, "shared\nkeep b")).toDF("doc_id", "text")
+    LineDedupGate.applyBatch(store, "LD", b0, 0L, "doc_id", "text", out)
+
+    // simulate the crash window: publish trigger 1's epoch exactly as
+    // the gate would (against state WITHOUT its own counts), but die
+    // before commitAdditive
+    val b1 = Seq((3L, "shared\nlate line"), (4L, "late line")).toDF("doc_id", "text")
+    val lines = graft.ops.Dedup.explodeLines(b1, "doc_id", "text")
+    val dups = lines.groupBy(col("line"))
+      .agg(count_distinct(col("id")).cast("long").as("state_cnt"))
+      .unionByName(store.additiveSnapshot("LD", null))
+      .groupBy(col("line")).agg(sum(col("state_cnt")).as("n"))
+      .filter(col("n") >= 2).select(col("line"))
+    EpochCommit.commitEpoch(
+      graft.ops.Dedup.rewriteDroppingLines(lines, dups)
+        .withColumnRenamed("id", "doc_id"), out, 1L)
+    val before = cleanOf(out, 1L)
+    assert(before(3L) == ((2L, 2L, "")), "shared + late line both stripped")
+    val vBefore = store.currentVersion("LD")
+
+    // the replay: must leave the epoch bit-identical and land the counts
+    LineDedupGate.applyBatch(store, "LD", b1, 1L, "doc_id", "text", out)
+    assert(cleanOf(out, 1L) == before, "replay changed a published epoch")
+    assert(store.currentVersion("LD") == vBefore + 1, "counts must land")
+    assert(store.currentMeta("LD").contains("1"))
+  }
+
+  test("streaming start drives the gate over a live stream") {
+    val dir = Files.createTempDirectory("graft-ldg-stream").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    val out = s"$dir/clean"
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = LineDedupGate.start(mem.toDF().toDF("doc_id", "text"),
+      store, "LS", "doc_id", "text", out, checkpoint = s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    try {
+      mem.addData((1L, "banner\nalpha"), (2L, "banner\nbeta"))
+      q.processAllAvailable()
+      mem.addData((3L, "banner\ngamma"))
+      q.processAllAvailable()
+      val all = spark.read.parquet(out)
+        .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+      assert(all == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+      val counts = LineDedupGate.lineCounts(spark, store, "LS")
+        .as[(String, Long)].collect().toMap
+      assert(counts("banner") == 3L)
+    } finally q.stop()
+  }
+}
