@@ -45,10 +45,11 @@ import graft.streaming.CurationStream.SemanticTier
   * near-exact dups before the embedding probe.
   *
   * Directory layout under `root`: `quality_reject`, `dup_reject`,
-  * `sem_reject` (when semantic), `quality_pass` (tier-1→2 handoff),
-  * `sig_pass` (tier-2→3 handoff, only when semantic) and `curated`
-  * (the final output — tier 2's when no semantic tier). All epoch-
-  * partitioned.
+  * `sem_reject` (when semantic), `line_clean` (tier-0→1 handoff, only
+  * when a [[LineDedupTier]] is configured), `quality_pass` (tier-1→2
+  * handoff), `sig_pass` (tier-2→3 handoff, only when semantic) and
+  * `curated` (the final output — tier 2's when no semantic tier). All
+  * epoch-partitioned.
   */
 object CurationStream {
 
@@ -59,6 +60,17 @@ object CurationStream {
   final case class SemanticTier(
       table: String, embCol: String, threshold: Double = 0.9, nProbe: Int = 2)
 
+  /** Tier-0 config (optional): [[LineDedupGate]] boilerplate removal
+    * BEFORE the quality gate — line counts live in `store`/`table`
+    * (an additive chain), and the rewritten docs (full payload schema,
+    * text column replaced, n_lines/n_dropped appended) hand off through
+    * `<root>/line_clean` like every other tier boundary. Runs first
+    * because it is the one tier that MUTATES text: quality constraints
+    * and signatures must judge the text that will actually land.
+    */
+  final case class LineDedupTier(
+      store: SnapshotStore, table: String, minDocs: Int = 2)
+
   /** One micro-batch through the whole ladder (idempotent per
     * `batchId`). `table` is the tier-2 [[graft.sources.DedupIndex]].
     */
@@ -67,8 +79,16 @@ object CurationStream {
       constraints: Seq[(String, Column)], table: String, idCol: String,
       textCol: String, root: String, threshold: Double = 0.9,
       semantic: Option[SemanticTier] = None,
-      enrich: DataFrame => DataFrame = identity): Unit = {
-    QualityGate.applyBatch(spark, batch, batchId, constraints,
+      enrich: DataFrame => DataFrame = identity,
+      lineDedup: Option[LineDedupTier] = None): Unit = {
+    val docs = lineDedup match {
+      case Some(ld) =>
+        LineDedupGate.applyBatch(ld.store, ld.table, batch, batchId,
+          idCol, textCol, s"$root/line_clean", ld.minDocs)
+        spark.read.parquet(s"$root/line_clean/epoch=$batchId")
+      case None => batch
+    }
+    QualityGate.applyBatch(spark, docs, batchId, constraints,
       s"$root/quality_pass", s"$root/quality_reject", enrich)
     // the frozen tier-1 epoch, read WITHOUT the partition column —
     // downstream tiers see the original payload schema
@@ -98,7 +118,8 @@ object CurationStream {
       threshold: Double = 0.9, semantic: Option[SemanticTier] = None,
       enrich: DataFrame => DataFrame = identity,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
-      shufflePartitions: Option[Int] = Some(8)): StreamingQuery = {
+      shufflePartitions: Option[Int] = Some(8),
+      lineDedup: Option[LineDedupTier] = None): StreamingQuery = {
     val spark = docs.sparkSession
     val release = ConfPins.acquireGatePins(spark, shufflePartitions,
       java.util.UUID.randomUUID())
@@ -109,7 +130,7 @@ object CurationStream {
         .trigger(trigger)
         .foreachBatch { (b: DataFrame, id: Long) =>
           applyBatch(b.sparkSession, b, id, constraints, table, idCol,
-            textCol, root, threshold, semantic, enrich); ()
+            textCol, root, threshold, semantic, enrich, lineDedup); ()
         }
         .start()
       catch { case e: Throwable => release(); throw e }

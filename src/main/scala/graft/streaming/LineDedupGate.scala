@@ -53,6 +53,11 @@ object LineDedupGate {
   /** One micro-batch through the gate (idempotent per `batchId`):
     * publish the rewritten docs to `outDir/epoch=<batchId>`, then fold
     * the batch's per-line distinct-doc counts into `table`.
+    *
+    * The published rows keep the batch's FULL schema — `textCol` holds
+    * the cleaned text, `n_lines`/`n_dropped` append as stats — so the
+    * epoch composes as a ladder tier ([[CurationStream]]'s frozen
+    * handoff): downstream gates still see ids, languages, embeddings.
     */
   def applyBatch(
       store: SnapshotStore, table: String, batch: DataFrame, batchId: Long,
@@ -74,10 +79,11 @@ object LineDedupGate {
         .groupBy(col("line")).agg(sum(col("state_cnt")).as("n_docs"))
         .filter(col("n_docs") >= minDocs)
         .select(col("line"))
-      EpochCommit.commitEpoch(
-        graft.ops.Dedup.rewriteDroppingLines(lines, dups)
-          .withColumnRenamed("id", idCol),
-        outDir, batchId)
+      val cleaned = graft.ops.Dedup.rewriteDroppingLines(lines, dups)
+        .withColumnRenamed("id", idCol)
+      val out = batch.drop(textCol)
+        .join(cleaned.withColumnRenamed("clean_text", textCol), Seq(idCol))
+      EpochCommit.commitEpoch(out, outDir, batchId)
     }
     if (!countsDone)
       store.commitAdditive(table, bc, meta = Some(batchId.toString))

@@ -101,6 +101,46 @@ class CurationStreamSpec extends SparkSpec {
     assert(dup == Set((32L, 31L)), "in-batch dup must reject exactly once")
   }
 
+  test("line-dedup tier 0: boilerplate strips BEFORE the quality gate judges") {
+    val dir = Files.createTempDirectory("graft-curation-line").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    DedupIndex.build(Seq((1L, doc("the quick brown fox ")))
+      .toDF("doc_id", "text"), "curationline_idx", "doc_id", "text")
+    val banner = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+    // 50/51 share the banner line; 50's REMAINING text is long enough
+    // to pass quality, 51's residue is too short — the quality verdict
+    // must be about the CLEANED text, which is why tier 0 runs first
+    val batch = Seq(
+      (50L, s"$banner\n${doc("pack my box with jugs ")}"),
+      (51L, s"$banner\nhello")).toDF("doc_id", "text")
+    CurationStream.applyBatch(spark, batch, 0L, constraints,
+      "curationline_idx", "doc_id", "text", s"$dir/cur",
+      lineDedup = Some(CurationStream.LineDedupTier(store, "CL")))
+    // replay the whole ladder: every tier must no-op
+    CurationStream.applyBatch(spark, batch, 0L, constraints,
+      "curationline_idx", "doc_id", "text", s"$dir/cur",
+      lineDedup = Some(CurationStream.LineDedupTier(store, "CL")))
+
+    val cleaned = spark.read.parquet(s"$dir/cur/line_clean")
+      .select("doc_id", "text", "n_dropped")
+      .as[(Long, String, Long)].collect()
+      .map { case (id, t, nd) => id -> ((t, nd)) }.toMap
+    assert(cleaned(50L)._2 == 1L && !cleaned(50L)._1.contains(banner))
+    assert(cleaned(51L) == (("hello", 1L)))
+    val curated = spark.read.parquet(s"$dir/cur/curated")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(curated == Seq(50L), s"curated drifted: $curated")
+    // 51 was rejected for its RESIDUE being short, not for the banner
+    val qRejects = spark.read.parquet(s"$dir/cur/quality_reject")
+      .select("doc_id", "violated").as[(Long, String)].collect().toSet
+    assert(qRejects == Set((51L, "TOO_SHORT")))
+    // tier-0 state advanced exactly once despite the replay
+    assert(store.currentMeta("CL").contains("0"))
+    assert(LineDedupGate.lineCounts(spark, store, "CL")
+      .filter(col("line") === banner).as[(String, Long)].collect()
+      .head._2 == 2L)
+  }
+
   test("semantic tier: an embedding near-dup passes tiers 1-2 and is blocked at tier 3") {
     val dir = Files.createTempDirectory("graft-curation-sem").toString
     DedupIndex.build(Seq((1L, doc("the quick brown fox ")))

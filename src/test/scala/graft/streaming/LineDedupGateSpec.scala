@@ -18,7 +18,7 @@ class LineDedupGateSpec extends SparkSpec {
 
   private def cleanOf(outDir: String, epoch: Long): Map[Long, (Long, Long, String)] =
     spark.read.parquet(s"$outDir/epoch=$epoch")
-      .select("doc_id", "n_lines", "n_dropped", "clean_text")
+      .select("doc_id", "n_lines", "n_dropped", "text")
       .as[(Long, Long, Long, String)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
 
@@ -83,8 +83,11 @@ class LineDedupGateSpec extends SparkSpec {
       .groupBy(col("line")).agg(sum(col("state_cnt")).as("n"))
       .filter(col("n") >= 2).select(col("line"))
     EpochCommit.commitEpoch(
-      graft.ops.Dedup.rewriteDroppingLines(lines, dups)
-        .withColumnRenamed("id", "doc_id"), out, 1L)
+      b1.drop("text").join(
+        graft.ops.Dedup.rewriteDroppingLines(lines, dups)
+          .withColumnRenamed("id", "doc_id")
+          .withColumnRenamed("clean_text", "text"), Seq("doc_id")),
+      out, 1L)
     val before = cleanOf(out, 1L)
     assert(before(3L) == ((2L, 2L, "")), "shared + late line both stripped")
     val vBefore = store.currentVersion("LD")
@@ -110,7 +113,7 @@ class LineDedupGateSpec extends SparkSpec {
       mem.addData((3L, "banner\ngamma"))
       q.processAllAvailable()
       val all = spark.read.parquet(out)
-        .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
       assert(all == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
       val counts = LineDedupGate.lineCounts(spark, store, "LS")
         .as[(String, Long)].collect().toMap
