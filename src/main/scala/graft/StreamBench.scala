@@ -398,6 +398,55 @@ object StreamBench {
     }
   }
 
+  /** Streaming line-dedup gate throughput: documents/s through
+    * [[graft.streaming.LineDedupGate]] — per-trigger line explode +
+    * count-state merge-on-read + rewrite join + epoch commit +
+    * additive count append, the full exactly-once path of the ladder's
+    * tier 0. Each doc is 12 lines: 10 unique (the state-growth path —
+    * every line appends a count row) + 2 corpus-wide banners (the
+    * strip path — the rewrite join and the threshold both exercised
+    * every trigger).
+    */
+  def lineGateThroughput(spark: SparkSession): Double = {
+    val confKeys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.sources.parallelPartitionDiscovery.threshold")
+    val confPrev = confKeys.map(k => k -> spark.conf.getOption(k))
+    val dir = Files.createTempDirectory("graft-bench-linegate").toFile
+    val store = new graft.streaming.SnapshotStore(spark, s"$dir/store")
+    val mem = MemoryStream[Long](spark)(spark.sqlContext.implicits.newLongEncoder)
+    val docs = mem.toDF().select(col("value").as("doc_id"))
+      .withColumn("text", org.apache.spark.sql.functions.expr(
+        "concat('BANNER ALPHA\\n', " +
+          "array_join(transform(sequence(0, 9), " +
+          "l -> concat('u', doc_id, 'x', l, ' w', pmod(doc_id * 31 + l, 7000))), '\\n'), " +
+          "'\\nBANNER OMEGA')"))
+    val q = graft.streaming.LineDedupGate.start(
+      docs, store, "graft_bench_linegate", "doc_id", "text",
+      s"$dir/out", s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    try {
+      val perBatch = 1000
+      val batches = 4
+      // untimed warmup epoch, like every probe
+      mem.addData((0 until perBatch).map(j => 100000L + j))
+      q.processAllAvailable()
+      val start = System.nanoTime()
+      (0 until batches).foreach { i =>
+        mem.addData((0 until perBatch).map(j => 200000L + i * perBatch + j))
+        q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - start) / 1e9
+      batches * perBatch / secs
+    } finally {
+      q.stop()
+      confPrev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      deleteWithRetry(dir)
+    }
+  }
+
   /** Streaming ANN serve tail latency: per-epoch wall time over
     * single-batch epochs served from a stored IVF index through
     * [[graft.streaming.AnnServeStream]] (exactly-once epoch commit
@@ -477,9 +526,10 @@ object StreamBench {
     val (muxMin, muxEps, muxMax) = minMedMax(() => multiplexedThroughput(spark))
     val (ingMin, ingestEps, ingMax) = minMedMax(() => ingestThroughput(spark))
     val (semMin, semEps, semMax) = minMedMax(() => semanticThroughput(spark))
+    val (lineMin, lineEps, lineMax) = minMedMax(() => lineGateThroughput(spark))
     // pinned-snapshot posture: what a serving tier actually runs
     // (measured ~25% lower p50 than resolve-per-batch; ServePinCompare)
     val (p50, p95) = serveLatency(spark, pinSnapshot = true)
-    f""""streaming":{"tws_events_per_s":${twsEps}%.0f,"tws_events_per_s_min":${twsMin}%.0f,"tws_events_per_s_max":${twsMax}%.0f,"tws_state_rows":$twsState,"sync_events_per_s":${syncEps}%.0f,"sync_events_per_s_min":${syncMin}%.0f,"sync_events_per_s_max":${syncMax}%.0f,"concurrent_events_per_s":${concEps}%.0f,"concurrent_events_per_s_min":${concMin}%.0f,"concurrent_events_per_s_max":${concMax}%.0f,"multiplexed_events_per_s":${muxEps}%.0f,"multiplexed_events_per_s_min":${muxMin}%.0f,"multiplexed_events_per_s_max":${muxMax}%.0f,"ingest_docs_per_s":${ingestEps}%.0f,"ingest_docs_per_s_min":${ingMin}%.0f,"ingest_docs_per_s_max":${ingMax}%.0f,"semantic_docs_per_s":${semEps}%.0f,"semantic_docs_per_s_min":${semMin}%.0f,"semantic_docs_per_s_max":${semMax}%.0f,"serve_p50_ms":${p50}%.0f,"serve_p95_ms":${p95}%.0f}"""
+    f""""streaming":{"tws_events_per_s":${twsEps}%.0f,"tws_events_per_s_min":${twsMin}%.0f,"tws_events_per_s_max":${twsMax}%.0f,"tws_state_rows":$twsState,"sync_events_per_s":${syncEps}%.0f,"sync_events_per_s_min":${syncMin}%.0f,"sync_events_per_s_max":${syncMax}%.0f,"concurrent_events_per_s":${concEps}%.0f,"concurrent_events_per_s_min":${concMin}%.0f,"concurrent_events_per_s_max":${concMax}%.0f,"multiplexed_events_per_s":${muxEps}%.0f,"multiplexed_events_per_s_min":${muxMin}%.0f,"multiplexed_events_per_s_max":${muxMax}%.0f,"ingest_docs_per_s":${ingestEps}%.0f,"ingest_docs_per_s_min":${ingMin}%.0f,"ingest_docs_per_s_max":${ingMax}%.0f,"semantic_docs_per_s":${semEps}%.0f,"semantic_docs_per_s_min":${semMin}%.0f,"semantic_docs_per_s_max":${semMax}%.0f,"line_docs_per_s":${lineEps}%.0f,"line_docs_per_s_min":${lineMin}%.0f,"line_docs_per_s_max":${lineMax}%.0f,"serve_p50_ms":${p50}%.0f,"serve_p95_ms":${p95}%.0f}"""
   }
 }

@@ -96,18 +96,31 @@ object LineDedupGate {
     store.additiveSnapshot(table, countSchema)
       .withColumnRenamed("state_cnt", "n_docs")
 
-  /** Run the gate over a document stream. */
+  /** Run the gate over a document stream. Session pins follow
+    * [[IngestDedup.start]]'s contract: trigger-sized batches plan at a
+    * narrow shuffle width, acquired before start and released on
+    * termination (refcounted — concurrent gates compose).
+    */
   def start(
       docs: DataFrame, store: SnapshotStore, table: String,
       idCol: String, textCol: String, outDir: String, checkpoint: String,
       minDocs: Int = 2,
-      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
-    docs.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(store, table, b, id, idCol, textCol, outDir, minDocs); ()
-      }
-      .start()
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      shufflePartitions: Option[Int] = Some(8)): StreamingQuery = {
+    val spark = docs.sparkSession
+    val release = ConfPins.acquireGatePins(spark, shufflePartitions,
+      java.util.UUID.randomUUID())
+    val query =
+      try docs.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(trigger)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          applyBatch(store, table, b, id, idCol, textCol, outDir, minDocs); ()
+        }
+        .start()
+      catch { case e: Throwable => release(); throw e }
+    QueryCleanup.onTermination(spark, query)(release)
+    query
+  }
 }

@@ -1,0 +1,26 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: run JUST the line-dedup gate probe (optionally several
+  * times), so tier-0 trigger-path changes get a docs/s read in ~30 s
+  * instead of the full bench — the sibling of [[SemanticProfile]].
+  */
+object LineGateProfile {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = args.headOption.map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    (1 to runs).foreach { i =>
+      println(f"line_docs_per_s[$i] = ${graft.StreamBench.lineGateThroughput(spark)}%.0f")
+    }
+    spark.stop()
+  }
+}

@@ -99,6 +99,44 @@ class LineDedupGateSpec extends SparkSpec {
     assert(store.currentMeta("LD").contains("1"))
   }
 
+  test("a fresh data trigger runs exactly 4 actions (the per-trigger budget)") {
+    // 1 line-explode checkpoint, 1 count checkpoint, 1 epoch write,
+    // 1 additive delta write — counted as root SQL executions
+    // (IngestDedupSpec's pin): a regression that recomputes the explode
+    // per consumer or sneaks a state-sized rewrite in shows up here as
+    // a 5th action before it shows up in the bench.
+    val dir = Files.createTempDirectory("graft-ldg-budget").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    val actions = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case e: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+            if e.rootExecutionId.forall(_ == e.executionId) =>
+            actions.incrementAndGet(); ()
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      LineDedupGate.applyBatch(store, "LB",
+        Seq((1L, "one\ntwo"), (2L, "two\nthree")).toDF("doc_id", "text"),
+        0L, "doc_id", "text", s"$dir/clean")
+      var last = -1
+      var stable = 0
+      val deadline = System.currentTimeMillis() + 10000
+      while (stable < 3 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        val now = actions.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(actions.get() == 4,
+      s"line-gate per-trigger action budget is 4 (explode checkpoint, " +
+        s"count checkpoint, epoch write, count delta write), saw ${actions.get()}")
+  }
+
   test("streaming start drives the gate over a live stream") {
     val dir = Files.createTempDirectory("graft-ldg-stream").toString
     val store = new SnapshotStore(spark, s"$dir/store")
