@@ -49,6 +49,14 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // GRAFT_SCALE_ONLY=emb,band,bloom,line,pairs (comma list) runs a
+    // subset — the full sweep is ~15 min, and re-measuring ONE family
+    // at a larger n (the round-9 "flat readings can be pure fixed
+    // cost" lesson) shouldn't pay for the rest
+    val only = sys.env.get("GRAFT_SCALE_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    def want(group: String): Boolean = only.forall(_.contains(group))
+
     def ops(docs: DataFrame): Seq[(String, () => Long)] = {
       // EAGER, outside any timed thunk: cc1/tr1 must measure their own
       // scaling, not free-ride on (or get charged for) the pair
@@ -78,27 +86,64 @@ object ScaleProbe {
         }))
     }
 
-    // JIT/codegen warmup on a tiny corpus, untimed
-    ops(corpus(spark, 400).localCheckpoint(true)).foreach(_._2())
-
-    val results = Seq(small, small * factor).map { n =>
-      val docs = corpus(spark, n).localCheckpoint(true)
-      n -> ops(docs).map { case (name, f) =>
-        val (secs, rows) = timed(f())
-        (name, secs, rows)
+    val lines = if (!want("pairs")) Seq.empty[String] else {
+      // JIT/codegen warmup on a tiny corpus, untimed
+      ops(corpus(spark, 400).localCheckpoint(true)).foreach(_._2())
+      val results = Seq(small, small * factor).map { n =>
+        val docs = corpus(spark, n).localCheckpoint(true)
+        n -> ops(docs).map { case (name, f) =>
+          val (secs, rows) = timed(f())
+          (name, secs, rows)
+        }
+      }
+      val Seq((n1, r1), (n2, r2)) = results
+      r1.zip(r2).map { case ((name, t1, c1), (_, t2, c2)) =>
+        val exp = math.log(t2 / t1) / math.log(factor.toDouble)
+        f""""$name":{"t_$n1%d":$t1%.2f,"t_$n2%d":$t2%.2f,"rows_$n1%d":$c1,"rows_$n2%d":$c2,"exponent":$exp%.2f}"""
       }
     }
-    val Seq((n1, r1), (n2, r2)) = results
-    val lines = r1.zip(r2).map { case ((name, t1, c1), (_, t2, c2)) =>
-      val exp = math.log(t2 / t1) / math.log(factor.toDouble)
-      f""""$name":{"t_$n1%d":$t1%.2f,"t_$n2%d":$t2%.2f,"rows_$n1%d":$c1,"rows_$n2%d":$c2,"exponent":$exp%.2f}"""
-    }
 
-    val embLines = embeddingExponents(spark, small, factor)
-    val bandLines = hashBandExponents(spark, small * 10, factor)
-    val bloomLines = bloomJoinExponents(spark, small * 400, factor)
-    println("{" + (lines ++ embLines ++ bandLines ++ bloomLines).mkString(",") + "}")
+    val embLines =
+      if (want("emb")) embeddingExponents(spark, small, factor) else Seq.empty
+    val bandLines =
+      if (want("band")) hashBandExponents(spark, small * 10, factor) else Seq.empty
+    val bloomLines =
+      if (want("bloom")) bloomJoinExponents(spark, small * 400, factor) else Seq.empty
+    val lineLines =
+      if (want("line")) lineDedupExponents(spark, small * 100, factor) else Seq.empty
+    println("{" + (lines ++ embLines ++ bandLines ++ bloomLines
+      ++ lineLines).mkString(",") + "}")
     spark.stop()
+  }
+
+  /** ld1's line dedup under fixed boilerplate density: every doc is 12
+    * lines — 10 doc-unique + 2 banners from a CONSTANT 50-banner pool —
+    * so dup-line occurrences grow exactly linearly (2n) and unique
+    * lines 10n. The claim is the word-count shape: one groupBy(line)
+    * with map-side partials + one hash join + a per-doc-bounded
+    * reassembly, linear in total lines; a plan that grouped per-doc
+    * line ARRAYS through the exchange or lost the partial aggregation
+    * would read super-linear here.
+    */
+  private def lineDedupExponents(
+      spark: SparkSession, small: Long, factor: Long): Seq[String] = {
+    def docs(n: Long): DataFrame =
+      spark.range(n).selectExpr("id AS doc_id",
+        "concat('BANNER_', cast(id % 50 as string), '\\n', " +
+          "array_join(transform(sequence(0, 9), " +
+          "l -> concat('u', cast(id as string), '_', cast(l as string))), '\\n'), " +
+          "'\\nBANNER_', cast((id + 17) % 50 as string)) AS text")
+    def run(n: Long): (Double, Long) = {
+      val d = docs(n).localCheckpoint(true)
+      val a = timed(Dedup.lineDedup(d, "doc_id", "text").count())
+      val b = timed(Dedup.lineDedup(d, "doc_id", "text").count())
+      (math.min(a._1, b._1), a._2)
+    }
+    run(2000) // untimed codegen warmup
+    val (t1, c1) = run(small)
+    val (t2, c2) = run(small * factor)
+    val exp = math.log(t2 / t1) / math.log(factor.toDouble)
+    Seq(f""""ld1_line_dedup":{"t_$small%d":$t1%.2f,"t_${small * factor}%d":$t2%.2f,"rows_$small%d":$c1,"rows_${small * factor}%d":$c2,"exponent":$exp%.2f}""")
   }
 
   /** mm7's Hamming-band probe under its SERVE posture (fixed probe set
