@@ -610,6 +610,70 @@ final class SnapshotStore(
     }
   }
 
+  /** Clone `table`@`version` as a NEW table `dest` (optionally in
+    * another store — the backup/dev-fork maintenance op): the clone is
+    * one compacted version with an independent chain, so vacuuming or
+    * evolving either side never touches the other, and the clone's
+    * history starts fresh (horizon 1, version 1). Works for both kinds:
+    * a CDC/base table clones as a full base (`commit`), an additive
+    * table as the folded state re-committed under the same measure
+    * columns (sums ARE the state, so the fold loses nothing). Refuses
+    * an existing destination — a clone is a CREATE, and silently
+    * stacking a base onto an existing chain would be corruption.
+    * The clone's meta records the provenance (`clone:<table>@<v>`).
+    */
+  def cloneAt(table: String, version: Int, dest: String,
+      destStore: SnapshotStore = this): Int = {
+    require(destStore.currentVersion(dest) == 0 &&
+        destStore.tableKind(dest).isEmpty,
+      s"cloneAt: destination '$dest' already exists — a clone is a CREATE")
+    val provenance = Some(s"clone:$table@$version")
+    additiveCols(table) match {
+      case Some(cols) =>
+        destStore.commitAdditive(dest,
+          additiveSnapshotAt(table, version, null), meta = provenance,
+          cntCols = cols)
+      case None =>
+        destStore.commit(dest, snapshotAt(table, version), meta = provenance)
+    }
+  }
+
+  /** Row-level predicate delete — the retention/right-to-erasure
+    * maintenance op: every current row matching `predicate` gets a
+    * DELETE change appended as ONE delta version (O(|matching|)
+    * written, never a table rewrite), flowing through the change feed,
+    * [[netChanges]] and the JDBC sync like any other CDC delete — a
+    * downstream serving copy erases the same rows on its next
+    * incremental sync. `seq` orders the delete against the chain (a
+    * batch id / epoch counter under the single-writer assumption);
+    * `meta` gates replays exactly like a streaming commit. The DELETE
+    * rows carry the deleted values (the change feed's before-image
+    * flavor — auditable erasure). Returns the number of rows deleted;
+    * an empty match commits NOTHING (no version churn on a no-op).
+    */
+  def deleteWhere(table: String, predicate: org.apache.spark.sql.Column,
+      pk: String, seq: Long, meta: Option[String] = None): Long = {
+    refuseAdditive(table, "deleteWhere")
+    if (currentVersion(table) == 0) return 0L
+    val matching = snapshot(table, null).filter(predicate)
+      .localCheckpoint(true) // one pass feeds the count AND the delta
+    val n = matching.count()
+    if (n == 0L) return 0L
+    // the seq COLUMN NAME is part of the chain's recorded layout (the
+    // evolution gate refuses a rename) — reuse the chain's own; a
+    // base-only table has no delta layout yet, any name seeds it
+    val seqName = (1 to currentVersion(table)).reverse
+      .find(v => exists(deltaDir(table, v)))
+      .flatMap(v => readFingerprint(deltaDir(table, v)))
+      .map(_.head._1).getOrElse("__seq")
+    val dataCols = matching.columns.filterNot(_ == pk).toSeq
+    val changes = matching.select(
+      (Seq(lit(seq).as(seqName), lit("DELETE").as("operation"), col(pk))
+        ++ dataCols.map(col)): _*)
+    commitDelta(table, changes, pk, seqName, dataCols, meta)
+    n
+  }
+
   // ---- additive multiplicity tables --------------------------------
   //
   // The THIRD table kind next to full bases and CDC delta chains: rows

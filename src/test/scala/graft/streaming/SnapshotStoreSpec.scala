@@ -324,4 +324,66 @@ class SnapshotStoreSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("ADDITIVE"))
   }
+
+  test("deleteWhere appends DELETE deltas; feed, net changes and replays agree") {
+    val (store, _) = newStore(compactEvery = 100)
+    commit(store, (1L, "INSERT", 1, "keep"), (2L, "INSERT", 2, "purge"),
+      (3L, "INSERT", 3, "purge"))
+    val vBefore = store.currentVersion("T")
+    val n = store.deleteWhere("T",
+      org.apache.spark.sql.functions.col("VAL") === "purge", "ID",
+      seq = 100L, meta = Some("erasure-42"))
+    assert(n == 2L)
+    assert(store.snapshot("T", null).as[(Int, String)].collect().toMap ==
+      Map(1 -> "keep"))
+    // O(matching): ONE new version, two DELETE rows carrying the
+    // erased values (auditable), visible to the change feed
+    assert(store.currentVersion("T") == vBefore + 1)
+    val feed = store.changeFeed("T", vBefore, vBefore + 1)
+      .select("operation", "ID", "VAL").as[(String, Int, String)]
+      .collect().toSet
+    assert(feed == Set(("DELETE", 2, "purge"), ("DELETE", 3, "purge")))
+    // the serving-sync path sees plain CDC deletes
+    val net = store.netChanges("T", vBefore, vBefore + 1)
+      .select("ID", "change_type").as[(Int, String)].collect().toSet
+    assert(net == Set((2, "DELETE"), (3, "DELETE")))
+    assert(store.currentMeta("T").contains("erasure-42"))
+    // a no-op match commits NOTHING (no version churn); the matching
+    // rows are already gone so the same predicate re-run is idempotent
+    assert(store.deleteWhere("T",
+      org.apache.spark.sql.functions.col("VAL") === "purge", "ID", 101L) == 0L)
+    assert(store.currentVersion("T") == vBefore + 1)
+  }
+
+  test("cloneAt creates an independent table: fresh chain, kinds carried, dest refusals") {
+    import org.apache.spark.sql.functions.col
+    val (store, _) = newStore(compactEvery = 100)
+    commit(store, (1L, "INSERT", 1, "a"), (2L, "INSERT", 2, "b"))
+    commit(store, (3L, "UPDATE", 1, "a2"))
+    // CDC clone at a historical version
+    store.cloneAt("T", 1, "T_V1")
+    assert(store.snapshot("T_V1", null).as[(Int, String)].collect().toMap ==
+      Map(1 -> "a", 2 -> "b"))
+    assert(store.currentVersion("T_V1") == 1, "clone history starts fresh")
+    assert(store.currentMeta("T_V1").contains("clone:T@1"))
+    // independence both ways: evolve the source, vacuum neither leaks
+    commit(store, (4L, "DELETE", 2, "b"))
+    assert(store.snapshot("T_V1", null).count() == 2)
+    store.deleteWhere("T_V1", col("ID") === 1, "ID", 10L)
+    assert(store.snapshot("T", null).as[(Int, String)].collect().toMap ==
+      Map(1 -> "a2"))
+    // additive clone keeps the kind and measure columns
+    store.commitAdditive("ADD", Seq(("x", 2L), ("y", 1L)).toDF("k", "state_cnt"))
+    store.commitAdditive("ADD", Seq(("x", -1L)).toDF("k", "state_cnt"))
+    store.cloneAt("ADD", 2, "ADD_C")
+    assert(store.additiveSnapshot("ADD_C", null).as[(String, Long)]
+      .collect().toMap == Map("x" -> 1L, "y" -> 1L))
+    // the clone is itself a live additive chain
+    store.commitAdditive("ADD_C", Seq(("y", 5L)).toDF("k", "state_cnt"))
+    assert(store.additiveSnapshot("ADD_C", null).as[(String, Long)]
+      .collect().toMap == Map("x" -> 1L, "y" -> 6L))
+    // a clone is a CREATE: existing destinations refuse loudly
+    val e = intercept[IllegalArgumentException] { store.cloneAt("T", 1, "T_V1") }
+    assert(e.getMessage.contains("already exists"))
+  }
 }
