@@ -638,6 +638,32 @@ final class SnapshotStore(
     }
   }
 
+  /** The table's version history — the operational surface a
+    * maintenance job (or an operator deciding what [[vacuum]] will
+    * reclaim) reads: one row per live version with its kind
+    * (`base`/`delta`), commit meta, data-file count and bytes, plus
+    * whether it sits below the vacuum horizon. Pure file metadata —
+    * O(versions) marker reads + one listStatus per version directory,
+    * no data files opened. Built driver-side (a chain is
+    * human-lifetime-bounded: thousands of versions, not billions).
+    */
+  def history(table: String): DataFrame = {
+    val h = horizon(table)
+    val rows = (1 to currentVersion(table)).flatMap { v =>
+      Seq(baseDir(table, v) -> "base", deltaDir(table, v) -> "delta")
+        .filter { case (d, _) => exists(d) }
+        .map { case (d, kind) =>
+          val files = fs.listStatus(new Path(d)).filter(st =>
+            st.isFile && st.getPath.getName.endsWith(".parquet"))
+          val metaP = s"$d/_graft_meta"
+          (v, kind, if (exists(metaP)) readString(metaP) else null,
+            files.length, files.map(_.getLen).sum, v >= h)
+        }
+    }
+    import spark.implicits._
+    rows.toDF("version", "kind", "meta", "n_files", "bytes", "above_horizon")
+  }
+
   /** Row-level predicate delete — the retention/right-to-erasure
     * maintenance op: every current row matching `predicate` gets a
     * DELETE change appended as ONE delta version (O(|matching|)

@@ -386,4 +386,24 @@ class SnapshotStoreSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { store.cloneAt("T", 1, "T_V1") }
     assert(e.getMessage.contains("already exists"))
   }
+
+  test("history lists live versions with kind, meta and horizon flags") {
+    val (store, _) = newStore(compactEvery = 3)
+    commit(store, (1L, "INSERT", 1, "a"))
+    commit(store, (2L, "INSERT", 2, "b"))
+    commit(store, (3L, "UPDATE", 1, "a2")) // 3rd commit ⇒ compaction base at v3
+    store.deleteWhere("T", org.apache.spark.sql.functions.col("ID") === 2,
+      "ID", 4L, meta = Some("gdpr"))
+    store.vacuum("T") // reclaims v1/v2 (below the v3 base)
+    val h = store.history("T")
+      .select("version", "kind", "meta", "above_horizon")
+      .as[(Int, String, String, Boolean)].collect().toSet
+    // v3 carries BOTH the delta and the compaction base; v1/v2 reclaimed
+    assert(h == Set(
+      (3, "delta", null, true), (3, "base", null, true),
+      (4, "delta", "gdpr", true)))
+    assert(store.history("T").agg(
+      org.apache.spark.sql.functions.sum("n_files")).collect()(0)
+      .getLong(0) > 0, "file counts must come from real listings")
+  }
 }
