@@ -327,4 +327,16 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("im1_interleaved_mix")
     assert(p.contains("TakeOrderedAndProject"), s"im1 plans a full sort:\n$p")
   }
+
+  test("ld1: word-count shape — partial aggregation below the line exchange, no cartesian, no window") {
+    val p = plan("ld1_line_dedup")
+    // the boilerplate census must partial-aggregate map-side: a
+    // partial_count(distinct id) under the exchange is what collapses
+    // a corpus-hot banner line before it crosses the wire
+    assert(p.contains("partial_count(distinct"),
+      s"ld1 lost its map-side partial distinct:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ld1 plans a cartesian:\n$p")
+    // reassembly is a per-doc aggregate, never a window over the corpus
+    assert(!p.contains("WindowExec"), s"ld1 plans a window:\n$p")
+  }
 }
