@@ -678,10 +678,40 @@ final class SnapshotStore(
     * an empty match commits NOTHING (no version churn on a no-op).
     */
   def deleteWhere(table: String, predicate: org.apache.spark.sql.Column,
-      pk: String, seq: Long, meta: Option[String] = None): Long = {
-    refuseAdditive(table, "deleteWhere")
+      pk: String, seq: Long, meta: Option[String] = None): Long =
+    mutateWhere(table, predicate, pk, seq, meta, "DELETE", Map.empty)
+
+  /** Row-level predicate update — [[deleteWhere]]'s anonymize-in-place
+    * sibling (the GDPR path that must KEEP the row): matching rows
+    * append as ONE O(matching) UPDATE delta carrying their current
+    * values with the `set` columns overwritten (each expression
+    * evaluates against the matched row, so `set` can reference existing
+    * columns — redaction, masking, recomputation). Unknown `set`
+    * columns refuse loudly: an UPDATE cannot add columns, that is
+    * write-time schema evolution. Returns the number of rows updated.
+    */
+  def updateWhere(table: String, predicate: org.apache.spark.sql.Column,
+      pk: String, seq: Long, set: Map[String, org.apache.spark.sql.Column],
+      meta: Option[String] = None): Long = {
+    require(set.nonEmpty, "updateWhere: no columns to set")
+    mutateWhere(table, predicate, pk, seq, meta, "UPDATE", set)
+  }
+
+  private def mutateWhere(table: String,
+      predicate: org.apache.spark.sql.Column, pk: String, seq: Long,
+      meta: Option[String], op: String,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    refuseAdditive(table, s"${op.toLowerCase}Where")
     if (currentVersion(table) == 0) return 0L
-    val matching = snapshot(table, null).filter(predicate)
+    val snap = snapshot(table, null)
+    set.keys.foreach(k => require(snap.columns.contains(k),
+      s"${op.toLowerCase}Where: '$k' is not a column of '$table' " +
+        s"(${snap.columns.mkString(", ")}) — adding columns is schema " +
+        "evolution, not an UPDATE"))
+    require(!set.contains(pk),
+      s"${op.toLowerCase}Where: cannot set the pk column '$pk' — a key " +
+        "change is a DELETE + INSERT, not an UPDATE")
+    val matching = snap.filter(predicate)
       .localCheckpoint(true) // one pass feeds the count AND the delta
     val n = matching.count()
     if (n == 0L) return 0L
@@ -694,8 +724,8 @@ final class SnapshotStore(
       .map(_.head._1).getOrElse("__seq")
     val dataCols = matching.columns.filterNot(_ == pk).toSeq
     val changes = matching.select(
-      (Seq(lit(seq).as(seqName), lit("DELETE").as("operation"), col(pk))
-        ++ dataCols.map(col)): _*)
+      (Seq(lit(seq).as(seqName), lit(op).as("operation"), col(pk))
+        ++ dataCols.map(c => set.getOrElse(c, col(c)).as(c))): _*)
     commitDelta(table, changes, pk, seqName, dataCols, meta)
     n
   }

@@ -355,6 +355,36 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.currentVersion("T") == vBefore + 1)
   }
 
+  test("updateWhere rewrites matching rows in place; set can read the old row") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val (store, _) = newStore(compactEvery = 100)
+    commit(store, (1L, "INSERT", 1, "alice"), (2L, "INSERT", 2, "bob"),
+      (3L, "INSERT", 3, "alice"))
+    val vBefore = store.currentVersion("T")
+    // expression over the matched row: masking that keeps a prefix
+    val n = store.updateWhere("T", col("VAL") === "alice", "ID", 50L,
+      set = Map("VAL" -> concat(col("VAL").substr(0, 1), lit("***"))))
+    assert(n == 2L)
+    assert(store.snapshot("T", null).as[(Int, String)].collect().toMap ==
+      Map(1 -> "a***", 2 -> "bob", 3 -> "a***"))
+    assert(store.currentVersion("T") == vBefore + 1, "one O(matching) delta")
+    val feed = store.changeFeed("T", vBefore, vBefore + 1)
+      .select("operation", "ID", "VAL").as[(String, Int, String)]
+      .collect().toSet
+    assert(feed == Set(("UPDATE", 1, "a***"), ("UPDATE", 3, "a***")))
+    // refusals: unknown set column, pk rewrite
+    val e1 = intercept[IllegalArgumentException] {
+      store.updateWhere("T", col("VAL") === "bob", "ID", 51L,
+        set = Map("NOPE" -> lit("x")))
+    }
+    assert(e1.getMessage.contains("schema evolution"))
+    val e2 = intercept[IllegalArgumentException] {
+      store.updateWhere("T", col("VAL") === "bob", "ID", 51L,
+        set = Map("ID" -> lit(9)))
+    }
+    assert(e2.getMessage.contains("DELETE + INSERT"))
+  }
+
   test("cloneAt creates an independent table: fresh chain, kinds carried, dest refusals") {
     import org.apache.spark.sql.functions.col
     val (store, _) = newStore(compactEvery = 100)
