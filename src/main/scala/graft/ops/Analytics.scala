@@ -110,6 +110,57 @@ object Analytics {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Touch attribution — assign each CONVERSION event (type ==
+    * `convType`) to the touch event (type ∈ `touchTypes`) the chosen
+    * `model` picks from the user's strictly-earlier history: `"last"`
+    * (last-touch, the default marketing model) or `"first"`
+    * (first-touch). A conversion whose picked touch is missing or
+    * older than `lookbackDays` attributes to `"(none)"` — unattributed
+    * mass must stay VISIBLE, not vanish from the denominator. Output:
+    * (channel, n_conversions, attributed_value), channel = the touch's
+    * event type.
+    *
+    * Scale shape: ONE user-partitioned ordered window computes both
+    * the picked touch's type and timestamp (same frame, one WindowExec
+    * pass) — no conversion×touch self-join, which is the naive
+    * formulation's quadratic trap on a hot user. Partitions are
+    * per-user bounded; value mass sums as exact integer cents
+    * (IEEE-exact in any engine); `idCol` breaks same-timestamp ties so
+    * the pick is total-order deterministic.
+    */
+  def attribution(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, valueCol: String,
+      touchTypes: Seq[String], convType: String, model: String = "last",
+      lookbackDays: Int = 30): DataFrame = {
+    require(model == "last" || model == "first",
+      s"attribution model must be 'last' or 'first', got '$model'")
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      "touchTypes must be non-empty and exclude the conversion type")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def pick(c: Column): Column =
+      if (model == "last") last(c, ignoreNulls = true).over(w)
+      else first(c, ignoreNulls = true).over(w)
+    val isTouch = col(typeCol).isin(touchTypes: _*)
+    val flagged = df
+      .select(col(userCol), col(typeCol), col(tsCol), col(idCol), col(valueCol))
+      .withColumn("__touch_type", pick(when(isTouch, col(typeCol))))
+      .withColumn("__touch_us", pick(when(isTouch, unix_micros(col(tsCol)))))
+    val lookbackUs = lookbackDays.toLong * 86400000000L
+    flagged.filter(col(typeCol) === convType)
+      .select(
+        coalesce(
+          when(col("__touch_us") >= unix_micros(col(tsCol)) - lookbackUs,
+            col("__touch_type")),
+          lit("(none)")).as("channel"),
+        floor(col(valueCol).cast("double") * 100.0 + 0.5).cast("long").as("__cents"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        (sum(col("__cents")).cast("double") / 100.0).as("attributed_value"))
+      .orderBy(col("channel"))
+  }
+
   /** Retention cohorts: cohort = the user's first activity bucket
     * (`bucket` ∈ day|week), cell = distinct users of that cohort active
     * `offset` buckets later. Output: (cohort, offset, n_active).

@@ -371,6 +371,38 @@ object Analytics extends QueryPack {
       |FROM trans JOIN tot ON trans.from_type = tot.from_type
       |ORDER BY trans.from_type, to_type""".stripMargin
 
+  // ---- AT1: last-touch conversion attribution -----------------------------
+  // Purchases attribute to the user's LAST click/view strictly before
+  // them (30-day lookback; misses stay visible as '(none)'). One
+  // user-partitioned window pass — never the conversion×touch
+  // self-join. Value mass sums as exact integer cents.
+  private def at1Attribution(s: SparkSession, dir: String) =
+    graft.ops.Analytics.attribution(Tables.load(s, dir, "events"),
+      "user_id", "event_type", "ts", "event_id", "value",
+      touchTypes = Seq("click", "view"), convType = "purchase")
+
+  private val at1Sql =
+    """WITH w AS (
+      |  SELECT event_type, ts, value,
+      |    last_value(CASE WHEN event_type IN ('click', 'view')
+      |        THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type,
+      |    last_value(CASE WHEN event_type IN ('click', 'view')
+      |        THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_us
+      |  FROM events),
+      |c AS (
+      |  SELECT CASE WHEN touch_us >= epoch_us(ts) - 2592000000000
+      |           THEN touch_type ELSE NULL END AS picked, value
+      |  FROM w WHERE event_type = 'purchase')
+      |SELECT COALESCE(picked, '(none)') AS channel,
+      |  COUNT(*) AS n_conversions,
+      |  CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS attributed_value
+      |FROM c GROUP BY 1 ORDER BY channel""".stripMargin
+
   // ---- CS1: chi-square independence screen -------------------------------
   // ONE data-sized groupBy builds the contingency cells; marginals,
   // totals, and dof all derive from the tiny cell table. Each term
@@ -452,6 +484,7 @@ object Analytics extends QueryPack {
     Q("cs1_chi_square", "chi-square independence test over a contingency table (fixed-point exact terms)", cs1ChiSquare, Some(cs1Sql)),
     Q("pa1_event_paths", "top-k 3-step user event paths (sequence mining via bounded user windows)", pa1TopPaths, Some(pa1Sql)),
     Q("mk1_markov_transitions", "first-order Markov event-transition matrix with row-normalized probabilities", mk1Markov, Some(mk1Sql)),
+    Q("at1_attribution", "last-touch conversion attribution with 30-day lookback; unattributed mass stays visible as (none)", at1Attribution, Some(at1Sql)),
     Q("lr1_group_trend", "per-group OLS slope + Pearson corr from exact integer moments", lr1GroupTrend, Some(lr1Sql)),
     Q("ia1_inter_arrival", "per-user LAG inter-arrival gaps rolled up by event type", ia1InterArrival, Some(ia1Sql)),
     Q("rfm1_segments", "RFM quartile segmentation over the per-user rollup", rfm1Segments, Some(rfm1Sql)),

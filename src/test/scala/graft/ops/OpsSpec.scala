@@ -127,6 +127,31 @@ class OpsSpec extends SparkSpec {
     assert(got == Map("a" -> 3, "b" -> 1, "c" -> 0, "d" -> 1, "e" -> 0))
   }
 
+  test("attribution: last vs first touch, lookback cutoff, unattributed visible") {
+    def ts(d: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-02-$d%02d 10:$m%02d:00")
+    val ev = Seq(
+      // user a: view then click then purchase — last-touch=click, first-touch=view
+      (1L, "a", "view", ts(1, 1), 0.0), (2L, "a", "click", ts(1, 2), 0.0),
+      (3L, "a", "purchase", ts(1, 3), 10.0),
+      // user b: only touch is 40 days BEFORE the purchase — outside the
+      // 30-day lookback, must land in "(none)", not vanish
+      (4L, "b", "click", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 0.0),
+      (5L, "b", "purchase", ts(10, 1), 7.5),
+      // user c: touch strictly AFTER the purchase never attributes
+      (6L, "c", "purchase", ts(1, 1), 2.25), (7L, "c", "view", ts(1, 2), 0.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    def run(model: String) = Analytics.attribution(ev, "user_id",
+        "event_type", "ts", "event_id", "value",
+        touchTypes = Seq("click", "view"), convType = "purchase",
+        model = model)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(run("last") == Map(
+      "click" -> ((1L, 10.0)), "(none)" -> ((2L, 9.75))))
+    assert(run("first") == Map(
+      "view" -> ((1L, 10.0)), "(none)" -> ((2L, 9.75))))
+  }
+
   test("editDistancePairs: same-block pairs within bound only; cross-block never compared") {
     val rows = Seq(
       (1L, "spark engine", "b1"), (2L, "spark enginx", "b1"), // dist 1, same block
