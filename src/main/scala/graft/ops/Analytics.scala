@@ -143,10 +143,12 @@ object Analytics {
       if (model == "last") last(c, ignoreNulls = true).over(w)
       else first(c, ignoreNulls = true).over(w)
     val isTouch = col(typeCol).isin(touchTypes: _*)
+    // both picks in ONE projection → one WindowExec pass (sequential
+    // withColumn calls planned two Window nodes over the same sort)
     val flagged = df
-      .select(col(userCol), col(typeCol), col(tsCol), col(idCol), col(valueCol))
-      .withColumn("__touch_type", pick(when(isTouch, col(typeCol))))
-      .withColumn("__touch_us", pick(when(isTouch, unix_micros(col(tsCol)))))
+      .select(col(typeCol), col(tsCol), col(valueCol),
+        pick(when(isTouch, col(typeCol))).as("__touch_type"),
+        pick(when(isTouch, unix_micros(col(tsCol)))).as("__touch_us"))
     val lookbackUs = lookbackDays.toLong * 86400000000L
     flagged.filter(col(typeCol) === convType)
       .select(

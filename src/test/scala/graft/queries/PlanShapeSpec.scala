@@ -328,6 +328,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"im1 plans a full sort:\n$p")
   }
 
+  test("at1: ONE user-partitioned window pass computes both touch picks; no self-join") {
+    val p = plan("at1_attribution")
+    // WindowExec renders as "Window [exprs], [partition], [order]" —
+    // count node signatures, not substring noise
+    val windows = "Window \\[".r.findAllIn(p).length
+    assert(windows == 1,
+      s"at1 must compute both touch picks in ONE Window pass, saw $windows:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"at1 must not plan a conversion-by-touch join:\n$p")
+  }
+
   test("ld1: word-count shape — partial aggregation below the line exchange, no cartesian, no window") {
     val p = plan("ld1_line_dedup")
     // the boilerplate census must partial-aggregate map-side: a
