@@ -131,6 +131,12 @@ object Jdbc {
     val net = net0.toDF(net0.columns.map(_.toUpperCase): _*)
     val pk = net.columns(0)
     val dataCols = net.columns.drop(2).toSeq
+    // compose with schema evolution: a store table that grew a column
+    // (add-column at a compaction boundary) must keep syncing — the
+    // target ALTERs the new column in (nullable) before the MERGE
+    // references it; kind changes still refuse loudly inside
+    ensureColumns(url, target, org.apache.spark.sql.types.StructType(
+      net.schema.filterNot(_.name == "CHANGE_TYPE")), props)
     val w = net.select((pk +: dataCols :+ "CHANGE_TYPE").map(col): _*)
       .write.mode("overwrite")
     stagingColumnTypes.fold(w)(t => w.option("createTableColumnTypes", t))

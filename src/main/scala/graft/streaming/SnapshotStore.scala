@@ -400,7 +400,13 @@ final class SnapshotStore(
       (if (fromVersion == 0)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(f.drop(2)))
-      else snapshotAt(table, fromVersion))
+      else
+        // a range crossing an add-column evolution: the before image
+        // reconstructs at the PRE-evolution version and lacks columns
+        // the feed's deltas carry — null-fill them (pre-evolution rows
+        // genuinely had no value; same reconciliation snapshotAt runs
+        // within a chain segment)
+        withMissingAsNull(snapshotAt(table, fromVersion), f.drop(2).toSeq))
         .join(feedPks, Seq(pkName), "left_semi")
         .localCheckpoint(true) // read twice: apply base + before-pk set
     val after = Apply.applyBatch(before,

@@ -105,6 +105,31 @@ class JdbcDerbySpec extends SparkSpec {
     assert(readTarget("SYNC_TGT") == snapshotRows())
   }
 
+  test("store evolution flows through the sync: the target ALTERs before the MERGE") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-jdbc-evsync").toString
+    val store = new graft.streaming.SnapshotStore(spark, s"$dir/store")
+    ddl("CREATE TABLE EVS_TGT (ID BIGINT PRIMARY KEY, NAME VARCHAR(64))")
+    store.commitDelta("ESRC",
+      Seq((1L, "INSERT", 1L, "a"), (2L, "INSERT", 2L, "b"))
+        .toDF("seq", "operation", "ID", "NAME"), "ID", "seq", Seq("NAME"))
+    assert(Jdbc.syncFromStore(store, "ESRC", url, "EVS_TGT", "EVS_STG") == 1)
+    // the store grows EMAIL (add-column evolution, compaction boundary)
+    store.commitDelta("ESRC",
+      Seq((3L, "INSERT", 3L, "c", "c@x.y"), (4L, "UPDATE", 1L, "a2", "a@x.y"))
+        .toDF("seq", "operation", "ID", "NAME", "EMAIL"),
+      "ID", "seq", Seq("NAME", "EMAIL"))
+    // the sync must ALTER the target and merge through the new column
+    assert(Jdbc.syncFromStore(store, "ESRC", url, "EVS_TGT", "EVS_STG") ==
+      store.currentVersion("ESRC"))
+    val rows = Jdbc.read(spark, url, "EVS_TGT", props).orderBy(col("ID"))
+      .select("ID", "NAME", "EMAIL")
+      .as[(Long, String, Option[String])].collect().toSeq
+    // pre-evolution row 2 reads NULL; touched rows carry their values
+    assert(rows == Seq((1L, "a2", Some("a@x.y")), (2L, "b", None),
+      (3L, "c", Some("c@x.y"))))
+  }
+
   test("sink schema evolution: new columns ALTER in as nullable, retypes refuse") {
     ddl("CREATE TABLE EVO_TGT (ID BIGINT PRIMARY KEY, NAME VARCHAR(64), AMT INT)",
       "INSERT INTO EVO_TGT VALUES (1, 'pre', 10)")
