@@ -233,7 +233,15 @@ final class SnapshotStore(
     val paths = (from to to)
       .filter(i => exists(deltaDir(table, i)))
       .map(i => deltaDir(table, i))
-    spark.read.parquet(paths: _*)
+    // mergeSchema: a range can cross an add-column evolution boundary
+    // (deltas SURVIVE the compaction the boundary forces), and the
+    // default single-footer inference would silently DROP the new
+    // column whenever an old-layout file's footer wins. Add-column is
+    // the only legal change (checkDeltaEvolution), appended at the
+    // tail, so the merged schema keeps the positional (seq, operation,
+    // pk) roles and old files read null in the new column — exactly
+    // the withMissingAsNull semantics.
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
       .withColumn("__v",
         org.apache.spark.sql.functions.regexp_extract(
           col("_metadata.file_path"), "/d(\\d+)/[^/]+$", 1).cast("int"))

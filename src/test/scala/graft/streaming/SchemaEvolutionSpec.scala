@@ -65,6 +65,32 @@ class SchemaEvolutionSpec extends SparkSpec {
       Set(2, 3))
   }
 
+  test("changeFeed and netChanges across the evolution boundary carry the new column") {
+    val (store, _) = newStore()
+    store.commitDelta("T", v1((1L, "INSERT", 1, "a"), (2L, "INSERT", 2, "b")),
+      "ID", "seq", Seq("VAL"))
+    store.commitDelta("T", v2((3L, "UPDATE", 1, "a2", 7), (4L, "INSERT", 3, "c", 9)),
+      "ID", "seq", Seq("VAL", "SCORE"))
+    // the range spans old-layout d1 and new-layout deltas: the merged
+    // feed must KEEP the new column (single-footer inference could
+    // silently drop it when an old file's footer wins) with nulls on
+    // pre-evolution rows
+    val feed = store.changeFeed("T", 0, store.currentVersion("T"))
+    assert(feed.columns.contains("SCORE"),
+      s"mixed-range feed lost the evolved column: ${feed.columns.mkString(", ")}")
+    val rows = feed.select("operation", "ID", "SCORE")
+      .as[(String, Int, Option[Int])].collect().toSet
+    assert(rows == Set(("INSERT", 1, None), ("INSERT", 2, None),
+      ("UPDATE", 1, Some(7)), ("INSERT", 3, Some(9))))
+    // and the net classification folds the whole range with the
+    // reconciled before image (the changedImages null-fill)
+    val net = store.netChanges("T", 0, store.currentVersion("T"))
+      .select("ID", "change_type", "SCORE")
+      .as[(Int, String, Option[Int])].collect().toSet
+    assert(net == Set((1, "INSERT", Some(7)), (2, "INSERT", None),
+      (3, "INSERT", Some(9))))
+  }
+
   test("dropping or renaming a column is refused loudly") {
     val (store, _) = newStore()
     store.commitDelta("T", v2((1L, "INSERT", 1, "a", 5)), "ID", "seq",
