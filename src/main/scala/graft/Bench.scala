@@ -23,6 +23,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // streaming micro-bench FIRST, before the batch suite touches the
+    // heap: the tws number's documented 18-26k envelope was measured
+    // standalone (fresh JVM running just the probes — TwsProfile), and
+    // round 10 showed the same code reading ~2× lower when the fragment
+    // ran AFTER 185 batch queries in a 600 s session (old-gen pressure
+    // + fragmented humongous regions depress the RocksDB path). Running
+    // the fragment in the standalone-equivalent context makes the
+    // shipped number comparable to the envelope again; batch queries
+    // are plan-bound and insensitive to the swap. A probe failure must
+    // stay VISIBLE in the line — an empty object would read as an
+    // unremarkable missing field, hiding exactly the class of
+    // regression the probe exists to surface. Fatal errors propagate.
+    val streaming =
+      try StreamBench.jsonFragment(spark)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          s""""streaming":{"error":"${e.getClass.getSimpleName}"}"""
+      }
+
     // warm-up: touch every table + one trivial aggregation
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
 
@@ -50,18 +69,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // streaming micro-bench: events/s through the stateful CDC path
-    // (regressions there are invisible to batch query timing). A probe
-    // failure must stay VISIBLE in the line — an empty object would
-    // read as an unremarkable missing field, hiding exactly the class
-    // of regression the probe exists to surface. Fatal errors propagate.
-    val streaming =
-      try StreamBench.jsonFragment(spark)
-      catch {
-        case scala.util.control.NonFatal(e) =>
-          s""""streaming":{"error":"${e.getClass.getSimpleName}"}"""
-      }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$streaming,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$streaming,"sf":"$sfDir"}"""
+    // persist the COMPLETE line as a repo artifact: the driver's stdout
+    // capture keeps only the tail of this very long line, losing the
+    // per-query head every round — BENCH_FULL.json (overwritten per
+    // run, committed per round) is what round-over-round per-query
+    // diffs read
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => () } // stdout still carries it
+    println(line)
     spark.stop()
   }
 }

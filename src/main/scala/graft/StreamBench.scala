@@ -407,12 +407,22 @@ object StreamBench {
     * strip path — the rewrite join and the threshold both exercised
     * every trigger).
     */
-  def lineGateThroughput(spark: SparkSession): Double = {
+  def lineGateThroughput(spark: SparkSession, seedLines: Long = 0L): Double = {
     val confKeys = Seq("spark.sql.shuffle.partitions",
       "spark.sql.sources.parallelPartitionDiscovery.threshold")
     val confPrev = confKeys.map(k => k -> spark.conf.getOption(k))
     val dir = Files.createTempDirectory("graft-bench-linegate").toFile
     val store = new graft.streaming.SnapshotStore(spark, s"$dir/store")
+    // seedLines pre-populates the count state with that many distinct
+    // lines (none matching the probe docs) BEFORE the stream starts —
+    // the gate-state scaling fixture: with the batch-pruned threshold
+    // read, docs/s must stay flat as the accumulated state grows
+    // (LineGateProfile's `state` mode measures exactly this)
+    if (seedLines > 0L)
+      store.commitAdditive("graft_bench_linegate",
+        spark.range(seedLines).select(
+          concat(lit("seed_"), col("id")).as("line"),
+          lit(1L).as("state_cnt")))
     val mem = MemoryStream[Long](spark)(spark.sqlContext.implicits.newLongEncoder)
     val docs = mem.toDF().select(col("value").as("doc_id"))
       .withColumn("text", org.apache.spark.sql.functions.expr(

@@ -654,7 +654,14 @@ object Dedup {
     * from cross-trigger state instead of a corpus groupBy.
     */
   def explodeLines(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), posexplode(split(col(textCol), "\n", -1)))
+    // coalesce: split(null) is null and posexplode would generate ZERO
+    // rows — a null-text doc would then silently vanish from lineDedup's
+    // reassembly (and from the streaming gate's inner join back),
+    // violating the "a doc never vanishes, rejection is the quality
+    // gate's decision" contract; as empty text it flows through as one
+    // empty line and gets judged downstream like any other doc
+    df.select(col(idCol).as("id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1)))
       .toDF("id", "pos", "line")
 
   /** [[lineDedup]]'s rewrite stage: drop every occurrence of a line in

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.streaming.CurationStream.SemanticTier
 
@@ -81,23 +82,36 @@ object CurationStream {
       semantic: Option[SemanticTier] = None,
       enrich: DataFrame => DataFrame = identity,
       lineDedup: Option[LineDedupTier] = None): Unit = {
+    // a committed epoch can hold ZERO parquet part files (an empty
+    // replayed micro-batch arrives with zero partitions, and the epoch
+    // write preserves that) — reading it back would die with "unable to
+    // infer schema" and wedge the foreachBatch in a retry loop. Every
+    // tier-boundary read-back falls back to an empty frame with the
+    // tier's output schema instead (the IngestDedup/SemanticIngestGate
+    // epochHasData pattern, applied at the composition seams).
+    def epochOrEmpty(dir: String, fallbackSchema: => DataFrame): DataFrame =
+      if (EpochCommit.epochHasData(spark, dir, batchId))
+        spark.read.parquet(s"$dir/epoch=$batchId")
+      else fallbackSchema.limit(0)
     val docs = lineDedup match {
       case Some(ld) =>
         LineDedupGate.applyBatch(ld.store, ld.table, batch, batchId,
           idCol, textCol, s"$root/line_clean", ld.minDocs)
-        spark.read.parquet(s"$root/line_clean/epoch=$batchId")
+        epochOrEmpty(s"$root/line_clean",
+          batch.withColumn("n_lines", lit(0L)).withColumn("n_dropped", lit(0L)))
       case None => batch
     }
     QualityGate.applyBatch(spark, docs, batchId, constraints,
       s"$root/quality_pass", s"$root/quality_reject", enrich)
     // the frozen tier-1 epoch, read WITHOUT the partition column —
-    // downstream tiers see the original payload schema
-    val qualityPass = spark.read.parquet(s"$root/quality_pass/epoch=$batchId")
+    // downstream tiers see the original payload schema (plus enrich's
+    // derived columns, which the gate commits)
+    val qualityPass = epochOrEmpty(s"$root/quality_pass", enrich(docs))
     val sigOut = if (semantic.isDefined) s"$root/sig_pass" else s"$root/curated"
     IngestDedup.applyBatch(spark, table, qualityPass, batchId, idCol,
       textCol, sigOut, s"$root/dup_reject", threshold)
     semantic.foreach { sem =>
-      val sigPass = spark.read.parquet(s"$sigOut/epoch=$batchId")
+      val sigPass = epochOrEmpty(sigOut, qualityPass)
       // id-collision checking stays ON: tier 2 only deduplicates ids
       // within its own batch/index — the SEMANTIC index's id space is
       // separate and can still collide

@@ -65,7 +65,15 @@ object LineDedupGate {
       minDocs: Int = 2): Unit = {
     val spark = batch.sparkSession
     val epochDone = EpochCommit.epochExists(spark, outDir, batchId)
-    val countsDone = store.currentMeta(table).exists(_.toLong >= batchId)
+    // defensive parse: a non-numeric marker (e.g. a count table seeded
+    // via cloneAt, whose meta is `clone:T@v` provenance) must read as
+    // "counts not done" — an unconditional .toLong would throw on every
+    // trigger, a crash loop. NOTE the count table, outDir and the
+    // stream checkpoint must be reset TOGETHER: a checkpoint reset
+    // alone restarts batch ids at 0, which this high-watermark would
+    // read as already-landed and silently skip count deltas.
+    val countsDone = store.currentMeta(table)
+      .flatMap(m => scala.util.Try(m.toLong).toOption).exists(_ >= batchId)
     if (epochDone && countsDone) return // fully landed epoch
     val lines = graft.ops.Dedup.explodeLines(batch, idCol, textCol)
       .localCheckpoint(true) // feeds the counts AND the rewrite
@@ -73,12 +81,7 @@ object LineDedupGate {
       .agg(count_distinct(col("id")).cast("long").as("state_cnt"))
       .localCheckpoint(true)
     if (!epochDone) {
-      // threshold over state ⊕ this batch: in-batch cross-doc
-      // boilerplate blocks immediately, not one trigger late
-      val dups = bc.unionByName(store.additiveSnapshot(table, countSchema))
-        .groupBy(col("line")).agg(sum(col("state_cnt")).as("n_docs"))
-        .filter(col("n_docs") >= minDocs)
-        .select(col("line"))
+      val dups = thresholdDups(store, table, bc, minDocs)
       val cleaned = graft.ops.Dedup.rewriteDroppingLines(lines, dups)
         .withColumnRenamed("id", idCol)
       val out = batch.drop(textCol)
@@ -88,6 +91,34 @@ object LineDedupGate {
     if (!countsDone)
       store.commitAdditive(table, bc, meta = Some(batchId.toString))
   }
+
+  /** The per-trigger threshold plan: total doc count per line over
+    * state ⊕ this batch (so in-batch cross-doc boilerplate blocks
+    * immediately, not one trigger late), with the state side pruned to
+    * the BATCH's own distinct lines first —
+    * [[SnapshotStore.additiveSnapshotForKeys]] broadcast-semi-joins the
+    * raw base ⊕ delta rows against the trigger-sized line set BELOW the
+    * merge-on-read aggregate, so only the state's occurrences of batch
+    * lines ever reach an exchange: the per-trigger aggregation shuffles
+    * O(|batch|) rows, not O(|distinct lines ever seen|) — at 100 TB the
+    * accumulated line table is billions of rows, and re-shuffling it
+    * every 5 s trigger was the gate's scale-killer. The pruning is
+    * semantics-free: the rewrite join keys on the batch's own lines, so
+    * a line absent from the batch can never affect the rewrite. (The
+    * state-file SCAN itself is still O(state) bytes read per trigger;
+    * cutting that too takes a line-hash-bucketed state layout so the
+    * broadcast probe prunes file groups — the documented next step if
+    * scan bytes ever dominate.) Exposed for the plan assertion in
+    * LineDedupGateSpec.
+    */
+  private[streaming] def thresholdDups(
+      store: SnapshotStore, table: String, bc: DataFrame,
+      minDocs: Int): DataFrame =
+    bc.unionByName(
+        store.additiveSnapshotForKeys(table, countSchema, bc.select(col("line"))))
+      .groupBy(col("line")).agg(sum(col("state_cnt")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("line"))
 
   /** The accumulated per-line counts: (line, n_docs), the gate's
     * queryable surface (and the spec's incremental-equals-batch side).

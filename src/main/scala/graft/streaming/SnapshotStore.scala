@@ -865,10 +865,32 @@ final class SnapshotStore(
   def additiveSnapshot(table: String, schema: StructType): DataFrame =
     additiveSnapshotAt(table, currentVersion(table), schema)
 
+  /** [[additiveSnapshot]] restricted to the payload keys present in
+    * `keys` — the semi-join runs against the RAW base ⊕ delta rows,
+    * BEFORE the merge-on-read aggregation, so a consumer that only
+    * needs a bounded key set's state (a streaming gate reconciling one
+    * trigger's lines against a billion-line count table) aggregates
+    * and shuffles O(|state rows matching keys|), never O(|state|).
+    * Done here explicitly rather than by joining the full snapshot:
+    * Catalyst's PushDownLeftSemiAntiJoin cannot sink a semi-join past
+    * the not-all-zero filter that sits above the aggregate, so the
+    * outside-in formulation silently keeps the state-sized shuffle.
+    * `keys`' columns must be a subset of the payload columns; sound
+    * because measures sum independently per payload value. `keys` is
+    * broadcast — callers pass trigger/batch-sized frames.
+    */
+  def additiveSnapshotForKeys(table: String, schema: StructType,
+      keys: DataFrame): DataFrame =
+    additiveSnapshotCore(table, currentVersion(table), schema, Some(keys))
+
   /** [[additiveSnapshot]] at an explicit version (time travel; also the
     * compaction fold's input).
     */
-  def additiveSnapshotAt(table: String, version: Int, schema: StructType): DataFrame = {
+  def additiveSnapshotAt(table: String, version: Int, schema: StructType): DataFrame =
+    additiveSnapshotCore(table, version, schema, None)
+
+  private def additiveSnapshotCore(table: String, version: Int,
+      schema: StructType, pruneKeys: Option[DataFrame]): DataFrame = {
     if (version == 0)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -887,8 +909,17 @@ final class SnapshotStore(
     val deltas =
       if (b == version) None
       else Some(readDeltas(table, b + 1, version).drop("__v"))
-    val all = (base.toSeq ++ deltas.toSeq).reduce(_ unionByName _)
-    val payload = all.columns.filterNot(measures.contains)
+    val raw = (base.toSeq ++ deltas.toSeq).reduce(_ unionByName _)
+    val payload = raw.columns.filterNot(measures.contains)
+    val all = pruneKeys match {
+      case Some(keys) =>
+        require(keys.columns.forall(payload.contains),
+          s"additiveSnapshotForKeys: key columns ${keys.columns.mkString(", ")} " +
+            s"must be payload columns of '$table' (${payload.mkString(", ")})")
+        raw.join(org.apache.spark.sql.functions.broadcast(keys),
+          keys.columns.toSeq, "left_semi")
+      case None => raw
+    }
     // drop only ALL-zero rows: a multi-measure state like (count 0,
     // qsum ≠ 0) is a legitimate partial that must survive the fold
     // (MatView's group-moving-update argument)

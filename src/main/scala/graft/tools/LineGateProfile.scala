@@ -18,7 +18,20 @@ object LineGateProfile {
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    (1 to runs).foreach { i =>
+    if (args.headOption.contains("state")) {
+      // gate-state scaling: docs/s at 0 / 200k / 2M pre-seeded distinct
+      // lines (a 10× growth step). With the batch-pruned threshold read
+      // the three numbers must sit inside one noise band; the unpruned
+      // plan degrades ~linearly in the seed (it re-aggregated the FULL
+      // state every trigger). Two draws per point — the second is the
+      // comparable one (first carries plan/codegen warmth).
+      Seq(0L, 200000L, 2000000L).foreach { seed =>
+        (1 to 2).foreach { i =>
+          val eps = graft.StreamBench.lineGateThroughput(spark, seed)
+          println(f"line_docs_per_s[state=$seed, run $i] = $eps%.0f")
+        }
+      }
+    } else (1 to runs).foreach { i =>
       println(f"line_docs_per_s[$i] = ${graft.StreamBench.lineGateThroughput(spark)}%.0f")
     }
     spark.stop()

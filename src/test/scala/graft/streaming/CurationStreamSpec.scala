@@ -141,6 +141,40 @@ class CurationStreamSpec extends SparkSpec {
       .head._2 == 2L)
   }
 
+  test("an empty zero-partition replayed batch flows through the ladder without wedging") {
+    // a replayed empty micro-batch arrives with ZERO partitions, so its
+    // committed epochs hold no parquet part files — every tier-boundary
+    // read-back must fall back to a schema-preserving empty frame
+    // instead of dying on "unable to infer schema" in a retry loop
+    val dir = Files.createTempDirectory("graft-curation-empty").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    DedupIndex.build(Seq((1L, doc("the quick brown fox ")))
+      .toDF("doc_id", "text"), "curationempty_idx", "doc_id", "text")
+    val emptyBatch = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    assert(emptyBatch.rdd.getNumPartitions == 0, "fixture must be zero-partition")
+    val ld = Some(CurationStream.LineDedupTier(store, "CE"))
+    CurationStream.applyBatch(spark, emptyBatch, 0L, constraints,
+      "curationempty_idx", "doc_id", "text", s"$dir/cur", lineDedup = ld)
+    // the replay (the exact wedge scenario) must also complete
+    CurationStream.applyBatch(spark, emptyBatch, 0L, constraints,
+      "curationempty_idx", "doc_id", "text", s"$dir/cur", lineDedup = ld)
+    assert(EpochCommit.epochExists(spark, s"$dir/cur/line_clean", 0L))
+    // a real batch AFTER the empty one still works end-to-end
+    CurationStream.applyBatch(spark,
+      Seq((60L, doc("pack my box with jugs "))).toDF("doc_id", "text"),
+      1L, constraints, "curationempty_idx", "doc_id", "text", s"$dir/cur",
+      lineDedup = ld)
+    val curated = spark.read.parquet(s"$dir/cur/curated")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(curated == Seq(60L), s"curated drifted: $curated")
+  }
+
   test("semantic tier: an embedding near-dup passes tiers 1-2 and is blocked at tier 3") {
     val dir = Files.createTempDirectory("graft-curation-sem").toString
     DedupIndex.build(Seq((1L, doc("the quick brown fox ")))

@@ -137,6 +137,58 @@ class LineDedupGateSpec extends SparkSpec {
         s"count checkpoint, epoch write, count delta write), saw ${actions.get()}")
   }
 
+  test("a null-text doc flows through as empty text — it never vanishes") {
+    // split(null) yields null and posexplode generates zero rows, so
+    // before the coalesce fix the doc dropped out of the inner join
+    // back and DISAPPEARED from the tier-0 epoch with no reject record
+    val dir = Files.createTempDirectory("graft-ldg-null").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    val b0 = Seq(
+      (1L, Some("shared\nkeep a")),
+      (2L, Some("shared")),
+      (3L, None: Option[String])).toDF("doc_id", "text")
+    LineDedupGate.applyBatch(store, "LN", b0, 0L, "doc_id", "text", s"$dir/clean")
+    val e0 = cleanOf(s"$dir/clean", 0L)
+    assert(e0.contains(3L), "null-text doc must not vanish from the epoch")
+    assert(e0(3L) == ((1L, 0L, "")),
+      "null text reads as one empty line, judged like any other")
+    assert(e0(1L) == ((2L, 1L, "keep a")))
+  }
+
+  test("the threshold aggregation's state-side input is batch-pruned (semi-join below every aggregate)") {
+    // the 100 TB contract: per trigger, only the state's occurrences of
+    // the BATCH's lines may reach an exchange — the semi-join against
+    // the batch's distinct lines must sit BELOW additiveSnapshot's
+    // merge-on-read aggregate (PushDownLeftSemiAntiJoin sinks it to the
+    // scans), never above it, where the full O(distinct-lines) state
+    // would be aggregated first and the prune would be cosmetic.
+    val dir = Files.createTempDirectory("graft-ldg-prune").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    LineDedupGate.applyBatch(store, "LP",
+      Seq((1L, "a\nb"), (2L, "b\nc")).toDF("doc_id", "text"),
+      0L, "doc_id", "text", s"$dir/clean")
+    LineDedupGate.applyBatch(store, "LP",
+      Seq((3L, "c\nd")).toDF("doc_id", "text"),
+      1L, "doc_id", "text", s"$dir/clean")
+    val bc = graft.ops.Dedup
+      .explodeLines(Seq((9L, "b\nzz")).toDF("doc_id", "text"), "doc_id", "text")
+      .groupBy(col("line"))
+      .agg(count_distinct(col("id")).cast("long").as("state_cnt"))
+      .localCheckpoint(true)
+    val dups = LineDedupGate.thresholdDups(store, "LP", bc, 2)
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val plan = dups.queryExecution.optimizedPlan
+    val semis = plan.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semis.nonEmpty, s"state side must semi-join the batch's lines:\n$plan")
+    assert(semis.forall(_.collect { case a: Aggregate => a }.isEmpty),
+      s"semi-join must be pushed BELOW the merge-on-read aggregate " +
+        s"(state-sized shuffle otherwise):\n$plan")
+    // and the pruned plan still computes the right threshold set:
+    // 'b' has state count 2 (+1 in batch), 'zz' is new
+    assert(dups.as[String].collect().toSet == Set("b"))
+  }
+
   test("streaming start drives the gate over a live stream") {
     val dir = Files.createTempDirectory("graft-ldg-stream").toString
     val store = new SnapshotStore(spark, s"$dir/store")
