@@ -92,6 +92,14 @@ final class SnapshotStore(
     org.apache.hadoop.fs.FileContext.getFileContext(
       new Path(basePath).toUri, spark.sessionState.newHadoopConf())
 
+  /** Millisecond clock stamping committed versions (`_graft_ts`, read
+    * by [[versionAsOf]]/[[snapshotAsOf]]/[[history]]). Overridable so
+    * tests drive deterministic timelines; explicit markers rather than
+    * file mtimes because mtime survives neither copies nor some object
+    * stores' metadata handling.
+    */
+  private[streaming] var clock: () => Long = () => System.currentTimeMillis()
+
   private def exists(path: String): Boolean = fs.exists(new Path(path))
 
   private def readString(path: String): String = {
@@ -296,6 +304,62 @@ final class SnapshotStore(
       deletedBase || deletedDelta
     }
   }
+
+  // ---- timestamp time travel ---------------------------------------
+
+  private def tsFile(dir: String) = s"$dir/_graft_ts"
+
+  private def writeCommitTs(dir: String): Unit =
+    writeString(tsFile(dir), clock().toString)
+
+  /** Commit wall-clock (epoch millis) of a live version, if recorded
+    * (versions written before timestamp stamping existed have none; a
+    * fold writes its base at the delta's version, so the delta marker
+    * is checked first — one version, one instant).
+    */
+  def versionTimestamp(table: String, v: Int): Option[Long] =
+    Seq(deltaDir(table, v), baseDir(table, v)).map(tsFile).find(exists)
+      .flatMap(p => scala.util.Try(readString(p).trim.toLong).toOption)
+
+  /** The latest version committed at or before `tsMillis` (0 = before
+    * the table's first commit). Refuses when the answer sits below the
+    * vacuum horizon: the reclaimed versions' dirs — and their
+    * timestamps — are gone, so resolving past them would silently pin
+    * the WRONG version (a ts between the last reclaimed commit and the
+    * horizon base must error, not round up). Only stamped versions
+    * participate; chains predating timestamp stamping resolve as if
+    * their unstamped prefix never existed — document-loudly rather than
+    * guess from file mtimes.
+    */
+  def versionAsOf(table: String, tsMillis: Long): Int = {
+    val h = horizon(table)
+    val stamped = (h to currentVersion(table))
+      .flatMap(v => versionTimestamp(table, v).map(v -> _))
+    stamped.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse {
+      if (h > 1) throw new IllegalArgumentException(
+        s"versionAsOf: no surviving version of $table at or before " +
+          s"ts=$tsMillis — history below the vacuum horizon v$h was " +
+          "reclaimed, so the version live at that instant cannot be " +
+          "reconstructed")
+      0
+    }
+  }
+
+  /** [[snapshotAt]] resolved by commit timestamp: the table exactly as
+    * it stood at `tsMillis` (a ts between two commits resolves to the
+    * earlier one; a ts before the first commit is the empty table).
+    */
+  def snapshotAsOf(table: String, tsMillis: Long,
+      schema: StructType = null): DataFrame =
+    snapshotAt(table, versionAsOf(table, tsMillis), schema)
+
+  /** Every change event committed AFTER `tsMillis` up to the current
+    * version — [[changeFeed]] with its lower bound resolved by commit
+    * timestamp (the "what changed since I last looked at the clock"
+    * consumer).
+    */
+  def changeFeedSince(table: String, tsMillis: Long): DataFrame =
+    changeFeed(table, versionAsOf(table, tsMillis), currentVersion(table))
 
   /** Time travel: reconstruct any committed version (0 = empty). */
   def snapshotAt(table: String, version: Int, schema: StructType = null): DataFrame = {
@@ -503,6 +567,7 @@ final class SnapshotStore(
     clearUncommitted(table, next)
     df.write.mode(SaveMode.Overwrite).parquet(baseDir(table, next))
     writeFingerprint(baseDir(table, next), df.schema)
+    writeCommitTs(baseDir(table, next))
     meta.foreach(m => writeString(s"${baseDir(table, next)}/_graft_meta", m))
     flipPointer(table, next)
   }
@@ -568,6 +633,7 @@ final class SnapshotStore(
       .repartition(deltaWriteParts)
       .write.mode(SaveMode.Overwrite).parquet(deltaDir(table, next))
     writeFingerprint(deltaDir(table, next), selected.schema)
+    writeCommitTs(deltaDir(table, next))
     meta.foreach(m => writeString(s"${deltaDir(table, next)}/_graft_meta", m))
     next
   }
@@ -619,6 +685,7 @@ final class SnapshotStore(
       val snap = snapshotAt(table, v)
       snap.write.mode(SaveMode.Overwrite).parquet(baseDir(table, next))
       writeFingerprint(baseDir(table, next), snap.schema)
+      writeCommitTs(baseDir(table, next))
       meta.foreach(m => writeString(s"${baseDir(table, next)}/_graft_meta", m))
       flipPointer(table, next)
     }
@@ -664,6 +731,7 @@ final class SnapshotStore(
   def history(table: String): DataFrame = {
     val h = horizon(table)
     val rows = (1 to currentVersion(table)).flatMap { v =>
+      val ts = versionTimestamp(table, v)
       Seq(baseDir(table, v) -> "base", deltaDir(table, v) -> "delta")
         .filter { case (d, _) => exists(d) }
         .map { case (d, kind) =>
@@ -671,11 +739,12 @@ final class SnapshotStore(
             st.isFile && st.getPath.getName.endsWith(".parquet"))
           val metaP = s"$d/_graft_meta"
           (v, kind, if (exists(metaP)) readString(metaP) else null,
-            files.length, files.map(_.getLen).sum, v >= h)
+            files.length, files.map(_.getLen).sum, v >= h, ts)
         }
     }
     import spark.implicits._
-    rows.toDF("version", "kind", "meta", "n_files", "bytes", "above_horizon")
+    rows.toDF("version", "kind", "meta", "n_files", "bytes",
+      "above_horizon", "commit_ts")
   }
 
   /** Row-level predicate delete — the retention/right-to-erasure
@@ -845,6 +914,7 @@ final class SnapshotStore(
     delta.repartition(deltaWriteParts)
       .write.mode(SaveMode.Overwrite).parquet(deltaDir(table, next))
     writeFingerprint(deltaDir(table, next), delta.schema)
+    writeCommitTs(deltaDir(table, next))
     meta.foreach(m => writeString(s"${deltaDir(table, next)}/_graft_meta", m))
     if (next - baseAtOrBefore(table, v) >= compactEvery) {
       // fold BEFORE the flip: d<next> exists on disk, so the aggregated

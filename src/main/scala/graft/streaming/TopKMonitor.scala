@@ -46,19 +46,32 @@ object TopKMonitor {
     }
 
   /** Fold one micro-batch's items into the stored MG summary
-    * (idempotent per `batchId`).
+    * (idempotent per `batchId`). A trigger runs exactly THREE driver
+    * actions: the merge checkpoint, the k+1-row pivot fetch, and the
+    * ≤k-row state commit — the batch's mass (the `n` increment) rides
+    * the merge checkpoint as an OBSERVED metric on the batch-count
+    * side, so no separate scalar aggregation ever runs (the two extra
+    * mass aggregations this replaces re-read materialized tables, but
+    * four round-trips per 5 s trigger was still twice the driver
+    * latency the fold needs). Budget is spec-pinned.
     */
   def applyBatch(
       store: SnapshotStore, table: String, batch: DataFrame, batchId: Long,
       itemCol: String, k: Int): Unit = {
     val (lastId, n0, dsum0) = parseMeta(store.currentMeta(table))
     if (lastId >= batchId) return // replay
+    val obs = org.apache.spark.sql.Observation()
     val bc = batch.groupBy(col(itemCol).as("item"))
       .agg(count(lit(1)).as("c"))
+      // batch mass = Σ batch counts, collected as a metric of the SAME
+      // job that materializes the merge — Observation.get returns it
+      // after the checkpoint action with no extra query
+      .observe(obs, coalesce(sum(col("c")), lit(0L)).as("mass"))
     val state = store.snapshot(table, stateSchema(batch, itemCol))
     val merged = bc.unionByName(state)
       .groupBy(col("item")).agg(sum(col("c")).cast("long").as("c"))
       .localCheckpoint(true) // pivot fetch + survivor write share one pass
+    val batchMass = obs.get("mass").asInstanceOf[Long]
     // the decrement pivot: the (k+1)-th largest merged count (0 when
     // the summary already fits) — a k+1-row driver fetch, k-bounded
     val top = merged.orderBy(col("c").desc, col("item")).limit(k + 1).collect()
@@ -67,14 +80,8 @@ object TopKMonitor {
       if (d == 0L) merged
       else merged.filter(col("c") > d)
         .select(col("item"), (col("c") - d).as("c"))
-    // batch mass = merged mass − state mass: both read materialized
-    // ≤(k + |batch distinct|)-row tables, never re-scanning the batch
-    val mergedMass = merged.agg(coalesce(sum(col("c")), lit(0L)))
-      .collect()(0).getLong(0)
-    val stateMass = state.agg(coalesce(sum(col("c")), lit(0L)))
-      .collect()(0).getLong(0)
     store.commit(table, survivors,
-      meta = Some(s"$batchId|${n0 + (mergedMass - stateMass)}|${dsum0 + d}"))
+      meta = Some(s"$batchId|${n0 + batchMass}|${dsum0 + d}"))
   }
 
   /** The monitor's queryable surface: each surviving item with its

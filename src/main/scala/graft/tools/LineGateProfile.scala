@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 object LineGateProfile {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = args.headOption.map(_.toInt).getOrElse(3)
+    def runs = args.headOption.filterNot(_ == "state").map(_.toInt).getOrElse(3)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

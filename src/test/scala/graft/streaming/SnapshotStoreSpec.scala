@@ -417,6 +417,48 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("already exists"))
   }
 
+  test("timestamp time travel: snapshotAsOf / changeFeedSince resolve by commit instant") {
+    val (store, _) = newStore(compactEvery = 3)
+    var now = 1000L
+    store.clock = () => now
+    commit(store, (1L, "INSERT", 1, "a")) // v1 @ 1000
+    now = 2000L
+    commit(store, (2L, "UPDATE", 1, "a2"), (3L, "INSERT", 2, "b")) // v2 @ 2000
+    now = 3000L
+    commit(store, (4L, "DELETE", 2, "b")) // v3 @ 3000, 3rd commit ⇒ fold base
+
+    // a ts BETWEEN two commits resolves to the earlier one
+    assert(store.versionAsOf("T", 1500L) == 1)
+    assert(store.snapshotAsOf("T", 1500L).as[(Int, String)].collect().toMap ==
+      Map(1 -> "a"))
+    // the exact commit instant resolves to that commit
+    assert(store.snapshotAsOf("T", 2000L).as[(Int, String)].collect().toMap ==
+      Map(1 -> "a2", 2 -> "b"))
+    // before the first commit = the empty table (schema supplied)
+    assert(store.versionAsOf("T", 500L) == 0)
+    assert(store.snapshotAsOf("T", 500L,
+      store.snapshot("T", null).schema).count() == 0L)
+    // changeFeedSince: exactly the events committed after that instant
+    val feed = store.changeFeedSince("T", 1000L)
+    assert(feed.select("commit_version").distinct()
+      .as[Int].collect().toSet == Set(2, 3))
+    assert(feed.count() == 3L)
+    // history carries the commit timestamps (the fold base shares v3's)
+    val hts = store.history("T").select("version", "commit_ts")
+      .distinct().as[(Int, Long)].collect().toSet
+    assert(hts == Set((1, 1000L), (2, 2000L), (3, 3000L)))
+
+    // vacuum reclaims v1/v2 (below the v3 fold base): a ts whose answer
+    // version was reclaimed must REFUSE, not round up to the horizon
+    store.vacuum("T")
+    intercept[IllegalArgumentException](store.snapshotAsOf("T", 2500L))
+    intercept[IllegalArgumentException](store.changeFeedSince("T", 1500L))
+    // at/after the horizon instant still resolves
+    assert(store.versionAsOf("T", 3000L) == 3)
+    assert(store.snapshotAsOf("T", 9999L).as[(Int, String)].collect().toMap ==
+      Map(1 -> "a2"))
+  }
+
   test("history lists live versions with kind, meta and horizon flags") {
     val (store, _) = newStore(compactEvery = 3)
     commit(store, (1L, "INSERT", 1, "a"))

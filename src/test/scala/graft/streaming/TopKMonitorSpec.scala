@@ -86,6 +86,47 @@ class TopKMonitorSpec extends SparkSpec {
     }
   }
 
+  test("a fresh data trigger runs exactly 3 actions (the per-trigger budget)") {
+    // merge checkpoint (batch mass observed in the same job), k+1-row
+    // pivot fetch, ≤k-row state commit — a regression that reintroduces
+    // separate mass aggregations shows up here as a 4th action
+    val dir = Files.createTempDirectory("graft-topk-budget").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    // a prior trigger so the budgeted one merges against real state
+    TopKMonitor.applyBatch(store, "TB",
+      (0 until 40).map(i => s"w$i").toDF("item"), 0L, "item", K)
+    val actions = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case e: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+            if e.rootExecutionId.forall(_ == e.executionId) =>
+            actions.incrementAndGet(); ()
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      TopKMonitor.applyBatch(store, "TB",
+        (0 until 30).map(i => s"x${i % 12}").toDF("item"), 1L, "item", K)
+      var last = -1
+      var stable = 0
+      val deadline = System.currentTimeMillis() + 10000
+      while (stable < 3 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        val now = actions.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(actions.get() == 3,
+      s"top-k per-trigger action budget is 3 (merge checkpoint, pivot " +
+        s"fetch, state commit), saw ${actions.get()}")
+    // and the observed batch mass landed in n_total
+    val n = TopKMonitor.report(spark, store, "TB").collect().head.getLong(3)
+    assert(n == 70L, s"n_total must be 40 + 30 = 70, got $n")
+  }
+
   test("streaming start maintains the summary over a live stream") {
     val dir = Files.createTempDirectory("graft-topk-stream").toString
     val store = new SnapshotStore(spark, s"$dir/store")
