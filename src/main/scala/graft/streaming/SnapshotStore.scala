@@ -180,17 +180,34 @@ final class SnapshotStore(
 
   private def schemaFile(dir: String) = s"$dir/_graft_schema"
 
+  private def fpString(schema: StructType): String =
+    schema.fields.map(f => s"${f.name}:${f.dataType.catalogString}")
+      .mkString("\n")
+
+  private def parseFp(s: String): Seq[(String, String)] =
+    s.split("\n").toSeq.filter(_.nonEmpty).map { l =>
+      val i = l.indexOf(':'); (l.substring(0, i), l.substring(i + 1))
+    }
+
   private def writeFingerprint(dir: String, schema: StructType): Unit =
-    writeString(schemaFile(dir),
-      schema.fields.map(f => s"${f.name}:${f.dataType.catalogString}")
-        .mkString("\n"))
+    writeString(schemaFile(dir), fpString(schema))
 
   private def readFingerprint(dir: String): Option[Seq[(String, String)]] =
     if (!exists(schemaFile(dir))) None
-    else Some(readString(schemaFile(dir)).split("\n").toSeq
-      .filter(_.nonEmpty).map { l =>
-        val i = l.indexOf(':'); (l.substring(0, i), l.substring(i + 1))
-      })
+    else Some(parseFp(readString(schemaFile(dir))))
+
+  /** Table-level copy of the newest delta layout — version dirs (and
+    * their fingerprints) are reclaimed by [[vacuum]], but the LAYOUT
+    * must outlive them: a base-only chain (manual [[compact]] then
+    * vacuum) still serves empty [[changeFeed]] ranges and appends new
+    * [[mutateWhere]] deltas, both of which need the (seq, operation,
+    * pk, data…) roles. Overwritten at every [[stageDelta]].
+    */
+  private def deltaLayoutFile(table: String) = s"${tableDir(table)}/_graft_delta_layout"
+
+  private def deltaLayout(table: String): Option[Seq[(String, String)]] =
+    if (!exists(deltaLayoutFile(table))) None
+    else Some(parseFp(readString(deltaLayoutFile(table))))
 
   /** Incoming delta layout vs the chain's: identical → None; pure
     * add-column (same first-three roles, old layout a strict prefix) →
@@ -416,16 +433,33 @@ final class SnapshotStore(
         s"cannot read changes from v$fromVersion (missing deltas would make " +
         "the feed silently incomplete)")
     // an all-compaction (or empty) range still needs the layout: read
-    // the nearest delta at or before the range bound, emptied
+    // the nearest delta at or before the range bound, emptied — or,
+    // when vacuum reclaimed EVERY delta dir (a manual compact folded
+    // the whole chain into a base first), rebuild the empty feed from
+    // the table-level layout marker, which survives reclamation. Found
+    // by the store-op fuzzer: compact → vacuum → sync threw here on a
+    // legitimately-empty range instead of returning no changes.
     val anyDelta = (1 to toVersion).reverse
       .find(i => exists(deltaDir(table, i)))
-      .getOrElse(throw new IllegalArgumentException(
-        s"changeFeed: table $table has no delta history at or before v$toVersion"))
     val inRange = (fromVersion + 1 to toVersion)
       .exists(i => exists(deltaDir(table, i)))
     val feed =
       if (inRange) readDeltas(table, fromVersion + 1, toVersion)
-      else readDeltas(table, anyDelta, anyDelta).limit(0)
+      else anyDelta match {
+        case Some(d) => readDeltas(table, d, d).limit(0)
+        case None =>
+          val layout = deltaLayout(table).getOrElse(
+            throw new IllegalArgumentException(
+              s"changeFeed: table $table has no delta history at or " +
+                s"before v$toVersion"))
+          val schema = StructType(layout.map { case (n, t) =>
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.DataType.fromDDL(t))
+          })
+          spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+            .withColumn("__v", lit(null).cast("int"))
+      }
     val dataCols = feed.columns.filterNot(_ == "__v")
     feed.select((Seq(col("__v").as("commit_version")) ++ dataCols.map(col)): _*)
   }
@@ -633,6 +667,7 @@ final class SnapshotStore(
       .repartition(deltaWriteParts)
       .write.mode(SaveMode.Overwrite).parquet(deltaDir(table, next))
     writeFingerprint(deltaDir(table, next), selected.schema)
+    writeString(deltaLayoutFile(table), fpString(selected.schema))
     writeCommitTs(deltaDir(table, next))
     meta.foreach(m => writeString(s"${deltaDir(table, next)}/_graft_meta", m))
     next
@@ -799,11 +834,14 @@ final class SnapshotStore(
     val n = matching.count()
     if (n == 0L) return 0L
     // the seq COLUMN NAME is part of the chain's recorded layout (the
-    // evolution gate refuses a rename) — reuse the chain's own; a
-    // base-only table has no delta layout yet, any name seeds it
-    val seqName = (1 to currentVersion(table)).reverse
-      .find(v => exists(deltaDir(table, v)))
-      .flatMap(v => readFingerprint(deltaDir(table, v)))
+    // evolution gate refuses a rename) — reuse the chain's own, from
+    // the table-level layout marker that survives vacuum (a base-only
+    // chain would otherwise silently switch names mid-history); a
+    // never-delta'd table has no layout yet, any name seeds it
+    val seqName = deltaLayout(table)
+      .orElse((1 to currentVersion(table)).reverse
+        .find(v => exists(deltaDir(table, v)))
+        .flatMap(v => readFingerprint(deltaDir(table, v)))) // pre-marker chains
       .map(_.head._1).getOrElse("__seq")
     val dataCols = matching.columns.filterNot(_ == pk).toSeq
     val changes = matching.select(
