@@ -566,7 +566,18 @@ object TextQuality {
     * exactly like a real trainer materializing the re-tokenized corpus
     * after each merge batch.
     */
-  def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame =
+    bpeMergeTable(df, textCol, rounds)
+      .select(col("round"), concat_ws(" ", col("a"), col("b")).as("pair"),
+        col("n"))
+      .orderBy(col("round"))
+
+  /** [[bpeMerges]] with the pair UNserialized — (round, a, b, n). The
+    * `pair` string is ambiguous to split back (a merged token keeps an
+    * internal space, so "x y z" could be ("x y", "z") or ("x", "y z")),
+    * and [[bpeEncode]] needs the sides separately.
+    */
+  def bpeMergeTable(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
     var cur = spread(df.select(col(textCol)))
       .select(TextAnalysis.tokens(col(textCol)).as("w"))
     val table = (1 to rounds).map { r =>
@@ -586,9 +597,44 @@ object TextQuality {
           .select(graft.functions.ArrayHashes.bpe_merge_pair(
             col("w"), col("a"), col("b")).as("w"))
           .localCheckpoint(true)
-      top1.select(lit(r).as("round"),
-        concat_ws(" ", col("a"), col("b")).as("pair"), col("n"))
+      top1.select(lit(r).as("round"), col("a"), col("b"), col("n"))
     }
     table.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  /** BPE ENCODE against a frozen merge table — the apply half of the
+    * tokenizer loop ([[bpeMergeTable]] trains it; this is what closes
+    * the trained-artifact circle: merges train once, then every corpus
+    * batch encodes against them, the lm2/dsir1 train-once/score-frozen
+    * posture). Merges apply in rank (round) order, each as ONE
+    * left-to-right non-overlapping pass — a single pass IS the fixpoint
+    * for its rule (merging (a, b) never creates a new (a, b) adjacency:
+    * the merged token differs from both a and b), and it is exactly the
+    * rewrite the trainer itself ran, so encode(training corpus)
+    * reproduces the trainer's final corpus state.
+    *
+    * Scale: the merge table is collected driver-side — it is the
+    * vocab-bounded frozen ARTIFACT of training (the tokenizer file
+    * every worker ships anyway), not data — and the whole encode
+    * becomes one narrow per-document projection chaining `rules` native
+    * codegen'd [[graft.functions.ArrayHashes.bpe_merge_pair]] passes:
+    * no join, no shuffle, no state, trivially linear in corpus bytes.
+    * At production rule counts (tens of thousands) chain in batches of
+    * a few hundred with a checkpoint between batches to bound codegen
+    * size — same structure, more steps.
+    *
+    * Output: (idCol, tokens array<string>) — feeds vocab-id mapping
+    * and [[graft.ops.Packing]] downstream.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val rules = merges.select(col("round"), col("a"), col("b")).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val encoded = rules.foldLeft(TextAnalysis.tokens(col(textCol))) {
+      case (w, (a, b)) =>
+        graft.functions.ArrayHashes.bpe_merge_pair(w, lit(a), lit(b))
+    }
+    docs.select(col(idCol), encoded.as("tokens"))
   }
 }

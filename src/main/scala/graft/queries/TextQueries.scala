@@ -615,6 +615,45 @@ object TextQueries extends QueryPack {
       |UNION ALL SELECT 3, a || ' ' || b, n FROM m3
       |ORDER BY round""".stripMargin
 
+  // ---- BPE3: encode against the frozen merge table -------------------------
+  // Closes the tokenizer loop: bpe2 TRAINS the merge table; this
+  // ENCODES every document against it (merges applied in rank order,
+  // one left-to-right non-overlapping pass each — the pass the trainer
+  // itself ran). Spark folds the table into one narrow codegen'd
+  // projection; the oracle re-trains with bpe2's own unrolled CTEs,
+  // then applies each merge per document with the identical
+  // list_reduce pass, doc_id carried through.
+  private def bpe3Encode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val merges = TextQuality.bpeMergeTable(docs, "text", rounds = 3)
+    TextQuality.bpeEncode(docs, "doc_id", "text", merges)
+      .select(col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        md5(concat_ws("", col("tokens"))).as("tokens_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** One encode pass carrying doc_id: apply merge `m<i>` to `prev`. */
+  private def bpe3Apply(i: Int, prev: String): String =
+    s"""e$i AS (SELECT doc_id, string_split(list_reduce(w, (acc, x) ->
+       |     CASE WHEN regexp_extract(acc, '[^' || chr(1) || ']*$$') = m.a AND x = m.b
+       |          THEN substr(acc, 1, len(acc) - len(regexp_extract(acc, '[^' || chr(1) || ']*$$'))) || m.a || ' ' || m.b
+       |          ELSE acc || chr(1) || x END), chr(1)) AS w
+       |   FROM $prev, m$i m)""".stripMargin
+
+  private val bpe3Sql =
+    s"""WITH w0 AS (SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents),
+      |${bpe2Round(1)},
+      |${bpe2Round(2)},
+      |${bpe2Round(3)},
+      |e0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+      |${bpe3Apply(1, "e0")},
+      |${bpe3Apply(2, "e1")},
+      |${bpe3Apply(3, "e2")}
+      |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |  md5(array_to_string(w, chr(31))) AS tokens_md5
+      |FROM e3 ORDER BY doc_id""".stripMargin
+
   // ---- CK1: context-window chunking --------------------------------------
   private def ck1Chunking(s: SparkSession, dir: String): DataFrame =
     graft.ops.Packing.chunkTokens(Tables.load(s, dir, "documents"),
@@ -754,6 +793,7 @@ object TextQueries extends QueryPack {
     Q("vb1_vocab_topk", "corpus top-100 vocabulary with counts", vb1Vocab, Some(vb1Sql)),
     Q("bp1_bpe_pairs", "BPE trainer step: adjacent-token-pair counts, top-50", bp1BpePairs, Some(bp1Sql)),
     Q("bpe2_merge_table", "BPE trainer loop: 3 count-merge-apply rounds, the merge table", bpe2Merges, Some(bpe2Sql)),
+    Q("bpe3_encode", "BPE encode against the frozen merge table: rank-ordered merge passes folded into one codegen'd projection, per-doc token-sequence digest", bpe3Encode, Some(bpe3Sql)),
     Q("bm1_bm25_topk", "Okapi BM25 top-25 retrieval (log-free rational IDF, fixed-point sum)", bm1Bm25, Some(bm1Sql)),
     Q("tx5_domain_stats", "URL domain/section extraction + per-domain rollup (planted URLs)", tx5DomainStats, Some(tx5Sql)),
     Q("vb2_vocab_coverage", "top-k vocabulary occurrence coverage (tokenizer design metric)", vb2VocabCoverage, Some(vb2Sql)),

@@ -151,6 +151,33 @@ class TextQualitySpec extends SparkSpec {
     assert(out == Seq((1, "p q", 2L)))
   }
 
+  test("bpeEncode applies the trained merges in rank order; unseen text encodes too") {
+    // corpus: (a,b) is the round-1 merge (3 occurrences), then
+    // ("a b", c) wins round 2 (2 occurrences) — hand-derivable
+    val corpus = Seq(
+      (1L, "a b a b c"),
+      (2L, "a b c d")).toDF("doc_id", "text")
+    val merges = graft.ops.TextQuality.bpeMergeTable(corpus, "text", rounds = 2)
+    assert(merges.orderBy("round").collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq ==
+      Seq((1, "a", "b", 3L), (2, "a b", "c", 2L)))
+
+    // round-trip: encoding the TRAINING corpus reproduces the trainer's
+    // own final rewrite (each rank's single pass is its fixpoint)
+    val enc = graft.ops.TextQuality.bpeEncode(corpus, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(enc(1L) == List("a b", "a b c"))
+    assert(enc(2L) == List("a b c", "d"))
+
+    // a frozen-table encode of UNSEEN text (the production posture):
+    // merges apply in rank order, left-to-right, non-overlapping
+    val unseen = Seq((9L, "b a b c a"), (10L, "x")).toDF("doc_id", "text")
+    val enc2 = graft.ops.TextQuality.bpeEncode(unseen, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(enc2(9L) == List("b", "a b c", "a"))
+    assert(enc2(10L) == List("x"))
+  }
+
   test("dsirScores separates target-distribution docs from off-distribution ones") {
     // disjoint vocabularies: every target feature lands in buckets where
     // p̂/q̂ > 1 and every off-target feature where p̂/q̂ < 1, so the two
