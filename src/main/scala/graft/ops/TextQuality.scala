@@ -206,6 +206,73 @@ object TextQuality {
           .as("dsir_score"))
   }
 
+  /** Hashed unigram+bigram feature-bucket instances — [[dsirScores]]'
+    * extraction stage, shared with the frozen-table scorer. One row per
+    * feature instance: (idCol, extra…, bkt).
+    */
+  private def dsirFeatures(df0: DataFrame, extra: Seq[Column],
+      idCol: String, textCol: String, buckets: Int): DataFrame = {
+    val toks = df0.select(
+        (col(idCol) +: extra :+ TextAnalysis.tokens(col(textCol)).as("w")): _*)
+      .repartition(col(idCol))
+    val keep = toks.columns.filterNot(_ == "w").map(col).toSeq
+    val uni = toks.select((keep :+ explode(col("w")).as("g")): _*)
+    val big = toks.select((keep :+ explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1).as("w1"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("w2"))).as("b")): _*)
+      .select((keep :+ concat(col("b.w1"), lit(" "), col("b.w2")).as("g")): _*)
+    uni.unionByName(big)
+      .select((keep :+ pmod(graft.ops.Dedup.hash32(
+        concat(lit("dsir|"), col("g"))), lit(buckets)).as("bkt")): _*)
+  }
+
+  /** TRAIN the frozen DSIR importance table — the B-row (bkt, r6)
+    * artifact [[dsirScores]] derives internally, exposed so a pipeline
+    * can compute it ONCE on a reference corpus, persist it, and score
+    * every later batch against it (the lm2/cl1 train-once/score-frozen
+    * posture; [[graft.streaming.CurationStream]]'s selection tier runs
+    * exactly this). Same quantized add-1-smoothed ratio arithmetic as
+    * dsirScores, so [[dsirScoreAgainst]] over the training corpus
+    * reproduces dsirScores on it bit-for-bit (spec-pinned).
+    */
+  def dsirRatioTable(df0: DataFrame, isTarget: Column, idCol: String,
+      textCol: String, buckets: Int = 256): DataFrame = {
+    val feats = dsirFeatures(df0, Seq(isTarget.as("__t")), idCol, textCol, buckets)
+    val dist = feats.groupBy(col("bkt")).agg(
+      count(lit(1)).as("cq"),
+      count(when(col("__t"), 1)).as("ct"))
+    val totals = dist.agg(sum(col("cq")).as("tq"), sum(col("ct")).as("tt"))
+    dist.crossJoin(broadcast(totals))
+      .select(col("bkt"),
+        floor((col("ct") + 1).cast("double") * (col("tq") + buckets)
+          / ((col("cq") + 1).cast("double") * (col("tt") + buckets))
+          * 1000000.0 + 0.5).cast("long").as("r6"))
+  }
+
+  /** Score documents against a FROZEN [[dsirRatioTable]] — per doc the
+    * arithmetic mean of its feature buckets' quantized importance
+    * ratios, never touching the training corpus. A bucket absent from
+    * the frozen table (never seen in training — only possible when the
+    * training corpus had fewer instances than buckets) contributes the
+    * fully-smoothed ratio 10⁶·(1·1)/(1·1)… synthesized as r6 = 1000000
+    * (p̂ = q̂ under add-1 with zero counts cancels to the two totals'
+    * ratio only when both are trained; for an UNTRAINED bucket both
+    * smoothed distributions assign it the same 1/(total+B)-shaped mass,
+    * so its ratio is 1). Scale: one data-sized join from feature
+    * instances onto the broadcast B-row table — flat per trigger.
+    *
+    * Output: (idCol, n_features, dsir_score).
+    */
+  def dsirScoreAgainst(docs: DataFrame, idCol: String, textCol: String,
+      ratio: DataFrame, buckets: Int = 256): DataFrame =
+    dsirFeatures(docs, Nil, idCol, textCol, buckets)
+      .join(broadcast(ratio), Seq("bkt"), "left")
+      .select(col(idCol), coalesce(col("r6"), lit(1000000L)).as("r6"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_features"),
+        (floor(sum(col("r6")).cast("double") / count(lit(1)) + 0.5) / 1000000.0)
+          .as("dsir_score"))
+
   /** Train the multinomial class-affinity model [[classifyByLift]]
     * scores with — the naive-Bayes-shaped text classifier of a quality
     * pipeline (CCNet's fastText language filter, GPT-3's quality

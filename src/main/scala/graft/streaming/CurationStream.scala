@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.streaming.CurationStream.SemanticTier
 
@@ -50,7 +50,8 @@ import graft.streaming.CurationStream.SemanticTier
   * when a [[LineDedupTier]] is configured), `quality_pass` (tier-1→2
   * handoff), `sig_pass` (tier-2→3 handoff, only when semantic) and
   * `curated` (the final output — tier 2's when no semantic tier). All
-  * epoch-partitioned.
+  * epoch-partitioned — plus `weighted` (the curated epoch with per-doc
+  * DSIR weights appended) when a [[SelectionTier]] is configured.
   */
 object CurationStream {
 
@@ -72,6 +73,20 @@ object CurationStream {
   final case class LineDedupTier(
       store: SnapshotStore, table: String, minDocs: Int = 2)
 
+  /** Selection tier config (optional, runs LAST): the ladder's reject
+    * gates decide what survives; a production pipeline additionally
+    * WEIGHTS what survived — DSIR importance scores against a FROZEN
+    * ratio table ([[graft.ops.TextQuality.dsirRatioTable]], trained
+    * once on a reference corpus and persisted as catalog table
+    * `ratioTable` — the lm2/cl1 train-once/score-frozen posture). Each
+    * curated epoch re-emerges under `<root>/weighted` with
+    * (n_features, dsir_score) appended per doc, feeding downstream
+    * resampling/mixture weighting. Stateless per batch against a
+    * frozen artifact, so [[EpochCommit]]'s epoch-dir idempotence is the
+    * whole replay story — the tier adds no crash windows.
+    */
+  final case class SelectionTier(ratioTable: String, buckets: Int = 256)
+
   /** One micro-batch through the whole ladder (idempotent per
     * `batchId`). `table` is the tier-2 [[graft.sources.DedupIndex]].
     */
@@ -81,7 +96,8 @@ object CurationStream {
       textCol: String, root: String, threshold: Double = 0.9,
       semantic: Option[SemanticTier] = None,
       enrich: DataFrame => DataFrame = identity,
-      lineDedup: Option[LineDedupTier] = None): Unit = {
+      lineDedup: Option[LineDedupTier] = None,
+      selection: Option[SelectionTier] = None): Unit = {
     // a committed epoch can hold ZERO parquet part files (an empty
     // replayed micro-batch arrives with zero partitions, and the epoch
     // write preserves that) — reading it back would die with "unable to
@@ -119,6 +135,20 @@ object CurationStream {
         idCol, sem.embCol, s"$root/curated", s"$root/sem_reject",
         sem.threshold, sem.nProbe, checkIdCollisions = true)
     }
+    selection.foreach { sel =>
+      if (!EpochCommit.epochExists(spark, s"$root/weighted", batchId)) {
+        val curated = epochOrEmpty(s"$root/curated", qualityPass)
+        val scored = graft.ops.TextQuality.dsirScoreAgainst(
+          curated, idCol, textCol, spark.table(sel.ratioTable), sel.buckets)
+        // left join: a curated doc with zero features (empty text after
+        // tier 0) keeps flowing, weighted as fully-smoothed neutral 1.0
+        EpochCommit.commitEpoch(
+          curated.join(scored, Seq(idCol), "left")
+            .withColumn("n_features", coalesce(col("n_features"), lit(0L)))
+            .withColumn("dsir_score", coalesce(col("dsir_score"), lit(1.0d))),
+          s"$root/weighted", batchId)
+      }
+    }
   }
 
   /** Run the ladder over a document stream. Build the tier-2 index
@@ -133,7 +163,8 @@ object CurationStream {
       enrich: DataFrame => DataFrame = identity,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
       shufflePartitions: Option[Int] = Some(8),
-      lineDedup: Option[LineDedupTier] = None): StreamingQuery = {
+      lineDedup: Option[LineDedupTier] = None,
+      selection: Option[SelectionTier] = None): StreamingQuery = {
     val spark = docs.sparkSession
     val release = ConfPins.acquireGatePins(spark, shufflePartitions,
       java.util.UUID.randomUUID())
@@ -144,7 +175,8 @@ object CurationStream {
         .trigger(trigger)
         .foreachBatch { (b: DataFrame, id: Long) =>
           applyBatch(b.sparkSession, b, id, constraints, table, idCol,
-            textCol, root, threshold, semantic, enrich, lineDedup); ()
+            textCol, root, threshold, semantic, enrich, lineDedup,
+            selection); ()
         }
         .start()
       catch { case e: Throwable => release(); throw e }

@@ -178,6 +178,26 @@ class TextQualitySpec extends SparkSpec {
     assert(enc2(10L) == List("x"))
   }
 
+  test("dsirScoreAgainst over the training corpus reproduces dsirScores bit-for-bit") {
+    // the frozen-artifact split (train dsirRatioTable once, score any
+    // batch against it) must compute EXACTLY what the one-shot
+    // dsirScores computes when the scored corpus IS the training corpus
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog sat on the log"),
+      (3L, "de", "der hund sitzt auf dem baum"),
+      (4L, "de", "die katze schlaeft auf der matte"),
+      (5L, "en", "der cat on mat")).toDF("doc_id", "lang", "text")
+    val direct = graft.ops.TextQuality.dsirScores(
+      docs, col("lang") === "en", "doc_id", "text", buckets = 64)
+    val ratio = graft.ops.TextQuality.dsirRatioTable(
+      docs, col("lang") === "en", "doc_id", "text", buckets = 64)
+    val frozen = graft.ops.TextQuality.dsirScoreAgainst(
+      docs, "doc_id", "text", ratio, buckets = 64)
+    assert(direct.orderBy("doc_id").collect().map(_.toString).toSeq ==
+      frozen.orderBy("doc_id").collect().map(_.toString).toSeq)
+  }
+
   test("dsirScores separates target-distribution docs from off-distribution ones") {
     // disjoint vocabularies: every target feature lands in buckets where
     // p̂/q̂ > 1 and every off-target feature where p̂/q̂ < 1, so the two

@@ -175,6 +175,48 @@ class CurationStreamSpec extends SparkSpec {
     assert(curated == Seq(60L), s"curated drifted: $curated")
   }
 
+  test("selection tier: curated epochs re-emerge weighted against the frozen DSIR table") {
+    val dir = Files.createTempDirectory("graft-curation-sel").toString
+    DedupIndex.build(Seq((1L, doc("the quick brown fox ")))
+      .toDF("doc_id", "text"), "curationsel_idx", "doc_id", "text")
+    // the frozen importance artifact: trained ONCE on a labeled
+    // reference corpus, persisted as a catalog table (lm2's posture)
+    val ref = Seq(
+      ("t", doc("sphinx of black quartz judge ")),
+      ("r", doc("lorem ipsum dolor sit amet ")))
+      .toDF("cls", "text").withColumn("rid", monotonically_increasing_id())
+    graft.ops.TextQuality.dsirRatioTable(ref, col("cls") === "t",
+        "rid", "text", buckets = 64)
+      .write.mode("overwrite").saveAsTable("curationsel_ratio")
+    val sel = Some(CurationStream.SelectionTier("curationsel_ratio", buckets = 64))
+
+    val b0 = Seq(
+      (70L, doc("sphinx of black quartz judge ")), // target-like
+      (71L, doc("lorem ipsum dolor sit amet "))) // reference-like
+      .toDF("doc_id", "text")
+    CurationStream.applyBatch(spark, b0, 0L, constraints,
+      "curationsel_idx", "doc_id", "text", s"$dir/cur", selection = sel)
+    // replay: stateless vs a frozen artifact ⇒ epoch-dir no-op
+    CurationStream.applyBatch(spark, b0, 0L, constraints,
+      "curationsel_idx", "doc_id", "text", s"$dir/cur", selection = sel)
+
+    val w = spark.read.parquet(s"$dir/cur/weighted/epoch=0")
+      .select("doc_id", "n_features", "dsir_score")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(w.keySet == Set(70L, 71L), "every curated doc must be weighted")
+    assert(w(70L)._2 > w(71L)._2,
+      s"target-like doc must weight higher: $w")
+    // the streamed weights ARE the batch computation against the same
+    // frozen table on the same curated prefix
+    val batch = graft.ops.TextQuality.dsirScoreAgainst(
+        spark.read.parquet(s"$dir/cur/curated/epoch=0"),
+        "doc_id", "text", spark.table("curationsel_ratio"), buckets = 64)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(w == batch, "streamed weights drifted from the batch computation")
+  }
+
   test("semantic tier: an embedding near-dup passes tiers 1-2 and is blocked at tier 3") {
     val dir = Files.createTempDirectory("graft-curation-sem").toString
     DedupIndex.build(Seq((1L, doc("the quick brown fox ")))
