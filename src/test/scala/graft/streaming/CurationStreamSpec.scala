@@ -185,9 +185,14 @@ class CurationStreamSpec extends SparkSpec {
       ("t", doc("sphinx of black quartz judge ")),
       ("r", doc("lorem ipsum dolor sit amet ")))
       .toDF("cls", "text").withColumn("rid", monotonically_increasing_id())
+    val ratioDir = Files.createTempDirectory("graft-sel-ratio").toString
     graft.ops.TextQuality.dsirRatioTable(ref, col("cls") === "t",
         "rid", "text", buckets = 64)
-      .write.mode("overwrite").saveAsTable("curationsel_ratio")
+      .write.mode("overwrite").parquet(ratioDir)
+    // read back from disk: the tier must score against the PERSISTED
+    // artifact, not a live plan (and temp views keep re-runs idempotent
+    // — saveAsTable left warehouse debris that broke the second run)
+    spark.read.parquet(ratioDir).createOrReplaceTempView("curationsel_ratio")
     val sel = Some(CurationStream.SelectionTier("curationsel_ratio", buckets = 64))
 
     val b0 = Seq(
