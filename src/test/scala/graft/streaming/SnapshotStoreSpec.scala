@@ -325,6 +325,23 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(e2.getMessage.contains("ADDITIVE"))
   }
 
+  test("timestamp resolution composes with additive chains") {
+    // commitAdditive stamps versions like every committing path, and
+    // versionAsOf is kind-agnostic (it reads only the ts markers) — so
+    // additiveSnapshotAt(versionAsOf(ts)) is additive time travel
+    val (store, _) = newStore(compactEvery = 100)
+    var now = 1000L
+    store.clock = () => now
+    store.commitAdditive("A", Seq(("k1", 1L)).toDF("k", "state_cnt"))
+    now = 2000L
+    store.commitAdditive("A", Seq(("k1", 1L), ("k2", 3L)).toDF("k", "state_cnt"))
+    assert(store.versionAsOf("A", 1500L) == 1)
+    assert(store.additiveSnapshotAt("A", store.versionAsOf("A", 1500L), null)
+      .as[(String, Long)].collect().toMap == Map("k1" -> 1L))
+    assert(store.additiveSnapshotAt("A", store.versionAsOf("A", 2000L), null)
+      .as[(String, Long)].collect().toMap == Map("k1" -> 2L, "k2" -> 3L))
+  }
+
   test("deleteWhere appends DELETE deltas; feed, net changes and replays agree") {
     val (store, _) = newStore(compactEvery = 100)
     commit(store, (1L, "INSERT", 1, "keep"), (2L, "INSERT", 2, "purge"),

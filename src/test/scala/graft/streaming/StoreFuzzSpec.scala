@@ -35,11 +35,15 @@ class StoreFuzzSpec extends SparkSpec {
 
   private type State = Map[Long, Map[String, String]]
 
-  /** Driver-side model: states / events indexed by store version. */
+  /** Driver-side model: states / events / commit instants indexed by
+    * store version.
+    */
   private final class Model {
     var state: State = Map.empty
+    var now: Long = 10000L
     val states = scala.collection.mutable.ArrayBuffer[State](Map.empty)
     val events = scala.collection.mutable.ArrayBuffer[Seq[Evt]](Seq.empty)
+    val tss = scala.collection.mutable.ArrayBuffer[Long](0L)
     var dataCols: Seq[String] = Seq("VAL")
 
     def applySequential(evts: Seq[Evt]): State =
@@ -52,11 +56,14 @@ class StoreFuzzSpec extends SparkSpec {
       }
 
     /** Record the state/events at `newVersion`; versions skipped in
-      * between (forced compaction boundaries) carry the pre-op state.
+      * between (forced compaction boundaries) carry the pre-op state
+      * and this op's clock instant.
       */
     def record(newVersion: Int, newState: State, evts: Seq[Evt]): Unit = {
-      while (states.length < newVersion) { states += state; events += Seq.empty }
-      states += newState; events += evts
+      while (states.length < newVersion) {
+        states += state; events += Seq.empty; tss += now
+      }
+      states += newState; events += evts; tss += now
       assert(states.length == newVersion + 1, "model/version drift")
       state = newState
     }
@@ -202,8 +209,10 @@ class StoreFuzzSpec extends SparkSpec {
 
     def doVacuum(): Unit = { store.vacuum("F"); () }
 
+    store.clock = () => m.now
     val len = 6 + rnd.nextInt(4)
     (0 until len).foreach { _ =>
+      m.now += 1000L // every op (and every version it creates) gets one instant
       rnd.nextInt(12) match {
         case 0 | 1 | 2 | 3 => doCommit()
         case 4             => if (m.dataCols.length < 3) doEvolve() else doCommit()
@@ -270,10 +279,25 @@ class StoreFuzzSpec extends SparkSpec {
         }
         assert(gotNet == wantNet, s"netChanges($i,$j) drifted (seed $seed)")
       }
+      // timestamp resolution: versionAsOf / snapshotAsOf against the
+      // model's recorded commit instants (ties across a forced
+      // compaction boundary resolve to the HIGHEST version at that
+      // instant — the op's final state)
+      (0 until 3).foreach { _ =>
+        val v = h + rnd.nextInt(cur - h + 1)
+        val ts = m.tss(v) + 500L
+        val wantV = (1 to cur).filter(x => m.tss(x) <= ts).max
+        assert(store.versionAsOf("F", ts) == wantV,
+          s"versionAsOf($ts) drifted (seed $seed)")
+        assertStateEquals(store.snapshotAsOf("F", ts), m.states(wantV),
+          s"snapshotAsOf($ts) drifted (seed $seed)")
+      }
       // below the horizon every read path refuses
       if (h > 1) {
         intercept[Exception](store.snapshotAt("F", h - 1))
         intercept[Exception](store.changeFeed("F", h - 2, cur))
+        intercept[IllegalArgumentException](
+          store.versionAsOf("F", m.tss(h) - 500L))
       }
     }
   }
