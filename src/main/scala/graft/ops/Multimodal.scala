@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -350,14 +351,24 @@ object Multimodal {
   def wavSample(id: Long, i: Int): Int =
     (((id * 31 + i.toLong * i * 7) % 2001) - 1000).toInt
 
-  /** Deterministic WAV per doc: `nSamples` of 16-bit mono PCM at 8 kHz,
-    * sample i = [[wavSample]](doc_id, i), encoded as a REAL RIFF/WAVE
-    * file via `javax.sound.sampled.AudioSystem` — so downstream decode
-    * exercises the actual JDK audio stack, and an oracle predicts every
-    * decoded sample from doc_id alone. Runs inside mapPartitions like
-    * any ingest-side transcode.
+  /** [[wavSample]] with every third 160-sample frame MUTED (staggered
+    * by doc id) — the speech-with-pauses fixture [[energySegments]]'
+    * oracle predicts analytically: frame f of doc d is silence iff
+    * (d + f) % 3 == 0, so docs carry distinct active/silent patterns
+    * (single runs, split runs, short runs for the debounce to drop).
     */
-  def wavTable(docs: DataFrame, nSamples: Int = 640): DataFrame = {
+  def wavGatedSample(id: Long, i: Int, frameSize: Int = 160): Int =
+    if ((id + i / frameSize) % 3 == 0) 0 else wavSample(id, i)
+
+  /** Deterministic WAV per doc: `nSamples` of 16-bit mono PCM at 8 kHz,
+    * sample i = `sampleFn`(doc_id, i) (default [[wavSample]]), encoded
+    * as a REAL RIFF/WAVE file via `javax.sound.sampled.AudioSystem` —
+    * so downstream decode exercises the actual JDK audio stack, and an
+    * oracle predicts every decoded sample from doc_id alone. Runs
+    * inside mapPartitions like any ingest-side transcode.
+    */
+  def wavTable(docs: DataFrame, nSamples: Int = 640,
+      sampleFn: (Long, Int) => Int = wavSample): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("payload", BinaryType)))
@@ -368,7 +379,7 @@ object Multimodal {
         val pcm = new Array[Byte](nSamples * 2)
         var i = 0
         while (i < nSamples) {
-          val v = wavSample(id, i)
+          val v = sampleFn(id, i)
           pcm(2 * i) = (v & 0xff).toByte
           pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
           i += 1
@@ -436,6 +447,45 @@ object Multimodal {
         } catch { case _: Exception => Nil } // not a WAV → drop, don't fail the task
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** Energy-gated segmentation over decoded audio frames — the
+    * VAD-shaped step of a speech curation pipeline: frames with
+    * energy > `threshold` are ACTIVE, maximal runs of consecutive
+    * active frames per doc become segments, and segments shorter than
+    * `minFrames` drop (debounce — clicks aren't speech). Input is
+    * [[wavFrameFeatures]]' (doc_id, frame_idx, …, energy) shape.
+    *
+    * Plan: gaps-and-islands with doc-partitioned windows (a doc is one
+    * clip, so partitions are clip-bounded — no dominant-group trap) —
+    * segment-start markers from one `lag`, island ids from a running
+    * sum over the SAME partitioning (one exchange serves both), one
+    * aggregation, then a per-doc renumber after the debounce. Output:
+    * (doc_id, seg_idx, start_frame, end_frame, n_frames, energy).
+    */
+  def energySegments(frames: DataFrame, threshold: Long,
+      minFrames: Int = 1): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val marked = frames
+      .withColumn("__act", col("energy") > threshold)
+      .withColumn("__new",
+        when(col("__act") &&
+          !coalesce(lag(col("__act"), 1).over(w), lit(false)), 1L)
+          .otherwise(0L))
+      .withColumn("__seg",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("__act"))
+    marked.groupBy(col("doc_id"), col("__seg"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("energy"))
+      .filter(col("n_frames") >= minFrames)
+      .withColumn("seg_idx", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("start_frame")))
+        .cast("long"))
+      .select(col("doc_id"), col("seg_idx"), col("start_frame"),
+        col("end_frame"), col("n_frames"), col("energy"))
   }
 
   /** 64-bit perceptual difference hash (dHash) over the REAL decoded

@@ -116,4 +116,32 @@ object Packing {
         org.apache.spark.sql.functions.size(col("cw")).cast("long").as("n_tokens"),
         md5(concat_ws(" ", col("cw"))).as("chunk_md5"))
   }
+
+  /** Per-source token-budget snapshot — the Pile/Dolma-style corpus
+    * construction where each source contributes AT MOST `budget(source)`
+    * tokens, taken in a deterministic priority order: a document is
+    * kept iff its whole token count still fits when its turn comes,
+    * and the source TRUNCATES at the first document that does not fit
+    * (the hard-cut semantics a reproducible data recipe wants — greedy
+    * skip-and-continue would make the kept set depend on every later
+    * document's size).
+    *
+    * Plan: exclusive per-source running token sums via
+    * [[Ranking.withGroupedPrefixSum]] (the range-partitioned
+    * zipWithIndex scheme — NO per-source single-task window, so a
+    * source holding half the corpus still cuts in parallel), one
+    * broadcast join against the |sources|-row budget table, one filter.
+    * Sources absent from `budgets` are DROPPED (inner join) — budget
+    * every source or the omission silently filters. `sort` must
+    * total-order within a source. Output: df + (tokens_before) for the
+    * kept documents.
+    */
+  def tokenBudgetCut(
+      df: DataFrame, sourceCol: String, nTokensCol: String,
+      sort: Seq[org.apache.spark.sql.Column], budgets: DataFrame): DataFrame =
+    Ranking.withGroupedPrefixSum(df, sourceCol, col(nTokensCol),
+        "tokens_before", sort)
+      .join(broadcast(budgets), Seq(sourceCol))
+      .filter(col("tokens_before") + col(nTokensCol) <= col("budget"))
+      .drop("budget")
 }

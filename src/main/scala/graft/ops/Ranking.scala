@@ -107,6 +107,44 @@ object Ranking {
       .drop("__gg_pid", "__gg_lr", "__gg_off")
   }
 
+  /** df + a per-group EXCLUSIVE running sum of `valueCol` under `sort`
+    * — `sum(v) OVER (PARTITION BY group ORDER BY sort ROWS BETWEEN
+    * UNBOUNDED PRECEDING AND 1 PRECEDING)` without the per-group
+    * single-task window (the [[withGroupedRank]] trap, one level up:
+    * a dominant source would serialize its whole prefix sum into ONE
+    * task). Same range-partitioned zipWithIndex scheme: local running
+    * sums inside each (partition, group) cell plus the group's value
+    * TOTAL in earlier partitions; the offset table stays O(P + G) rows
+    * and is computed with a window over that tiny table, never
+    * collected. Exclusive because that is the form budget cuts consume:
+    * a document fits iff the tokens BEFORE it leave room. `sort` must
+    * total-order within a group; `valueCol` must be integral
+    * (summed as long).
+    */
+  def withGroupedPrefixSum(
+      df: DataFrame, groupCol: String, valueCol: Column, outCol: String,
+      sort: Seq[Column]): DataFrame = {
+    val pinned = df
+      .withColumn("__gp_v", valueCol.cast("long"))
+      .repartitionByRange(col(groupCol) +: sort: _*)
+      .withColumn("__gp_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val sums = pinned.groupBy(col("__gp_pid"), col(groupCol))
+      .agg(sum(col("__gp_v")).as("__gp_s"))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__gp_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums
+      .withColumn("__gp_off", coalesce(sum(col("__gp_s")).over(wOff), lit(0L)))
+      .select(col("__gp_pid"), col(groupCol), col("__gp_off"))
+    val wLocal = Window.partitionBy(col("__gp_pid"), col(groupCol))
+      .orderBy(sort: _*).rowsBetween(Window.unboundedPreceding, -1)
+    pinned
+      .withColumn("__gp_lps", coalesce(sum(col("__gp_v")).over(wLocal), lit(0L)))
+      .join(broadcast(offsets), Seq("__gp_pid", groupCol))
+      .withColumn(outCol, col("__gp_off") + col("__gp_lps"))
+      .drop("__gp_pid", "__gp_lps", "__gp_off", "__gp_v")
+  }
+
   private def rankAndCount(
       df: DataFrame, rankCol: String, sort: Seq[Column]): (DataFrame, Long) = {
     val pinned = df

@@ -180,6 +180,49 @@ object Extras extends QueryPack {
       |FROM s GROUP BY doc_id, frame_idx
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---- MM8: energy-gated segmentation (VAD shape) -------------------------
+  // Speech-with-pauses fixture: every third 160-sample frame is MUTED
+  // (staggered by doc id), synthesized through the REAL JDK WAV
+  // encode→decode round trip, then segmented by frame energy —
+  // gaps-and-islands per doc with a 2-frame debounce, so docs carry
+  // single runs, split runs, AND short runs the debounce must drop
+  // (doc_id%3 ∈ {1,2} plants a 1-frame segment each). The oracle
+  // predicts every decoded sample analytically and restates the
+  // islands via SQL windows.
+  private def mm8VadSegments(s: SparkSession, dir: String): DataFrame =
+    Multimodal.energySegments(
+      Multimodal.wavFrameFeatures(
+        Multimodal.wavTable(Tables.load(s, dir, "documents"),
+          sampleFn = (id, i) => Multimodal.wavGatedSample(id, i))),
+      threshold = 0L, minFrames = 2)
+      .orderBy(col("doc_id"), col("seg_idx"))
+
+  private val mm8Sql =
+    """WITH s AS (
+      |  SELECT doc_id, i, CASE WHEN (doc_id + i // 160) % 3 = 0 THEN 0
+      |    ELSE ((doc_id * 31 + i * i * 7) % 2001) - 1000 END AS v
+      |  FROM documents, (SELECT range AS i FROM range(0, 640))),
+      |f AS (SELECT doc_id, i // 160 AS frame_idx,
+      |        CAST(SUM(v * v) AS BIGINT) AS energy
+      |      FROM s GROUP BY doc_id, frame_idx),
+      |m AS (SELECT doc_id, frame_idx, energy, energy > 0 AS act,
+      |        CASE WHEN energy > 0 AND NOT coalesce(
+      |          lag(energy > 0) OVER (PARTITION BY doc_id ORDER BY frame_idx),
+      |          FALSE) THEN 1 ELSE 0 END AS newseg
+      |      FROM f),
+      |g AS (SELECT doc_id, frame_idx, energy,
+      |        SUM(newseg) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS seg
+      |      FROM m WHERE act),
+      |a AS (SELECT doc_id, seg, MIN(frame_idx) AS start_frame,
+      |        MAX(frame_idx) AS end_frame, COUNT(*) AS n_frames,
+      |        CAST(SUM(energy) AS BIGINT) AS energy
+      |      FROM g GROUP BY doc_id, seg HAVING COUNT(*) >= 2)
+      |SELECT doc_id,
+      |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)
+      |    AS BIGINT) AS seg_idx,
+      |  start_frame, end_frame, n_frames, energy
+      |FROM a ORDER BY doc_id, seg_idx""".stripMargin
+
   // ---- SK1: salted join on a deliberately skewed key ---------------------
   // ~1/3 of events collapse onto hot key 7; the salted join spreads that
   // key over 8 shuffle partitions (salt derived from event_id) while the
@@ -399,6 +442,7 @@ object Extras extends QueryPack {
     Q("mm5_phash_dedup", "multimodal: perceptual dHash dedup over real decoded pixels", mm5PhashDedup, Some(mm5Sql)),
     Q("mm7_phash_neardup", "multimodal: Hamming-band perceptual NEAR-dup probe (retouched variants matched within distance 3; quadratic oracle certifies zero false negatives)", mm7PhashNearDup, Some(mm7Sql)),
     Q("mm6_wav_features", "multimodal: real JDK WAV encode->decode + per-frame audio features", mm6WavFeatures, Some(mm6Sql)),
+    Q("mm8_vad_segments", "multimodal: energy-gated VAD segmentation (gaps-and-islands per clip, 2-frame debounce) over really-decoded WAV frames", mm8VadSegments, Some(mm8Sql)),
     Q("sk1_salted_join", "salted join spreads a deliberately hot key", sk1SaltedJoin, Some(sk1Sql)),
     Q("p7_debezium_decimal", "P7 VariableScaleDecimal custom Expression", p7DebeziumDecimal, Some(p7Sql)),
     Q("js1_json_extract", "JSON field extraction + aggregation", js1JsonExtract, Some(js1Sql)),

@@ -654,6 +654,47 @@ object TextQueries extends QueryPack {
       |  md5(array_to_string(w, chr(31))) AS tokens_md5
       |FROM e3 ORDER BY doc_id""".stripMargin
 
+  // ---- TB1: per-source token-budget cut ----------------------------------
+  // The Pile/Dolma corpus construction: each source contributes at most
+  // its token budget, documents taken in deterministic order, the
+  // source truncating at the first doc that doesn't fit (monotone
+  // prefix sums make skip-and-continue and hard-cut identical — once
+  // one doc overflows, every later one does). The prefix sums come from
+  // the range-partitioned grouped scheme (Ranking.withGroupedPrefixSum)
+  // — no per-source single-task window — and the oracle restates them
+  // with a plain SQL window. Budgets derive deterministically from the
+  // source name so both engines compute them independently.
+  private def tb1TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(graft.ops.TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    // budgets sized to BIND at every SF (sources carry ≥1.2k tokens
+    // even at sf0.001 — a budget that never cuts tests nothing)
+    val budgets = docs.select(col("source")).distinct()
+      .select(col("source"),
+        (lit(400L) + (length(col("source")) % 3).cast("long") * 300L).as("budget"))
+    graft.ops.Packing.tokenBudgetCut(docs, "source", "n_tokens",
+        Seq(col("doc_id")), budgets)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("tokens_before"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  private val tb1Sql =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS tokens_before
+      |  FROM t)
+      |SELECT source, doc_id, n_tokens, tokens_before
+      |FROM p
+      |WHERE tokens_before + n_tokens <= 400 + (length(source) % 3) * 300
+      |ORDER BY source, doc_id""".stripMargin
+
   // ---- CK1: context-window chunking --------------------------------------
   private def ck1Chunking(s: SparkSession, dir: String): DataFrame =
     graft.ops.Packing.chunkTokens(Tables.load(s, dir, "documents"),
@@ -797,5 +838,6 @@ object TextQueries extends QueryPack {
     Q("bm1_bm25_topk", "Okapi BM25 top-25 retrieval (log-free rational IDF, fixed-point sum)", bm1Bm25, Some(bm1Sql)),
     Q("tx5_domain_stats", "URL domain/section extraction + per-domain rollup (planted URLs)", tx5DomainStats, Some(tx5Sql)),
     Q("vb2_vocab_coverage", "top-k vocabulary occurrence coverage (tokenizer design metric)", vb2VocabCoverage, Some(vb2Sql)),
-    Q("lb1_length_buckets", "length-bucketed batching stats via distributed exact NTILE", lb1LengthBuckets, Some(lb1Sql)))
+    Q("lb1_length_buckets", "length-bucketed batching stats via distributed exact NTILE", lb1LengthBuckets, Some(lb1Sql)),
+    Q("tb1_token_budget_cut", "per-source token-budget corpus cut (Pile/Dolma construction) via the distributed grouped prefix sum — no single-task window", tb1TokenBudget, Some(tb1Sql)))
 }

@@ -96,6 +96,37 @@ class RankingSpec extends SparkSpec {
     assert(unpartitionedWindows(got).isEmpty)
   }
 
+  test("withGroupedPrefixSum equals the per-group window running sum; no unpartitioned window") {
+    // 3 groups of very different sizes (g0 dominates), dup sort values
+    val grouped = (1 to 997)
+      .map(i => (s"g${(i * i) % 7 % (1 + i % 3)}", (i * 7919) % 250, i.toLong,
+        (i % 13 + 1).toLong))
+      .toDF("g", "v", "id", "n")
+    val got = Ranking.withGroupedPrefixSum(grouped, "g", col("n"), "ps",
+      Seq(col("v").asc, col("id").asc))
+    val want = grouped.withColumn("ps",
+      coalesce(sum(col("n")).over(Window.partitionBy(col("g"))
+        .orderBy(col("v").asc, col("id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    assert(sameRows(got, want))
+    assert(unpartitionedWindows(got).isEmpty)
+  }
+
+  test("tokenBudgetCut keeps exactly the prefix that fits; truncation is monotone") {
+    // one dominant source: budget 20 over docs of 7 tokens each in id
+    // order keeps ids 1-2 (before 0, 7), drops id 3 (before 14, 14+7>20)
+    // and everything after; source b (budget 20, docs 9+9+9) keeps 2
+    val rows = (1 to 500).map(i => ("a", i.toLong, 7L)) ++
+      (1 to 3).map(i => ("b", i.toLong, 9L))
+    val budgets = Seq(("a", 20L), ("b", 20L)).toDF("src", "budget")
+    val kept = Packing.tokenBudgetCut(rows.toDF("src", "id", "n"),
+        "src", "n", Seq(col("id")), budgets)
+      .select(col("src"), col("id"), col("tokens_before"))
+      .orderBy(col("src"), col("id"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(kept == Seq(("a", 1L, 0L), ("a", 2L, 7L), ("b", 1L, 0L), ("b", 2L, 9L)))
+  }
+
   test("interleaveByWeight prefixes hold sources in weight proportion") {
     // a:600, b:300, c:100 rows with weights 6:3:1 -> any aligned prefix
     // of the vt order holds them 6:3:1 (fair queueing's invariant)
