@@ -124,6 +124,34 @@ object Stats {
         TextAnalysis.round6(col("q").cast("double") / col("qtot")).as("weight6"))
   }
 
+  /** MATERIALIZE the α = 0.5 temperature mixture by deterministic
+    * hash-Bernoulli downsampling: source s keeps documents at rate
+    * √(n_min/n_s) — the largest rate (the smallest source's) is exactly
+    * 1, because Bernoulli can only downsample — so the sampled corpus
+    * holds E[n'_s] = √(n_s · n_min) ∝ √n_s documents per source:
+    * [[temperatureWeights]]' mixture realized as actual rows, the step
+    * between computing a data recipe and shipping one. The rate is one
+    * IEEE division + correctly-rounded sqrt quantized to millionths
+    * (engine-exact), and keep/drop is decided by the md5-prefix doc
+    * hash ([[graft.ops.Dedup.hash32]]) — re-runs and engines agree
+    * ROW-FOR-ROW, not just in expectation (sm1's argument). Plan: one
+    * count shuffle, a broadcast scalar, a broadcast |sources|-row rate
+    * join, one narrow filter — flat at any corpus size.
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    val nMin = counts.agg(min(col("n_docs")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col(groupCol),
+        floor(sqrt(col("n_min").cast("double") / col("n_docs").cast("double"))
+          * 1000000.0 + 0.5).cast("long").as("rate6"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(pmod(Dedup.hash32(
+          concat_ws("|", lit("mix3"), col(idCol).cast("string"))),
+        lit(1000000L)) < col("rate6"))
+      .drop("rate6")
+  }
+
   def zOutliers(df: DataFrame, groupCol: String, valueCol: String,
       zThresh: Double, scale: Long = 1000L): DataFrame = {
     val q = floor(col(valueCol).cast("double") * scale.toDouble + 0.5).cast("long")

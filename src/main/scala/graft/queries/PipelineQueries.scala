@@ -1659,6 +1659,37 @@ object PipelineQueries extends QueryPack {
       |  floor(q / (SELECT CAST(SUM(q) AS DOUBLE) FROM c) * 1000000.0 + 0.5) / 1000000.0 AS weight6
       |FROM c ORDER BY source""".stripMargin
 
+  // ---- MX3: the temperature mixture, materialized --------------------------
+  // mx2 computes the √n weights; this SHIPS the mixture: per-source
+  // deterministic hash-Bernoulli downsampling at rate √(n_min/n_s), so
+  // each source lands E[n'] = √(n·n_min) ∝ √n rows. Keep/drop is the
+  // md5-prefix doc hash — both engines decide every row identically,
+  // so the per-source sampled counts hash-match exactly.
+  private def mx3TemperatureSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val sampled = graft.ops.Stats.temperatureSample(docs, "source", "doc_id")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(sampled, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy(col("source"))
+  }
+
+  private val mx3Sql =
+    """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |m AS (SELECT MIN(n_docs) AS n_min FROM c),
+      |r AS (SELECT source,
+      |    CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n_docs) * 1000000.0 + 0.5) AS BIGINT) AS rate6
+      |  FROM c, m),
+      |k AS (SELECT d.source, COUNT(*) AS n_sampled
+      |      FROM documents d JOIN r ON d.source = r.source
+      |      WHERE ('0x' || substr(md5('mix3|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |        % 1000000 < r.rate6
+      |      GROUP BY d.source)
+      |SELECT c.source, c.n_docs, CAST(coalesce(k.n_sampled, 0) AS BIGINT) AS n_sampled
+      |FROM c LEFT JOIN k ON c.source = k.source ORDER BY c.source""".stripMargin
+
   // ---- IM1: weighted source interleaving ----------------------------------
   // mx2 computes the temperature weights; this MATERIALIZES the
   // training order that realizes them: start-time fair queueing's
@@ -1991,6 +2022,7 @@ object PipelineQueries extends QueryPack {
     Q("ws1_weighted_sample", "deterministic weighted Bernoulli sampling by doc length", ws1WeightedSample, Some(ws1Sql)),
     Q("mx1_mixture_weights", "deterministic corpus-mixture reweighting by source", mx1Mixture, Some(mx1Sql)),
     Q("mx2_temperature_weights", "temperature (alpha=0.5) mixture weights from source counts", mx2Temperature, Some(mx2Sql)),
+    Q("mx3_temperature_sample", "the temperature mixture MATERIALIZED: per-source hash-Bernoulli downsampling at sqrt(n_min/n_s), row-deterministic across engines", mx3TemperatureSample, Some(mx3Sql)),
     Q("im1_interleaved_mix", "weighted source interleaving: vt=rank/weight fair-queueing schedule, prefix proportions match the sqrt(n) weights", im1Interleave, Some(im1Sql)),
     Q("hn1_hard_negatives", "hard-negative mining: top-10 nearest different-label vectors per query (bounded-heap rank)", hn1HardNegatives, Some(hn1Sql)),
     Q("mv1_incremental_agg", "mergeable aggregate state: base+delta merge equals full recompute", mv1IncrementalAgg, Some(mv1Sql)),

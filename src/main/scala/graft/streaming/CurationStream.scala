@@ -87,6 +87,18 @@ object CurationStream {
     */
   final case class SelectionTier(ratioTable: String, buckets: Int = 256)
 
+  /** Quota tier config (optional, runs VERY LAST — after curation and
+    * weighting, because only docs the recipe actually ships may burn
+    * budget): [[QuotaGate]] enforces per-source token budgets across
+    * triggers (consumed-token state in `store`/`table`, an additive
+    * chain). Admitted docs land under `<root>/admitted` with an
+    * `n_tokens` column appended; over-budget / unbudgeted docs land
+    * under `<root>/quota_reject` tagged with the reason.
+    */
+  final case class QuotaTier(
+      store: SnapshotStore, table: String, sourceCol: String,
+      budgets: DataFrame)
+
   /** One micro-batch through the whole ladder (idempotent per
     * `batchId`). `table` is the tier-2 [[graft.sources.DedupIndex]].
     */
@@ -97,7 +109,8 @@ object CurationStream {
       semantic: Option[SemanticTier] = None,
       enrich: DataFrame => DataFrame = identity,
       lineDedup: Option[LineDedupTier] = None,
-      selection: Option[SelectionTier] = None): Unit = {
+      selection: Option[SelectionTier] = None,
+      quota: Option[QuotaTier] = None): Unit = {
     // a committed epoch can hold ZERO parquet part files (an empty
     // replayed micro-batch arrives with zero partitions, and the epoch
     // write preserves that) — reading it back would die with "unable to
@@ -149,6 +162,18 @@ object CurationStream {
           s"$root/weighted", batchId)
       }
     }
+    quota.foreach { qt =>
+      // very last: only docs the recipe SHIPS may burn budget, so the
+      // gate reads the final upstream epoch (weighted when a selection
+      // tier ran, curated otherwise)
+      val upDir = if (selection.isDefined) s"$root/weighted" else s"$root/curated"
+      val shipped = epochOrEmpty(upDir, qualityPass)
+        .withColumn("n_tokens", org.apache.spark.sql.functions.size(
+          graft.ops.TextAnalysis.tokens(col(textCol))).cast("long"))
+      QuotaGate.applyBatch(qt.store, qt.table, shipped, batchId, idCol,
+        qt.sourceCol, "n_tokens", qt.budgets,
+        s"$root/admitted", s"$root/quota_reject")
+    }
   }
 
   /** Run the ladder over a document stream. Build the tier-2 index
@@ -164,7 +189,8 @@ object CurationStream {
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
       shufflePartitions: Option[Int] = Some(8),
       lineDedup: Option[LineDedupTier] = None,
-      selection: Option[SelectionTier] = None): StreamingQuery = {
+      selection: Option[SelectionTier] = None,
+      quota: Option[QuotaTier] = None): StreamingQuery = {
     val spark = docs.sparkSession
     val release = ConfPins.acquireGatePins(spark, shufflePartitions,
       java.util.UUID.randomUUID())
@@ -176,7 +202,7 @@ object CurationStream {
         .foreachBatch { (b: DataFrame, id: Long) =>
           applyBatch(b.sparkSession, b, id, constraints, table, idCol,
             textCol, root, threshold, semantic, enrich, lineDedup,
-            selection); ()
+            selection, quota); ()
         }
         .start()
       catch { case e: Throwable => release(); throw e }

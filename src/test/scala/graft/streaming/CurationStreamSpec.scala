@@ -222,6 +222,51 @@ class CurationStreamSpec extends SparkSpec {
     assert(w == batch, "streamed weights drifted from the batch computation")
   }
 
+  test("quota tier: budgets bind across triggers on what the ladder actually ships") {
+    val dir = Files.createTempDirectory("graft-curation-quota").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    DedupIndex.build(Seq((1L, doc("the quick brown fox ")))
+      .toDF("doc_id", "text"), "curationquota_idx", "doc_id", "text")
+    // doc() is 6×5 = 30 whitespace tokens; budget 70 admits two docs
+    // of source w and leaves no room for a third
+    val budgets = Seq(("w", 70L)).toDF("source", "budget")
+    val qt = Some(CurationStream.QuotaTier(store, "CQ", "source", budgets))
+
+    // trigger 0: 80 quality-rejects (short — must NOT burn quota),
+    // 81/82 curated and admitted (30 + 30 ≤ 70)
+    CurationStream.applyBatch(spark,
+      Seq((80L, "w", "too short"),
+        (81L, "w", doc("pack my box with jugs ")),
+        (82L, "w", doc("sphinx of black quartz judge ")))
+        .toDF("doc_id", "source", "text"),
+      0L, constraints, "curationquota_idx", "doc_id", "text", s"$dir/cur",
+      quota = qt)
+    val a0 = spark.read.parquet(s"$dir/cur/admitted/epoch=0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a0 == Set(81L, 82L), s"admitted drifted: $a0")
+    assert(QuotaGate.consumed(spark, store, "CQ")
+      .as[(String, Long)].collect().toMap == Map("w" -> 60L),
+      "only shipped docs may burn quota")
+
+    // trigger 1: a new doc (60 + 30 > 70) hits the exhausted budget
+    CurationStream.applyBatch(spark,
+      Seq((83L, "w", doc("how vexingly daft zebras jump ")))
+        .toDF("doc_id", "source", "text"),
+      1L, constraints, "curationquota_idx", "doc_id", "text", s"$dir/cur",
+      quota = qt)
+    val r1 = spark.read.parquet(s"$dir/cur/quota_reject/epoch=1")
+      .select("doc_id", "reason").as[(Long, String)].collect().toSet
+    assert(r1 == Set((83L, "QUOTA_EXHAUSTED")))
+    // replay the whole ladder: every tier including the quota no-ops
+    val v = store.currentVersion("CQ")
+    CurationStream.applyBatch(spark,
+      Seq((83L, "w", doc("how vexingly daft zebras jump ")))
+        .toDF("doc_id", "source", "text"),
+      1L, constraints, "curationquota_idx", "doc_id", "text", s"$dir/cur",
+      quota = qt)
+    assert(store.currentVersion("CQ") == v)
+  }
+
   test("semantic tier: an embedding near-dup passes tiers 1-2 and is blocked at tier 3") {
     val dir = Files.createTempDirectory("graft-curation-sem").toString
     DedupIndex.build(Seq((1L, doc("the quick brown fox ")))
