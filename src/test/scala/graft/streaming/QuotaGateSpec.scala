@@ -81,6 +81,26 @@ class QuotaGateSpec extends SparkSpec {
       "the replay must land the missing state delta (kept tokens only)")
   }
 
+  test("single-trigger gate equals the batch tokenBudgetCut (incremental-equals-batch)") {
+    // the corpus arriving in ONE trigger must admit exactly what the
+    // batch construction admits — the gate's in-batch hard-cut prefix
+    // semantics ARE tokenBudgetCut's
+    val dir = Files.createTempDirectory("graft-quota-eq").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    val rnd = new scala.util.Random(42)
+    val corpus = (1 to 300)
+      .map(i => (i.toLong, if (rnd.nextBoolean()) "a" else "b", (1 + rnd.nextInt(9)).toLong))
+      .toDF("doc_id", "source", "n_tokens")
+    QuotaGate.applyBatch(store, "QE", corpus, 0L, "doc_id", "source",
+      "n_tokens", budgets, s"$dir/keep", s"$dir/reject")
+    val streamed = spark.read.parquet(s"$dir/keep/epoch=0")
+      .select("doc_id").as[Long].collect().toSet
+    val batch = graft.ops.Packing.tokenBudgetCut(corpus, "source", "n_tokens",
+        Seq(org.apache.spark.sql.functions.col("doc_id")), budgets)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch, "single-trigger gate drifted from the batch cut")
+  }
+
   test("a fresh data trigger runs exactly 5 actions (the per-trigger budget)") {
     // prefix-sum checkpoint, split checkpoint, keep epoch, reject
     // epoch, additive state delta — a regression that re-derives the
