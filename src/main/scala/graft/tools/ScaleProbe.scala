@@ -111,9 +111,48 @@ object ScaleProbe {
       if (want("bloom")) bloomJoinExponents(spark, small * 400, factor) else Seq.empty
     val lineLines =
       if (want("line")) lineDedupExponents(spark, small * 100, factor) else Seq.empty
+    val budgetLines =
+      if (want("budget")) budgetCutExponents(spark, small * 300, factor) else Seq.empty
     println("{" + (lines ++ embLines ++ bandLines ++ bloomLines
-      ++ lineLines).mkString(",") + "}")
+      ++ lineLines ++ budgetLines).mkString(",") + "}")
     spark.stop()
+  }
+
+  /** tb1's token-budget cut under a DOMINANT source: half the corpus
+    * in one source, the rest spread over √n sources — the exact shape
+    * that serializes a per-source window into one task. The claim is
+    * the grouped zipWithIndex scheme's linearity: one range exchange,
+    * pid-bounded local windows, an O(P + G) offset table. Budgets are
+    * sized so every source truncates (the filter binds). A plan that
+    * fell back to a per-source window would show the dominant source's
+    * task as a serial bottleneck — super-linear wall here.
+    */
+  private def budgetCutExponents(
+      spark: SparkSession, small: Long, factor: Long): Seq[String] = {
+    import graft.ops.{Packing, Ranking => _}
+    def docs(n: Long): DataFrame =
+      spark.range(n).selectExpr("id",
+        "CASE WHEN id % 2 = 0 THEN 'big' ELSE concat('s', cast(pmod(hash(id), cast(sqrt(cast(id as double)) as long) + 1) as string)) END AS source",
+        "10 + id % 90 AS n_tokens")
+    def run(n: Long): (Double, Long) = {
+      // docs NOT checkpointed: generation is three narrow exprs over
+      // range() — a pinned 72M-row fixture would stack on the op's own
+      // checkpoint and measure single-JVM storage pressure, not the plan
+      val d = docs(n)
+      val budgets = d.select(col("source")).distinct()
+        .select(col("source"), lit(5000L).as("budget"))
+        .localCheckpoint(true)
+      val a = timed(Packing.tokenBudgetCut(d, "source", "n_tokens",
+        Seq(col("id")), budgets).count())
+      val b = timed(Packing.tokenBudgetCut(d, "source", "n_tokens",
+        Seq(col("id")), budgets).count())
+      (math.min(a._1, b._1), a._2)
+    }
+    run(2000) // untimed codegen warmup
+    val (t1, c1) = run(small)
+    val (t2, c2) = run(small * factor)
+    val exp = math.log(t2 / t1) / math.log(factor.toDouble)
+    Seq(f""""tb1_token_budget_cut":{"t_$small%d":$t1%.2f,"t_${small * factor}%d":$t2%.2f,"rows_$small%d":$c1,"rows_${small * factor}%d":$c2,"exponent":$exp%.2f}""")
   }
 
   /** ld1's line dedup under fixed boilerplate density: every doc is 12
