@@ -242,11 +242,21 @@ object TextQuality {
       count(lit(1)).as("cq"),
       count(when(col("__t"), 1)).as("ct"))
     val totals = dist.agg(sum(col("cq")).as("tq"), sum(col("ct")).as("tt"))
-    dist.crossJoin(broadcast(totals))
+    // sentinel bkt = -1 (real buckets are pmod ∈ [0, B)): the UNSEEN-
+    // bucket ratio under the table's own add-1 smoothing — ct = cq = 0
+    // gives (0+1)(tq+B) / ((0+1)(tt+B)), which is 1.0 only when the
+    // target and corpus totals happen to agree. Frozen WITH the table
+    // so a scorer needs no access to the training totals.
+    val seen = dist.crossJoin(broadcast(totals))
       .select(col("bkt"),
         floor((col("ct") + 1).cast("double") * (col("tq") + buckets)
           / ((col("cq") + 1).cast("double") * (col("tt") + buckets))
           * 1000000.0 + 0.5).cast("long").as("r6"))
+    val unseen = totals.select(lit(-1L).cast("bigint").as("bkt"),
+      floor((col("tq") + buckets).cast("double")
+        / (col("tt") + buckets).cast("double")
+        * 1000000.0 + 0.5).cast("long").as("r6"))
+    seen.unionByName(unseen)
   }
 
   /** Score documents against a FROZEN [[dsirRatioTable]] — per doc the
@@ -254,24 +264,30 @@ object TextQuality {
     * ratios, never touching the training corpus. A bucket absent from
     * the frozen table (never seen in training — only possible when the
     * training corpus had fewer instances than buckets) contributes the
-    * fully-smoothed ratio 10⁶·(1·1)/(1·1)… synthesized as r6 = 1000000
-    * (p̂ = q̂ under add-1 with zero counts cancels to the two totals'
-    * ratio only when both are trained; for an UNTRAINED bucket both
-    * smoothed distributions assign it the same 1/(total+B)-shaped mass,
-    * so its ratio is 1). Scale: one data-sized join from feature
-    * instances onto the broadcast B-row table — flat per trigger.
+    * table's own sentinel bkt = -1 ratio — (tq+B)/(tt+B), the value the
+    * table's add-1 smoothing actually assigns an untrained bucket
+    * (p̂ = 1/(tt+B) mass but q̂ = 1/(tq+B): the two totals differ, so
+    * the ratio is NOT 1 in general). Tables frozen before the sentinel
+    * existed fall back to the old neutral 10⁶ (ratio 1.0). Scale: one
+    * data-sized join from feature instances onto the broadcast B-row
+    * table plus a broadcast 1-row scalar — flat per trigger.
     *
     * Output: (idCol, n_features, dsir_score).
     */
   def dsirScoreAgainst(docs: DataFrame, idCol: String, textCol: String,
-      ratio: DataFrame, buckets: Int = 256): DataFrame =
+      ratio: DataFrame, buckets: Int = 256): DataFrame = {
+    // always one row: max(when...) is null when no sentinel is frozen
+    val fallback = ratio.agg(coalesce(
+      max(when(col("bkt") === -1L, col("r6"))), lit(1000000L)).as("__fb6"))
     dsirFeatures(docs, Nil, idCol, textCol, buckets)
-      .join(broadcast(ratio), Seq("bkt"), "left")
-      .select(col(idCol), coalesce(col("r6"), lit(1000000L)).as("r6"))
+      .join(broadcast(ratio.filter(col("bkt") >= 0L)), Seq("bkt"), "left")
+      .crossJoin(broadcast(fallback))
+      .select(col(idCol), coalesce(col("r6"), col("__fb6")).as("r6"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_features"),
         (floor(sum(col("r6")).cast("double") / count(lit(1)) + 0.5) / 1000000.0)
           .as("dsir_score"))
+  }
 
   /** Train the multinomial class-affinity model [[classifyByLift]]
     * scores with — the naive-Bayes-shaped text classifier of a quality

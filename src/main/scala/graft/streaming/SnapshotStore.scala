@@ -344,13 +344,18 @@ final class SnapshotStore(
     * timestamps — are gone, so resolving past them would silently pin
     * the WRONG version (a ts between the last reclaimed commit and the
     * horizon base must error, not round up). Only stamped versions
-    * participate; chains predating timestamp stamping resolve as if
-    * their unstamped prefix never existed — document-loudly rather than
-    * guess from file mtimes.
+    * participate — and when none resolves ≤ ts on a non-empty chain
+    * that still carries UNSTAMPED versions (history written before
+    * timestamp stamping existed), the answer is equally
+    * unreconstructable: the unstamped commits may or may not predate
+    * ts, so returning 0 would claim "the table was empty then" on no
+    * evidence. Refuse, don't guess — 0 is reserved for chains whose
+    * EARLIEST stamped commit provably lands after ts.
     */
   def versionAsOf(table: String, tsMillis: Long): Int = {
     val h = horizon(table)
-    val stamped = (h to currentVersion(table))
+    val cur = currentVersion(table)
+    val stamped = (h to cur)
       .flatMap(v => versionTimestamp(table, v).map(v -> _))
     stamped.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse {
       if (h > 1) throw new IllegalArgumentException(
@@ -358,6 +363,12 @@ final class SnapshotStore(
           s"ts=$tsMillis — history below the vacuum horizon v$h was " +
           "reclaimed, so the version live at that instant cannot be " +
           "reconstructed")
+      if (cur > 0 && stamped.size < (h to cur).size)
+        throw new IllegalArgumentException(
+          s"versionAsOf: $table carries ${(h to cur).size - stamped.size} " +
+            s"pre-stamping version(s) with no commit timestamp — whether " +
+            s"they predate ts=$tsMillis cannot be determined (refusing " +
+            "rather than resolving to the empty table)")
       0
     }
   }

@@ -198,6 +198,46 @@ class TextQualitySpec extends SparkSpec {
       frozen.orderBy("doc_id").collect().map(_.toString).toSeq)
   }
 
+  test("dsirScoreAgainst scores UNSEEN buckets with the table's own smoothing") {
+    // an untrained bucket's add-1 ratio is (tq+B)/(tt+B), not 1 — the
+    // ratio table freezes it as sentinel bkt = -1 so a novel-feature
+    // doc scores consistently with the table's arithmetic
+    val B = 64
+    val train = Seq(
+      (1L, true, "aa bb cc"), (2L, false, "dd ee ff gg hh ii jj kk"))
+      .toDF("doc_id", "is_tgt", "text")
+    val ratio = graft.ops.TextQuality.dsirRatioTable(
+      train, col("is_tgt"), "doc_id", "text", buckets = B)
+    val trained = ratio.filter(col("bkt") >= 0L)
+      .select("bkt").as[Long].collect().toSet
+    // tq = all feature instances, tt = target instances:
+    // 3+8 unigrams + 2+7 bigrams = 20; target 3+2 = 5
+    val (tq, tt) = (20L, 5L)
+    val expect6 = math.floor((tq + B).toDouble / (tt + B) * 1e6 + 0.5).toLong
+    assert(ratio.filter(col("bkt") === -1L).select("r6").as[Long]
+      .collect().toSeq == Seq(expect6))
+    // a single-token doc whose bucket is untrained scores EXACTLY the
+    // sentinel ratio (one feature, no bigram) — pick the token by probe
+    def bkt(tok: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dsir|$tok".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16) % B
+    }
+    val novel = (0 until 1000).map(i => s"zq$i")
+      .find(t => !trained.contains(bkt(t))).get
+    val scored = graft.ops.TextQuality.dsirScoreAgainst(
+        Seq((7L, novel)).toDF("doc_id", "text"), "doc_id", "text", ratio, B)
+      .select("n_features", "dsir_score").as[(Long, Double)].collect()
+    assert(scored.toSeq == Seq((1L, expect6.toDouble / 1e6)))
+    // a pre-sentinel table (no bkt = -1 row) keeps the old neutral 1.0
+    val legacy = graft.ops.TextQuality.dsirScoreAgainst(
+        Seq((8L, novel)).toDF("doc_id", "text"), "doc_id", "text",
+        ratio.filter(col("bkt") >= 0L), B)
+      .select("dsir_score").as[Double].collect()
+    assert(legacy.toSeq == Seq(1.0))
+  }
+
   test("dsirScores separates target-distribution docs from off-distribution ones") {
     // disjoint vocabularies: every target feature lands in buckets where
     // p̂/q̂ > 1 and every off-target feature where p̂/q̂ < 1, so the two

@@ -476,6 +476,31 @@ class SnapshotStoreSpec extends SparkSpec {
       Map(1 -> "a2"))
   }
 
+  test("versionAsOf refuses on pre-stamping history instead of resolving empty") {
+    val (store, dir) = newStore(compactEvery = 100)
+    var now = 1000L
+    store.clock = () => now
+    commit(store, (1L, "INSERT", 1, "a")) // v1 @ 1000
+    now = 2000L
+    commit(store, (2L, "INSERT", 2, "b")) // v2 @ 2000
+    // simulate a chain written BEFORE timestamp stamping existed: strip
+    // v1's marker — whether v1 predates any given ts is now unknowable
+    Files.delete(Paths.get(s"$dir/T/d1/_graft_ts"))
+    // ts below every surviving stamp + unstamped history ⇒ refuse (the
+    // old behavior silently returned 0 = "table was empty then")
+    val e = intercept[IllegalArgumentException](store.versionAsOf("T", 500L))
+    assert(e.getMessage.contains("pre-stamping"))
+    intercept[IllegalArgumentException](store.snapshotAsOf("T", 1500L))
+    intercept[IllegalArgumentException](store.changeFeedSince("T", 500L))
+    // at/after a surviving stamp still resolves normally
+    assert(store.versionAsOf("T", 2000L) == 2)
+    // a FULLY stamped chain keeps the documented 0 = before-first-commit
+    val (s2, _) = newStore(compactEvery = 100)
+    s2.clock = () => 5000L
+    s2.commitDelta("U", delta((1L, "INSERT", 1, "a")), "ID", "seq", Seq("VAL"))
+    assert(s2.versionAsOf("U", 4000L) == 0)
+  }
+
   test("history lists live versions with kind, meta and horizon flags") {
     val (store, _) = newStore(compactEvery = 3)
     commit(store, (1L, "INSERT", 1, "a"))
