@@ -58,19 +58,41 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val first = draw(fn)
-      val stat =
-        if (first >= 3.0) IndexedSeq(first, draw(fn), draw(fn)).sorted.apply(1)
-        else if (first >= 1.0) math.min(first, draw(fn))
-        else first
-      name -> stat
+    def timed(name: String): Double = {
+      val first = draw(SparkEntry.queries(name))
+      if (first >= 3.0)
+        IndexedSeq(first, draw(SparkEntry.queries(name)),
+          draw(SparkEntry.queries(name))).sorted.apply(1)
+      else if (first >= 1.0) math.min(first, draw(SparkEntry.queries(name)))
+      else first
     }
+    // load canary: ONE fixed cheap query (a1_global_counters, sub-0.1 s
+    // warm) timed single-shot at the suite's start, middle and end, so
+    // any reader of this artifact can see within-run host drift — the
+    // round-11 driver capture was taken under heavy host contention
+    // (uniform 1.3-1.7× batch inflation, 2-3× streaming depression) and
+    // nothing in the line said so. Rule (COVERAGE.md): a run whose
+    // canary drifts >1.5× between draws is re-run, not shipped. The
+    // canary's plan is warmed once untimed first, so the start draw
+    // reads host state, not cold-codegen cost.
+    val canaryName = "a1_global_counters"
+    draw(SparkEntry.queries(canaryName))
+    def canary(): Double = draw(SparkEntry.queries(canaryName))
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val (firstHalf, secondHalf) = names.splitAt(names.size / 2)
+    val cStart = canary()
+    val r1 = firstHalf.map(n => n -> timed(n))
+    val cMid = canary()
+    val r2 = secondHalf.map(n => n -> timed(n))
+    val cEnd = canary()
+    val results = r1 ++ r2
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val canaryJson =
+      f""""canary":{"query":"$canaryName","start":$cStart%.3f,"mid":$cMid%.3f,"end":$cEnd%.3f}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$streaming,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$streaming,$canaryJson,"sf":"$sfDir"}"""
     // persist the COMPLETE line as a repo artifact: the driver's stdout
     // capture keeps only the tail of this very long line, losing the
     // per-query head every round — BENCH_FULL.json (overwritten per

@@ -20,14 +20,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // measurement-context sidecar: sf dir + per-query wall seconds, so
+    // a future "this correctness run took 10× longer" reads as
+    // environment (loaded host), not engine — the cheap insurance
+    // cousin of Bench's load canary
+    val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      timings += name -> (System.nanoTime() - t0) / 1e9
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -45,6 +52,11 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val meta = timings.map { case (k, v) => f"${q(k)}: $v%.3f" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"),
+      s"""{"sf_dir": ${q(sfDir)}, "total_sec": ${
+        f"${timings.map(_._2).sum}%.1f"}, "query_sec": $meta}""")
     spark.stop()
   }
 }

@@ -699,25 +699,40 @@ object TextQuality {
     * Scale: the merge table is collected driver-side — it is the
     * vocab-bounded frozen ARTIFACT of training (the tokenizer file
     * every worker ships anyway), not data — and the whole encode
-    * becomes one narrow per-document projection chaining `rules` native
-    * codegen'd [[graft.functions.ArrayHashes.bpe_merge_pair]] passes:
-    * no join, no shuffle, no state, trivially linear in corpus bytes.
-    * At production rule counts (tens of thousands) chain in batches of
-    * a few hundred with a checkpoint between batches to bound codegen
-    * size — same structure, more steps.
+    * becomes narrow per-document projections chaining native codegen'd
+    * [[graft.functions.ArrayHashes.bpe_merge_pair]] passes: no join,
+    * no shuffle, no state, trivially linear in corpus bytes. Rules
+    * chain in PASSES of `rulesPerPass` (default 200) projections with
+    * an eager localCheckpoint between passes: at production rule
+    * counts (tens of thousands of merges) a single projection would be
+    * one expression tree tens of thousands deep — quadratic analyzer /
+    * optimizer traversals and Janino method-size blowup or codegen
+    * fallback — while the checkpoint bounds every plan the engine ever
+    * sees to rulesPerPass expressions (each pass's generated code is a
+    * chain of one-line calls, far under the method-split threshold).
+    * ≤ rulesPerPass rules stay a single checkpoint-free projection, so
+    * small vocabularies pay nothing.
     *
     * Output: (idCol, tokens array<string>) — feeds vocab-id mapping
     * and [[graft.ops.Packing]] downstream.
     */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
-      merges: DataFrame): DataFrame = {
+      merges: DataFrame, rulesPerPass: Int = 200): DataFrame = {
+    require(rulesPerPass > 0, "rulesPerPass must be positive")
     val rules = merges.select(col("round"), col("a"), col("b")).collect()
       .sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2)))
-    val encoded = rules.foldLeft(TextAnalysis.tokens(col(textCol))) {
-      case (w, (a, b)) =>
+    val passes = rules.grouped(rulesPerPass).toSeq
+    val first = docs.select(
+      col(idCol), TextAnalysis.tokens(col(textCol)).as("tokens"))
+    passes.zipWithIndex.foldLeft(first) { case (cur, (pass, i)) =>
+      val encoded = pass.foldLeft(col("tokens")) { case (w, (a, b)) =>
         graft.functions.ArrayHashes.bpe_merge_pair(w, lit(a), lit(b))
+      }
+      val step = cur.select(col(idCol), encoded.as("tokens"))
+      // checkpoint BETWEEN passes only — the last pass flows through
+      // lazily so a downstream consumer composes with the final plan
+      if (i < passes.size - 1) step.localCheckpoint(true) else step
     }
-    docs.select(col(idCol), encoded.as("tokens"))
   }
 }

@@ -178,6 +178,61 @@ class TextQualitySpec extends SparkSpec {
     assert(enc2(10L) == List("x"))
   }
 
+  test("bpeEncode at production rule counts: 1,200 rules batched across passes") {
+    // a CHAIN merge table — rule k merges (the k-token prefix merged so
+    // far, t<k>) — is the hardest case for pass batching: every rule
+    // depends on the previous rule's output, so correctness REQUIRES
+    // rule k+1 (next pass, after the checkpoint) to see rule k's
+    // rewrite. 1,200 rules at the default 200/pass = 6 projections +
+    // 5 checkpoints.
+    val nRules = 1200
+    val prefix = new StringBuilder("t0")
+    val rules = (1 to nRules).map { k =>
+      val a = prefix.toString; prefix.append(s" t$k"); (k, a, s"t$k")
+    }
+    val merges = rules.toDF("round", "a", "b")
+    val chainDoc = (0 to nRules).map(i => s"t$i").mkString(" ")
+    val suffixDoc = (600 to 700).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, chainDoc), (2L, suffixDoc)).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val enc = graft.ops.TextQuality.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    info(f"1,200-rule encode (6 passes, 5 checkpoints): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    // the chain doc collapses to ONE token spelling the whole prefix
+    assert(enc(1L) == List(chainDoc))
+    // rule k's left side carries the t0-prefix, so no rule matches a
+    // mid-corpus suffix — it must pass through all 6 passes unchanged
+    assert(enc(2L) == (600 to 700).map(i => s"t$i").toList)
+
+    // cross-check the batched path against a driver-side reference
+    // encoder on docs where only SOME rules fire, at a pass size that
+    // puts a boundary mid-chain (7/3 ⇒ boundaries after rules 3 and 6)
+    def refMerge(w: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        if (i + 1 < w.length && w(i) == a && w(i + 1) == b) {
+          out += s"$a $b"; i += 2
+        } else { out += w(i); i += 1 }
+      }
+      out.toList
+    }
+    val few = rules.take(7)
+    val fewDf = few.toDF("round", "a", "b")
+    val mixDocs = (0 until 12).map { d =>
+      (d.toLong, (0 until 10).map(j => s"t${(d * 7 + j * j) % 9}").mkString(" "))
+    }
+    val got = graft.ops.TextQuality.bpeEncode(
+        mixDocs.toDF("doc_id", "text"), "doc_id", "text", fewDf, rulesPerPass = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    mixDocs.foreach { case (id, text) =>
+      val want = few.foldLeft(text.split(" ").toList) {
+        case (w, (_, a, b)) => refMerge(w, a, b)
+      }
+      assert(got(id) == want, s"doc $id diverged from the reference encoder")
+    }
+  }
+
   test("dsirScoreAgainst over the training corpus reproduces dsirScores bit-for-bit") {
     // the frozen-artifact split (train dsirRatioTable once, score any
     // batch against it) must compute EXACTLY what the one-shot
