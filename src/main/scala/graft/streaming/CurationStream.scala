@@ -51,7 +51,9 @@ import graft.streaming.CurationStream.SemanticTier
   * handoff), `sig_pass` (tier-2→3 handoff, only when semantic) and
   * `curated` (the final output — tier 2's when no semantic tier). All
   * epoch-partitioned — plus `weighted` (the curated epoch with per-doc
-  * DSIR weights appended) when a [[SelectionTier]] is configured.
+  * DSIR weights appended) when a [[SelectionTier]] is configured,
+  * `mix_seen`/`mixture`/`mix_admitted` when a [[MixtureTier]] is, and
+  * `admitted`/`quota_reject` when a [[QuotaTier]] is.
   */
 object CurationStream {
 
@@ -87,6 +89,19 @@ object CurationStream {
     */
   final case class SelectionTier(ratioTable: String, buckets: Int = 256)
 
+  /** Mixture tier config (optional, runs after selection, before
+    * quota): [[MixtureGate]] materializes the α = 0.5 temperature
+    * mixture across triggers — per-source counters in `store`/`table`
+    * (an additive chain), rates √(n_min/n_s) recomputed every trigger.
+    * Emits `<root>/mixture` (the FULL refreshed exact sample — the
+    * prefix-contract matview) and `<root>/mix_admitted` (this batch's
+    * admissions, decided once at arrival), which is what the quota
+    * tier consumes when both are configured — budgets charge per
+    * document exactly once.
+    */
+  final case class MixtureTier(
+      store: SnapshotStore, table: String, sourceCol: String)
+
   /** Quota tier config (optional, runs VERY LAST — after curation and
     * weighting, because only docs the recipe actually ships may burn
     * budget): [[QuotaGate]] enforces per-source token budgets across
@@ -110,6 +125,7 @@ object CurationStream {
       enrich: DataFrame => DataFrame = identity,
       lineDedup: Option[LineDedupTier] = None,
       selection: Option[SelectionTier] = None,
+      mixture: Option[MixtureTier] = None,
       quota: Option[QuotaTier] = None): Unit = {
     // a committed epoch can hold ZERO parquet part files (an empty
     // replayed micro-batch arrives with zero partitions, and the epoch
@@ -162,12 +178,31 @@ object CurationStream {
           s"$root/weighted", batchId)
       }
     }
+    // shared empty-epoch fallback for the post-curation tiers: the
+    // weighted epoch's schema carries the selection tier's two derived
+    // columns, and a schema-inconsistent fallback would poison the
+    // mixture gate's whole-root refresh read
+    def postFallback: DataFrame =
+      if (selection.isDefined)
+        qualityPass.withColumn("n_features", lit(0L))
+          .withColumn("dsir_score", lit(1.0d))
+      else qualityPass
+    mixture.foreach { mt =>
+      val upDir = if (selection.isDefined) s"$root/weighted" else s"$root/curated"
+      MixtureGate.applyBatch(mt.store, mt.table,
+        epochOrEmpty(upDir, postFallback), batchId, idCol, mt.sourceCol,
+        s"$root/mix_seen", s"$root/mixture", s"$root/mix_admitted")
+    }
     quota.foreach { qt =>
       // very last: only docs the recipe SHIPS may burn budget, so the
-      // gate reads the final upstream epoch (weighted when a selection
-      // tier ran, curated otherwise)
-      val upDir = if (selection.isDefined) s"$root/weighted" else s"$root/curated"
-      val shipped = epochOrEmpty(upDir, qualityPass)
+      // gate reads the final upstream epoch (the mixture tier's
+      // once-per-doc admissions when configured, else weighted when a
+      // selection tier ran, else curated)
+      val upDir =
+        if (mixture.isDefined) s"$root/mix_admitted"
+        else if (selection.isDefined) s"$root/weighted"
+        else s"$root/curated"
+      val shipped = epochOrEmpty(upDir, postFallback)
         .withColumn("n_tokens", org.apache.spark.sql.functions.size(
           graft.ops.TextAnalysis.tokens(col(textCol))).cast("long"))
       QuotaGate.applyBatch(qt.store, qt.table, shipped, batchId, idCol,
@@ -190,6 +225,7 @@ object CurationStream {
       shufflePartitions: Option[Int] = Some(8),
       lineDedup: Option[LineDedupTier] = None,
       selection: Option[SelectionTier] = None,
+      mixture: Option[MixtureTier] = None,
       quota: Option[QuotaTier] = None): StreamingQuery = {
     val spark = docs.sparkSession
     val release = ConfPins.acquireGatePins(spark, shufflePartitions,
@@ -202,7 +238,7 @@ object CurationStream {
         .foreachBatch { (b: DataFrame, id: Long) =>
           applyBatch(b.sparkSession, b, id, constraints, table, idCol,
             textCol, root, threshold, semantic, enrich, lineDedup,
-            selection, quota); ()
+            selection, mixture, quota); ()
         }
         .start()
       catch { case e: Throwable => release(); throw e }

@@ -90,6 +90,21 @@ object EpochCommit {
     }
   }
 
+  /** Does ANY committed epoch under `root` contain data files? Guards
+    * whole-root reads (a refresh pass re-reading every epoch) against
+    * the zero-part-file wedge: a root whose epochs are all empty would
+    * die in schema inference.
+    */
+  def anyEpochData(spark: SparkSession, root: String): Boolean = {
+    val (fs, rootP) = fsFor(spark, root)
+    fs.exists(rootP) && fs.listStatus(rootP).exists { d =>
+      d.isDirectory && d.getPath.getName.startsWith("epoch=") &&
+        fs.listStatus(d.getPath).exists { st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet")
+        }
+    }
+  }
+
   /** Read a fast-path epoch marker (highest fully-landed batch id).
     * Markers are an optimization only — correctness never depends on
     * them; a lost marker just means the epoch dirs get re-checked.

@@ -267,6 +267,59 @@ class CurationStreamSpec extends SparkSpec {
     assert(store.currentVersion("CQ") == v)
   }
 
+  test("mixture tier: exact temperature sample over the curated prefix; quota charges each admit once") {
+    val dir = Files.createTempDirectory("graft-curation-mix").toString
+    val mixStore = new SnapshotStore(spark, s"$dir/mixstore")
+    val quotaStore = new SnapshotStore(spark, s"$dir/quotastore")
+    DedupIndex.build(Seq((1L, doc("the quick brown fox ")))
+      .toDF("doc_id", "text"), "curationmix_idx", "doc_id", "text")
+    // pairwise-disjoint vocabularies (15 tokens each): every doc passes
+    // quality AND the signature tier, so the mixture sees them all
+    def mkDoc(i: Long, src: String) =
+      (i, src, (1 to 15).map(j => s"w${i}_$j").mkString(" "))
+    val mt = Some(CurationStream.MixtureTier(mixStore, "CM", "source"))
+    // non-binding budget: isolates the charge accounting from the cut
+    val qt = Some(CurationStream.QuotaTier(quotaStore, "CMQ", "source",
+      Seq(("a", 100000L), ("b", 100000L)).toDF("source", "budget")))
+    val b0 = ((1L to 6L).map(mkDoc(_, "a")) :+ mkDoc(100L, "b"))
+      .toDF("doc_id", "source", "text")
+    val b1 = (101L to 104L).map(mkDoc(_, "b")).toDF("doc_id", "source", "text")
+    Seq(b0, b1).zipWithIndex.foreach { case (b, k) =>
+      CurationStream.applyBatch(spark, b, k.toLong, constraints,
+        "curationmix_idx", "doc_id", "text", s"$dir/cur",
+        mixture = mt, quota = qt)
+      // the mixture epoch IS the batch temperatureSample over the
+      // curated prefix (epochs 0..k), row-for-row
+      val prefix = spark.read.parquet(s"$dir/cur/curated").drop("epoch")
+      val want = graft.ops.Stats.temperatureSample(prefix, "source", "doc_id")
+        .select("doc_id").as[Long].collect().toSet
+      val got = spark.read.parquet(s"$dir/cur/mixture/epoch=$k")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == want, s"mixture epoch $k drifted from the batch sample")
+    }
+    // b catching up (1 → 5 docs vs a's 6) raises a's rate: the refreshed
+    // sample may re-admit a trigger-0 a-doc at epoch 1, but the QUOTA is
+    // charged per doc exactly once, at its arrival trigger — consumed
+    // equals 15 tokens × the UNION of the admit epochs, not the sum of
+    // the refreshed samples
+    val admits = (0 to 1).map(k =>
+      spark.read.parquet(s"$dir/cur/mix_admitted/epoch=$k")
+        .select("doc_id").as[Long].collect().toSet)
+    assert(admits(0).size + admits(1).size == (admits(0) ++ admits(1)).size,
+      "admit epochs must be disjoint")
+    val consumed = QuotaGate.consumed(spark, quotaStore, "CMQ")
+      .as[(String, Long)].collect().map(_._2).sum
+    assert(consumed == 15L * (admits(0) ++ admits(1)).size,
+      s"quota must charge each admitted doc exactly once: $consumed")
+    // full-ladder replay: every tier no-ops (state versions pinned)
+    val (vm, vq) = (mixStore.currentVersion("CM"), quotaStore.currentVersion("CMQ"))
+    CurationStream.applyBatch(spark, b1, 1L, constraints,
+      "curationmix_idx", "doc_id", "text", s"$dir/cur",
+      mixture = mt, quota = qt)
+    assert(mixStore.currentVersion("CM") == vm &&
+      quotaStore.currentVersion("CMQ") == vq)
+  }
+
   test("semantic tier: an embedding near-dup passes tiers 1-2 and is blocked at tier 3") {
     val dir = Files.createTempDirectory("graft-curation-sem").toString
     DedupIndex.build(Seq((1L, doc("the quick brown fox ")))

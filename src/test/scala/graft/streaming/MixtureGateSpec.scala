@@ -1,0 +1,122 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** The streaming temperature-mixture gate: per-source counters in an
+  * additive chain, rates recomputed every trigger, and the PREFIX
+  * CONTRACT — the refreshed sample epoch after trigger k is row-for-row
+  * the batch temperatureSample over the stream's first k batches (the
+  * deterministic md5-Bernoulli hash makes this exact, not statistical).
+  */
+class MixtureGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "source")
+
+  private def ids(dir: String, e: Long): Set[Long] =
+    spark.read.parquet(s"$dir/epoch=$e").select("doc_id").as[Long]
+      .collect().toSet
+
+  // batches chosen so rates MOVE in both directions: b catching up to a
+  // RAISES a's rate (√(n_min/n_a) with n_min = n_b), then a brand-new
+  // tiny source drags n_min — and every rate — down
+  private val b0 = docs((1 to 9).map(i => (i.toLong, "a")) :+ (100L, "b"): _*)
+  private val b1 = docs((101 to 105).map(i => (i.toLong, "b")): _*)
+  private val b2 = docs((11 to 14).map(i => (i.toLong, "a")) :+ (200L, "c"): _*)
+
+  test("prefix contract: sample epoch k equals batch temperatureSample over the first k batches") {
+    val dir = Files.createTempDirectory("graft-mix").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    val batches = Seq(b0, b1, b2)
+    var prefix: DataFrame = null
+    batches.zipWithIndex.foreach { case (b, k) =>
+      MixtureGate.applyBatch(store, "M", b, k.toLong, "doc_id", "source",
+        s"$dir/seen", s"$dir/sample", s"$dir/admit")
+      prefix = if (prefix == null) b else prefix.unionByName(b)
+      val want = graft.ops.Stats.temperatureSample(prefix, "source", "doc_id")
+        .select("doc_id", "source").as[(Long, String)].collect().toSet
+      val got = spark.read.parquet(s"$dir/sample/epoch=$k")
+        .select("doc_id", "source").as[(Long, String)].collect().toSet
+      assert(got == want, s"sample epoch $k drifted from the batch mixture")
+      // the counters equal the prefix's per-source counts
+      assert(MixtureGate.counts(spark, store, "M")
+        .as[(String, Long)].collect().toMap ==
+        prefix.groupBy("source").count().as[(String, Long)].collect().toMap)
+    }
+    // non-monotonicity is REAL here: b catching up raises a's rate, so
+    // some a-doc absent from sample 0 must appear in sample 1 — the
+    // re-emit semantics are load-bearing, not defensive
+    val s0 = ids(s"$dir/sample", 0L)
+    val s1 = ids(s"$dir/sample", 1L)
+    val aIds = (1 to 9).map(_.toLong).toSet
+    assert(((s1 -- s0) & aIds).nonEmpty,
+      "expected a previously-excluded a-doc to enter the sample as a's rate rose")
+  }
+
+  test("admit epochs decide each arriving doc once, under that trigger's rates") {
+    val dir = Files.createTempDirectory("graft-mix-admit").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, k) =>
+      MixtureGate.applyBatch(store, "MA", b, k.toLong, "doc_id", "source",
+        s"$dir/seen", s"$dir/sample", s"$dir/admit")
+      val batchIds = b.select("doc_id").as[Long].collect().toSet
+      // admitted ⊆ this batch, and = the refreshed sample's slice of
+      // this batch (both sides computed under the same trigger-k rates)
+      assert(ids(s"$dir/admit", k.toLong) ==
+        (ids(s"$dir/sample", k.toLong) & batchIds))
+    }
+    // a doc admitted at arrival is never re-presented downstream: the
+    // admit epochs are disjoint (each doc arrives in exactly one batch)
+    val all = (0 to 2).map(k => ids(s"$dir/admit", k.toLong))
+    assert(all.map(_.size).sum == all.reduce(_ ++ _).size)
+  }
+
+  test("crash between epochs and state commit replays to identical epochs, then lands state") {
+    val dir = Files.createTempDirectory("graft-mix-crash").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    MixtureGate.applyBatch(store, "MC", b0, 0L, "doc_id", "source",
+      s"$dir/seen", s"$dir/sample", s"$dir/admit")
+    val sample0 = ids(s"$dir/sample", 0L)
+    // crash window: every epoch landed, the count delta did not — a
+    // fresh store replays the trigger against empty state
+    val store2 = new SnapshotStore(spark, s"$dir/store2")
+    MixtureGate.applyBatch(store2, "MC", b0, 0L, "doc_id", "source",
+      s"$dir/seen", s"$dir/sample", s"$dir/admit")
+    assert(ids(s"$dir/sample", 0L) == sample0,
+      "replay must not rewrite a published sample epoch")
+    assert(MixtureGate.counts(spark, store2, "MC")
+      .as[(String, Long)].collect().toMap == Map("a" -> 9L, "b" -> 1L),
+      "the replay must land the missing count delta")
+    // full replay of a landed trigger: no state growth
+    val v = store2.currentVersion("MC")
+    MixtureGate.applyBatch(store2, "MC", b0, 0L, "doc_id", "source",
+      s"$dir/seen", s"$dir/sample", s"$dir/admit")
+    assert(store2.currentVersion("MC") == v)
+  }
+
+  test("streaming start maintains the mixture over a live stream") {
+    val dir = Files.createTempDirectory("graft-mix-stream").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = MixtureGate.start(mem.toDF().toDF("doc_id", "source"),
+      store, "MS", "doc_id", "source", root = dir,
+      checkpoint = s"$dir/ckpt", trigger = Trigger.ProcessingTime("0 seconds"))
+    try {
+      mem.addData(b0.as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b1.as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+      val want = graft.ops.Stats
+        .temperatureSample(b0.unionByName(b1), "source", "doc_id")
+        .select("doc_id", "source").as[(Long, String)].collect().toSet
+      val got = spark.read.parquet(s"$dir/sample/epoch=1")
+        .select("doc_id", "source").as[(Long, String)].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+}
