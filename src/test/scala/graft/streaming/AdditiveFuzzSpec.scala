@@ -1,0 +1,311 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import java.nio.file.Files
+
+/** Additive-chain fuzzer — the [[StoreFuzzSpec]] treatment for the
+  * ADDITIVE kind and the gates built on it. The round-11 fuzzer found
+  * a real seam (compact→vacuum killing the delta layout) on run one;
+  * this suite generates seeded-random op sequences interleaving
+  *
+  *  - [[QuotaGate.applyBatch]] batches (fresh, whole-batch replays,
+  *    and torn-window replays against a pre-batch clone — the
+  *    "epochs published, counts never landed" crash, with a vacuum
+  *    dropped INSIDE the window),
+  *  - [[LineDedupGate.applyBatch]] batches and replays,
+  *  - raw chain maintenance: vacuum / cloneAt / additiveSnapshotAt /
+  *    versionAsOf / additiveSnapshotForKeys (manual compact refuses
+  *    additive chains by design — the fold happens automatically every
+  *    compactEvery = 3 commits, so replays and pruned reads cross fold
+  *    boundaries throughout the sequences),
+  *
+  * and checks EVERY step against a driver-side model of consumed
+  * quotas, line counts, per-version count states and epoch contents.
+  * The invariants: gate state equals the model after every op; a
+  * replay (any window) never double-charges and never rewrites a
+  * published epoch; forKeys pruning is invisible to results; clones
+  * and time travel resolve to the model's recorded version states.
+  */
+class AdditiveFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val qSchema = StructType(Seq(
+    StructField("source", StringType), StructField("state_cnt", LongType)))
+  private val lSchema = StructType(Seq(
+    StructField("line", StringType), StructField("state_cnt", LongType)))
+
+  private val budgets =
+    Seq(("a", 60L), ("b", 40L), ("c", 50L)).toDF("source", "budget")
+  private val budgetMap = Map("a" -> 60L, "b" -> 40L, "c" -> 50L)
+
+  private case class QDoc(id: Long, source: String, tokens: Long)
+  private case class QBatch(batchId: Long, docs: Seq[QDoc],
+    keep: Set[Long], reject: Set[Long], preCounts: Map[String, Long],
+    preVersion: Int)
+  private case class LDoc(id: Long, lines: Seq[String])
+  private case class LBatch(batchId: Long, docs: Seq[LDoc],
+    clean: Map[Long, (Long, Long, String)])
+
+  /** The gate's admit rule, sequentially: per source in doc-id order,
+    * a doc keeps iff used + (batch tokens BEFORE it, kept or not) +
+    * its own tokens fits the budget; only kept tokens consume.
+    */
+  private def modelQuota(used: Map[String, Long], docs: Seq[QDoc])
+      : (Map[String, Long], Set[Long], Set[Long]) = {
+    var consumed = used
+    var keep = Set.empty[Long]
+    var reject = Set.empty[Long]
+    docs.groupBy(_.source).foreach { case (src, ds) =>
+      var before = 0L
+      ds.sortBy(_.id).foreach { d =>
+        budgetMap.get(src) match {
+          case Some(b) if used.getOrElse(src, 0L) + before + d.tokens <= b =>
+            keep += d.id
+            consumed = consumed.updated(src, consumed.getOrElse(src, 0L) + d.tokens)
+          case _ => reject += d.id
+        }
+        before += d.tokens
+      }
+    }
+    (consumed, keep, reject)
+  }
+
+  /** The line gate's rewrite rule: a line drops when its corpus count
+    * (state ⊕ this batch's distinct-doc count) reaches minDocs = 2.
+    */
+  private def modelLines(counts: Map[String, Long], docs: Seq[LDoc])
+      : (Map[String, Long], Map[Long, (Long, Long, String)]) = {
+    val batchCnt = docs.flatMap(d => d.lines.distinct.map(_ -> d.id))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    val dups = batchCnt.keySet
+      .filter(l => counts.getOrElse(l, 0L) + batchCnt(l) >= 2L)
+    val clean = docs.map { d =>
+      val kept = d.lines.filterNot(dups.contains)
+      d.id -> ((d.lines.size.toLong, (d.lines.size - kept.size).toLong,
+        kept.mkString("\n")))
+    }.toMap
+    val merged = batchCnt.foldLeft(counts) { case (m, (l, c)) =>
+      m.updated(l, m.getOrElse(l, 0L) + c)
+    }
+    (merged, clean)
+  }
+
+  private def qDf(docs: Seq[QDoc]): DataFrame =
+    docs.map(d => (d.id, d.source, d.tokens)).toDF("doc_id", "source", "n_tokens")
+
+  private def lDf(docs: Seq[LDoc]): DataFrame =
+    docs.map(d => (d.id, d.lines.mkString("\n"))).toDF("doc_id", "text")
+
+  private def epochIds(dir: String, e: Long): Set[Long] =
+    spark.read.parquet(s"$dir/epoch=$e").select("doc_id").as[Long]
+      .collect().toSet
+
+  private def runSequence(seqIdx: Int, seed: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val dir = Files.createTempDirectory(s"graft-afuzz-$seqIdx").toString
+    val store = new SnapshotStore(spark, s"$dir/store", compactEvery = 3)
+    var now = 10000L
+    store.clock = () => now
+
+    // ---- model state -------------------------------------------------
+    var qUsed = Map.empty[String, Long]
+    var lCounts = Map.empty[String, Long]
+    val qBatches = scala.collection.mutable.ArrayBuffer.empty[QBatch]
+    val lBatches = scala.collection.mutable.ArrayBuffer.empty[LBatch]
+    // Q-chain counts + commit instant per store version (fill-forward
+    // across versions the gate didn't create, e.g. compactions)
+    val qAtV = scala.collection.mutable.ArrayBuffer[Map[String, Long]](Map.empty)
+    val qTs = scala.collection.mutable.ArrayBuffer[Long](0L)
+    def recordQVersions(): Unit = {
+      while (qAtV.length <= store.currentVersion("Q")) { qAtV += qUsed; qTs += now }
+    }
+    var idCtr = 0L
+    def freshId(): Long = { idCtr += 1; idCtr }
+    var qEpoch = -1L
+    var lEpoch = -1L
+    var cloneCtr = 0
+    val linePool = (1 to 6).map(i => s"banner $i")
+
+    def assertCounts(what: String): Unit = {
+      assert(QuotaGate.consumed(spark, store, "Q")
+        .as[(String, Long)].collect().toMap == qUsed.filter(_._2 != 0L),
+        s"$what: consumed drifted (seed $seed)")
+      assert(LineDedupGate.lineCounts(spark, store, "L")
+        .as[(String, Long)].collect().toMap == lCounts.filter(_._2 != 0L),
+        s"$what: line counts drifted (seed $seed)")
+    }
+
+    def applyQ(b: QBatch): Unit =
+      QuotaGate.applyBatch(store, "Q", qDf(b.docs), b.batchId, "doc_id",
+        "source", "n_tokens", budgets, s"$dir/qkeep", s"$dir/qreject")
+
+    def applyL(b: LBatch): Unit =
+      LineDedupGate.applyBatch(store, "L", lDf(b.docs), b.batchId,
+        "doc_id", "text", s"$dir/lout")
+
+    def doQBatch(): Unit = {
+      val docs = (0 until 2 + rnd.nextInt(4)).map { _ =>
+        val src = Seq("a", "b", "c", "a", "b", "z")(rnd.nextInt(6))
+        QDoc(freshId(), src, 1L + rnd.nextInt(12))
+      }
+      qEpoch += 1
+      val pre = (qUsed, store.currentVersion("Q"))
+      val (nu, keep, reject) = modelQuota(qUsed, docs)
+      val b = QBatch(qEpoch, docs, keep, reject, pre._1, pre._2)
+      applyQ(b)
+      qUsed = nu
+      qBatches += b
+      recordQVersions()
+      assert(epochIds(s"$dir/qkeep", b.batchId) == keep,
+        s"quota keep epoch ${b.batchId} drifted (seed $seed)")
+      assert(epochIds(s"$dir/qreject", b.batchId) == reject,
+        s"quota reject epoch ${b.batchId} drifted (seed $seed)")
+    }
+
+    def doLBatch(): Unit = {
+      val docs = (0 until 1 + rnd.nextInt(3)).map { _ =>
+        val lines = (0 until 1 + rnd.nextInt(4)).map { _ =>
+          if (rnd.nextInt(3) == 0) s"unique ${freshId()}"
+          else linePool(rnd.nextInt(linePool.size))
+        }
+        LDoc(freshId(), lines)
+      }
+      lEpoch += 1
+      val (nc, clean) = modelLines(lCounts, docs)
+      val b = LBatch(lEpoch, docs, clean)
+      applyL(b)
+      lCounts = nc
+      lBatches += b
+      val got = spark.read.parquet(s"$dir/lout/epoch=${b.batchId}")
+        .select("doc_id", "n_lines", "n_dropped", "text")
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == clean, s"line epoch ${b.batchId} drifted (seed $seed)")
+    }
+
+    def doReplay(): Unit = {
+      // whole-batch replay of a random landed trigger: versions pinned,
+      // state unchanged — ALSO exercised right after compaction, which
+      // must carry the batch-id meta forward or this double-charges
+      val v = store.currentVersion("Q")
+      val lv = store.currentVersion("L")
+      if (qBatches.nonEmpty) applyQ(qBatches(rnd.nextInt(qBatches.size)))
+      if (lBatches.nonEmpty) applyL(lBatches(rnd.nextInt(lBatches.size)))
+      assert(store.currentVersion("Q") == v && store.currentVersion("L") == lv,
+        s"replay grew a chain (seed $seed)")
+    }
+
+    def doVacuum(): Unit = {
+      store.vacuum("Q"); store.vacuum("L"); ()
+    }
+
+    def doForKeys(): Unit = {
+      // a random key subset incl. unseen keys: pruned read == model cut
+      val srcs = Seq("a", "b", "c", "z", "never").filter(_ => rnd.nextBoolean())
+      if (srcs.nonEmpty) {
+        val got = store.additiveSnapshotForKeys("Q", qSchema,
+            srcs.toDF("source"))
+          .as[(String, Long)].collect().toMap
+        assert(got == qUsed.filter { case (s, c) => srcs.contains(s) && c != 0L },
+          s"forKeys(Q) drifted (seed $seed)")
+      }
+      val ls = (linePool ++ Seq("never seen")).filter(_ => rnd.nextBoolean())
+      if (ls.nonEmpty) {
+        val got = store.additiveSnapshotForKeys("L", lSchema, ls.toDF("line"))
+          .as[(String, Long)].collect().toMap
+        assert(got == lCounts.filter { case (l, c) => ls.contains(l) && c != 0L },
+          s"forKeys(L) drifted (seed $seed)")
+      }
+    }
+
+    def doClone(): Unit = {
+      val cur = store.currentVersion("Q")
+      if (cur >= 1) {
+        val v = store.horizon("Q") + rnd.nextInt(cur - store.horizon("Q") + 1)
+        cloneCtr += 1
+        val got = { store.cloneAt("Q", v, s"QC$cloneCtr")
+          store.additiveSnapshot(s"QC$cloneCtr", qSchema)
+            .as[(String, Long)].collect().toMap }
+        assert(got == qAtV(v).filter(_._2 != 0L),
+          s"clone of Q@v$v drifted (seed $seed)")
+      }
+    }
+
+    def doTimeTravel(): Unit = {
+      val cur = store.currentVersion("Q")
+      val h = store.horizon("Q")
+      if (cur >= 1) {
+        val v = h + rnd.nextInt(cur - h + 1)
+        val ts = qTs(v) + 500L
+        val wantV = (1 to cur).filter(x => qTs(x) <= ts).max
+        assert(store.versionAsOf("Q", ts) == wantV,
+          s"versionAsOf(Q, $ts) drifted (seed $seed)")
+        assert(store.additiveSnapshotAt("Q", wantV, qSchema)
+          .as[(String, Long)].collect().toMap == qAtV(wantV).filter(_._2 != 0L),
+          s"additiveSnapshotAt(Q, v$wantV) drifted (seed $seed)")
+      }
+    }
+
+    def doTornWindow(): Unit = {
+      // the "epochs published, counts never landed" crash, injected by
+      // replaying a landed batch against a clone taken at its
+      // PRE-batch version — with a vacuum dropped inside the window
+      if (qBatches.nonEmpty) {
+        val b = qBatches(rnd.nextInt(qBatches.size))
+        if (b.preVersion == 0 || b.preVersion >= store.horizon("Q")) {
+          cloneCtr += 1
+          val torn = s"QT$cloneCtr"
+          // pre-version 0 = the batch was the chain's first commit: the
+          // torn chain is simply a fresh table
+          if (b.preVersion > 0) {
+            store.cloneAt("Q", b.preVersion, torn)
+            if (rnd.nextBoolean()) store.vacuum(torn)
+          }
+          QuotaGate.applyBatch(store, torn, qDf(b.docs), b.batchId, "doc_id",
+            "source", "n_tokens", budgets, s"$dir/qkeep", s"$dir/qreject")
+          // the replay must not rewrite the published epochs…
+          assert(epochIds(s"$dir/qkeep", b.batchId) == b.keep,
+            s"torn replay rewrote a published epoch (seed $seed)")
+          // …and must land exactly the batch's own delta on the torn
+          // chain (recomputed against the same pre-batch state)
+          val (want, _, _) = modelQuota(b.preCounts, b.docs)
+          assert(store.additiveSnapshot(torn, qSchema)
+            .as[(String, Long)].collect().toMap == want.filter(_._2 != 0L),
+            s"torn replay landed the wrong delta (seed $seed)")
+        }
+      }
+    }
+
+    val len = 6 + rnd.nextInt(4)
+    (0 until len).foreach { _ =>
+      now += 1000L
+      rnd.nextInt(12) match {
+        case 0 | 1 | 2 => doQBatch()
+        case 3 | 4 | 5 => doLBatch()
+        case 6         => doReplay()
+        case 7         => doTornWindow()
+        case 8         => doVacuum()
+        case 9         => doForKeys()
+        case 10        => doClone()
+        case _         => doTimeTravel()
+      }
+      assertCounts("after op")
+    }
+    // end of sequence: replay every landed batch once more (many land
+    // right after an auto-fold at compactEvery = 3 — the meta-carry
+    // seam), then the torn window and a final pruned read
+    now += 1000L
+    doReplay()
+    assertCounts("after final replay")
+    doTornWindow()
+    doForKeys()
+  }
+
+  test("50 seeded-random sequences over the additive chain and both gates match the model") {
+    val n = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(50)
+    (0 until n).foreach(i => runSequence(i, seed = 7000L + i))
+  }
+}
