@@ -695,6 +695,48 @@ object TextQueries extends QueryPack {
       |WHERE tokens_before + n_tokens <= 400 + (length(source) % 3) * 300
       |ORDER BY source, doc_id""".stripMargin
 
+  // ---- TB2: QUALITY-ordered budget cut ------------------------------------
+  // tb1 cuts in arrival order; a real corpus recipe cuts WORST-first so
+  // the binding budget keeps the best documents. Priority is a planted
+  // deterministic quality score (md5-prefix hash — both engines compute
+  // it identically); the prefix-sum scheme is order-agnostic, so this is
+  // composition, not new machinery: the same withGroupedPrefixSum under
+  // (score DESC, doc_id) instead of (doc_id).
+  private def tb2QualityBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(graft.ops.TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        pmod(graft.ops.Dedup.hash32(
+          concat(lit("q|"), col("doc_id").cast("string"))), lit(1000L)).as("score"))
+    val budgets = docs.select(col("source")).distinct()
+      .select(col("source"),
+        (lit(400L) + (length(col("source")) % 3).cast("long") * 300L).as("budget"))
+    graft.ops.Packing.tokenBudgetCut(docs, "source", "n_tokens",
+        Seq(col("score").desc, col("doc_id")), budgets)
+      .select(col("source"), col("doc_id"), col("score"), col("n_tokens"),
+        col("tokens_before"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  private val tb2Sql =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    ('0x' || substr(md5('q|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000 AS score
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, source, score, n_tokens,
+      |    CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY score DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS tokens_before
+      |  FROM t)
+      |SELECT source, doc_id, score, n_tokens, tokens_before
+      |FROM p
+      |WHERE tokens_before + n_tokens <= 400 + (length(source) % 3) * 300
+      |ORDER BY source, doc_id""".stripMargin
+
   // ---- CK1: context-window chunking --------------------------------------
   private def ck1Chunking(s: SparkSession, dir: String): DataFrame =
     graft.ops.Packing.chunkTokens(Tables.load(s, dir, "documents"),
@@ -839,5 +881,6 @@ object TextQueries extends QueryPack {
     Q("tx5_domain_stats", "URL domain/section extraction + per-domain rollup (planted URLs)", tx5DomainStats, Some(tx5Sql)),
     Q("vb2_vocab_coverage", "top-k vocabulary occurrence coverage (tokenizer design metric)", vb2VocabCoverage, Some(vb2Sql)),
     Q("lb1_length_buckets", "length-bucketed batching stats via distributed exact NTILE", lb1LengthBuckets, Some(lb1Sql)),
-    Q("tb1_token_budget_cut", "per-source token-budget corpus cut (Pile/Dolma construction) via the distributed grouped prefix sum — no single-task window", tb1TokenBudget, Some(tb1Sql)))
+    Q("tb1_token_budget_cut", "per-source token-budget corpus cut (Pile/Dolma construction) via the distributed grouped prefix sum — no single-task window", tb1TokenBudget, Some(tb1Sql)),
+    Q("tb2_quality_budget_cut", "quality-ordered token-budget cut: the binding budget keeps best-scored docs first (prefix sum under score DESC)", tb2QualityBudget, Some(tb2Sql)))
 }

@@ -108,11 +108,15 @@ object CurationStream {
     * triggers (consumed-token state in `store`/`table`, an additive
     * chain). Admitted docs land under `<root>/admitted` with an
     * `n_tokens` column appended; over-budget / unbudgeted docs land
-    * under `<root>/quota_reject` tagged with the reason.
+    * under `<root>/quota_reject` tagged with the reason. `scoreCol`
+    * (e.g. the selection tier's `dsir_score`, which runs upstream)
+    * orders the in-batch cut BEST-first, so a binding budget keeps the
+    * highest-weight documents and rejects the tail instead of cutting
+    * by arrival order.
     */
   final case class QuotaTier(
       store: SnapshotStore, table: String, sourceCol: String,
-      budgets: DataFrame)
+      budgets: DataFrame, scoreCol: Option[String] = None)
 
   /** One micro-batch through the whole ladder (idempotent per
     * `batchId`). `table` is the tier-2 [[graft.sources.DedupIndex]].
@@ -207,7 +211,8 @@ object CurationStream {
           graft.ops.TextAnalysis.tokens(col(textCol))).cast("long"))
       QuotaGate.applyBatch(qt.store, qt.table, shipped, batchId, idCol,
         qt.sourceCol, "n_tokens", qt.budgets,
-        s"$root/admitted", s"$root/quota_reject")
+        s"$root/admitted", s"$root/quota_reject",
+        order = qt.scoreCol.map(c => col(c).desc).toSeq)
     }
   }
 

@@ -57,11 +57,19 @@ object QuotaGate {
     * from it are REJECTED as QUOTA_UNBUDGETED (an unbudgeted source in
     * a budgeted corpus recipe is a configuration hole, surfaced per
     * doc, never silently admitted).
+    *
+    * `order` sets the in-batch priority (a real corpus recipe cuts
+    * WORST-first so a binding budget keeps the best documents — e.g.
+    * `dsir_score` descending from an upstream selection tier); `idCol`
+    * ascending is always appended as the tie-break so the order stays
+    * total and replays decide identically. Empty = arrival (id) order,
+    * the plain Pile/Dolma construction.
     */
   def applyBatch(
       store: SnapshotStore, table: String, batch: DataFrame, batchId: Long,
       idCol: String, sourceCol: String, nTokensCol: String,
-      budgets: DataFrame, outDir: String, rejectDir: String): Unit = {
+      budgets: DataFrame, outDir: String, rejectDir: String,
+      order: Seq[org.apache.spark.sql.Column] = Nil): Unit = {
     val spark = batch.sparkSession
     val epochDone = EpochCommit.epochExists(spark, outDir, batchId) &&
       EpochCommit.epochExists(spark, rejectDir, batchId)
@@ -73,7 +81,7 @@ object QuotaGate {
     // then one broadcast join against state-consumed + budgets
     val prefixed = graft.ops.Ranking.withGroupedPrefixSum(
         batch, sourceCol, col(nTokensCol).cast("long"), "__before",
-        Seq(col(idCol)))
+        order :+ col(idCol))
       .join(broadcast(store.additiveSnapshotForKeys(table, stateSchema,
           batch.select(col(sourceCol).as("source")).distinct())
         .withColumnRenamed("source", sourceCol)
@@ -123,7 +131,8 @@ object QuotaGate {
       budgets: DataFrame, outDir: String, rejectDir: String,
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
-      shufflePartitions: Option[Int] = Some(8)): StreamingQuery = {
+      shufflePartitions: Option[Int] = Some(8),
+      order: Seq[org.apache.spark.sql.Column] = Nil): StreamingQuery = {
     val spark = docs.sparkSession
     val release = ConfPins.acquireGatePins(spark, shufflePartitions,
       java.util.UUID.randomUUID())
@@ -134,7 +143,7 @@ object QuotaGate {
         .trigger(trigger)
         .foreachBatch { (b: DataFrame, id: Long) =>
           applyBatch(store, table, b, id, idCol, sourceCol, nTokensCol,
-            budgets, outDir, rejectDir); ()
+            budgets, outDir, rejectDir, order); ()
         }
         .start()
       catch { case e: Throwable => release(); throw e }

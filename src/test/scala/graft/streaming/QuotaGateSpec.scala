@@ -61,6 +61,28 @@ class QuotaGateSpec extends SparkSpec {
     assert(epoch(out, 1L).keySet == Set(10L))
   }
 
+  test("quality-ordered cut: a binding budget admits the best-scored docs and rejects the tail") {
+    val dir = Files.createTempDirectory("graft-quota-ord").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    // source a, budget 20, three 10-token docs: arrival order would
+    // keep docs 1 and 2; score order (9, 7, 5) must keep 2 and 3
+    val b0 = Seq((1L, "a", 10L, 5L), (2L, "a", 10L, 9L), (3L, "a", 10L, 7L))
+      .toDF("doc_id", "source", "n_tokens", "score")
+    val order = Seq(org.apache.spark.sql.functions.col("score").desc)
+    QuotaGate.applyBatch(store, "QO", b0, 0L, "doc_id", "source", "n_tokens",
+      budgets, s"$dir/keep", s"$dir/reject", order)
+    assert(epoch(s"$dir/keep", 0L).keySet == Set(2L, 3L),
+      "the binding budget must keep the HIGHEST-scored docs")
+    assert(epoch(s"$dir/reject", 0L).keySet == Set(1L))
+    // the priority order is part of the replay contract: a replayed
+    // trigger decides identically (same order, same epochs, no growth)
+    val v = store.currentVersion("QO")
+    QuotaGate.applyBatch(store, "QO", b0, 0L, "doc_id", "source", "n_tokens",
+      budgets, s"$dir/keep", s"$dir/reject", order)
+    assert(store.currentVersion("QO") == v)
+    assert(epoch(s"$dir/keep", 0L).keySet == Set(2L, 3L))
+  }
+
   test("crash between epoch publish and state commit replays to the same epochs, then lands state") {
     val dir = Files.createTempDirectory("graft-quota-crash").toString
     val store = new SnapshotStore(spark, s"$dir/store")
