@@ -418,11 +418,19 @@ object StreamBench {
     // the gate-state scaling fixture: with the batch-pruned threshold
     // read, docs/s must stay flat as the accumulated state grows
     // (LineGateProfile's `state` mode measures exactly this)
-    if (seedLines > 0L)
+    if (seedLines > 0L) {
       store.commitAdditive("graft_bench_linegate",
         spark.range(seedLines).select(
           concat(lit("seed_"), col("id")).as("line"),
-          lit(1L).as("state_cnt")))
+          lit(1L).as("state_cnt")),
+        bucketBy = Some(("line", graft.streaming.LineDedupGate.LineBuckets)))
+      // fold the seed into the bucketed multi-file base: a production
+      // state of this size accumulated over thousands of folded
+      // triggers, never as one giant single-file delta — without the
+      // fold the probe times a one-task 20M-row decode per trigger
+      // (measured 3.4× slower) instead of the layout the gate runs on
+      store.compactAdditive("graft_bench_linegate")
+    }
     val mem = MemoryStream[Long](spark)(spark.sqlContext.implicits.newLongEncoder)
     val docs = mem.toDF().select(col("value").as("doc_id"))
       .withColumn("text", org.apache.spark.sql.functions.expr(

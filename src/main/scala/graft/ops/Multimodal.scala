@@ -360,6 +360,25 @@ object Multimodal {
   def wavGatedSample(id: Long, i: Int, frameSize: Int = 160): Int =
     if ((id + i / frameSize) % 3 == 0) 0 else wavSample(id, i)
 
+  /** [[wavSample]] keyed by a PAIR group (g = doc_id / 2) with one
+    * per-parity perturbed frame — plants near-identical segments across
+    * clip PAIRS for the segment near-dup composition (mm9): docs 2k and
+    * 2k+1 share the gating pattern ((g + f) % 5 == 0 mutes frame f) and
+    * every frame's content EXCEPT one frame each (frame 2 for even ids,
+    * frame 5 for odd — when that frame isn't muted for the group), so
+    * their matching segments sit at high-but-inexact Jaccard, while
+    * cross-pair frame content never coincides. Smallest planted overlap:
+    * a perturbed frame inside a 3-frame island ⇒ Jaccard 2/4 = 0.5.
+    */
+  def wavPairSample(id: Long, i: Int, frameSize: Int = 160): Int = {
+    val g = id / 2
+    val f = i / frameSize
+    if ((g + f) % 5 == 0) 0
+    else if (f == (id % 2) * 3 + 2)
+      (((id * 13 + i.toLong * 11) % 2001) - 1000).toInt
+    else (((g * 31 + i.toLong * i * 7) % 2001) - 1000).toInt
+  }
+
   /** Deterministic WAV per doc: `nSamples` of 16-bit mono PCM at 8 kHz,
     * sample i = `sampleFn`(doc_id, i) (default [[wavSample]]), encoded
     * as a REAL RIFF/WAVE file via `javax.sound.sampled.AudioSystem` —
@@ -486,6 +505,53 @@ object Multimodal {
         .cast("long"))
       .select(col("doc_id"), col("seg_idx"), col("start_frame"),
         col("end_frame"), col("n_frames"), col("energy"))
+  }
+
+  /** Segment-level audio near-dup pairs — the dedup-ladder treatment
+    * ([[graft.ops.Dedup]]'s inverted-index blocking, dd4's shape)
+    * applied to [[energySegments]]' output: each segment becomes the
+    * SET of its frames' content fingerprints (energy:peak — position-
+    * independent, so a re-cut clip still matches), candidate pairs
+    * block on a shared fingerprint, and survivors verify by exact
+    * Jaccard ≥ `minJaccard6`/10⁶ over the two sets. Cross-doc only
+    * (`doc_id1 < doc_id2`).
+    *
+    * Scale: the explode is segment-bounded; the candidate join is an
+    * inverted-index self-join on the fingerprint (never all-pairs —
+    * only segments SHARING a frame meet), and set sizes join back as
+    * plain equi-joins (no broadcast hint: the sizes table is
+    * O(segments) — data-sized — so AQE must be free to shuffle it; at
+    * low cardinality it broadcasts on its own). The whole thing is the
+    * n-gram Jaccard plan with frames for shingles. Output: (doc_id1,
+    * seg_idx1, doc_id2, seg_idx2, n_inter, jaccard6).
+    */
+  def segmentNearDupPairs(frames: DataFrame, segs: DataFrame,
+      minJaccard6: Long): DataFrame = {
+    val tok = frames.select(col("doc_id"), col("frame_idx"),
+        concat_ws(":", col("energy"), col("peak")).as("tok"))
+      .join(segs.select(col("doc_id"), col("seg_idx"),
+        col("start_frame"), col("end_frame")), Seq("doc_id"))
+      .filter(col("frame_idx").between(col("start_frame"), col("end_frame")))
+      .select(col("doc_id"), col("seg_idx"), col("tok"))
+      .distinct()
+    val sizes = tok.groupBy(col("doc_id"), col("seg_idx"))
+      .agg(count(lit(1)).as("n_tok"))
+    val x = tok.toDF("doc_id1", "seg_idx1", "tok")
+    val y = tok.toDF("doc_id2", "seg_idx2", "tok")
+    x.join(y, Seq("tok"))
+      .filter(col("doc_id1") < col("doc_id2"))
+      .groupBy(col("doc_id1"), col("seg_idx1"), col("doc_id2"), col("seg_idx2"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.toDF("doc_id1", "seg_idx1", "n1"),
+        Seq("doc_id1", "seg_idx1"))
+      .join(sizes.toDF("doc_id2", "seg_idx2", "n2"),
+        Seq("doc_id2", "seg_idx2"))
+      .withColumn("jaccard6",
+        floor(col("n_inter").cast("double") * 1000000.0
+          / (col("n1") + col("n2") - col("n_inter")) + 0.5).cast("long"))
+      .filter(col("jaccard6") >= minJaccard6)
+      .select(col("doc_id1"), col("seg_idx1"), col("doc_id2"),
+        col("seg_idx2"), col("n_inter"), col("jaccard6"))
   }
 
   /** 64-bit perceptual difference hash (dHash) over the REAL decoded

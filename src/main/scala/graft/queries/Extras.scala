@@ -223,6 +223,68 @@ object Extras extends QueryPack {
       |  start_frame, end_frame, n_frames, energy
       |FROM a ORDER BY doc_id, seg_idx""".stripMargin
 
+  // ---- MM9: segment-level audio near-dup ----------------------------------
+  // mm8's VAD segments get the dedup-ladder treatment: each segment is
+  // the SET of its frames' content fingerprints, candidates block on a
+  // shared fingerprint (inverted-index, dd4's shape), survivors verify
+  // by exact Jaccard. wavPairSample plants near-identical clips in
+  // pairs (docs 2k/2k+1 share all frame content except one perturbed
+  // frame each), so the oracle predicts every sample — and therefore
+  // every fingerprint and every pair — analytically.
+  private def mm9SegmentNearDup(s: SparkSession, dir: String): DataFrame = {
+    val frames = Multimodal.wavFrameFeatures(
+      Multimodal.wavTable(Tables.load(s, dir, "documents"), nSamples = 1600,
+        sampleFn = (id, i) => Multimodal.wavPairSample(id, i)))
+    val segs = Multimodal.energySegments(frames, threshold = 0L, minFrames = 2)
+    Multimodal.segmentNearDupPairs(frames, segs, minJaccard6 = 500000L)
+      .orderBy(col("doc_id1"), col("seg_idx1"), col("doc_id2"), col("seg_idx2"))
+  }
+
+  private val mm9Sql =
+    """WITH s AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN ((doc_id // 2) + (i // 160)) % 5 = 0 THEN 0
+      |         WHEN i // 160 = (doc_id % 2) * 3 + 2
+      |           THEN ((doc_id * 13 + i * 11) % 2001) - 1000
+      |         ELSE (((doc_id // 2) * 31 + i * i * 7) % 2001) - 1000 END AS v
+      |  FROM documents, (SELECT range AS i FROM range(0, 1600))),
+      |f AS (SELECT doc_id, i // 160 AS frame_idx,
+      |        CAST(SUM(v * v) AS BIGINT) AS energy,
+      |        CAST(MAX(ABS(v)) AS BIGINT) AS peak
+      |      FROM s GROUP BY doc_id, frame_idx),
+      |m AS (SELECT doc_id, frame_idx, energy, peak, energy > 0 AS act,
+      |        CASE WHEN energy > 0 AND NOT coalesce(
+      |          lag(energy > 0) OVER (PARTITION BY doc_id ORDER BY frame_idx),
+      |          FALSE) THEN 1 ELSE 0 END AS newseg
+      |      FROM f),
+      |g AS (SELECT doc_id, frame_idx, energy, peak,
+      |        SUM(newseg) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS seg
+      |      FROM m WHERE act),
+      |a AS (SELECT doc_id, seg, MIN(frame_idx) AS start_frame, COUNT(*) AS nf
+      |      FROM g GROUP BY doc_id, seg HAVING COUNT(*) >= 2),
+      |sgs AS (SELECT doc_id, seg,
+      |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)
+      |          AS BIGINT) AS seg_idx
+      |      FROM a),
+      |tok AS (SELECT DISTINCT g.doc_id, sgs.seg_idx,
+      |          CAST(g.energy AS VARCHAR) || ':' || CAST(g.peak AS VARCHAR) AS tok
+      |        FROM g JOIN sgs ON g.doc_id = sgs.doc_id AND g.seg = sgs.seg),
+      |sz AS (SELECT doc_id, seg_idx, COUNT(*) AS n_tok FROM tok GROUP BY 1, 2),
+      |pr AS (SELECT x.doc_id AS doc_id1, x.seg_idx AS seg_idx1,
+      |          y.doc_id AS doc_id2, y.seg_idx AS seg_idx2,
+      |          CAST(COUNT(*) AS BIGINT) AS n_inter
+      |        FROM tok x JOIN tok y ON x.tok = y.tok AND x.doc_id < y.doc_id
+      |        GROUP BY 1, 2, 3, 4)
+      |SELECT doc_id1, seg_idx1, doc_id2, seg_idx2, n_inter,
+      |  CAST(floor(n_inter * 1000000.0 / (s1.n_tok + s2.n_tok - n_inter) + 0.5)
+      |    AS BIGINT) AS jaccard6
+      |FROM pr
+      |JOIN sz s1 ON pr.doc_id1 = s1.doc_id AND pr.seg_idx1 = s1.seg_idx
+      |JOIN sz s2 ON pr.doc_id2 = s2.doc_id AND pr.seg_idx2 = s2.seg_idx
+      |WHERE floor(n_inter * 1000000.0 / (s1.n_tok + s2.n_tok - n_inter) + 0.5)
+      |  >= 500000
+      |ORDER BY doc_id1, seg_idx1, doc_id2, seg_idx2""".stripMargin
+
   // ---- SK1: salted join on a deliberately skewed key ---------------------
   // ~1/3 of events collapse onto hot key 7; the salted join spreads that
   // key over 8 shuffle partitions (salt derived from event_id) while the
@@ -443,6 +505,7 @@ object Extras extends QueryPack {
     Q("mm7_phash_neardup", "multimodal: Hamming-band perceptual NEAR-dup probe (retouched variants matched within distance 3; quadratic oracle certifies zero false negatives)", mm7PhashNearDup, Some(mm7Sql)),
     Q("mm6_wav_features", "multimodal: real JDK WAV encode->decode + per-frame audio features", mm6WavFeatures, Some(mm6Sql)),
     Q("mm8_vad_segments", "multimodal: energy-gated VAD segmentation (gaps-and-islands per clip, 2-frame debounce) over really-decoded WAV frames", mm8VadSegments, Some(mm8Sql)),
+    Q("mm9_segment_near_dup", "multimodal: segment-level audio near-dup — frame-fingerprint sets per VAD segment, inverted-index blocking, exact Jaccard verify", mm9SegmentNearDup, Some(mm9Sql)),
     Q("sk1_salted_join", "salted join spreads a deliberately hot key", sk1SaltedJoin, Some(sk1Sql)),
     Q("p7_debezium_decimal", "P7 VariableScaleDecimal custom Expression", p7DebeziumDecimal, Some(p7Sql)),
     Q("js1_json_extract", "JSON field extraction + aggregation", js1JsonExtract, Some(js1Sql)),

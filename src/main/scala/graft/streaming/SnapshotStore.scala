@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, max, struct, sum, to_date, when}
+import org.apache.spark.sql.functions.{coalesce, col, hash, lit, max, pmod, struct, sum, to_date, when}
 import org.apache.spark.sql.types.StructType
 import graft.cdc.Apply
 
@@ -737,6 +737,42 @@ final class SnapshotStore(
     }
   }
 
+  /** Manual fold of an ADDITIVE chain — [[compact]]'s sibling (compact
+    * itself refuses additive tables: CDC reconstruction would misparse
+    * them). Writes the aggregated state as a delta-free base at a new
+    * version; content-preserving, meta carried forward (the gates read
+    * the latest meta as their replay fence — dropping it here would
+    * make the next whole-batch replay double-charge). Beyond chain
+    * hygiene this is a SCAN-SHAPE op: a bucketed chain's fold writes
+    * one file per ~bucket (`repartition(n, __bkt)` + sort), so the
+    * per-trigger state read parallelizes across n tasks instead of
+    * decoding a few giant delta files in one — the 20M-line probe
+    * measured the single-file layout costing 3.4× (204 vs ~700 docs/s).
+    */
+  def compactAdditive(table: String): Int = {
+    val v = currentVersion(table)
+    additiveCols(table).getOrElse(throw new IllegalStateException(
+      s"compactAdditive: table '$table' is not an additive chain — " +
+        "use compact()"))
+    if (v == 0 || baseAtOrBefore(table, v) == v) v
+    else {
+      val next = v + 1
+      val meta = currentMeta(table)
+      clearUncommitted(table, next)
+      val snap = additiveSnapshotAt(table, v, null)
+      val base = bucketSpec(table) match {
+        case Some(s) => withBucket(snap, s)
+          .repartition(s._2, col("__bkt")).sortWithinPartitions(col("__bkt"))
+        case None => snap.repartition(deltaWriteParts)
+      }
+      base.write.mode(SaveMode.Overwrite).parquet(baseDir(table, next))
+      writeFingerprint(baseDir(table, next), base.schema)
+      writeCommitTs(baseDir(table, next))
+      meta.foreach(m => writeString(s"${baseDir(table, next)}/_graft_meta", m))
+      flipPointer(table, next)
+    }
+  }
+
   /** Clone `table`@`version` as a NEW table `dest` (optionally in
     * another store — the backup/dev-fork maintenance op): the clone is
     * one compacted version with an independent chain, so vacuuming or
@@ -759,7 +795,7 @@ final class SnapshotStore(
       case Some(cols) =>
         destStore.commitAdditive(dest,
           additiveSnapshotAt(table, version, null), meta = provenance,
-          cntCols = cols)
+          cntCols = cols, bucketBy = bucketSpec(table))
       case None =>
         destStore.commit(dest, snapshotAt(table, version), meta = provenance)
     }
@@ -887,6 +923,30 @@ final class SnapshotStore(
   private def tableKind(table: String): Option[String] =
     if (exists(kindFile(table))) Some(readString(kindFile(table)).trim) else None
 
+  private def bucketFile(table: String) = s"${tableDir(table)}/_graft_bucket"
+
+  /** An additive chain's bucket layout, from its `_graft_bucket` marker
+    * (`<keyColumn>:<nBuckets>`, fixed at chain creation like the
+    * measure columns): every commit derives an internal `__bkt` column
+    * — pmod(hash(key), n) — and writes hash-clustered, bucket-sorted
+    * files, so [[additiveSnapshotForKeys]] can push a ≤ n-value
+    * `__bkt IN (…)` filter into the parquet scan and SKIP the row
+    * groups (≈ files) of buckets the probe keys don't touch. This is
+    * the layout that cuts the per-trigger state read from O(state)
+    * bytes to O(state/n · |probe buckets|): the line gate's 20M-line
+    * probe measured the un-pruned scan dominating trigger time
+    * (687 → 244 docs/s from 2M → 20M seeded lines).
+    */
+  private def bucketSpec(table: String): Option[(String, Int)] =
+    if (exists(bucketFile(table))) {
+      val parts = readString(bucketFile(table)).trim.split(":")
+      Some((parts(0), parts(1).toInt))
+    } else None
+
+  private def withBucket(df: DataFrame, spec: (String, Int)): DataFrame =
+    df.withColumn("__bkt",
+      pmod(hash(col(spec._1)), lit(spec._2)).cast("int"))
+
   /** An additive table's measure columns, from its kind marker:
     * `additive` = the classic single `state_cnt`; `additive:c1,c2` = a
     * multi-measure chain. None for CDC/base tables.
@@ -923,16 +983,30 @@ final class SnapshotStore(
     */
   def commitAdditive(table: String, delta: DataFrame,
       meta: Option[String] = None,
-      cntCols: Seq[String] = Seq("state_cnt")): Int = {
+      cntCols: Seq[String] = Seq("state_cnt"),
+      bucketBy: Option[(String, Int)] = None): Int = {
     require(cntCols.nonEmpty && cntCols.forall(delta.columns.contains),
       s"commitAdditive: measure columns ${cntCols.mkString(", ")} must " +
         s"all exist in the delta (${delta.columns.mkString(", ")})")
+    require(!delta.columns.contains("__bkt"),
+      "commitAdditive: '__bkt' is reserved for the bucket layout")
     additiveCols(table) match {
       case Some(cols) =>
         if (cols != cntCols) throw new IllegalStateException(
           s"commitAdditive: table '$table' sums ${cols.mkString(", ")}; " +
             s"this commit declared ${cntCols.mkString(", ")} — measure " +
             "columns are fixed at the chain's first commit")
+        // the bucket layout, like the measures, is fixed at creation:
+        // a CONFLICTING later declaration is a config error; a matching
+        // or absent one is a no-op (the marker rules)
+        bucketBy.foreach { b =>
+          bucketSpec(table).foreach { have =>
+            if (have != b) throw new IllegalStateException(
+              s"commitAdditive: table '$table' is bucketed by " +
+                s"${have._1}:${have._2}; this commit declared " +
+                s"${b._1}:${b._2} — the layout is fixed at creation")
+          }
+        }
       case None if tableKind(table).isDefined =>
         throw new IllegalStateException(
           s"commitAdditive: table '$table' has kind '${tableKind(table).get}'")
@@ -944,8 +1018,16 @@ final class SnapshotStore(
         writeString(kindFile(table),
           if (cntCols == Seq("state_cnt")) "additive"
           else s"additive:${cntCols.mkString(",")}")
+        bucketBy.foreach { case (k, n) =>
+          require(delta.columns.contains(k) && !cntCols.contains(k),
+            s"commitAdditive: bucket column '$k' must be a payload column")
+          require(n > 0, "commitAdditive: bucket count must be positive")
+          writeString(bucketFile(table), s"$k:$n")
+        }
     }
-    val incoming = delta.schema.fields.toSeq
+    val spec = bucketSpec(table)
+    val staged = spec.map(withBucket(delta, _)).getOrElse(delta)
+    val incoming = staged.schema.fields.toSeq
       .map(f => f.name -> f.dataType.catalogString)
     val v = currentVersion(table)
     if (v > 0)
@@ -960,17 +1042,29 @@ final class SnapshotStore(
         }
     val next = v + 1
     clearUncommitted(table, next)
-    delta.repartition(deltaWriteParts)
-      .write.mode(SaveMode.Overwrite).parquet(deltaDir(table, next))
-    writeFingerprint(deltaDir(table, next), delta.schema)
+    // bucketed chains cluster + sort by __bkt so every file covers few
+    // buckets and its row-group stats carry tight __bkt ranges — what
+    // the forKeys IN-filter prunes on
+    (spec match {
+      case Some(_) => staged.repartition(deltaWriteParts, col("__bkt"))
+        .sortWithinPartitions(col("__bkt"))
+      case None => staged.repartition(deltaWriteParts)
+    }).write.mode(SaveMode.Overwrite).parquet(deltaDir(table, next))
+    writeFingerprint(deltaDir(table, next), staged.schema)
     writeCommitTs(deltaDir(table, next))
     meta.foreach(m => writeString(s"${deltaDir(table, next)}/_graft_meta", m))
     if (next - baseAtOrBefore(table, v) >= compactEvery) {
       // fold BEFORE the flip: d<next> exists on disk, so the aggregated
       // base at the same version includes it (mirrors finalizeDelta)
       val snap = additiveSnapshotAt(table, next, delta.schema)
-      snap.write.mode(SaveMode.Overwrite).parquet(baseDir(table, next))
-      writeFingerprint(baseDir(table, next), snap.schema)
+      val base = spec match {
+        // the base is where pruning pays: one file per ~bucket
+        case Some(s) => withBucket(snap, s)
+          .repartition(s._2, col("__bkt")).sortWithinPartitions(col("__bkt"))
+        case None => snap
+      }
+      base.write.mode(SaveMode.Overwrite).parquet(baseDir(table, next))
+      writeFingerprint(baseDir(table, next), base.schema)
     }
     flipPointer(table, next)
   }
@@ -1029,13 +1123,32 @@ final class SnapshotStore(
       if (b == version) None
       else Some(readDeltas(table, b + 1, version).drop("__v"))
     val raw = (base.toSeq ++ deltas.toSeq).reduce(_ unionByName _)
+    // __bkt is layout, not payload: derived at write, dropped on read
     val payload = raw.columns.filterNot(measures.contains)
+      .filterNot(_ == "__bkt")
     val all = pruneKeys match {
       case Some(keys) =>
         require(keys.columns.forall(payload.contains),
           s"additiveSnapshotForKeys: key columns ${keys.columns.mkString(", ")} " +
             s"must be payload columns of '$table' (${payload.mkString(", ")})")
-        raw.join(org.apache.spark.sql.functions.broadcast(keys),
+        // bucketed chain + keys covering the bucket column: push the
+        // ≤ n-value __bkt IN (…) filter below the union, into every
+        // scan — row groups (≈ files, the write clusters by __bkt) of
+        // untouched buckets never decode. The key set is caller-
+        // contracted broadcast-sized, so the driver-side bucket-id
+        // collect is bounded by min(|keys|, n).
+        val pruned = bucketSpec(table) match {
+          case Some((k, n)) if keys.columns.contains(k) =>
+            val bks = keys
+              .select(pmod(hash(col(k)), lit(n)).cast("int").as("__bkt"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            // a probe touching EVERY bucket prunes nothing — the IN
+            // check would then be a pure per-row tax on the state scan
+            if (bks.size < n) raw.filter(col("__bkt").isin(bks: _*))
+            else raw
+          case _ => raw
+        }
+        pruned.join(org.apache.spark.sql.functions.broadcast(keys),
           keys.columns.toSeq, "left_semi")
       case None => raw
     }

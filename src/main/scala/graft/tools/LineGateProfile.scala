@@ -18,7 +18,35 @@ object LineGateProfile {
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.headOption.contains("state")) {
+    if (args.headOption.contains("scan")) {
+      // the round-11 residual: the gate's per-trigger state-file SCAN is
+      // O(state) bytes even though the shuffle is O(batch). This mode
+      // decides whether a line-hash-bucketed state layout (file-level
+      // pruning under the broadcast probe) is worth building: seed up
+      // to 20M distinct lines and report docs/s alongside the total
+      // parquet bytes read per probe run. If docs/s stays flat while
+      // bytes grow 100x, the scan is NOT dominating trigger time and
+      // the layout stays a documented next step.
+      val bytesRead = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            if (e.taskMetrics != null)
+              bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead); ()
+          }
+        })
+      Seq(0L, 2000000L, 20000000L).foreach { seed =>
+        (1 to 2).foreach { i =>
+          bytesRead.set(0L)
+          val t0 = System.nanoTime()
+          val eps = graft.StreamBench.lineGateThroughput(spark, seed)
+          val wall = (System.nanoTime() - t0) / 1e9
+          println(f"line_docs_per_s[state=$seed, run $i] = $eps%.0f " +
+            f"(probe ${wall}%.1f s incl. seed+warmup, input ${bytesRead.get / 1e6}%.0f MB)")
+        }
+      }
+    } else if (args.headOption.contains("state")) {
       // gate-state scaling: docs/s at 0 / 200k / 2M pre-seeded distinct
       // lines (a 10× growth step). With the batch-pruned threshold read
       // the three numbers must sit inside one noise band; the unpruned

@@ -202,6 +202,15 @@ class AdditiveFuzzSpec extends SparkSpec {
       store.vacuum("Q"); store.vacuum("L"); ()
     }
 
+    def doCompactAdditive(): Unit = {
+      // manual fold is content-preserving and carries the meta replay
+      // fence; L is bucketed (the gate declares line:64), Q is not
+      if (rnd.nextBoolean() && store.currentVersion("Q") > 0)
+        store.compactAdditive("Q")
+      else if (store.currentVersion("L") > 0) store.compactAdditive("L")
+      recordQVersions()
+    }
+
     def doForKeys(): Unit = {
       // a random key subset incl. unseen keys: pruned read == model cut
       val srcs = Seq("a", "b", "c", "z", "never").filter(_ => rnd.nextBoolean())
@@ -286,7 +295,8 @@ class AdditiveFuzzSpec extends SparkSpec {
         case 0 | 1 | 2 => doQBatch()
         case 3 | 4 | 5 => doLBatch()
         case 6         => doReplay()
-        case 7         => doTornWindow()
+        case 7         => if (rnd.nextBoolean()) doTornWindow()
+                          else doCompactAdditive()
         case 8         => doVacuum()
         case 9         => doForKeys()
         case 10        => doClone()

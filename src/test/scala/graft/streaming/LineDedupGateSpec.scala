@@ -187,6 +187,25 @@ class LineDedupGateSpec extends SparkSpec {
     // and the pruned plan still computes the right threshold set:
     // 'b' has state count 2 (+1 in batch), 'zz' is new
     assert(dups.as[String].collect().toSet == Set("b"))
+
+    // the SCAN is pruned too: the count table is line-hash BUCKETED, so
+    // the state read pushes a __bkt IN (…) filter into every parquet
+    // scan — row groups of buckets the batch doesn't touch never decode
+    // (the O(state)-bytes residual the 20M-line probe showed dominating)
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan) // AQE wraps; descend into the live plan
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => (other.children ++ other.subqueries).flatMap(allScans)
+    }
+    val scans = allScans(dups.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/store/")))
+    assert(scans.nonEmpty, "expected parquet scans of the count table")
+    scans.foreach { s =>
+      assert(s.metadata.get("PushedFilters").exists(_.contains("In(__bkt")),
+        s"state scan must carry the bucket IN-filter:\n${s.metadata}")
+    }
   }
 
   test("streaming start drives the gate over a live stream") {

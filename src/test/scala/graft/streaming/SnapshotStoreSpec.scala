@@ -476,6 +476,33 @@ class SnapshotStoreSpec extends SparkSpec {
       Map(1 -> "a2"))
   }
 
+  test("compactAdditive folds the chain, carries meta, and lays out bucketed bases") {
+    val (store, dir) = newStore(compactEvery = 100)
+    store.commitAdditive("B",
+      Seq(("x", 2L), ("y", 1L)).toDF("k", "state_cnt"),
+      meta = Some("0"), bucketBy = Some(("k", 8)))
+    store.commitAdditive("B",
+      Seq(("x", -1L), ("z", 5L)).toDF("k", "state_cnt"), meta = Some("1"))
+    val v = store.compactAdditive("B")
+    assert(v == 3, "manual fold commits a new version")
+    // content-preserving, __bkt never surfaces
+    val snap = store.additiveSnapshot("B", null)
+    assert(!snap.columns.contains("__bkt"))
+    assert(snap.as[(String, Long)].collect().toMap ==
+      Map("x" -> 1L, "y" -> 1L, "z" -> 5L))
+    // the meta high-watermark survives the fold (gates read it as the
+    // replay fence — dropping it would double-charge the next replay)
+    assert(store.currentMeta("B").contains("1"))
+    // the bucketed fold writes one file per ~bucket: parallel scans
+    val files = new java.io.File(s"$dir/B/v3").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files > 1, s"bucketed base must be multi-file, saw $files")
+    // a fold at the tip is a no-op; CDC chains refuse
+    assert(store.compactAdditive("B") == 3)
+    commit(store, (1L, "INSERT", 1, "a"))
+    intercept[IllegalStateException](store.compactAdditive("T"))
+  }
+
   test("versionAsOf refuses on pre-stamping history instead of resolving empty") {
     val (store, dir) = newStore(compactEvery = 100)
     var now = 1000L
