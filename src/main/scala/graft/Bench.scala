@@ -20,6 +20,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -35,12 +36,18 @@ object Bench {
     // stay VISIBLE in the line — an empty object would read as an
     // unremarkable missing field, hiding exactly the class of
     // regression the probe exists to surface. Fatal errors propagate.
-    val streaming =
+    def streamingFragment(): String =
       try StreamBench.jsonFragment(spark)
       catch {
         case scala.util.control.NonFatal(e) =>
           s""""streaming":{"error":"${e.getClass.getSimpleName}"}"""
       }
+    // GRAFT_STREAM_LAST=1 restores the pre-round-11 order (streaming
+    // AFTER the batch suite) — the measurement-context A/B switch used
+    // to verify the batch totals are insensitive to the reorder (the
+    // round-11 claim, paired-run-measured in round 12; see COVERAGE)
+    val streamLast = sys.env.get("GRAFT_STREAM_LAST").contains("1")
+    val streamingPre = if (streamLast) None else Some(streamingFragment())
 
     // warm-up: touch every table + one trivial aggregation
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
@@ -85,6 +92,7 @@ object Bench {
     val cMid = canary()
     val r2 = secondHalf.map(n => n -> timed(n))
     val cEnd = canary()
+    val streaming = streamingPre.getOrElse(streamingFragment())
     val results = r1 ++ r2
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

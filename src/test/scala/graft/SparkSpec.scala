@@ -5,6 +5,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for all specs (one JVM-wide session). */
 trait SparkSpec extends AnyFunSuite {
+  // before any test can boot Derby or the catalog: keep both kinds of
+  // run debris under target/ instead of the repo root
+  System.setProperty("derby.stream.error.file", "target/derby.log")
   lazy val spark: SparkSession = SparkSpec.session
   val sfSmoke = "/root/testdata/sf0.001"
 }
@@ -18,6 +21,7 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
