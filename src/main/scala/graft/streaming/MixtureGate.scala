@@ -39,9 +39,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * |sources|-row join + one narrow deterministic-hash filter (mx3's
   * exact plan). The refresh pass re-scans the seen corpus — O(corpus
   * so far) per trigger, the honest price of an EXACT non-monotone
-  * mixture; a production deployment re-emits the refresh on a cadence
-  * (every Nth trigger / on demand) and runs the O(batch) admit path
-  * every trigger. Both decisions are pure functions of committed
+  * mixture; `refreshEvery` is the production cadence knob — the
+  * O(batch) admit path and the counters run every trigger, the
+  * refresh re-emits every Nth (each emitted epoch still exactly the
+  * prefix sample). Both decisions are pure functions of committed
   * state, so replays reproduce epochs bit-for-bit.
   *
   * Exactly-once: the batch lands in `seenDir` FIRST ([[EpochCommit]]
@@ -69,11 +70,23 @@ object MixtureGate {
           * 1000000.0 + 0.5).cast("long").as("rate6"))
   }
 
-  /** One micro-batch through the gate (idempotent per `batchId`). */
+  /** One micro-batch through the gate (idempotent per `batchId`).
+    *
+    * `refreshEvery` is the production cadence knob for the O(corpus)
+    * refresh pass: the admit path (and the counters) run EVERY
+    * trigger, but the full sample re-emits only when
+    * `(batchId + 1) % refreshEvery == 0` — the emitted epochs still
+    * satisfy the prefix contract exactly (each IS the batch
+    * temperatureSample over its prefix; the contract is per emitted
+    * epoch, so skipping epochs skips cost, not correctness). 1 =
+    * refresh every trigger.
+    */
   def applyBatch(
       store: SnapshotStore, table: String, batch: DataFrame, batchId: Long,
       idCol: String, sourceCol: String,
-      seenDir: String, sampleDir: String, admitDir: String): Unit = {
+      seenDir: String, sampleDir: String, admitDir: String,
+      refreshEvery: Int = 1): Unit = {
+    require(refreshEvery > 0, "refreshEvery must be positive")
     val spark = batch.sparkSession
     // 1. freeze the batch: the input record every refresh re-reads
     if (!EpochCommit.epochExists(spark, seenDir, batchId))
@@ -102,8 +115,10 @@ object MixtureGate {
         lit(1000000L)) < col("rate6"))
       .drop("rate6")
     // 4. the FULL refreshed sample over everything seen (epoch dirs
-    //    0..batchId — later epochs cannot exist yet by trigger order)
-    if (!EpochCommit.epochExists(spark, sampleDir, batchId)) {
+    //    0..batchId — later epochs cannot exist yet by trigger order),
+    //    on the configured cadence
+    if ((batchId + 1) % refreshEvery == 0 &&
+        !EpochCommit.epochExists(spark, sampleDir, batchId)) {
       val seen =
         if (EpochCommit.anyEpochData(spark, seenDir))
           spark.read.parquet(seenDir).drop("epoch")
@@ -127,7 +142,8 @@ object MixtureGate {
       docs: DataFrame, store: SnapshotStore, table: String,
       idCol: String, sourceCol: String, root: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
-      shufflePartitions: Option[Int] = Some(8)): StreamingQuery = {
+      shufflePartitions: Option[Int] = Some(8),
+      refreshEvery: Int = 1): StreamingQuery = {
     val spark = docs.sparkSession
     val release = ConfPins.acquireGatePins(spark, shufflePartitions,
       java.util.UUID.randomUUID())
@@ -138,7 +154,8 @@ object MixtureGate {
         .trigger(trigger)
         .foreachBatch { (b: DataFrame, id: Long) =>
           applyBatch(store, table, b, id, idCol, sourceCol,
-            s"$root/seen", s"$root/sample", s"$root/admitted"); ()
+            s"$root/seen", s"$root/sample", s"$root/admitted",
+            refreshEvery); ()
         }
         .start()
       catch { case e: Throwable => release(); throw e }

@@ -99,6 +99,66 @@ class MixtureGateSpec extends SparkSpec {
     assert(store2.currentVersion("MC") == v)
   }
 
+  test("refreshEvery cadence: admit path every trigger, prefix-exact samples on the Nth") {
+    val dir = Files.createTempDirectory("graft-mix-cadence").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    val batches = Seq(b0, b1, b2,
+      docs((15 to 17).map(i => (i.toLong, "a")): _*))
+    batches.zipWithIndex.foreach { case (b, k) =>
+      MixtureGate.applyBatch(store, "MR", b, k.toLong, "doc_id", "source",
+        s"$dir/seen", s"$dir/sample", s"$dir/admit", refreshEvery = 2)
+      // the admit epoch lands EVERY trigger regardless of cadence
+      assert(EpochCommit.epochExists(spark, s"$dir/admit", k.toLong))
+    }
+    // samples only at batch ids 1 and 3 — and each emitted epoch is
+    // still EXACTLY the batch mixture over its prefix
+    assert(!EpochCommit.epochExists(spark, s"$dir/sample", 0L))
+    assert(!EpochCommit.epochExists(spark, s"$dir/sample", 2L))
+    Seq(1, 3).foreach { k =>
+      val prefix = batches.take(k + 1).reduce(_ unionByName _)
+      val want = graft.ops.Stats.temperatureSample(prefix, "source", "doc_id")
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids(s"$dir/sample", k.toLong) == want,
+        s"cadenced sample epoch $k drifted from the prefix contract")
+    }
+  }
+
+  test("a fresh data trigger runs exactly 5 actions (the per-trigger budget)") {
+    // seen epoch, count delta, rates checkpoint, sample epoch, admit
+    // epoch — a regression that re-derives rates per consumer or adds
+    // a state-sized read shows up here before it shows in any bench
+    val dir = Files.createTempDirectory("graft-mix-budget").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    MixtureGate.applyBatch(store, "MB", b0, 0L, "doc_id", "source",
+      s"$dir/seen", s"$dir/sample", s"$dir/admit")
+    val actions = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case e: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+            if e.rootExecutionId.forall(_ == e.executionId) =>
+            actions.incrementAndGet(); ()
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      MixtureGate.applyBatch(store, "MB", b1, 1L, "doc_id", "source",
+        s"$dir/seen", s"$dir/sample", s"$dir/admit")
+      var last = -1
+      var stable = 0
+      val deadline = System.currentTimeMillis() + 10000
+      while (stable < 3 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        val now = actions.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(actions.get() == 5,
+      s"mixture-gate per-trigger action budget is 5, saw ${actions.get()}")
+  }
+
   test("streaming start maintains the mixture over a live stream") {
     val dir = Files.createTempDirectory("graft-mix-stream").toString
     val store = new SnapshotStore(spark, s"$dir/store")
