@@ -534,6 +534,9 @@ object Multimodal {
       .filter(col("frame_idx").between(col("start_frame"), col("end_frame")))
       .select(col("doc_id"), col("seg_idx"), col("tok"))
       .distinct()
+      // three consumers (sizes + both join sides): pin it, or each one
+      // re-runs the frame join — and upstream, the WAV decode itself
+      .localCheckpoint(true)
     val sizes = tok.groupBy(col("doc_id"), col("seg_idx"))
       .agg(count(lit(1)).as("n_tok"))
     val x = tok.toDF("doc_id1", "seg_idx1", "tok")

@@ -232,9 +232,13 @@ object Extras extends QueryPack {
   // frame each), so the oracle predicts every sample — and therefore
   // every fingerprint and every pair — analytically.
   private def mm9SegmentNearDup(s: SparkSession, dir: String): DataFrame = {
+    // pinned: the segmentation AND the fingerprint extraction both read
+    // the frames — without the checkpoint each consumer re-runs the
+    // real WAV encode+decode over the whole corpus
     val frames = Multimodal.wavFrameFeatures(
       Multimodal.wavTable(Tables.load(s, dir, "documents"), nSamples = 1600,
         sampleFn = (id, i) => Multimodal.wavPairSample(id, i)))
+      .localCheckpoint(true)
     val segs = Multimodal.energySegments(frames, threshold = 0L, minFrames = 2)
     Multimodal.segmentNearDupPairs(frames, segs, minJaccard6 = 500000L)
       .orderBy(col("doc_id1"), col("seg_idx1"), col("doc_id2"), col("seg_idx2"))

@@ -113,9 +113,73 @@ object ScaleProbe {
       if (want("line")) lineDedupExponents(spark, small * 100, factor) else Seq.empty
     val budgetLines =
       if (want("budget")) budgetCutExponents(spark, small * 300, factor) else Seq.empty
+    val segLines =
+      if (want("seg")) segmentExponents(spark, small * 2, factor) else Seq.empty
     println("{" + (lines ++ embLines ++ bandLines ++ bloomLines
-      ++ lineLines ++ budgetLines).mkString(",") + "}")
+      ++ lineLines ++ budgetLines ++ segLines).mkString(",") + "}")
     spark.stop()
+  }
+
+  /** mm9's segment near-dup under pair-planted density: clips come in
+    * near-identical PAIRS (wavPairSample keys content by doc_id / 2),
+    * so frames, segments, fingerprints, candidate collisions and the
+    * output pair set all grow linearly in n — the exponent is
+    * attributable to the plan, and a candidate join that lost the
+    * fingerprint block (all-pairs) reads ≈2. The clips are REAL WAV
+    * round-trips (encode + AudioSystem decode per clip), so the probe
+    * also certifies the mapPartitions codec seam stays linear.
+    */
+  /** Probe-local clip synth: [[graft.ops.Multimodal.wavPairSample]]'s
+    * pair structure with the base content NONLINEARLY mixed per group.
+    * The query's sampleFn is linear in g modulo 2001 (it must stay
+    * DuckDB-restatable), so groups g and g+2001 carry IDENTICAL audio —
+    * fine at oracle scale (≤250 groups), but at probe scale the content
+    * space saturates and the TRUE pair count superlinearizes by
+    * construction (measured 12× rows at 4× docs), which would charge
+    * the plan for the fixture. Any v = f(g) + h(i) mod 2001 keeps the
+    * aliasing (a group only shifts the sample additively), so the mix
+    * must be JOINTLY nonlinear in (g, i) — a splitmix64 finalizer over
+    * the sample's absolute index. Truth then stays linear: pairs only
+    * within planted groups.
+    */
+  private def probePairSample(id: Long, i: Int): Int = {
+    val g = id / 2
+    val f = i / 160
+    if ((g + f) % 5 == 0) 0
+    else if (f == (id % 2) * 3 + 2)
+      (((id * 13 + i.toLong * 11) % 2001) - 1000).toInt
+    else {
+      var x = g * 1600L + i + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^= (x >>> 31)
+      (Math.floorMod(x, 2001L) - 1000L).toInt
+    }
+  }
+
+  private def segmentExponents(
+      spark: SparkSession, small: Long, factor: Long): Seq[String] = {
+    import graft.ops.Multimodal
+    def run(n: Long): (Double, Long) = {
+      val docs = spark.range(n).select(col("id").as("doc_id"))
+      def pairs() = {
+        val frames = Multimodal.wavFrameFeatures(
+          Multimodal.wavTable(docs, nSamples = 1600,
+            sampleFn = (id, i) => probePairSample(id, i)))
+          .localCheckpoint(true)
+        val segs = Multimodal.energySegments(frames, threshold = 0L, minFrames = 2)
+        Multimodal.segmentNearDupPairs(frames, segs, minJaccard6 = 500000L)
+          .count()
+      }
+      val a = timed(pairs())
+      val b = timed(pairs())
+      (math.min(a._1, b._1), a._2)
+    }
+    run(400) // untimed codegen/codec warmup
+    val (t1, c1) = run(small)
+    val (t2, c2) = run(small * factor)
+    val exp = math.log(t2 / t1) / math.log(factor.toDouble)
+    Seq(f""""mm9_segment_near_dup":{"t_$small%d":$t1%.2f,"t_${small * factor}%d":$t2%.2f,"rows_$small%d":$c1,"rows_${small * factor}%d":$c2,"exponent":$exp%.2f}""")
   }
 
   /** tb1's token-budget cut under a DOMINANT source: half the corpus
