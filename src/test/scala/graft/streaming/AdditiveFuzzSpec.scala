@@ -16,6 +16,9 @@ import java.nio.file.Files
   *    "epochs published, counts never landed" crash, with a vacuum
   *    dropped INSIDE the window),
   *  - [[LineDedupGate.applyBatch]] batches and replays,
+  *  - [[MixtureGate.applyBatch]] batches and replays (the sample epoch
+  *    re-derives the FULL prefix under post-batch rates — the model
+  *    recomputes the md5-Bernoulli decision per doc),
   *  - raw chain maintenance: vacuum / cloneAt / additiveSnapshotAt /
   *    versionAsOf / additiveSnapshotForKeys (manual compact refuses
   *    additive chains by design — the fold happens automatically every
@@ -113,6 +116,9 @@ class AdditiveFuzzSpec extends SparkSpec {
     // ---- model state -------------------------------------------------
     var qUsed = Map.empty[String, Long]
     var lCounts = Map.empty[String, Long]
+    var mCounts = Map.empty[String, Long]
+    var mSeen = Vector.empty[(Long, String)] // every (doc, source) streamed
+    val mBatches = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, String)]]
     val qBatches = scala.collection.mutable.ArrayBuffer.empty[QBatch]
     val lBatches = scala.collection.mutable.ArrayBuffer.empty[LBatch]
     // Q-chain counts + commit instant per store version (fill-forward
@@ -136,6 +142,49 @@ class AdditiveFuzzSpec extends SparkSpec {
       assert(LineDedupGate.lineCounts(spark, store, "L")
         .as[(String, Long)].collect().toMap == lCounts.filter(_._2 != 0L),
         s"$what: line counts drifted (seed $seed)")
+      assert(MixtureGate.counts(spark, store, "M")
+        .as[(String, Long)].collect().toMap == mCounts.filter(_._2 != 0L),
+        s"$what: mixture counts drifted (seed $seed)")
+    }
+
+    // the gate's exact md5-Bernoulli keep decision, driver-side
+    def mixKeeps(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix3|$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map("%02x".format(_)).mkString, 16) % 1000000L
+    }
+    def mixSample(docs: Seq[(Long, String)]): Set[Long] = {
+      if (mCounts.isEmpty) return Set.empty
+      val nMin = mCounts.values.min
+      val rate6 = mCounts.view.mapValues(n =>
+        math.floor(math.sqrt(nMin.toDouble / n) * 1e6 + 0.5).toLong).toMap
+      docs.filter { case (id, src) => mixKeeps(id) < rate6(src) }
+        .map(_._1).toSet
+    }
+
+    def applyM(batchId: Long, docs: Seq[(Long, String)]): Unit =
+      MixtureGate.applyBatch(store, "M",
+        docs.toDF("doc_id", "source"), batchId, "doc_id", "source",
+        s"$dir/mseen", s"$dir/msample", s"$dir/madmit")
+
+    def doMBatch(): Unit = {
+      val docs = (0 until 1 + rnd.nextInt(4)).map { _ =>
+        (freshId(), Seq("a", "b", "c")(rnd.nextInt(3)))
+      }
+      val batchId = mBatches.size.toLong
+      applyM(batchId, docs)
+      mBatches += docs
+      mSeen = mSeen ++ docs
+      docs.groupBy(_._2).foreach { case (s, ds) =>
+        mCounts = mCounts.updated(s, mCounts.getOrElse(s, 0L) + ds.size)
+      }
+      // sample epoch = the FULL prefix re-decided under post-batch
+      // rates; admit epoch = this batch's slice of the same decision
+      assert(epochIds(s"$dir/msample", batchId) == mixSample(mSeen),
+        s"mixture sample epoch $batchId drifted (seed $seed)")
+      assert(epochIds(s"$dir/madmit", batchId) == mixSample(docs),
+        s"mixture admit epoch $batchId drifted (seed $seed)")
     }
 
     def applyQ(b: QBatch): Unit =
@@ -192,9 +241,17 @@ class AdditiveFuzzSpec extends SparkSpec {
       // must carry the batch-id meta forward or this double-charges
       val v = store.currentVersion("Q")
       val lv = store.currentVersion("L")
+      val mv = store.currentVersion("M")
       if (qBatches.nonEmpty) applyQ(qBatches(rnd.nextInt(qBatches.size)))
       if (lBatches.nonEmpty) applyL(lBatches(rnd.nextInt(lBatches.size)))
-      assert(store.currentVersion("Q") == v && store.currentVersion("L") == lv,
+      if (mBatches.nonEmpty) {
+        val k = rnd.nextInt(mBatches.size)
+        applyM(k.toLong, mBatches(k))
+        // a replayed OLD sample epoch must not be rewritten under the
+        // rates that exist now (the epoch dir is the fence)
+      }
+      assert(store.currentVersion("Q") == v && store.currentVersion("L") == lv
+          && store.currentVersion("M") == mv,
         s"replay grew a chain (seed $seed)")
     }
 
@@ -204,10 +261,13 @@ class AdditiveFuzzSpec extends SparkSpec {
 
     def doCompactAdditive(): Unit = {
       // manual fold is content-preserving and carries the meta replay
-      // fence; L is bucketed (the gate declares line:64), Q is not
-      if (rnd.nextBoolean() && store.currentVersion("Q") > 0)
-        store.compactAdditive("Q")
-      else if (store.currentVersion("L") > 0) store.compactAdditive("L")
+      // fence; L is bucketed (the gate declares line:64), Q/M are not
+      rnd.nextInt(3) match {
+        case 0 if store.currentVersion("Q") > 0 => store.compactAdditive("Q")
+        case 1 if store.currentVersion("L") > 0 => store.compactAdditive("L")
+        case _ if store.currentVersion("M") > 0 => store.compactAdditive("M")
+        case _ => ()
+      }
       recordQVersions()
     }
 
@@ -292,8 +352,9 @@ class AdditiveFuzzSpec extends SparkSpec {
     (0 until len).foreach { _ =>
       now += 1000L
       rnd.nextInt(12) match {
-        case 0 | 1 | 2 => doQBatch()
-        case 3 | 4 | 5 => doLBatch()
+        case 0 | 1     => doQBatch()
+        case 2 | 3     => doLBatch()
+        case 4 | 5     => doMBatch()
         case 6         => doReplay()
         case 7         => if (rnd.nextBoolean()) doTornWindow()
                           else doCompactAdditive()
