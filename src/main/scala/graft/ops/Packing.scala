@@ -144,4 +144,50 @@ object Packing {
       .join(broadcast(budgets), Seq(sourceCol))
       .filter(col("tokens_before") + col(nTokensCol) <= col("budget"))
       .drop("budget")
+
+  /** Epoch UPSAMPLING — [[tokenBudgetCut]]'s other half: when a
+    * source's token budget EXCEEDS its unique tokens, the
+    * data-constrained-scaling recipe (Muennighoff et al., 2023)
+    * REPEATS the source — up to `maxEpochs` (≈4) passes read nearly as
+    * well as fresh data, beyond that returns decay — rather than
+    * letting a big source fill the gap. Materialized as rows: per
+    * source, epochs6 = clamp(budget·10⁶ ÷ n_tokens, 10⁶, maxEpochs·10⁶)
+    * (exact integer division — engine-identical); every doc emits
+    * ⌊epochs6/10⁶⌋ full copies (`epoch_idx` 1…full) plus one extra
+    * copy selected by the deterministic md5-prefix doc hash at the
+    * fractional rate (epochs6 mod 10⁶) — the mx3 hash-Bernoulli, so
+    * the realized corpus holds ≈ budget tokens per source and re-runs
+    * agree row-for-row. Every doc appears at least once (epochs
+    * clamps at 1 — cutting below one pass is [[tokenBudgetCut]]'s
+    * job, not this op's).
+    *
+    * Plan: one count shuffle, a broadcast |sources|-row rate join,
+    * one narrow `explode(sequence(…))` — flat at any corpus size (the
+    * explode multiplies rows by ≤ maxEpochs + 1, a constant).
+    *
+    * Output: df + (epochs6, epoch_idx). `budgets` = (sourceCol,
+    * budget) as in tokenBudgetCut; sources absent from it are dropped.
+    */
+  def epochUpsample(
+      df: DataFrame, sourceCol: String, idCol: String, nTokensCol: String,
+      budgets: DataFrame, maxEpochs: Int = 4): DataFrame = {
+    require(maxEpochs >= 1, "maxEpochs must be at least 1")
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(col(nTokensCol)).cast("long").as("__nt"))
+      .join(broadcast(budgets), Seq(sourceCol))
+      // `div` (integral division), NOT `/`: Spark's / returns DOUBLE,
+      // and budget·10⁶ can exceed 2⁵³ where doubles stop being exact
+      .select(col(sourceCol),
+        least(lit(maxEpochs * 1000000L),
+          greatest(lit(1000000L),
+            expr(s"CAST(budget AS BIGINT) * 1000000 div __nt")))
+          .as("epochs6"))
+    val extra = when(pmod(Dedup.hash32(
+        concat_ws("|", lit("up"), col(idCol).cast("string"))),
+      lit(1000000L)) < col("epochs6") % 1000000L, 1L).otherwise(0L)
+    df.join(broadcast(totals), Seq(sourceCol))
+      .withColumn("__rep", expr("epochs6 div 1000000") + extra)
+      .select(col("*"), explode(sequence(lit(1L), col("__rep"))).as("epoch_idx"))
+      .drop("__rep")
+  }
 }

@@ -737,6 +737,50 @@ object TextQueries extends QueryPack {
       |WHERE tokens_before + n_tokens <= 400 + (length(source) % 3) * 300
       |ORDER BY source, doc_id""".stripMargin
 
+  // ---- UP1: epoch upsampling ----------------------------------------------
+  // tokenBudgetCut's other half (Muennighoff data-constrained scaling):
+  // sources whose budget exceeds their unique tokens REPEAT, up to 4
+  // epochs, with the fractional epoch realized by the deterministic
+  // md5-Bernoulli doc hash. Budgets are data-derived multiples of each
+  // source's own token mass (nt·(1 + len%4) + 2nt/5), so the op BINDS
+  // identically at every SF (lesson 44) and the planted epochs6 values
+  // hit 1.4e6 / 2.4e6 / 3.4e6 / the 4e6 cap.
+  private def up1EpochUpsample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(graft.ops.TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val budgets = docs.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).cast("long").as("nt"))
+      .select(col("source"),
+        (col("nt") * (lit(1L) + length(col("source")) % 4)
+          + expr("2 * nt div 5")).as("budget"))
+    graft.ops.Packing.epochUpsample(docs, "source", "doc_id", "n_tokens",
+        budgets)
+      .select(col("source"), col("doc_id"), col("epochs6"), col("epoch_idx"))
+      .orderBy(col("source"), col("doc_id"), col("epoch_idx"))
+  }
+
+  private val up1Sql =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |n AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS nt
+      |      FROM t GROUP BY source),
+      |r AS (SELECT source,
+      |        least(4000000, greatest(1000000,
+      |          (nt * (1 + length(source) % 4) + 2 * nt // 5)
+      |            * 1000000 // nt)) AS epochs6
+      |      FROM n),
+      |d AS (SELECT t.doc_id, t.source, r.epochs6,
+      |        (r.epochs6 // 1000000) + CASE WHEN
+      |          ('0x' || substr(md5('up|' || CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |            % 1000000 < r.epochs6 % 1000000 THEN 1 ELSE 0 END AS rep
+      |      FROM t JOIN r ON t.source = r.source)
+      |SELECT source, doc_id, CAST(epochs6 AS BIGINT) AS epochs6,
+      |  CAST(unnest(generate_series(1, CAST(rep AS BIGINT))) AS BIGINT) AS epoch_idx
+      |FROM d ORDER BY source, doc_id, epoch_idx""".stripMargin
+
   // ---- CK1: context-window chunking --------------------------------------
   private def ck1Chunking(s: SparkSession, dir: String): DataFrame =
     graft.ops.Packing.chunkTokens(Tables.load(s, dir, "documents"),
@@ -882,5 +926,6 @@ object TextQueries extends QueryPack {
     Q("vb2_vocab_coverage", "top-k vocabulary occurrence coverage (tokenizer design metric)", vb2VocabCoverage, Some(vb2Sql)),
     Q("lb1_length_buckets", "length-bucketed batching stats via distributed exact NTILE", lb1LengthBuckets, Some(lb1Sql)),
     Q("tb1_token_budget_cut", "per-source token-budget corpus cut (Pile/Dolma construction) via the distributed grouped prefix sum — no single-task window", tb1TokenBudget, Some(tb1Sql)),
-    Q("tb2_quality_budget_cut", "quality-ordered token-budget cut: the binding budget keeps best-scored docs first (prefix sum under score DESC)", tb2QualityBudget, Some(tb2Sql)))
+    Q("tb2_quality_budget_cut", "quality-ordered token-budget cut: the binding budget keeps best-scored docs first (prefix sum under score DESC)", tb2QualityBudget, Some(tb2Sql)),
+    Q("up1_epoch_upsample", "epoch upsampling (data-constrained scaling): budget-exceeding sources repeat up to 4 epochs, fractional epoch via deterministic hash-Bernoulli", up1EpochUpsample, Some(up1Sql)))
 }

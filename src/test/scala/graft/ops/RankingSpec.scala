@@ -127,6 +127,44 @@ class RankingSpec extends SparkSpec {
     assert(kept == Seq(("a", 1L, 0L), ("a", 2L, 7L), ("b", 1L, 0L), ("b", 2L, 9L)))
   }
 
+  test("epochUpsample: full repeats, hash-selected fraction, and both clamps") {
+    // a: budget 25 over 10 tokens -> epochs6 = 2.5e6 (2 full + 50% frac)
+    // b: budget 100 over 10     -> caps at 4 epochs exactly
+    // c: budget 3 over 10       -> floors at 1 (cutting is tb1's job)
+    val rows = Seq(("a", 1L, 4L), ("a", 2L, 6L),
+      ("b", 3L, 10L), ("c", 4L, 10L))
+    val budgets = Seq(("a", 25L), ("b", 100L), ("c", 3L))
+      .toDF("src", "budget")
+    val out = Packing.epochUpsample(rows.toDF("src", "id", "n"),
+        "src", "id", "n", budgets)
+      .select(col("src"), col("id"), col("epochs6"), col("epoch_idx"))
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    assert(out.filter(_._1 == "b").map(_._4).sorted == Seq(1L, 2L, 3L, 4L),
+      "budget 10x unique tokens must cap at exactly 4 epochs")
+    assert(out.filter(_._1 == "c") == Seq(("c", 4L, 1000000L, 1L)),
+      "a below-one budget floors at one epoch, never zero")
+    val a = out.filter(_._1 == "a")
+    assert(a.forall(_._3 == 2500000L))
+    // every a-doc repeats 2 or 3 times; the 3rd copy is the doc hash's
+    // call (deterministic — recompute it the gate's way)
+    def h(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"up|$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 1000000L
+    }
+    Seq(1L, 2L).foreach { id =>
+      val want = 2L + (if (h(id) < 500000L) 1L else 0L)
+      assert(a.count(_._2 == id).toLong == want,
+        s"doc $id repeat count drifted from the hash-Bernoulli model")
+    }
+    // determinism: a re-run materializes the identical corpus
+    val again = Packing.epochUpsample(rows.toDF("src", "id", "n"),
+        "src", "id", "n", budgets)
+      .select(col("src"), col("id"), col("epochs6"), col("epoch_idx"))
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    assert(again == out)
+  }
+
   test("interleaveByWeight prefixes hold sources in weight proportion") {
     // a:600, b:300, c:100 rows with weights 6:3:1 -> any aligned prefix
     // of the vt order holds them 6:3:1 (fair queueing's invariant)
