@@ -65,13 +65,26 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    def timed(name: String): Double = {
+    // Returns (statistic, all draws in draw order). The statistic is
+    // what "queries" carries (median-of-3 ≥3 s, min-of-2 ≥1 s,
+    // single-shot below — tiers unchanged from round 9); the raw draw
+    // array ships alongside in "draws" because round 12 proved the
+    // statistic alone is ambiguous: two same-code artifacts disagreed
+    // ×4.1 on bpe2_merge_table purely because a first draw landing on
+    // the other side of a tier boundary flips the reported number
+    // between "cold single-shot" and "warm min", and nothing in the
+    // line let a reader see which happened. Draw-array length encodes
+    // the tier (1/2/3); draw order is preserved (first = cold).
+    def timed(name: String): (Double, IndexedSeq[Double]) = {
       val first = draw(SparkEntry.queries(name))
-      if (first >= 3.0)
-        IndexedSeq(first, draw(SparkEntry.queries(name)),
-          draw(SparkEntry.queries(name))).sorted.apply(1)
-      else if (first >= 1.0) math.min(first, draw(SparkEntry.queries(name)))
-      else first
+      if (first >= 3.0) {
+        val ds = IndexedSeq(first, draw(SparkEntry.queries(name)),
+          draw(SparkEntry.queries(name)))
+        (ds.sorted.apply(1), ds)
+      } else if (first >= 1.0) {
+        val ds = IndexedSeq(first, draw(SparkEntry.queries(name)))
+        (ds.min, ds)
+      } else (first, IndexedSeq(first))
     }
     // load canary: ONE fixed cheap query (a1_global_counters, sub-0.1 s
     // warm) timed single-shot at the suite's start, middle and end, so
@@ -94,13 +107,16 @@ object Bench {
     val cEnd = canary()
     val streaming = streamingPre.getOrElse(streamingFragment())
     val results = r1 ++ r2
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val drawsJson = results.map { case (k, (_, ds)) =>
+      "\"" + k + "\":" + ds.map(d => f"$d%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
     val canaryJson =
       f""""canary":{"query":"$canaryName","start":$cStart%.3f,"mid":$cMid%.3f,"end":$cEnd%.3f}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$streaming,$canaryJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"draws":$drawsJson,$streaming,$canaryJson,"sf":"$sfDir"}"""
     // persist the COMPLETE line as a repo artifact: the driver's stdout
     // capture keeps only the tail of this very long line, losing the
     // per-query head every round — BENCH_FULL.json (overwritten per

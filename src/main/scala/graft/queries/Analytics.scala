@@ -100,19 +100,30 @@ object Analytics extends QueryPack {
   // ---- ED1/ED2: blocked edit-distance pairs ------------------------------
   // Both run through ops.Dedup.editDistancePairs — the generalized
   // blocked fuzzy-match operator (block key + length band + threshold-
-  // bounded DP). ed1 keeps the original single-block shape; ed2 plants
-  // guaranteed near-strings (each doc's prefix vs the same prefix
-  // shifted one character) across 50 hash blocks, so the query proves
-  // nonzero matching, not just emptiness.
-  private def ed1EditDistance(s: SparkSession, dir: String): DataFrame =
+  // bounded DP). ed1 keeps the original single-block shape — plus ONE
+  // planted near-pair (doc 0's prefix vs the same prefix shifted one
+  // character, under id 1000000) so ed1 is self-sufficiently nonzero
+  // at every SF rather than green-on-empty; ed2 plants the same trick
+  // per-doc across 50 hash blocks, so it proves matching at volume.
+  private def ed1EditDistance(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "documents").filter(col("doc_id") < 100)
+    val planted = base.filter(col("doc_id") === 0)
+      .select(lit(1000000L).as("doc_id"),
+        substring(col("text"), 2, 32).as("text"))
     graft.ops.Dedup.editDistancePairs(
-      Tables.load(s, dir, "documents").filter(col("doc_id") < 100),
+      base.select(col("doc_id"), col("text")).unionByName(planted),
       "doc_id", "text", blockCol = lit(0), maxLen = 32, maxDist = 10)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   private val ed1Sql =
-    """WITH d AS (
-      |  SELECT doc_id, substr(text, 1, 32) AS prefix FROM documents WHERE doc_id < 100)
+    """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+      |d AS (
+      |  SELECT doc_id, substr(text, 1, 32) AS prefix FROM base
+      |  UNION ALL
+      |  SELECT 1000000 AS doc_id, substr(text, 2, 32) AS prefix
+      |  FROM base WHERE doc_id = 0)
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  levenshtein(a.prefix, b.prefix) AS dist
       |FROM d a JOIN d b ON a.doc_id < b.doc_id

@@ -52,8 +52,9 @@ import graft.streaming.CurationStream.SemanticTier
   * `curated` (the final output — tier 2's when no semantic tier). All
   * epoch-partitioned — plus `weighted` (the curated epoch with per-doc
   * DSIR weights appended) when a [[SelectionTier]] is configured,
-  * `mix_seen`/`mixture`/`mix_admitted` when a [[MixtureTier]] is, and
-  * `admitted`/`quota_reject` when a [[QuotaTier]] is.
+  * `mix_seen`/`mixture`/`mix_admitted` when a [[MixtureTier]] is,
+  * `admitted`/`quota_reject` when a [[QuotaTier]] is, and
+  * `up_seen`/`upsampled`/`up_admitted` when an [[UpsampleTier]] is.
   */
 object CurationStream {
 
@@ -118,6 +119,22 @@ object CurationStream {
       store: SnapshotStore, table: String, sourceCol: String,
       budgets: DataFrame, scoreCol: Option[String] = None)
 
+  /** Upsample tier config (optional, runs after everything — the
+    * REPEAT direction of the recipe, where the quota tier is the cut
+    * direction): [[UpsampleGate]] repeats under-budget sources toward
+    * their token budgets (the data-constrained-scaling recipe), with
+    * per-source token totals in `store`/`table` (an additive chain)
+    * and exact integral-div repeat factors recomputed every trigger.
+    * Consumes the final shipped epoch (the quota tier's admissions
+    * when configured — only docs the recipe ships get repeated) and
+    * emits `<root>/upsampled` (the FULL refreshed prefix-exact
+    * upsampled corpus) and `<root>/up_admitted` (this batch's copies,
+    * decided once at arrival).
+    */
+  final case class UpsampleTier(
+      store: SnapshotStore, table: String, sourceCol: String,
+      budgets: DataFrame, maxEpochs: Int = 4)
+
   /** One micro-batch through the whole ladder (idempotent per
     * `batchId`). `table` is the tier-2 [[graft.sources.DedupIndex]].
     */
@@ -130,7 +147,8 @@ object CurationStream {
       lineDedup: Option[LineDedupTier] = None,
       selection: Option[SelectionTier] = None,
       mixture: Option[MixtureTier] = None,
-      quota: Option[QuotaTier] = None): Unit = {
+      quota: Option[QuotaTier] = None,
+      upsample: Option[UpsampleTier] = None): Unit = {
     // a committed epoch can hold ZERO parquet part files (an empty
     // replayed micro-batch arrives with zero partitions, and the epoch
     // write preserves that) — reading it back would die with "unable to
@@ -214,6 +232,26 @@ object CurationStream {
         s"$root/admitted", s"$root/quota_reject",
         order = qt.scoreCol.map(c => col(c).desc).toSeq)
     }
+    upsample.foreach { ut =>
+      // after everything: only docs the recipe actually SHIPS get
+      // repeated (the quota tier's admissions when configured — they
+      // already carry n_tokens; otherwise the final upstream epoch,
+      // tokenized the same way the quota tier would)
+      def withTokens(df: DataFrame): DataFrame =
+        if (df.columns.contains("n_tokens")) df
+        else df.withColumn("n_tokens", org.apache.spark.sql.functions.size(
+          graft.ops.TextAnalysis.tokens(col(textCol))).cast("long"))
+      val upDir =
+        if (quota.isDefined) s"$root/admitted"
+        else if (mixture.isDefined) s"$root/mix_admitted"
+        else if (selection.isDefined) s"$root/weighted"
+        else s"$root/curated"
+      val shipped = withTokens(epochOrEmpty(upDir, withTokens(postFallback)))
+      UpsampleGate.applyBatch(ut.store, ut.table, shipped, batchId, idCol,
+        ut.sourceCol, "n_tokens", ut.budgets,
+        s"$root/up_seen", s"$root/upsampled", s"$root/up_admitted",
+        maxEpochs = ut.maxEpochs)
+    }
   }
 
   /** Run the ladder over a document stream. Build the tier-2 index
@@ -231,7 +269,8 @@ object CurationStream {
       lineDedup: Option[LineDedupTier] = None,
       selection: Option[SelectionTier] = None,
       mixture: Option[MixtureTier] = None,
-      quota: Option[QuotaTier] = None): StreamingQuery = {
+      quota: Option[QuotaTier] = None,
+      upsample: Option[UpsampleTier] = None): StreamingQuery = {
     val spark = docs.sparkSession
     val release = ConfPins.acquireGatePins(spark, shufflePartitions,
       java.util.UUID.randomUUID())
@@ -243,7 +282,7 @@ object CurationStream {
         .foreachBatch { (b: DataFrame, id: Long) =>
           applyBatch(b.sparkSession, b, id, constraints, table, idCol,
             textCol, root, threshold, semantic, enrich, lineDedup,
-            selection, mixture, quota); ()
+            selection, mixture, quota, upsample); ()
         }
         .start()
       catch { case e: Throwable => release(); throw e }

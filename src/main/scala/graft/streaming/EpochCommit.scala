@@ -47,9 +47,25 @@ object EpochCommit {
     * per-epoch latency (AQE can't rescue this: it's disabled inside
     * micro-batches). Raise it for pipelines whose epochs are large
     * enough that a single write task would bottleneck.
+    *
+    * `partitionBy` writes hive-partitioned subdirs INSIDE the epoch
+    * (`epoch=k/<col>=v/…`) — the rename still commits the whole epoch
+    * atomically, and readers of the root see both `epoch` and the
+    * inner column as partition columns. This is how a consumer gets
+    * directory-pruned selective re-reads of an append-only epoch log
+    * ([[MixtureGate]]'s hash-band refresh) without a second store.
+    *
+    * `sideFiles` (name → contents) land inside the staged epoch before
+    * the rename, so they commit atomically WITH the data — the slot
+    * for trigger-frozen scalars a later trigger must re-read exactly
+    * (e.g. the rates a sample epoch was decided under). Names must
+    * start with `_` or `.` so parquet readers ignore them.
     */
   def commitEpoch(df: DataFrame, root: String, batchId: Long,
-      maxFiles: Int = 1): Unit = {
+      maxFiles: Int = 1, partitionBy: Seq[String] = Nil,
+      sideFiles: Map[String, String] = Map.empty): Unit = {
+    require(sideFiles.keys.forall(n => n.startsWith("_") || n.startsWith(".")),
+      "epoch side files must be underscore/dot-prefixed (hidden from parquet readers)")
     val (fs, rootP) = fsFor(df.sparkSession, root)
     val dest = new Path(rootP, s"epoch=$batchId")
     val staging = new Path(new Path(rootP, ".staging"), s"e$batchId")
@@ -58,8 +74,14 @@ object EpochCommit {
       // downstream (read once, compacted/consumed); codec init +
       // compression is measurable per-epoch latency for no storage win
       // that matters at these sizes
-      df.coalesce(maxFiles).write.mode(SaveMode.Overwrite)
-        .option("compression", "none").parquet(staging.toString)
+      val w = df.coalesce(maxFiles).write.mode(SaveMode.Overwrite)
+        .option("compression", "none")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(staging.toString)
+      sideFiles.foreach { case (name, contents) =>
+        val out = fs.create(new Path(staging, name), true)
+        try out.write(contents.getBytes("UTF-8")) finally out.close()
+      }
       fs.mkdirs(dest.getParent)
       // a false return with dest present = a concurrent replay won the
       // commit, which is fine; false with no dest is a real failure
@@ -70,6 +92,34 @@ object EpochCommit {
     if (fs.exists(staging)) fs.delete(staging, true)
   }
 
+  /** Read a side file committed with an epoch ([[commitEpoch]]'s
+    * `sideFiles`); None if the epoch or the file is absent.
+    */
+  def readSideFile(spark: SparkSession, root: String, batchId: Long,
+      name: String): Option[String] = {
+    val (fs, rootP) = fsFor(spark, root)
+    val p = new Path(new Path(rootP, s"epoch=$batchId"), name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    }
+  }
+
+  /** Highest committed epoch id under `root` strictly below `bound`;
+    * None if there is none. FS-metadata only (no Spark job).
+    */
+  def latestEpochBefore(spark: SparkSession, root: String,
+      bound: Long): Option[Long] = {
+    val (fs, rootP) = fsFor(spark, root)
+    if (!fs.exists(rootP)) None
+    else fs.listStatus(rootP).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("epoch="))
+      .map(_.getPath.getName.stripPrefix("epoch=").toLong)
+      .filter(_ < bound)
+      .sorted.lastOption
+  }
+
   /** Has `epoch=<batchId>` committed under `root`? The replay fast-path
     * for stateless sinks ([[AnnServeStream]]).
     */
@@ -78,6 +128,17 @@ object EpochCommit {
     fs.exists(new Path(rootP, s"epoch=$batchId"))
   }
 
+  /** Any `.parquet` data file under `dir`, descending into hive
+    * partition subdirs (epochs written with `partitionBy` nest their
+    * files one level down).
+    */
+  private def hasParquet(fs: FileSystem, dir: Path): Boolean =
+    fs.listStatus(dir).exists { st =>
+      (st.isFile && st.getPath.getName.endsWith(".parquet")) ||
+        (st.isDirectory && !st.getPath.getName.startsWith(".") &&
+          hasParquet(fs, st.getPath))
+    }
+
   /** Does the committed epoch contain any data files? An all-filtered
     * epoch commits a dir with only writer metadata — callers that feed
     * the epoch onward (index appends) skip those.
@@ -85,9 +146,7 @@ object EpochCommit {
   def epochHasData(spark: SparkSession, root: String, batchId: Long): Boolean = {
     val (fs, rootP) = fsFor(spark, root)
     val dir = new Path(rootP, s"epoch=$batchId")
-    fs.exists(dir) && fs.listStatus(dir).exists { st =>
-      st.isFile && st.getPath.getName.endsWith(".parquet")
-    }
+    fs.exists(dir) && hasParquet(fs, dir)
   }
 
   /** Does ANY committed epoch under `root` contain data files? Guards
@@ -99,9 +158,7 @@ object EpochCommit {
     val (fs, rootP) = fsFor(spark, root)
     fs.exists(rootP) && fs.listStatus(rootP).exists { d =>
       d.isDirectory && d.getPath.getName.startsWith("epoch=") &&
-        fs.listStatus(d.getPath).exists { st =>
-          st.isFile && st.getPath.getName.endsWith(".parquet")
-        }
+        hasParquet(fs, d.getPath)
     }
   }
 

@@ -18,7 +18,12 @@ import java.nio.file.Files
   *  - [[LineDedupGate.applyBatch]] batches and replays,
   *  - [[MixtureGate.applyBatch]] batches and replays (the sample epoch
   *    re-derives the FULL prefix under post-batch rates — the model
-  *    recomputes the md5-Bernoulli decision per doc),
+  *    recomputes the md5-Bernoulli decision per doc; each call picks
+  *    hash-band incremental or full refresh AT RANDOM, so interleaved
+  *    modes and cross-mode replays must stay model-identical),
+  *  - [[UpsampleGate.applyBatch]] batches and replays (same treatment:
+  *    the model recomputes exact integral-div repeat factors and the
+  *    per-copy explode over the full prefix; modes randomized),
   *  - raw chain maintenance: vacuum / cloneAt / additiveSnapshotAt /
   *    versionAsOf / additiveSnapshotForKeys (manual compact refuses
   *    additive chains by design — the fold happens automatically every
@@ -119,6 +124,9 @@ class AdditiveFuzzSpec extends SparkSpec {
     var mCounts = Map.empty[String, Long]
     var mSeen = Vector.empty[(Long, String)] // every (doc, source) streamed
     val mBatches = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, String)]]
+    var uTotals = Map.empty[String, Long]
+    var uSeen = Vector.empty[(Long, String, Long)] // (doc, source, tokens)
+    val uBatches = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, String, Long)]]
     val qBatches = scala.collection.mutable.ArrayBuffer.empty[QBatch]
     val lBatches = scala.collection.mutable.ArrayBuffer.empty[LBatch]
     // Q-chain counts + commit instant per store version (fill-forward
@@ -145,6 +153,9 @@ class AdditiveFuzzSpec extends SparkSpec {
       assert(MixtureGate.counts(spark, store, "M")
         .as[(String, Long)].collect().toMap == mCounts.filter(_._2 != 0L),
         s"$what: mixture counts drifted (seed $seed)")
+      assert(UpsampleGate.totals(spark, store, "U")
+        .as[(String, Long)].collect().toMap == uTotals.filter(_._2 != 0L),
+        s"$what: upsample totals drifted (seed $seed)")
     }
 
     // the gate's exact md5-Bernoulli keep decision, driver-side
@@ -163,10 +174,17 @@ class AdditiveFuzzSpec extends SparkSpec {
         .map(_._1).toSet
     }
 
+    // mode chosen at random PER CALL: the hash-band incremental
+    // refresh and the full O(corpus) re-decide must commit identical
+    // epochs, so a history interleaving both (a full-refreshed epoch's
+    // rates file feeding a later band refresh, and vice versa) — and
+    // replays that land in the other mode — must be invisible to the
+    // model, which recomputes the full-prefix decision every batch
     def applyM(batchId: Long, docs: Seq[(Long, String)]): Unit =
       MixtureGate.applyBatch(store, "M",
         docs.toDF("doc_id", "source"), batchId, "doc_id", "source",
-        s"$dir/mseen", s"$dir/msample", s"$dir/madmit")
+        s"$dir/mseen", s"$dir/msample", s"$dir/madmit",
+        incremental = rnd.nextBoolean())
 
     def doMBatch(): Unit = {
       val docs = (0 until 1 + rnd.nextInt(4)).map { _ =>
@@ -185,6 +203,57 @@ class AdditiveFuzzSpec extends SparkSpec {
         s"mixture sample epoch $batchId drifted (seed $seed)")
       assert(epochIds(s"$dir/madmit", batchId) == mixSample(docs),
         s"mixture admit epoch $batchId drifted (seed $seed)")
+    }
+
+    // the upsample gate's exact repeat rule, driver-side: factor
+    // e6 = clamp(10^6, budget*10^6 div total, 4*10^6) per BUDGETED
+    // source; rep = e6 div 10^6 + [hash("up|id") mod 10^6 < e6 mod 10^6]
+    val uBudgetMap = Map("a" -> 200L, "b" -> 150L)
+    val uBudgets = Seq(("a", 200L), ("b", 150L)).toDF("source", "budget")
+    def upKeeps(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"up|$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map("%02x".format(_)).mkString, 16) % 1000000L
+    }
+    def upSample(docs: Seq[(Long, String, Long)]): Set[(Long, Long)] =
+      docs.flatMap { case (id, src, _) =>
+        (uBudgetMap.get(src), uTotals.get(src)) match {
+          case (Some(b), Some(t)) if t > 0 =>
+            val e6 = math.min(4000000L, math.max(1000000L, b * 1000000L / t))
+            val rep = e6 / 1000000L + (if (upKeeps(id) < e6 % 1000000L) 1L else 0L)
+            (1L to rep).map(i => (id, i))
+          case _ => Seq.empty
+        }
+      }.toSet
+    def epochPairs(root: String, e: Long): Set[(Long, Long)] =
+      spark.read.parquet(s"$root/epoch=$e").select("doc_id", "epoch_idx")
+        .as[(Long, Long)].collect().toSet
+
+    // mode chosen at random per call, like the mixture arm: band and
+    // full refreshes must commit identical epochs
+    def applyU(batchId: Long, docs: Seq[(Long, String, Long)]): Unit =
+      UpsampleGate.applyBatch(store, "U",
+        docs.toDF("doc_id", "source", "n_tokens"), batchId, "doc_id",
+        "source", "n_tokens", uBudgets,
+        s"$dir/useen", s"$dir/usample", s"$dir/uadmit",
+        incremental = rnd.nextBoolean())
+
+    def doUBatch(): Unit = {
+      val docs = (0 until 1 + rnd.nextInt(4)).map { _ =>
+        (freshId(), Seq("a", "b", "c")(rnd.nextInt(3)), 1L + rnd.nextInt(12))
+      }
+      val batchId = uBatches.size.toLong
+      applyU(batchId, docs)
+      uBatches += docs
+      uSeen = uSeen ++ docs
+      docs.groupBy(_._2).foreach { case (s, ds) =>
+        uTotals = uTotals.updated(s, uTotals.getOrElse(s, 0L) + ds.map(_._3).sum)
+      }
+      assert(epochPairs(s"$dir/usample", batchId) == upSample(uSeen),
+        s"upsample sample epoch $batchId drifted (seed $seed)")
+      assert(epochPairs(s"$dir/uadmit", batchId) == upSample(docs),
+        s"upsample admit epoch $batchId drifted (seed $seed)")
     }
 
     def applyQ(b: QBatch): Unit =
@@ -242,6 +311,7 @@ class AdditiveFuzzSpec extends SparkSpec {
       val v = store.currentVersion("Q")
       val lv = store.currentVersion("L")
       val mv = store.currentVersion("M")
+      val uv = store.currentVersion("U")
       if (qBatches.nonEmpty) applyQ(qBatches(rnd.nextInt(qBatches.size)))
       if (lBatches.nonEmpty) applyL(lBatches(rnd.nextInt(lBatches.size)))
       if (mBatches.nonEmpty) {
@@ -250,8 +320,12 @@ class AdditiveFuzzSpec extends SparkSpec {
         // a replayed OLD sample epoch must not be rewritten under the
         // rates that exist now (the epoch dir is the fence)
       }
+      if (uBatches.nonEmpty) {
+        val k = rnd.nextInt(uBatches.size)
+        applyU(k.toLong, uBatches(k))
+      }
       assert(store.currentVersion("Q") == v && store.currentVersion("L") == lv
-          && store.currentVersion("M") == mv,
+          && store.currentVersion("M") == mv && store.currentVersion("U") == uv,
         s"replay grew a chain (seed $seed)")
     }
 
@@ -262,10 +336,11 @@ class AdditiveFuzzSpec extends SparkSpec {
     def doCompactAdditive(): Unit = {
       // manual fold is content-preserving and carries the meta replay
       // fence; L is bucketed (the gate declares line:64), Q/M are not
-      rnd.nextInt(3) match {
+      rnd.nextInt(4) match {
         case 0 if store.currentVersion("Q") > 0 => store.compactAdditive("Q")
         case 1 if store.currentVersion("L") > 0 => store.compactAdditive("L")
-        case _ if store.currentVersion("M") > 0 => store.compactAdditive("M")
+        case 2 if store.currentVersion("M") > 0 => store.compactAdditive("M")
+        case _ if store.currentVersion("U") > 0 => store.compactAdditive("U")
         case _ => ()
       }
       recordQVersions()
@@ -351,10 +426,11 @@ class AdditiveFuzzSpec extends SparkSpec {
     val len = 6 + rnd.nextInt(4)
     (0 until len).foreach { _ =>
       now += 1000L
-      rnd.nextInt(12) match {
+      rnd.nextInt(14) match {
         case 0 | 1     => doQBatch()
         case 2 | 3     => doLBatch()
         case 4 | 5     => doMBatch()
+        case 12 | 13   => doUBatch()
         case 6         => doReplay()
         case 7         => if (rnd.nextBoolean()) doTornWindow()
                           else doCompactAdditive()

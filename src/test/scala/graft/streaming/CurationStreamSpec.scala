@@ -267,6 +267,47 @@ class CurationStreamSpec extends SparkSpec {
     assert(store.currentVersion("CQ") == v)
   }
 
+  test("upsample tier: quota admissions repeat toward budget, prefix-exact across triggers") {
+    val dir = Files.createTempDirectory("graft-curation-up").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    val upStore = new SnapshotStore(spark, s"$dir/upstore")
+    DedupIndex.build(Seq((1L, doc("the quick brown fox ")))
+      .toDF("doc_id", "text"), "curationup_idx", "doc_id", "text")
+    // quota 70 ships two 30-token docs of w; upsample budget 300 then
+    // repeats the shipped 60 tokens 300/60 = 5 → clamped to maxEpochs 4
+    val qt = Some(CurationStream.QuotaTier(store, "CUQ", "source",
+      Seq(("w", 70L)).toDF("source", "budget")))
+    val upBudgets = Seq(("w", 300L)).toDF("source", "budget")
+    val ut = Some(CurationStream.UpsampleTier(upStore, "CUU", "source",
+      upBudgets))
+    CurationStream.applyBatch(spark,
+      Seq((90L, "w", "too short"),
+        (91L, "w", doc("pack my box with jugs ")),
+        (92L, "w", doc("sphinx of black quartz judge ")))
+        .toDF("doc_id", "source", "text"),
+      0L, constraints, "curationup_idx", "doc_id", "text", s"$dir/cur",
+      quota = qt, upsample = ut)
+    // the upsampled epoch = batch epochUpsample over what the quota
+    // SHIPPED (60 tokens vs budget 300 → 4 copies each after clamp)
+    val up0 = spark.read.parquet(s"$dir/cur/upsampled/epoch=0")
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(up0 == Map(91L -> 4L, 92L -> 4L), s"upsampled drifted: $up0")
+    // trigger 1: quota is exhausted — nothing ships, nothing repeats,
+    // but the refresh re-emits the prefix (factors unchanged)
+    CurationStream.applyBatch(spark,
+      Seq((93L, "w", doc("how vexingly daft zebras jump ")))
+        .toDF("doc_id", "source", "text"),
+      1L, constraints, "curationup_idx", "doc_id", "text", s"$dir/cur",
+      quota = qt, upsample = ut)
+    assert(spark.read.parquet(s"$dir/cur/up_admitted/epoch=1").count() == 0L)
+    val up1 = spark.read.parquet(s"$dir/cur/upsampled/epoch=1")
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(up1 == up0, "prefix sample must carry the shipped corpus forward")
+    // the gate's totals track only SHIPPED tokens
+    assert(UpsampleGate.totals(spark, upStore, "CUU")
+      .as[(String, Long)].collect().toMap == Map("w" -> 60L))
+  }
+
   test("mixture tier: exact temperature sample over the curated prefix; quota charges each admit once") {
     val dir = Files.createTempDirectory("graft-curation-mix").toString
     val mixStore = new SnapshotStore(spark, s"$dir/mixstore")

@@ -159,6 +159,64 @@ class MixtureGateSpec extends SparkSpec {
       s"mixture-gate per-trigger action budget is 5, saw ${actions.get()}")
   }
 
+  test("hash-band refresh commits epochs identical to the full re-decide, including across a cadence jump") {
+    // same batches through two gates: one full (the oracle path), one
+    // incremental (the default); rates move BOTH directions across the
+    // sequence, so the band path exercises grown-band reads, shrunk-
+    // band drops, and a brand-new source — and with refreshEvery = 2
+    // the incremental refresh at epoch 3 recovers its old rates from
+    // epoch 1 (a cadence jump, not just k-1)
+    for (cadence <- Seq(1, 2)) {
+      val dir = Files.createTempDirectory(s"graft-mix-ab$cadence").toString
+      val storeF = new SnapshotStore(spark, s"$dir/storeF")
+      val storeI = new SnapshotStore(spark, s"$dir/storeI")
+      val batches = Seq(b0, b1, b2,
+        docs((15 to 19).map(i => (i.toLong, "a")): _*))
+      batches.zipWithIndex.foreach { case (b, k) =>
+        MixtureGate.applyBatch(storeF, "MF", b, k.toLong, "doc_id", "source",
+          s"$dir/fseen", s"$dir/fsample", s"$dir/fadmit",
+          refreshEvery = cadence, incremental = false)
+        MixtureGate.applyBatch(storeI, "MI", b, k.toLong, "doc_id", "source",
+          s"$dir/iseen", s"$dir/isample", s"$dir/iadmit",
+          refreshEvery = cadence, incremental = true)
+        if ((k + 1) % cadence == 0) {
+          val full = spark.read.parquet(s"$dir/fsample/epoch=$k")
+            .select("doc_id", "source").as[(Long, String)].collect().toSet
+          val band = spark.read.parquet(s"$dir/isample/epoch=$k")
+            .select("doc_id", "source").as[(Long, String)].collect().toSet
+          assert(band == full,
+            s"band refresh diverged from full refresh at epoch $k (cadence $cadence)")
+        }
+        assert(ids(s"$dir/iadmit", k.toLong) == ids(s"$dir/fadmit", k.toLong))
+      }
+    }
+  }
+
+  test("a prev sample epoch without its rates side file falls back to the full path, then the band path resumes") {
+    val dir = Files.createTempDirectory("graft-mix-legacy").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    MixtureGate.applyBatch(store, "ML", b0, 0L, "doc_id", "source",
+      s"$dir/seen", s"$dir/sample", s"$dir/admit")
+    // simulate a legacy epoch: published before the side file existed
+    val rates0 = new java.io.File(s"$dir/sample/epoch=0/_graft_rates")
+    assert(rates0.exists, "sample epochs must carry their rates side file")
+    assert(rates0.delete())
+    var prefix = b0
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      val k = i + 1L
+      MixtureGate.applyBatch(store, "ML", b, k, "doc_id", "source",
+        s"$dir/seen", s"$dir/sample", s"$dir/admit")
+      prefix = prefix.unionByName(b)
+      val want = graft.ops.Stats.temperatureSample(prefix, "source", "doc_id")
+        .select("doc_id", "source").as[(Long, String)].collect().toSet
+      val got = spark.read.parquet(s"$dir/sample/epoch=$k")
+        .select("doc_id", "source").as[(Long, String)].collect().toSet
+      assert(got == want, s"epoch $k drifted (legacy fallback then band resume)")
+      // the emitted epoch re-establishes the side file either way
+      assert(new java.io.File(s"$dir/sample/epoch=$k/_graft_rates").exists)
+    }
+  }
+
   test("streaming start maintains the mixture over a live stream") {
     val dir = Files.createTempDirectory("graft-mix-stream").toString
     val store = new SnapshotStore(spark, s"$dir/store")
