@@ -557,6 +557,44 @@ object Multimodal {
         col("seg_idx2"), col("n_inter"), col("jaccard6"))
   }
 
+  /** Keep-one canonicalization over [[segmentNearDupPairs]]' output —
+    * the audio ladder's dd6/dd7 closure: near-dup segment PAIRS become
+    * connected COMPONENTS ([[graft.ops.Dedup.alternatingStarComponents]],
+    * the same O(log n)-round star contraction the text family uses,
+    * over (doc_id, seg_idx) nodes packed into one long — seg_idx is
+    * frame-bounded ≪ 100 by construction), and each component elects
+    * ONE surviving segment: highest energy (keep the fullest
+    * recording), ties broken on smallest (doc_id, seg_idx) so the
+    * election is total-order deterministic. Output: every segment with
+    * its survivor — (doc_id, seg_idx, keep_doc_id, keep_seg_idx);
+    * singletons keep themselves.
+    *
+    * Scale: components ride the contraction's edge-set state (never a
+    * label table over all nodes per round); the best-of election is
+    * one groupBy over O(segments) rows + an equi-join back — no
+    * windows over the corpus, no driver-side component walk.
+    */
+  def segmentCanonical(segs: DataFrame, pairs: DataFrame): DataFrame = {
+    def node(d: Column, s: Column): Column = d * 100L + s
+    val ids = segs.select(node(col("doc_id"), col("seg_idx")).as("nid"),
+      col("doc_id"), col("seg_idx"), col("energy"))
+    val p = pairs.select(
+      node(col("doc_id1"), col("seg_idx1")).as("id_a"),
+      node(col("doc_id2"), col("seg_idx2")).as("id_b"))
+    val comp = graft.ops.Dedup.alternatingStarComponents(p, ids, "nid")
+    val labeled = ids.join(comp, Seq("nid"))
+    // struct min = lexicographic (−energy, doc, seg): the argmax-with-
+    // tie-break in ONE aggregate, no window over the corpus
+    val best = labeled.groupBy(col("canonical_id"))
+      .agg(min(struct((lit(0L) - col("energy")).as("ne"),
+        col("doc_id").as("d"), col("seg_idx").as("s"))).as("b"))
+      .select(col("canonical_id"),
+        col("b.d").as("keep_doc_id"), col("b.s").as("keep_seg_idx"))
+    labeled.join(best, Seq("canonical_id"))
+      .select(col("doc_id"), col("seg_idx"),
+        col("keep_doc_id"), col("keep_seg_idx"))
+  }
+
   /** 64-bit perceptual difference hash (dHash) over the REAL decoded
     * pixels: nearest-neighbor downsample to 9×8 grays (the same
     * integer index math as [[resizeImages]]: src = dst·size/out), then

@@ -231,18 +231,36 @@ object Extras extends QueryPack {
   // pairs (docs 2k/2k+1 share all frame content except one perturbed
   // frame each), so the oracle predicts every sample — and therefore
   // every fingerprint and every pair — analytically.
-  private def mm9SegmentNearDup(s: SparkSession, dir: String): DataFrame = {
-    // pinned: the segmentation AND the fingerprint extraction both read
-    // the frames — without the checkpoint each consumer re-runs the
-    // real WAV encode+decode over the whole corpus
-    val frames = Multimodal.wavFrameFeatures(
-      Multimodal.wavTable(Tables.load(s, dir, "documents"), nSamples = 1600,
-        sampleFn = (id, i) => Multimodal.wavPairSample(id, i)))
-      .localCheckpoint(true)
-    val segs = Multimodal.energySegments(frames, threshold = 0L, minFrames = 2)
-    Multimodal.segmentNearDupPairs(frames, segs, minJaccard6 = 500000L)
-      .orderBy(col("doc_id1"), col("seg_idx1"), col("doc_id2"), col("seg_idx2"))
+  // mm9 and mm10 share ONE wav decode + segmentation + pair stage per
+  // (session, dir): the real WAV round-trip dominates both queries, and
+  // the canonicalization must not re-decode the corpus (the dd2/dd6
+  // pair-cache contract — same-session reuse only, dead sessions
+  // evicted)
+  private val wavStageCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private def sharedWavSegPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    wavStageCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    wavStageCache.computeIfAbsent((s, dir), _ => {
+      // pinned: the segmentation AND the fingerprint extraction both
+      // read the frames — without the checkpoint each consumer re-runs
+      // the real WAV encode+decode over the whole corpus
+      val frames = Multimodal.wavFrameFeatures(
+        Multimodal.wavTable(Tables.load(s, dir, "documents"), nSamples = 1600,
+          sampleFn = (id, i) => Multimodal.wavPairSample(id, i)))
+        .localCheckpoint(true)
+      val segs = Multimodal.energySegments(frames, threshold = 0L, minFrames = 2)
+        .localCheckpoint(true)
+      val pairs = Multimodal.segmentNearDupPairs(frames, segs,
+          minJaccard6 = 500000L)
+        .localCheckpoint(true)
+      (segs, pairs)
+    })
   }
+
+  private def mm9SegmentNearDup(s: SparkSession, dir: String): DataFrame =
+    sharedWavSegPairs(s, dir)._2
+      .orderBy(col("doc_id1"), col("seg_idx1"), col("doc_id2"), col("seg_idx2"))
 
   private val mm9Sql =
     """WITH s AS (
@@ -288,6 +306,80 @@ object Extras extends QueryPack {
       |WHERE floor(n_inter * 1000000.0 / (s1.n_tok + s2.n_tok - n_inter) + 0.5)
       |  >= 500000
       |ORDER BY doc_id1, seg_idx1, doc_id2, seg_idx2""".stripMargin
+
+  // ---- MM10: audio keep-one canonicalization ------------------------------
+  // mm9's near-dup PAIRS become connected components (the same star
+  // contraction dd6/cc1 certify on text) and each component elects one
+  // surviving segment — highest energy, ties on smallest (doc, seg).
+  // Rides mm9's cached wav stage; the oracle recomputes the components
+  // with a recursive CTE over the analytically-predicted pairs.
+  private def mm10SegmentKeepOne(s: SparkSession, dir: String): DataFrame = {
+    val (segs, pairs) = sharedWavSegPairs(s, dir)
+    Multimodal.segmentCanonical(segs, pairs)
+      .orderBy(col("doc_id"), col("seg_idx"))
+  }
+
+  private val mm10Sql =
+    """WITH RECURSIVE s AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN ((doc_id // 2) + (i // 160)) % 5 = 0 THEN 0
+      |         WHEN i // 160 = (doc_id % 2) * 3 + 2
+      |           THEN ((doc_id * 13 + i * 11) % 2001) - 1000
+      |         ELSE (((doc_id // 2) * 31 + i * i * 7) % 2001) - 1000 END AS v
+      |  FROM documents, (SELECT range AS i FROM range(0, 1600))),
+      |f AS (SELECT doc_id, i // 160 AS frame_idx,
+      |        CAST(SUM(v * v) AS BIGINT) AS energy,
+      |        CAST(MAX(ABS(v)) AS BIGINT) AS peak
+      |      FROM s GROUP BY doc_id, frame_idx),
+      |m AS (SELECT doc_id, frame_idx, energy, peak, energy > 0 AS act,
+      |        CASE WHEN energy > 0 AND NOT coalesce(
+      |          lag(energy > 0) OVER (PARTITION BY doc_id ORDER BY frame_idx),
+      |          FALSE) THEN 1 ELSE 0 END AS newseg
+      |      FROM f),
+      |g AS (SELECT doc_id, frame_idx, energy, peak,
+      |        SUM(newseg) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS seg
+      |      FROM m WHERE act),
+      |a AS (SELECT doc_id, seg, MIN(frame_idx) AS start_frame,
+      |        CAST(SUM(energy) AS BIGINT) AS seg_energy, COUNT(*) AS nf
+      |      FROM g GROUP BY doc_id, seg HAVING COUNT(*) >= 2),
+      |sgs AS (SELECT doc_id, seg, seg_energy,
+      |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)
+      |          AS BIGINT) AS seg_idx
+      |      FROM a),
+      |tok AS (SELECT DISTINCT g.doc_id, sgs.seg_idx,
+      |          CAST(g.energy AS VARCHAR) || ':' || CAST(g.peak AS VARCHAR) AS tok
+      |        FROM g JOIN sgs ON g.doc_id = sgs.doc_id AND g.seg = sgs.seg),
+      |sz AS (SELECT doc_id, seg_idx, COUNT(*) AS n_tok FROM tok GROUP BY 1, 2),
+      |pr AS (SELECT x.doc_id AS doc_id1, x.seg_idx AS seg_idx1,
+      |          y.doc_id AS doc_id2, y.seg_idx AS seg_idx2,
+      |          CAST(COUNT(*) AS BIGINT) AS n_inter
+      |        FROM tok x JOIN tok y ON x.tok = y.tok AND x.doc_id < y.doc_id
+      |        GROUP BY 1, 2, 3, 4),
+      |pairs AS (SELECT doc_id1, seg_idx1, doc_id2, seg_idx2 FROM pr
+      |  JOIN sz s1 ON pr.doc_id1 = s1.doc_id AND pr.seg_idx1 = s1.seg_idx
+      |  JOIN sz s2 ON pr.doc_id2 = s2.doc_id AND pr.seg_idx2 = s2.seg_idx
+      |  WHERE floor(n_inter * 1000000.0 / (s1.n_tok + s2.n_tok - n_inter) + 0.5)
+      |    >= 500000),
+      |nodes AS (SELECT doc_id, seg_idx, seg_energy,
+      |          doc_id * 100 + seg_idx AS nid FROM sgs),
+      |edges AS (SELECT doc_id1 * 100 + seg_idx1 AS src,
+      |                 doc_id2 * 100 + seg_idx2 AS dst FROM pairs
+      |          UNION SELECT doc_id2 * 100 + seg_idx2,
+      |                 doc_id1 * 100 + seg_idx1 FROM pairs),
+      |reach(id, lbl) AS (
+      |  SELECT nid, nid FROM nodes
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      |comp AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id),
+      |lab AS (SELECT n.doc_id, n.seg_idx, n.seg_energy, c.lbl
+      |        FROM nodes n JOIN comp c ON c.id = n.nid),
+      |best AS (SELECT lbl, doc_id AS keep_doc_id, seg_idx AS keep_seg_idx,
+      |          row_number() OVER (PARTITION BY lbl
+      |            ORDER BY seg_energy DESC, doc_id, seg_idx) AS rn
+      |        FROM lab)
+      |SELECT l.doc_id, l.seg_idx, b.keep_doc_id, b.keep_seg_idx
+      |FROM lab l JOIN best b ON b.lbl = l.lbl AND b.rn = 1
+      |ORDER BY l.doc_id, l.seg_idx""".stripMargin
 
   // ---- SK1: salted join on a deliberately skewed key ---------------------
   // ~1/3 of events collapse onto hot key 7; the salted join spreads that
@@ -510,6 +602,7 @@ object Extras extends QueryPack {
     Q("mm6_wav_features", "multimodal: real JDK WAV encode->decode + per-frame audio features", mm6WavFeatures, Some(mm6Sql)),
     Q("mm8_vad_segments", "multimodal: energy-gated VAD segmentation (gaps-and-islands per clip, 2-frame debounce) over really-decoded WAV frames", mm8VadSegments, Some(mm8Sql)),
     Q("mm9_segment_near_dup", "multimodal: segment-level audio near-dup — frame-fingerprint sets per VAD segment, inverted-index blocking, exact Jaccard verify", mm9SegmentNearDup, Some(mm9Sql)),
+    Q("mm10_segment_keep_one", "multimodal: audio keep-one canonicalization — mm9 pairs -> star-contraction components -> per-component best segment (highest energy, deterministic ties)", mm10SegmentKeepOne, Some(mm10Sql)),
     Q("sk1_salted_join", "salted join spreads a deliberately hot key", sk1SaltedJoin, Some(sk1Sql)),
     Q("p7_debezium_decimal", "P7 VariableScaleDecimal custom Expression", p7DebeziumDecimal, Some(p7Sql)),
     Q("js1_json_extract", "JSON field extraction + aggregation", js1JsonExtract, Some(js1Sql)),
