@@ -74,7 +74,8 @@ object CurationStream {
     * and signatures must judge the text that will actually land.
     */
   final case class LineDedupTier(
-      store: SnapshotStore, table: String, minDocs: Int = 2)
+      store: SnapshotStore, table: String, minDocs: Int = 2,
+      narrowState: Boolean = false)
 
   /** Selection tier config (optional, runs LAST): the ladder's reject
     * gates decide what survives; a production pipeline additionally
@@ -163,7 +164,7 @@ object CurationStream {
     val docs = lineDedup match {
       case Some(ld) =>
         LineDedupGate.applyBatch(ld.store, ld.table, batch, batchId,
-          idCol, textCol, s"$root/line_clean", ld.minDocs)
+          idCol, textCol, s"$root/line_clean", ld.minDocs, ld.narrowState)
         epochOrEmpty(s"$root/line_clean",
           batch.withColumn("n_lines", lit(0L)).withColumn("n_dropped", lit(0L)))
       case None => batch

@@ -29,11 +29,23 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * are additive across triggers because each document id arrives once
   * (the stream contract; an upstream signature gate enforces it).
   * State size is O(distinct lines) rows — the honest cost of the
-  * CCNet pass. At 100 TB the payload could be hash60(line) instead of
-  * the text (narrower state, same joins); the text is kept here
-  * because exact string equality is the operator's semantics and a
-  * 60-bit collision would silently strip an innocent line (the batch
-  * op's argument).
+  * CCNet pass.
+  *
+  * `narrowState = true` stores hash60(line) (one long) instead of the
+  * line text — the 100 TB layout. MEASURED (LineStateLayout, 20M-row
+  * state, 12k-key trigger probe, warm draws): the gate's exact read
+  * shape (bucketed scan + broadcast semi-join + merge-on-read
+  * aggregate) runs 2.4-2.7 s keyed by text vs 0.5-0.8 s keyed by the
+  * long — 3-4×, and the delta is the STRING hash-probe cost
+  * (~90 ns/row), not parquet decode (full-scan decode of the two
+  * layouts is within noise). The trade it buys: two distinct lines
+  * colliding in 60 bits share a count (p ≈ n²/2⁶¹ — at 20M lines
+  * ~2·10⁻⁴ for any collision existing at all), so an innocent line
+  * can strip early. Exact text equality stays the DEFAULT; the
+  * narrow layout is the opt-in for billion-line states where the
+  * probe cost dominates trigger time. A chain's layout is fixed at
+  * creation (the bucket key is recorded) — don't flip the flag on an
+  * existing table.
   *
   * Exactly-once: the cleaned epoch publishes FIRST
   * ([[EpochCommit.commitEpoch]], atomic rename), the count delta
@@ -49,6 +61,8 @@ object LineDedupGate {
 
   private val countSchema = StructType(Seq(
     StructField("line", StringType), StructField("state_cnt", LongType)))
+  private val narrowSchema = StructType(Seq(
+    StructField("line_h60", LongType), StructField("state_cnt", LongType)))
 
   /** Bucket count for the count table's line-hash layout: the state
     * files cluster by pmod(hash(line), 64), so the per-trigger
@@ -77,7 +91,7 @@ object LineDedupGate {
   def applyBatch(
       store: SnapshotStore, table: String, batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, outDir: String,
-      minDocs: Int = 2): Unit = {
+      minDocs: Int = 2, narrowState: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val epochDone = EpochCommit.epochExists(spark, outDir, batchId)
     // defensive parse: a non-numeric marker (e.g. a count table seeded
@@ -92,11 +106,23 @@ object LineDedupGate {
     if (epochDone && countsDone) return // fully landed epoch
     val lines = graft.ops.Dedup.explodeLines(batch, idCol, textCol)
       .localCheckpoint(true) // feeds the counts AND the rewrite
-    val bc = lines.groupBy(col("line"))
+    val keyCol = if (narrowState) "line_h60" else "line"
+    def keyOf(c: org.apache.spark.sql.Column) =
+      if (narrowState) graft.ops.Dedup.hash60(c) else c
+    val bc = lines.groupBy(keyOf(col("line")).as(keyCol))
       .agg(count_distinct(col("id")).cast("long").as("state_cnt"))
       .localCheckpoint(true)
     if (!epochDone) {
-      val dups = thresholdDups(store, table, bc, minDocs)
+      val dupKeys = thresholdDups(store, table, bc, minDocs, narrowState)
+      // the rewrite drops LINE TEXT occurrences; in narrow mode the dup
+      // keys are hashes, so the batch's own lines resolve them back to
+      // text first (batch-sized semi-join — state never carries text)
+      val dups =
+        if (narrowState)
+          lines.select(col("line"), keyOf(col("line")).as(keyCol))
+            .join(broadcast(dupKeys), Seq(keyCol), "left_semi")
+            .select(col("line")).distinct()
+        else dupKeys
       val cleaned = graft.ops.Dedup.rewriteDroppingLines(lines, dups)
         .withColumnRenamed("id", idCol)
       val out = batch.drop(textCol)
@@ -105,7 +131,7 @@ object LineDedupGate {
     }
     if (!countsDone)
       store.commitAdditive(table, bc, meta = Some(batchId.toString),
-        bucketBy = Some(("line", LineBuckets)))
+        bucketBy = Some((keyCol, LineBuckets)))
   }
 
   /** The per-trigger threshold plan: total doc count per line over
@@ -137,18 +163,23 @@ object LineDedupGate {
     */
   private[streaming] def thresholdDups(
       store: SnapshotStore, table: String, bc: DataFrame,
-      minDocs: Int): DataFrame =
+      minDocs: Int, narrowState: Boolean = false): DataFrame = {
+    val keyCol = if (narrowState) "line_h60" else "line"
+    val schema = if (narrowState) narrowSchema else countSchema
     bc.unionByName(
-        store.additiveSnapshotForKeys(table, countSchema, bc.select(col("line"))))
-      .groupBy(col("line")).agg(sum(col("state_cnt")).as("n_docs"))
+        store.additiveSnapshotForKeys(table, schema, bc.select(col(keyCol))))
+      .groupBy(col(keyCol)).agg(sum(col("state_cnt")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-      .select(col("line"))
+      .select(col(keyCol))
+  }
 
   /** The accumulated per-line counts: (line, n_docs), the gate's
     * queryable surface (and the spec's incremental-equals-batch side).
     */
-  def lineCounts(spark: SparkSession, store: SnapshotStore, table: String): DataFrame =
-    store.additiveSnapshot(table, countSchema)
+  def lineCounts(spark: SparkSession, store: SnapshotStore, table: String,
+      narrowState: Boolean = false): DataFrame =
+    store.additiveSnapshot(table,
+        if (narrowState) narrowSchema else countSchema)
       .withColumnRenamed("state_cnt", "n_docs")
 
   /** Run the gate over a document stream. Session pins follow
@@ -161,7 +192,8 @@ object LineDedupGate {
       idCol: String, textCol: String, outDir: String, checkpoint: String,
       minDocs: Int = 2,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
-      shufflePartitions: Option[Int] = Some(8)): StreamingQuery = {
+      shufflePartitions: Option[Int] = Some(8),
+      narrowState: Boolean = false): StreamingQuery = {
     val spark = docs.sparkSession
     val release = ConfPins.acquireGatePins(spark, shufflePartitions,
       java.util.UUID.randomUUID())
@@ -171,7 +203,8 @@ object LineDedupGate {
         .option("checkpointLocation", checkpoint)
         .trigger(trigger)
         .foreachBatch { (b: DataFrame, id: Long) =>
-          applyBatch(store, table, b, id, idCol, textCol, outDir, minDocs); ()
+          applyBatch(store, table, b, id, idCol, textCol, outDir, minDocs,
+            narrowState); ()
         }
         .start()
       catch { case e: Throwable => release(); throw e }

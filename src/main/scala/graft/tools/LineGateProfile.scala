@@ -46,6 +46,19 @@ object LineGateProfile {
             f"(probe ${wall}%.1f s incl. seed+warmup, input ${bytesRead.get / 1e6}%.0f MB)")
         }
       }
+    } else if (args.headOption.contains("narrow")) {
+      // end-to-end text-vs-hash60 state layout comparison (the
+      // LineStateLayout micro-measurement, through the real gate):
+      // docs/s at 0 / 2M / 20M seeded lines in both modes, two draws
+      // each (second is the comparable one)
+      Seq(0L, 2000000L, 20000000L).foreach { seed =>
+        Seq(false, true).foreach { narrow =>
+          (1 to 2).foreach { i =>
+            val eps = graft.StreamBench.lineGateThroughput(spark, seed, narrow)
+            println(f"line_docs_per_s[state=$seed, narrow=$narrow, run $i] = $eps%.0f")
+          }
+        }
+      }
     } else if (args.headOption.contains("state")) {
       // gate-state scaling: docs/s at 0 / 200k / 2M pre-seeded distinct
       // lines (a 10× growth step). With the batch-pruned threshold read

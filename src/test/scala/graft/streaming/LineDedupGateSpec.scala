@@ -63,6 +63,43 @@ class LineDedupGateSpec extends SparkSpec {
     assert(cleanOf(out, 1L)(3L) == ((3L, 2L, "body c")))
   }
 
+  test("narrowState: hash60-keyed state commits identical epochs; counts key by the hash") {
+    // same batches through the text-keyed gate (the exactness default)
+    // and the hash60-keyed gate (the measured 3-4x narrow layout for
+    // billion-line states): epochs must be identical on any
+    // non-colliding corpus, and the narrow counts are the text counts
+    // re-keyed by hash60 — including the cross-trigger strip landing
+    // at the same trigger in both modes
+    val dir = Files.createTempDirectory("graft-ldg-narrow").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    val b0 = Seq(
+      (1L, "rare line\nSUBSCRIBE NOW\nbody a"),
+      (2L, "SUBSCRIBE NOW\nbody b")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "rare line\nSUBSCRIBE NOW\nbody c")).toDF("doc_id", "text")
+    Seq(b0, b1).zipWithIndex.foreach { case (b, k) =>
+      LineDedupGate.applyBatch(store, "LT", b, k.toLong, "doc_id", "text",
+        s"$dir/text_out")
+      LineDedupGate.applyBatch(store, "LN", b, k.toLong, "doc_id", "text",
+        s"$dir/narrow_out", narrowState = true)
+      assert(cleanOf(s"$dir/narrow_out", k.toLong) ==
+        cleanOf(s"$dir/text_out", k.toLong),
+        s"narrow-state epoch $k diverged from the text-keyed gate")
+    }
+    // driver-side hash60 = first 15 md5 hex chars as a long — the
+    // narrow counts must be the text counts under that key
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val text = LineDedupGate.lineCounts(spark, store, "LT")
+      .as[(String, Long)].collect().toMap
+    val narrow = LineDedupGate.lineCounts(spark, store, "LN",
+        narrowState = true)
+      .as[(Long, Long)].collect().toMap
+    assert(narrow == text.map { case (l, n) => h60(l) -> n },
+      "narrow counts drifted from the text counts under hash60")
+  }
+
   test("crash between epoch publish and count commit replays to the same epoch") {
     val dir = Files.createTempDirectory("graft-ldg-crash").toString
     val store = new SnapshotStore(spark, s"$dir/store")
