@@ -235,7 +235,10 @@ object MixtureGate {
               spark.read.parquet(seenDir).filter(col("epoch") <= batchId)))
           else emptyOut
       }
-      EpochCommit.commitEpoch(sample, sampleDir, batchId,
+      // sample epochs are CORPUS-scale artifacts (unlike the
+      // trigger-sized seen/admit epochs): write with task parallelism,
+      // not the single-file default
+      EpochCommit.commitEpoch(sample, sampleDir, batchId, maxFiles = 32,
         sideFiles = Map(RatesFile -> encodeRates(ratesLocal)))
     }
     // 5. this batch's admissions — each doc decided once, at arrival

@@ -218,7 +218,10 @@ object UpsampleGate {
               spark.read.parquet(seenDir).filter(col("epoch") <= batchId)))
           else emptyOut
       }
-      EpochCommit.commitEpoch(sample, sampleDir, batchId,
+      // sample epochs are CORPUS-scale artifacts (unlike the
+      // trigger-sized seen/admit epochs): write with task parallelism,
+      // not the single-file default
+      EpochCommit.commitEpoch(sample, sampleDir, batchId, maxFiles = 32,
         sideFiles = Map(FactorsFile -> encodeFactors(factorsLocal)))
     }
     // 5. this batch's copies — each doc decided once, at arrival

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 import java.nio.file.Files
@@ -215,6 +216,35 @@ class MixtureGateSpec extends SparkSpec {
       // the emitted epoch re-establishes the side file either way
       assert(new java.io.File(s"$dir/sample/epoch=$k/_graft_rates").exists)
     }
+  }
+
+  test("the banded seen layout directory-prunes band reads") {
+    // pins the layout, not Spark: frozen epochs must land as
+    // __band=<b> partition dirs (a regression to flat epochs would
+    // silently turn every band read into a corpus scan)
+    val dir = Files.createTempDirectory("graft-mix-prune").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    MixtureGate.applyBatch(store, "MP", b0, 0L, "doc_id", "source",
+      s"$dir/seen", s"$dir/sample", s"$dir/admit")
+    MixtureGate.applyBatch(store, "MP", b1, 1L, "doc_id", "source",
+      s"$dir/seen", s"$dir/sample", s"$dir/admit")
+    val all = spark.read.parquet(s"$dir/seen")
+    val bands = all.select("__band").distinct().as[Int].collect().toSet
+    assert(bands.size > 1, "fixture must span multiple bands")
+    val probe = bands.head
+    // inputFiles ignores filters — the honest witness is the physical
+    // scan's SELECTED partitions under the pushed partition filter
+    def selectedDirs(df: DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.toPartitionArray.map(_.filePath.toString).toSeq
+      }.flatten
+    val pruned = selectedDirs(all.filter(col("__band") === probe))
+    assert(pruned.nonEmpty &&
+      pruned.forall(_.contains(s"__band=$probe/")),
+      s"band read must touch only __band=$probe dirs: $pruned")
+    assert(pruned.size < selectedDirs(all).size,
+      "band read must select strictly fewer files than the corpus")
   }
 
   test("streaming start maintains the mixture over a live stream") {

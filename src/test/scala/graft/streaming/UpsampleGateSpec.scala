@@ -126,6 +126,43 @@ class UpsampleGateSpec extends SparkSpec {
     assert(store2.currentVersion("UC") == v)
   }
 
+  test("a fresh data trigger runs exactly 5 actions (the per-trigger budget)") {
+    // seen epoch, token delta, factors collect, sample epoch, admit
+    // epoch — the MixtureGate budget, pinned the same way: a
+    // regression that re-derives factors per consumer or adds a
+    // state-sized read shows up here before it shows in any bench
+    val dir = Files.createTempDirectory("graft-up-budget").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    UpsampleGate.applyBatch(store, "UB", b0, 0L, "doc_id", "source",
+      "n_tokens", budgets, s"$dir/seen", s"$dir/sample", s"$dir/admit")
+    val actions = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case e: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+            if e.rootExecutionId.forall(_ == e.executionId) =>
+            actions.incrementAndGet(); ()
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      UpsampleGate.applyBatch(store, "UB", b1, 1L, "doc_id", "source",
+        "n_tokens", budgets, s"$dir/seen", s"$dir/sample", s"$dir/admit")
+      var last = -1
+      var stable = 0
+      val deadline = System.currentTimeMillis() + 10000
+      while (stable < 3 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        val now = actions.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(actions.get() == 5,
+      s"upsample-gate per-trigger action budget is 5, saw ${actions.get()}")
+  }
+
   test("streaming start maintains the upsample over a live stream") {
     val dir = Files.createTempDirectory("graft-up-stream").toString
     val store = new SnapshotStore(spark, s"$dir/store")
