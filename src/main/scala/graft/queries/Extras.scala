@@ -237,11 +237,27 @@ object Extras extends QueryPack {
   // pair-cache contract — same-session reuse only, dead sessions
   // evicted)
   private val wavStageCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), (DataFrame, DataFrame)]
+
+  /** Snapshot token (max leaf mtime of documents.parquet) in the cache
+    * key — the PipelineQueries.dirToken contract: a same-session data
+    * rewrite must miss the cache, not serve stale checkpointed frames.
+    */
+  private def wavDirToken(dir: String): Long = {
+    val p = java.nio.file.Paths.get(dir, "documents.parquet")
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val st = java.nio.file.Files.walk(p)
+      try st.mapToLong(f => f.toFile.lastModified).max.orElse(0L)
+      finally st.close()
+    }
+  }
 
   private def sharedWavSegPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    wavStageCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    wavStageCache.computeIfAbsent((s, dir), _ => {
+    val token = wavDirToken(dir)
+    wavStageCache.keySet.removeIf(k => k._1.sparkContext.isStopped ||
+      (k._1 == s && k._2 == dir && k._3 != token))
+    wavStageCache.computeIfAbsent((s, dir, token), _ => {
       // pinned: the segmentation AND the fingerprint extraction both
       // read the frames — without the checkpoint each consumer re-runs
       // the real WAV encode+decode over the whole corpus

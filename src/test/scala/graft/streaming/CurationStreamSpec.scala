@@ -306,6 +306,15 @@ class CurationStreamSpec extends SparkSpec {
     // the gate's totals track only SHIPPED tokens
     assert(UpsampleGate.totals(spark, upStore, "CUU")
       .as[(String, Long)].collect().toMap == Map("w" -> 60L))
+    // replay the whole ladder: every tier including upsample no-ops
+    val v = upStore.currentVersion("CUU")
+    CurationStream.applyBatch(spark,
+      Seq((93L, "w", doc("how vexingly daft zebras jump ")))
+        .toDF("doc_id", "source", "text"),
+      1L, constraints, "curationup_idx", "doc_id", "text", s"$dir/cur",
+      quota = qt, upsample = ut)
+    assert(upStore.currentVersion("CUU") == v,
+      "a replayed trigger must not grow the upsample chain")
   }
 
   test("mixture tier: exact temperature sample over the curated prefix; quota charges each admit once") {
