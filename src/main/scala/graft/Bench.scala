@@ -2,6 +2,17 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** Locale-independent JSON number formatting for the bench artifacts:
+  * `f"%.3f"` follows the JVM default locale, so a comma-decimal host
+  * would emit `0,123` and silently break BENCH_FULL.json as JSON.
+  * (`%.0f` has no decimal separator and `Double.toString` is
+  * locale-fixed by spec — only fractional %f formats need this.)
+  */
+object Json {
+  def num3(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+}
+
 /** Benchmark entry point (driver contract): one JSON line with total and
   * per-query wall time at SPARK_GRAFT_SF_DIR.
   *
@@ -95,26 +106,50 @@ object Bench {
     // canary drifts >1.5× between draws is re-run, not shipped. The
     // canary's plan is warmed once untimed first, so the start draw
     // reads host state, not cold-codegen cost.
+    //
+    // Round 13 proved the rule can't live in prose alone: the driver's
+    // capture shipped with 3.7× mid-run drift and became the round's
+    // record anyway. The rule is now self-enforcing IN the artifact: a
+    // half whose bracketing canary draws drift >1.5× is re-timed ONCE
+    // (its canary bracket re-read around the re-run), and if the
+    // SHIPPED readings still violate, the line says so —
+    // "canary_violation":true — so a poisoned capture can never again
+    // masquerade as a clean number. "canary_reruns" counts the halves
+    // re-timed (0 = first pass was clean).
     val canaryName = "a1_global_counters"
     draw(SparkEntry.queries(canaryName))
     def canary(): Double = draw(SparkEntry.queries(canaryName))
+    def drifted(a: Double, b: Double): Boolean =
+      math.max(a, b) / math.max(1e-9, math.min(a, b)) > 1.5
     val names = SparkEntry.queries.keys.toSeq.sorted
     val (firstHalf, secondHalf) = names.splitAt(names.size / 2)
-    val cStart = canary()
-    val r1 = firstHalf.map(n => n -> timed(n))
-    val cMid = canary()
-    val r2 = secondHalf.map(n => n -> timed(n))
-    val cEnd = canary()
+    var cStart = canary()
+    var r1 = firstHalf.map(n => n -> timed(n))
+    var cMid = canary()
+    var r2 = secondHalf.map(n => n -> timed(n))
+    var cEnd = canary()
+    var reruns = 0
+    if (drifted(cStart, cMid)) {
+      reruns += 1
+      cStart = canary(); r1 = firstHalf.map(n => n -> timed(n)); cMid = canary()
+    }
+    if (drifted(cMid, cEnd)) {
+      reruns += 1
+      // re-bracket the second half only (a spliced mid reading when just
+      // one half re-ran is documented by canary_reruns > 0)
+      cMid = canary(); r2 = secondHalf.map(n => n -> timed(n)); cEnd = canary()
+    }
+    val violation = drifted(cStart, cMid) || drifted(cMid, cEnd)
     val streaming = streamingPre.getOrElse(streamingFragment())
     val results = r1 ++ r2
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val drawsJson = results.map { case (k, (_, ds)) =>
-      "\"" + k + "\":" + ds.map(d => f"$d%.3f").mkString("[", ",", "]")
+      "\"" + k + "\":" + ds.map(Json.num3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val canaryJson =
-      f""""canary":{"query":"$canaryName","start":$cStart%.3f,"mid":$cMid%.3f,"end":$cEnd%.3f}"""
+      s""""canary":{"query":"$canaryName","start":${Json.num3(cStart)},"mid":${Json.num3(cMid)},"end":${Json.num3(cEnd)}},"canary_reruns":$reruns,"canary_violation":$violation"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"draws":$drawsJson,$streaming,$canaryJson,"sf":"$sfDir"}"""
     // persist the COMPLETE line as a repo artifact: the driver's stdout

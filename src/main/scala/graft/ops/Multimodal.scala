@@ -575,7 +575,15 @@ object Multimodal {
     * windows over the corpus, no driver-side component walk.
     */
   def segmentCanonical(segs: DataFrame, pairs: DataFrame): DataFrame = {
-    def node(d: Column, s: Column): Column = d * 100L + s
+    // the packing invariant fails LOUDLY: energySegments bounds seg_idx
+    // ≪ 100 by construction today, but a caller feeding segments from
+    // elsewhere (or a future frame-count change) must not silently
+    // collide node ids and merge unrelated components — coalesce routes
+    // any out-of-band seg_idx to raise_error instead
+    def node(d: Column, s: Column): Column =
+      coalesce(when(s >= 0L && s < 100L, d * 100L + s),
+        raise_error(concat(lit("segmentCanonical: seg_idx "), s.cast("string"),
+          lit(" outside [0,100) breaks (doc,seg) node packing"))).cast("long"))
     val ids = segs.select(node(col("doc_id"), col("seg_idx")).as("nid"),
       col("doc_id"), col("seg_idx"), col("energy"))
     val p = pairs.select(

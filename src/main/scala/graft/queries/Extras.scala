@@ -236,31 +236,67 @@ object Extras extends QueryPack {
   // the canonicalization must not re-decode the corpus (the dd2/dd6
   // pair-cache contract — same-session reuse only, dead sessions
   // evicted)
-  private val wavStageCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), (DataFrame, DataFrame)]
+  private[graft] val wavStageCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), (Seq[Int], DataFrame, DataFrame)]
 
-  /** Snapshot token (max leaf mtime of documents.parquet) in the cache
-    * key — the PipelineQueries.dirToken contract: a same-session data
-    * rewrite must miss the cache, not serve stale checkpointed frames.
+  /** Snapshot token (max leaf mtime + total size + file count of
+    * documents.parquet) in the cache key — the PipelineQueries.dirToken
+    * contract: a same-session data rewrite must miss the cache, not
+    * serve stale checkpointed frames. Size+count close mtime's
+    * filesystem-granularity window (a same-second rewrite that keeps
+    * every timestamp still changes bytes or file count in practice).
     */
-  private def wavDirToken(dir: String): Long = {
+  private def wavDirToken(dir: String): String = {
     val p = java.nio.file.Paths.get(dir, "documents.parquet")
-    if (!java.nio.file.Files.exists(p)) 0L
+    if (!java.nio.file.Files.exists(p)) "absent"
     else {
       val st = java.nio.file.Files.walk(p)
-      try st.mapToLong(f => f.toFile.lastModified).max.orElse(0L)
-      finally st.close()
+      try {
+        var (maxM, size, n) = (0L, 0L, 0L)
+        st.forEach { f =>
+          val file = f.toFile
+          if (file.isFile) {
+            maxM = math.max(maxM, file.lastModified); size += file.length(); n += 1
+          }
+        }
+        s"$maxM:$size:$n"
+      } finally st.close()
     }
   }
 
-  private def sharedWavSegPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def sharedWavSegPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val token = wavDirToken(dir)
-    wavStageCache.keySet.removeIf(k => k._1.sparkContext.isStopped ||
-      (k._1 == s && k._2 == dir && k._3 != token))
-    wavStageCache.computeIfAbsent((s, dir, token), _ => {
+    // evict dead-session entries (their blocks died with the context)
+    // and stale-token entries for THIS (session, dir) — unpersisting the
+    // stale entries' localCheckpoint blocks, which otherwise linger
+    // until ContextCleaner GC
+    val it = wavStageCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val k = e.getKey
+      if (k._1.sparkContext.isStopped) it.remove()
+      else if (k._1 == s && k._2 == dir && k._3 != token) {
+        // Dataset.unpersist only reaches CacheManager-cached plans; a
+        // localCheckpoint's blocks belong to internal RDDs (including
+        // segmentNearDupPairs' tok intermediate, unreachable from the
+        // returned plans' truncated lineage) — the entry carries the
+        // persistent-RDD ids its build pinned, unpersist those
+        val (ids, _, _) = e.getValue
+        val persisted = s.sparkContext.getPersistentRDDs
+        ids.foreach(id =>
+          persisted.get(id).foreach(r => scala.util.Try(r.unpersist(blocking = false))))
+        it.remove()
+      }
+    }
+    val (_, segs, pairs) = wavStageCache.computeIfAbsent((s, dir, token), _ => {
       // pinned: the segmentation AND the fingerprint extraction both
       // read the frames — without the checkpoint each consumer re-runs
-      // the real WAV encode+decode over the whole corpus
+      // the real WAV encode+decode over the whole corpus. The builds are
+      // eager (localCheckpoint(true)), so the persistent-RDD id delta
+      // around the build is exactly this entry's block set — recorded so
+      // eviction can free it (same single-session sharing contract as
+      // the cache itself).
+      val before = s.sparkContext.getPersistentRDDs.keySet
       val frames = Multimodal.wavFrameFeatures(
         Multimodal.wavTable(Tables.load(s, dir, "documents"), nSamples = 1600,
           sampleFn = (id, i) => Multimodal.wavPairSample(id, i)))
@@ -270,8 +306,10 @@ object Extras extends QueryPack {
       val pairs = Multimodal.segmentNearDupPairs(frames, segs,
           minJaccard6 = 500000L)
         .localCheckpoint(true)
-      (segs, pairs)
+      val ids = (s.sparkContext.getPersistentRDDs.keySet -- before).toSeq
+      (ids, segs, pairs)
     })
+    (segs, pairs)
   }
 
   private def mm9SegmentNearDup(s: SparkSession, dir: String): DataFrame =

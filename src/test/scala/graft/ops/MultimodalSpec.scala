@@ -125,6 +125,29 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.forall { case (p, m, d) => p == m && d <= 1 })
   }
 
+  test("segmentCanonical elects one survivor and fails loudly on seg_idx outside the packing bound") {
+    val segs = Seq(
+      (1L, 1L, 100L), (2L, 1L, 300L), (3L, 1L, 200L), // one component via pairs
+      (9L, 1L, 50L) // singleton
+    ).toDF("doc_id", "seg_idx", "energy")
+    val pairs = Seq((1L, 1L, 2L, 1L), (2L, 1L, 3L, 1L))
+      .toDF("doc_id1", "seg_idx1", "doc_id2", "seg_idx2")
+    val got = Multimodal.segmentCanonical(segs, pairs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // highest energy wins the component; the singleton keeps itself
+    assert(got == Set((1L, 1L, 2L, 1L), (2L, 1L, 2L, 1L), (3L, 1L, 2L, 1L),
+      (9L, 1L, 9L, 1L)))
+    // a seg_idx ≥ 100 would silently collide packed node ids — the
+    // guard must turn the violated invariant into an explicit error
+    val badSegs = Seq((1L, 150L, 10L)).toDF("doc_id", "seg_idx", "energy")
+    val e = intercept[Exception] {
+      Multimodal.segmentCanonical(badSegs, pairs.limit(0)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("node packing")))
+  }
+
   test("dHash survives a full transcode (decode → resample → re-encode)") {
     // the perceptual-dedup claim: the hash is a function of the image,
     // not its encoding — a second trip through the codec (same-size
