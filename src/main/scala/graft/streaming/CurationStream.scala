@@ -161,44 +161,66 @@ object CurationStream {
       if (EpochCommit.epochHasData(spark, dir, batchId))
         spark.read.parquet(s"$dir/epoch=$batchId")
       else fallbackSchema.limit(0)
+    // Hot-path handoff (round 14, the ladder's fixed-cost cut): each
+    // gate returns the frame it committed THIS call — a deterministic
+    // plan over that tier's eager checkpoints, row-identical to its
+    // epoch — and the next tier consumes it directly. The epoch dir
+    // stays the crash-replay record: a replayed trigger gets None from
+    // every already-landed tier and falls back to the frozen read.
+    // This removes the per-boundary existence walk + listing + schema
+    // inference + parquet scan that LadderProfile measured as the
+    // dominant share of the ~1-3 s/trigger/tier fixed cost.
     val docs = lineDedup match {
-      case Some(ld) =>
+      case Some(ld) => TriggerTiming.timed("ladder", "line") {
         LineDedupGate.applyBatch(ld.store, ld.table, batch, batchId,
           idCol, textCol, s"$root/line_clean", ld.minDocs, ld.narrowState)
-        epochOrEmpty(s"$root/line_clean",
-          batch.withColumn("n_lines", lit(0L)).withColumn("n_dropped", lit(0L)))
+          .getOrElse(epochOrEmpty(s"$root/line_clean",
+            batch.withColumn("n_lines", lit(0L)).withColumn("n_dropped", lit(0L))))
+      }
       case None => batch
     }
-    QualityGate.applyBatch(spark, docs, batchId, constraints,
-      s"$root/quality_pass", s"$root/quality_reject", enrich)
-    // the frozen tier-1 epoch, read WITHOUT the partition column —
     // downstream tiers see the original payload schema (plus enrich's
     // derived columns, which the gate commits)
-    val qualityPass = epochOrEmpty(s"$root/quality_pass", enrich(docs))
-    val sigOut = if (semantic.isDefined) s"$root/sig_pass" else s"$root/curated"
-    IngestDedup.applyBatch(spark, table, qualityPass, batchId, idCol,
-      textCol, sigOut, s"$root/dup_reject", threshold)
-    semantic.foreach { sem =>
-      val sigPass = epochOrEmpty(sigOut, qualityPass)
-      // id-collision checking stays ON: tier 2 only deduplicates ids
-      // within its own batch/index — the SEMANTIC index's id space is
-      // separate and can still collide
-      SemanticIngestGate.applyBatch(spark, sem.table, sigPass, batchId,
-        idCol, sem.embCol, s"$root/curated", s"$root/sem_reject",
-        sem.threshold, sem.nProbe, checkIdCollisions = true)
+    val qualityPass = TriggerTiming.timed("ladder", "quality") {
+      QualityGate.applyBatch(spark, docs, batchId,
+          constraints, s"$root/quality_pass", s"$root/quality_reject", enrich)
+        .getOrElse(epochOrEmpty(s"$root/quality_pass", enrich(docs)))
     }
-    selection.foreach { sel =>
+    val sigOut = if (semantic.isDefined) s"$root/sig_pass" else s"$root/curated"
+    val sigPassOpt = TriggerTiming.timed("ladder", "signature") {
+      IngestDedup.applyBatch(spark, table, qualityPass,
+        batchId, idCol, textCol, sigOut, s"$root/dup_reject", threshold)
+    }
+    val curatedOpt: Option[DataFrame] = semantic match {
+      case Some(sem) => TriggerTiming.timed("ladder", "semantic") {
+        val sigPass = sigPassOpt.getOrElse(epochOrEmpty(sigOut, qualityPass))
+        // id-collision checking stays ON: tier 2 only deduplicates ids
+        // within its own batch/index — the SEMANTIC index's id space is
+        // separate and can still collide
+        SemanticIngestGate.applyBatch(spark, sem.table, sigPass, batchId,
+          idCol, sem.embCol, s"$root/curated", s"$root/sem_reject",
+          sem.threshold, sem.nProbe, checkIdCollisions = true)
+      }
+      case None => sigPassOpt
+    }
+    def curated: DataFrame =
+      curatedOpt.getOrElse(epochOrEmpty(s"$root/curated", qualityPass))
+    val weightedOpt: Option[DataFrame] = selection.flatMap { sel =>
+      TriggerTiming.timed("ladder", "selection") {
       if (!EpochCommit.epochExists(spark, s"$root/weighted", batchId)) {
-        val curated = epochOrEmpty(s"$root/curated", qualityPass)
+        val cur = curated
         val scored = graft.ops.TextQuality.dsirScoreAgainst(
-          curated, idCol, textCol, spark.table(sel.ratioTable), sel.buckets)
+          cur, idCol, textCol, spark.table(sel.ratioTable), sel.buckets)
         // left join: a curated doc with zero features (empty text after
         // tier 0) keeps flowing, weighted as fully-smoothed neutral 1.0
-        EpochCommit.commitEpoch(
-          curated.join(scored, Seq(idCol), "left")
-            .withColumn("n_features", coalesce(col("n_features"), lit(0L)))
-            .withColumn("dsir_score", coalesce(col("dsir_score"), lit(1.0d))),
-          s"$root/weighted", batchId)
+        val weighted = cur.join(scored, Seq(idCol), "left")
+          .withColumn("n_features", coalesce(col("n_features"), lit(0L)))
+          .withColumn("dsir_score", coalesce(col("dsir_score"), lit(1.0d)))
+        EpochCommit.commitEpoch(weighted, s"$root/weighted", batchId)
+        // deterministic over curated + the frozen ratio table — safe to
+        // hand downstream in place of the epoch it just committed
+        Some(weighted)
+      } else None
       }
     }
     // shared empty-epoch fallback for the post-curation tiers: the
@@ -210,48 +232,55 @@ object CurationStream {
         qualityPass.withColumn("n_features", lit(0L))
           .withColumn("dsir_score", lit(1.0d))
       else qualityPass
-    mixture.foreach { mt =>
-      val upDir = if (selection.isDefined) s"$root/weighted" else s"$root/curated"
-      MixtureGate.applyBatch(mt.store, mt.table,
-        epochOrEmpty(upDir, postFallback), batchId, idCol, mt.sourceCol,
-        s"$root/mix_seen", s"$root/mixture", s"$root/mix_admitted")
+    // the final curated-and-weighted surface feeding the recipe tiers
+    def shippedBase: DataFrame =
+      if (selection.isDefined)
+        weightedOpt.getOrElse(epochOrEmpty(s"$root/weighted", postFallback))
+      else curated
+    val mixAdmitOpt: Option[DataFrame] = mixture.flatMap { mt =>
+      TriggerTiming.timed("ladder", "mixture") {
+        MixtureGate.applyBatch(mt.store, mt.table, shippedBase, batchId,
+          idCol, mt.sourceCol,
+          s"$root/mix_seen", s"$root/mixture", s"$root/mix_admitted")
+      }
     }
-    quota.foreach { qt =>
-      // very last: only docs the recipe SHIPS may burn budget, so the
-      // gate reads the final upstream epoch (the mixture tier's
-      // once-per-doc admissions when configured, else weighted when a
-      // selection tier ran, else curated)
-      val upDir =
-        if (mixture.isDefined) s"$root/mix_admitted"
-        else if (selection.isDefined) s"$root/weighted"
-        else s"$root/curated"
-      val shipped = epochOrEmpty(upDir, postFallback)
-        .withColumn("n_tokens", org.apache.spark.sql.functions.size(
-          graft.ops.TextAnalysis.tokens(col(textCol))).cast("long"))
-      QuotaGate.applyBatch(qt.store, qt.table, shipped, batchId, idCol,
-        qt.sourceCol, "n_tokens", qt.budgets,
-        s"$root/admitted", s"$root/quota_reject",
-        order = qt.scoreCol.map(c => col(c).desc).toSeq)
+    def withTokens(df: DataFrame): DataFrame =
+      if (df.columns.contains("n_tokens")) df
+      else df.withColumn("n_tokens", org.apache.spark.sql.functions.size(
+        graft.ops.TextAnalysis.tokens(col(textCol))).cast("long"))
+    // very last: only docs the recipe SHIPS may burn budget, so the
+    // quota gate consumes the final upstream surface (the mixture
+    // tier's once-per-doc admissions when configured, else weighted
+    // when a selection tier ran, else curated)
+    def preQuota: DataFrame =
+      if (mixture.isDefined)
+        mixAdmitOpt.getOrElse(epochOrEmpty(s"$root/mix_admitted", postFallback))
+      else shippedBase
+    val admittedOpt: Option[DataFrame] = quota.flatMap { qt =>
+      TriggerTiming.timed("ladder", "quota") {
+        QuotaGate.applyBatch(qt.store, qt.table, withTokens(preQuota), batchId,
+          idCol, qt.sourceCol, "n_tokens", qt.budgets,
+          s"$root/admitted", s"$root/quota_reject",
+          order = qt.scoreCol.map(c => col(c).desc).toSeq)
+      }
     }
     upsample.foreach { ut =>
       // after everything: only docs the recipe actually SHIPS get
       // repeated (the quota tier's admissions when configured — they
-      // already carry n_tokens; otherwise the final upstream epoch,
+      // already carry n_tokens; otherwise the final upstream surface,
       // tokenized the same way the quota tier would)
-      def withTokens(df: DataFrame): DataFrame =
-        if (df.columns.contains("n_tokens")) df
-        else df.withColumn("n_tokens", org.apache.spark.sql.functions.size(
-          graft.ops.TextAnalysis.tokens(col(textCol))).cast("long"))
-      val upDir =
-        if (quota.isDefined) s"$root/admitted"
-        else if (mixture.isDefined) s"$root/mix_admitted"
-        else if (selection.isDefined) s"$root/weighted"
-        else s"$root/curated"
-      val shipped = withTokens(epochOrEmpty(upDir, withTokens(postFallback)))
-      UpsampleGate.applyBatch(ut.store, ut.table, shipped, batchId, idCol,
-        ut.sourceCol, "n_tokens", ut.budgets,
-        s"$root/up_seen", s"$root/upsampled", s"$root/up_admitted",
-        maxEpochs = ut.maxEpochs)
+      val shipped =
+        if (quota.isDefined)
+          withTokens(admittedOpt.getOrElse(
+            epochOrEmpty(s"$root/admitted", withTokens(postFallback))))
+        else withTokens(preQuota)
+      TriggerTiming.timed("ladder", "upsample") {
+        UpsampleGate.applyBatch(ut.store, ut.table, shipped, batchId, idCol,
+          ut.sourceCol, "n_tokens", ut.budgets,
+          s"$root/up_seen", s"$root/upsampled", s"$root/up_admitted",
+          maxEpochs = ut.maxEpochs)
+      }
+      ()
     }
   }
 

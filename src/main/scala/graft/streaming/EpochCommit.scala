@@ -30,7 +30,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object EpochCommit {
 
-  private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
+  private[streaming] def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
@@ -128,6 +128,20 @@ object EpochCommit {
     fs.exists(new Path(rootP, s"epoch=$batchId"))
   }
 
+  /** Highest committed epoch id under `root` (folded runs count by
+    * their upper bound). On a root whose writer freezes EVERY batch id
+    * in order, coverage is contiguous — `maxEpoch ≥ k` means batch k's
+    * data is already in the root even if its own dir was folded away.
+    */
+  def maxEpoch(spark: SparkSession, root: String): Option[Long] = {
+    val (fs, rootP) = fsFor(spark, root)
+    if (!fs.exists(rootP)) None
+    else fs.listStatus(rootP).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("epoch="))
+      .map(_.getPath.getName.stripPrefix("epoch=").toLong)
+      .maxOption
+  }
+
   /** Any `.parquet` data file under `dir`, descending into hive
     * partition subdirs (epochs written with `partitionBy` nest their
     * files one level down).
@@ -182,5 +196,178 @@ object EpochCommit {
     val out = fs.create(p, true)
     try out.write(batchId.toString.getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** [[latestEpochBefore]] with a marker fast path: a root whose writer
+    * maintains `<root>/<markerName>` (last committed epoch id) resolves
+    * in two FS metadata calls instead of an O(epochs) root listing.
+    * The marker stays an optimization: unusable (≥ bound, missing
+    * epoch, absent) falls back to the listing, and a STALE-but-valid
+    * marker returns an OLDER committed epoch than the true latest —
+    * callers' algebra must tolerate that ([[RateGate]]'s does: any
+    * committed sample epoch is a correct refresh base; the emitted
+    * epoch is boundary-independent).
+    */
+  def latestEpochBeforeFast(spark: SparkSession, root: String, bound: Long,
+      markerName: String): Option[Long] =
+    readMarker(spark, s"$root/$markerName") match {
+      case Some(v) if v < bound && epochExists(spark, root, v) => Some(v)
+      case _ => latestEpochBefore(spark, root, bound)
+    }
+
+  /** [[anyEpochData]] with a marker fast path: once any epoch under
+    * `root` has data it stays true forever (compaction folds, never
+    * drops), so the writer sets `<root>/<markerName>` once and every
+    * later check is a single FS read instead of a recursive walk over
+    * every epoch dir.
+    */
+  def anyEpochDataFast(spark: SparkSession, root: String,
+      markerName: String): Boolean =
+    readMarker(spark, s"$root/$markerName").isDefined || anyEpochData(spark, root)
+
+  // ——— compacted runs: the epoch-log lifetime bound ———
+  //
+  // A gate's seen root gains one `epoch=k` dir per trigger forever; at
+  // a 5 s cadence that is ~120k dirs/week, and every whole-root read
+  // (Spark's file listing, anyEpochData's walk) pays O(triggers) FS
+  // metadata. compactRuns folds committed epochs into larger RUNS —
+  // `epoch=<hi>` covering (previous run's hi, hi], recorded by a
+  // `_graft_run_lo` side file — with the binary-counter merge policy
+  // (merge the newest adjacent pair where the older run's span doesn't
+  // exceed the newer's), so the root holds O(log triggers) dirs and
+  // each doc is rewritten O(log triggers) times over the stream's
+  // lifetime. Readers are unchanged: a folded run keeps the inner
+  // `__band=` layout (directory pruning intact) and adopts `hi` as its
+  // `epoch` partition value, which is semantics-preserving as long as
+  // no reader ever splits the root at a boundary strictly inside a
+  // folded range — callers guarantee that by passing `upTo` ≤ every
+  // future refresh boundary (RateGate: the latest emitted sample
+  // epoch, which is monotone).
+
+  private val RunLoFile = "_graft_run_lo"
+  private val MergedPrefix = ".merged_e"
+
+  private[streaming] final case class Run(hi: Long, lo: Long, hasData: Boolean)
+
+  private def readRunLo(fs: FileSystem, dir: Path, hi: Long): Long = {
+    val p = new Path(dir, RunLoFile)
+    if (!fs.exists(p)) hi
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+    }
+  }
+
+  /** Committed runs under `root`, oldest first (a plain trigger epoch
+    * is a span-1 run). O(|dirs|) FS metadata — cheap once the root is
+    * compacted.
+    */
+  private[streaming] def listRuns(spark: SparkSession, root: String): Seq[Run] = {
+    val (fs, rootP) = fsFor(spark, root)
+    if (!fs.exists(rootP)) Seq.empty
+    else fs.listStatus(rootP).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("epoch="))
+      .map { d =>
+        val hi = d.getPath.getName.stripPrefix("epoch=").toLong
+        Run(hi, readRunLo(fs, d.getPath, hi), hasParquet(fs, d.getPath))
+      }.sortBy(_.hi)
+  }
+
+  /** Phase 2+3 of a merge swap: delete the visible source runs the
+    * hidden merged dir supersedes ([lo, hi]), then take the visible
+    * name. Idempotent — safe to re-drive after a crash at any point.
+    */
+  private def finishSwap(fs: FileSystem, rootP: Path, merged: Path,
+      hi: Long, lo: Long): Unit = {
+    fs.listStatus(rootP).toSeq
+      .filter { d =>
+        d.isDirectory && d.getPath.getName.startsWith("epoch=") && {
+          val k = d.getPath.getName.stripPrefix("epoch=").toLong
+          k >= lo && k <= hi
+        }
+      }
+      .foreach(d => fs.delete(d.getPath, true))
+    if (!fs.rename(merged, new Path(rootP, s"epoch=$hi")))
+      throw new java.io.IOException(s"run swap rename failed: $merged")
+  }
+
+  /** Finish any merge swap that crashed between its commit rename and
+    * the visible swap. MUST run before reading a root that is being
+    * compacted: between the hidden `.merged_e<hi>` commit and the
+    * visible rename, the root can be missing source runs. No-op (one
+    * root listing) when nothing crashed.
+    */
+  def recoverRuns(spark: SparkSession, root: String): Unit = {
+    val (fs, rootP) = fsFor(spark, root)
+    if (!fs.exists(rootP)) return
+    fs.listStatus(rootP).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith(MergedPrefix))
+      .foreach { d =>
+        val hi = d.getPath.getName.stripPrefix(MergedPrefix).toLong
+        finishSwap(fs, rootP, d.getPath, hi, readRunLo(fs, d.getPath, hi))
+      }
+  }
+
+  /** Fold committed runs with `hi ≤ upTo` until every run's span
+    * exceeds the combined span of everything newer than it (the
+    * Bentley-Saxe / logarithmic-method invariant): per pass, merge the
+    * longest suffix of runs whose oldest member no longer dominates the
+    * rest — ONE multi-source merge per pass, so a first-enable backlog
+    * of N trigger epochs folds in a single job instead of N cascading
+    * pair merges, and steady state does amortized O(1) merges per
+    * trigger with each doc rewritten O(log triggers) times total.
+    *
+    * Each merge is two-phase: stage the combined run (re-partitioned
+    * on `bandCol` so file count stays ≤ bands per run) → atomic rename
+    * to hidden `.merged_e<hi>` (the commit point) → [[finishSwap]].
+    * Returns the number of merges performed. Callers own the `upTo`
+    * boundary contract (see the section comment above).
+    */
+  def compactRuns(spark: SparkSession, root: String, upTo: Long,
+      bandCol: String = "__band", bands: Int = 32): Int = {
+    recoverRuns(spark, root)
+    val (fs, rootP) = fsFor(spark, root)
+    if (!fs.exists(rootP)) return 0
+    var merges = 0
+    var go = true
+    while (go) {
+      val runs = listRuns(spark, root).filter(_.hi <= upTo)
+      val spans = runs.map(r => r.hi - r.lo + 1)
+      val tailSums = spans.scanRight(0L)(_ + _).drop(1) // sum of spans after j
+      // oldest run whose span no longer dominates everything newer —
+      // merge it and the whole suffix in one pass
+      val at = runs.indices.dropRight(1).find(j => spans(j) <= tailSums(j))
+      at match {
+        case None => go = false
+        case Some(j) =>
+          val suffix = runs.drop(j)
+          val (lo, hi) = (suffix.head.lo, suffix.last.hi)
+          val staging = new Path(new Path(rootP, ".staging"), s"m$hi")
+          val srcs = suffix.filter(_.hasData).map(r => s"$root/epoch=${r.hi}")
+          if (srcs.nonEmpty)
+            // merged runs are long-lived corpus record (unlike trigger
+            // epochs) — default codec, not "none". basePath = root so
+            // the epoch dirs read as one partitioned table; the epoch
+            // partition column is dropped (the merged run adopts `hi`
+            // via its dir name).
+            spark.read.option("basePath", root).parquet(srcs: _*)
+              .drop("epoch")
+              .repartition(bands, org.apache.spark.sql.functions.col(bandCol))
+              .write.mode(SaveMode.Overwrite).partitionBy(bandCol)
+              .parquet(staging.toString)
+          else {
+            fs.delete(staging, true); fs.mkdirs(staging)
+          }
+          val out = fs.create(new Path(staging, RunLoFile), true)
+          try out.write(lo.toString.getBytes("UTF-8")) finally out.close()
+          val merged = new Path(rootP, s"$MergedPrefix$hi")
+          if (fs.exists(merged)) fs.delete(merged, true)
+          if (!fs.rename(staging, merged))
+            throw new java.io.IOException(s"run merge rename failed: $staging")
+          finishSwap(fs, rootP, merged, hi, lo)
+          merges += 1
+      }
+    }
+    merges
   }
 }

@@ -51,20 +51,25 @@ object IngestDedup {
     * lower-id survivor) land in `rejectDir` with the duplicate's id and
     * similarity; survivors land in `outDir` AND the index. Readers see
     * `epoch` as a partition column on both output roots.
+    *
+    * Returns the survivor frame when THIS call computed it fresh (a
+    * plan over the trigger's eager checkpoints, row-identical to the
+    * committed epoch) so a composing caller can skip the epoch
+    * read-back on the hot path; `None` on any replay skip.
     */
   def applyBatch(
       spark: SparkSession, table: String, batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, outDir: String, rejectDir: String,
-      threshold: Double = 0.9): Unit = {
+      threshold: Double = 0.9): Option[DataFrame] = {
     val marker = s"$outDir/_graft_ingest_epoch"
-    if (EpochCommit.readMarker(spark, marker).exists(_ >= batchId)) return // replay
+    if (EpochCommit.readMarker(spark, marker).exists(_ >= batchId)) return None // replay
     val epochKey = s"ingest-e$batchId"
     // gate on BOTH roots: the epoch commits run in parallel below, so
     // either may exist without the other after a crash — recompute
     // whenever one is missing (deterministic even if this epoch's index
     // append half-landed: the probe excludes the batch's own ids) and
     // let commitEpoch's own idempotence skip the half that landed
-    if (!(EpochCommit.epochExists(spark, outDir, batchId) &&
+    val fresh = if (!(EpochCommit.epochExists(spark, outDir, batchId) &&
         EpochCommit.epochExists(spark, rejectDir, batchId))) {
       // ONE checkpoint job materializes payload + signatures together —
       // it feeds the corpus probe, the in-batch pair stage, both epoch
@@ -121,16 +126,15 @@ object IngestDedup {
       // append is invisible to the recomputed reject set, and the
       // epoch-keyed append file names make the re-append replace its
       // own files. Each write is idempotent; order no longer matters.
+      val survivors = b.join(rejected, b(idCol) === rejected("id_b"), "left_anti")
+        .select(payloadCols.map(col): _*)
       TriggerTiming.timed("ingest", "commits+appends") {
         inParallel(
           () => commitEpoch(
             b.join(rejected, b(idCol) === rejected("id_b"))
               .select(col(idCol), col("dup_of"), col("similarity"), col("reason")),
             rejectDir, batchId),
-          () => commitEpoch(
-            b.join(rejected, b(idCol) === rejected("id_b"), "left_anti")
-              .select(payloadCols.map(col): _*),
-            outDir, batchId),
+          () => commitEpoch(survivors, outDir, batchId),
           () => Bucketing.appendBucketedEpoch(
             survivorSigs.select(col("id"), col("wh")), s"${table}_wh", epochKey),
           () => Bucketing.appendBucketedEpoch(
@@ -139,15 +143,19 @@ object IngestDedup {
               .select(col("band_pos"), col("band_key"), col("band_keys"), col("id")),
             table, epochKey))
       }
-    } else if (EpochCommit.epochHasData(spark, outDir, batchId)) {
-      // replay with the out epoch already committed: the batch was
-      // never recomputed this attempt, so hash the FROZEN survivors
-      // (the append stays idempotent per epoch key)
-      DedupIndex.appendEpoch(spark, table,
-        spark.read.parquet(s"$outDir/epoch=$batchId"), idCol, textCol,
-        epochKey = epochKey)
+      Some(survivors)
+    } else {
+      if (EpochCommit.epochHasData(spark, outDir, batchId))
+        // replay with the out epoch already committed: the batch was
+        // never recomputed this attempt, so hash the FROZEN survivors
+        // (the append stays idempotent per epoch key)
+        DedupIndex.appendEpoch(spark, table,
+          spark.read.parquet(s"$outDir/epoch=$batchId"), idCol, textCol,
+          epochKey = epochKey)
+      None
     }
     EpochCommit.writeMarker(spark, marker, batchId)
+    fresh
   }
 
   private def commitEpoch(df: DataFrame, root: String, batchId: Long): Unit =

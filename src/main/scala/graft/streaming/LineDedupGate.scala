@@ -91,7 +91,7 @@ object LineDedupGate {
   def applyBatch(
       store: SnapshotStore, table: String, batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, outDir: String,
-      minDocs: Int = 2, narrowState: Boolean = false): Unit = {
+      minDocs: Int = 2, narrowState: Boolean = false): Option[DataFrame] = {
     val spark = batch.sparkSession
     val epochDone = EpochCommit.epochExists(spark, outDir, batchId)
     // defensive parse: a non-numeric marker (e.g. a count table seeded
@@ -103,7 +103,7 @@ object LineDedupGate {
     // read as already-landed and silently skip count deltas.
     val countsDone = store.currentMeta(table)
       .flatMap(m => scala.util.Try(m.toLong).toOption).exists(_ >= batchId)
-    if (epochDone && countsDone) return // fully landed epoch
+    if (epochDone && countsDone) return None // fully landed epoch
     val lines = graft.ops.Dedup.explodeLines(batch, idCol, textCol)
       .localCheckpoint(true) // feeds the counts AND the rewrite
     val keyCol = if (narrowState) "line_h60" else "line"
@@ -112,26 +112,39 @@ object LineDedupGate {
     val bc = lines.groupBy(keyOf(col("line")).as(keyCol))
       .agg(count_distinct(col("id")).cast("long").as("state_cnt"))
       .localCheckpoint(true)
-    if (!epochDone) {
-      val dupKeys = thresholdDups(store, table, bc, minDocs, narrowState)
-      // the rewrite drops LINE TEXT occurrences; in narrow mode the dup
-      // keys are hashes, so the batch's own lines resolve them back to
-      // text first (batch-sized semi-join — state never carries text)
-      val dups =
-        if (narrowState)
-          lines.select(col("line"), keyOf(col("line")).as(keyCol))
-            .join(broadcast(dupKeys), Seq(keyCol), "left_semi")
-            .select(col("line")).distinct()
-        else dupKeys
-      val cleaned = graft.ops.Dedup.rewriteDroppingLines(lines, dups)
-        .withColumnRenamed("id", idCol)
-      val out = batch.drop(textCol)
-        .join(cleaned.withColumnRenamed("clean_text", textCol), Seq(idCol))
-      EpochCommit.commitEpoch(out, outDir, batchId)
-    }
+    val rewrote =
+      if (!epochDone) {
+        val dupKeys = thresholdDups(store, table, bc, minDocs, narrowState)
+        // the rewrite drops LINE TEXT occurrences; in narrow mode the dup
+        // keys are hashes, so the batch's own lines resolve them back to
+        // text first (batch-sized semi-join — state never carries text)
+        val dups =
+          if (narrowState)
+            lines.select(col("line"), keyOf(col("line")).as(keyCol))
+              .join(broadcast(dupKeys), Seq(keyCol), "left_semi")
+              .select(col("line")).distinct()
+          else dupKeys
+        val cleaned = graft.ops.Dedup.rewriteDroppingLines(lines, dups)
+          .withColumnRenamed("id", idCol)
+        val out = batch.drop(textCol)
+          .join(cleaned.withColumnRenamed("clean_text", textCol), Seq(idCol))
+        EpochCommit.commitEpoch(out, outDir, batchId)
+        true
+      } else false
     if (!countsDone)
       store.commitAdditive(table, bc, meta = Some(batchId.toString),
         bucketBy = Some((keyCol, LineBuckets)))
+    // unlike the other gates, the rewrite plan reads the STORE (the
+    // threshold counts), which the commitAdditive above just moved —
+    // re-evaluating it downstream would see post-batch counts and
+    // diverge from the committed text. Hand back the frozen epoch
+    // itself: the caller still skips its own existence probing.
+    if (rewrote && EpochCommit.epochHasData(spark, outDir, batchId))
+      Some(spark.read.parquet(s"$outDir/epoch=$batchId"))
+    else if (rewrote) Some(batch.limit(0)
+      .withColumn("n_lines", org.apache.spark.sql.functions.lit(0L))
+      .withColumn("n_dropped", org.apache.spark.sql.functions.lit(0L)))
+    else None
   }
 
   /** The per-trigger threshold plan: total doc count per line over

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -35,40 +35,16 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *    The union of admit epochs tracks the mixture up to rate drift
   *    between a document's arrival and the final rates.
   *
-  * == Incremental (hash-band) refresh ==
-  *
-  * A doc's verdict is `hash(id) mod 10⁶ < rate6(source)`, so between
-  * two refreshes only docs whose hash value falls inside the
-  * per-source band `[min(old6, new6), max(old6, new6))` can flip —
-  * everything below min stays in, everything at/above max stays out.
-  * The default refresh therefore never re-decides the seen corpus:
-  *
-  *  - frozen batches land hash-band partitioned
-  *    (`seenDir/epoch=k/__band=b/`, band = __h6 / (10⁶/32)), so a
-  *    band read is DIRECTORY-pruned — untouched bands are never
-  *    listed into the scan;
-  *  - each emitted sample epoch carries the rates it was decided
-  *    under as a side file committed atomically with the epoch
-  *    (`_graft_rates`), so the next refresh recovers them without a
-  *    second store or an extra driver action;
-  *  - refresh k = (previous sample re-filtered under the new rates —
-  *    removes shrunk-band docs, O(|sample|)) ∪ (grown-band docs read
-  *    from the pruned band dirs of epochs ≤ prev, O(|drift|)) ∪ (the
-  *    epochs since prev, decided in full, O(|new docs|)).
-  *
-  * This replaces the old O(corpus-so-far) re-scan — the engine's one
-  * corpus-sized per-trigger cost — with O(|sample| + |band drift| +
-  * |new docs|): set algebra gives exactly `{h6 < new6}` over every
-  * seen doc, so the emitted epoch is bit-identical to a full refresh
-  * (spec-pinned per emitted epoch, and fuzzed against the full path).
-  * The full refresh remains the oracle: `incremental = false`, the
-  * first emission, and any prev epoch missing its rates side file
-  * (a pre-band legacy root) all take it. A legacy root whose seen
-  * epochs were written UN-banded cannot be read alongside banded ones
-  * (inconsistent partition depth) — restart such a gate on a fresh
-  * root. Residual per-refresh cost is the sample re-write itself,
-  * which is the contract (each epoch IS the full prefix sample);
-  * `refreshEvery` remains the cadence knob on top.
+  * The freeze → count-delta → rates → hash-band incremental refresh →
+  * admit choreography (including exactly-once semantics, the epoch-log
+  * compaction that bounds the seen root over stream lifetime, and the
+  * marker fast-paths) is [[RateGate]]'s — shared with [[UpsampleGate]];
+  * this object contributes only the mixture algebra: a doc's verdict is
+  * `hash(id) mod 10⁶ < rate6(source)`, so between two refreshes only
+  * docs whose hash falls inside the per-source band
+  * `[min(old6, new6), max(old6, new6))` can flip — keep = prev sample
+  * re-filtered (O(|sample|)), gained = the grown bands' docs read
+  * directory-pruned (O(|drift|)), plus the new epochs in full.
   *
   * Scale: counters are |sources| rows, collected once per trigger
   * (bounded — sources are dataset names) and re-broadcast from a
@@ -84,25 +60,12 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object MixtureGate {
 
-  /** Hash-band count for the seen layout: 32 directories per epoch —
-    * wide enough that a typical rate drift (≪ 1/32 of hash space)
-    * prunes to 1-2 bands, narrow enough that per-epoch file counts
-    * stay trivial.
-    */
-  val Bands = 32
-  private val BandWidth = 1000000L / Bands
+  /** Seen-layout hash-band count (see [[RateGate.Bands]]). */
+  val Bands: Int = RateGate.Bands
   private val RatesFile = "_graft_rates"
-  private val Internal = Seq("epoch", "__band", "__h6")
 
   private val stateSchema = StructType(Seq(
     StructField("source", StringType), StructField("state_cnt", LongType)))
-
-  /** The mixture hash: pmod(md5-prefix-hash("mix3|id"), 10⁶) — the
-    * exact expression [[graft.ops.Stats.temperatureSample]] filters on.
-    */
-  private def h6Expr(idCol: String): Column =
-    pmod(graft.ops.Dedup.hash32(
-      concat_ws("|", lit("mix3"), col(idCol).cast("string"))), lit(1000000L))
 
   /** Per-source keep rates from the gate's additive counters —
     * quantized exactly like [[graft.ops.Stats.temperatureSample]]:
@@ -117,17 +80,6 @@ object MixtureGate {
           * 1000000.0 + 0.5).cast("long").as("rate6"))
   }
 
-  private def encodeRates(rates: Seq[(String, Long)]): String =
-    rates.sortBy(_._1).map { case (s, r) =>
-      java.net.URLEncoder.encode(s, "UTF-8") + "\t" + r
-    }.mkString("\n")
-
-  private def decodeRates(text: String): Map[String, Long] =
-    text.split("\n").iterator.filter(_.nonEmpty).map { line =>
-      val Array(s, r) = line.split("\t")
-      java.net.URLDecoder.decode(s, "UTF-8") -> r.toLong
-    }.toMap
-
   /** One micro-batch through the gate (idempotent per `batchId`).
     *
     * `refreshEvery` is the cadence knob: the admit path (and the
@@ -138,112 +90,41 @@ object MixtureGate {
     * epoch, so skipping epochs skips cost, not correctness). 1 =
     * refresh every trigger. `incremental = false` forces the
     * O(corpus) full re-decide (the oracle path the band refresh is
-    * spec-proven equal to).
+    * spec-proven equal to). `compactSeen`/`retainSamples` bound the
+    * epoch logs over stream lifetime ([[RateGate]]'s contract).
     */
   def applyBatch(
       store: SnapshotStore, table: String, batch: DataFrame, batchId: Long,
       idCol: String, sourceCol: String,
       seenDir: String, sampleDir: String, admitDir: String,
-      refreshEvery: Int = 1, incremental: Boolean = true): Unit = {
-    require(refreshEvery > 0, "refreshEvery must be positive")
-    val spark = batch.sparkSession
-    val outCols = batch.columns.toSeq
-    def dropInternal(df: DataFrame): DataFrame =
-      df.drop(Internal: _*).select(outCols.map(col): _*)
-    // 1. freeze the batch — hash-band partitioned: the input record
-    // every later refresh re-reads, band-prunable by construction
-    if (!EpochCommit.epochExists(spark, seenDir, batchId))
-      EpochCommit.commitEpoch(
-        batch.withColumn("__h6", h6Expr(idCol))
-          .withColumn("__band",
-            expr(s"CAST(__h6 DIV $BandWidth AS INT)")),
-        seenDir, batchId, partitionBy = Seq("__band"))
-    // read the frozen epoch back (not the live batch) so steps 2-5
-    // compute from the same bytes a crash replay would
-    val frozen =
-      if (EpochCommit.epochHasData(spark, seenDir, batchId))
-        spark.read.parquet(s"$seenDir/epoch=$batchId")
-      else batch.limit(0)
-    // 2. count delta — O(|sources touched|) rows, idempotent via meta
-    val countsDone = store.currentMeta(table)
-      .flatMap(m => scala.util.Try(m.toLong).toOption).exists(_ >= batchId)
-    if (!countsDone)
-      store.commitAdditive(table,
-        frozen.groupBy(col(sourceCol).as("source"))
+      refreshEvery: Int = 1, incremental: Boolean = true,
+      compactSeen: Boolean = true, retainSamples: Int = 0): Option[DataFrame] = {
+    // the mixture decision: keep iff hash < rate6 — works on live
+    // batches (hash recomputed) and frozen/sample reads (__h6 carried)
+    def sampled(df: DataFrame, levels: DataFrame): DataFrame =
+      df.join(levels.withColumnRenamed("level", "rate6"), Seq(sourceCol))
+        .filter(RateGate.h6Of(df, "mix3", idCol) < col("rate6"))
+        .drop("rate6")
+    RateGate.applyBatch(store, table, batch, batchId, idCol, sourceCol,
+      salt = "mix3", sideFileName = RatesFile,
+      seenDir = seenDir, sampleDir = sampleDir, admitDir = admitDir,
+      refreshEvery = refreshEvery, incremental = incremental,
+      compactSeen = compactSeen, retainSamples = retainSamples,
+      hooks = RateGate.Hooks(
+        outCols = batch.columns.toSeq,
+        stateDelta = frozen => frozen.groupBy(col(sourceCol).as("source"))
           .agg(count(lit(1)).as("state_cnt")),
-        meta = Some(batchId.toString))
-    // 3. rates as of this trigger (counters now include the batch) —
-    // collected once (|sources| rows, bounded) and re-broadcast from a
-    // local relation: one driver action serves the sample AND admit
-    // paths, and the local rows are what the rates side file records
-    val ratesLocal: Seq[(String, Long)] = currentRates(store, table)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val ratesDf = broadcast(
-      spark.createDataFrame(ratesLocal).toDF(sourceCol, "rate6"))
-    def sampled(df: DataFrame): DataFrame = {
-      val h = if (df.columns.contains("__h6")) col("__h6") else h6Expr(idCol)
-      df.join(ratesDf, Seq(sourceCol)).filter(h < col("rate6")).drop("rate6")
-    }
-    // 4. the refreshed sample over everything seen, on the configured
-    //    cadence (epochs ≤ batchId — later epochs cannot exist yet by
-    //    trigger order; the filter also makes replays explicit-safe)
-    if ((batchId + 1) % refreshEvery == 0 &&
-        !EpochCommit.epochExists(spark, sampleDir, batchId)) {
-      val seenOk = EpochCommit.anyEpochData(spark, seenDir)
-      def emptyOut = dropInternal(batch.limit(0))
-      val prevE = EpochCommit.latestEpochBefore(spark, sampleDir, batchId)
-      val prevRates = prevE.flatMap(e =>
-        EpochCommit.readSideFile(spark, sampleDir, e, RatesFile))
-        .map(decodeRates)
-      val sample = (prevE, prevRates) match {
-        case (Some(e0), Some(old)) if incremental =>
-          // band refresh: prevSample ∩ {h6 < new6}  ∪  grown-band docs
-          // from epochs ≤ e0  ∪  epochs (e0, k] decided in full
-          // = {h6 < new6} over every seen doc — exactly the full path
-          val prevSample =
-            if (EpochCommit.epochHasData(spark, sampleDir, e0))
-              spark.read.parquet(s"$sampleDir/epoch=$e0")
-            else emptyOut
-          val keep = dropInternal(sampled(prevSample))
-          val grown = ratesLocal.filter { case (s, n) => n > old.getOrElse(s, 0L) }
-          val bandIn =
-            if (grown.nonEmpty && seenOk) {
-              val bandIds = grown.flatMap { case (s, n) =>
-                val o = old.getOrElse(s, 0L)
-                (o / BandWidth) to ((n - 1) / BandWidth)
-              }.map(_.toInt).distinct
-              val grownDf = broadcast(spark.createDataFrame(
-                grown.map { case (s, n) => (s, old.getOrElse(s, 0L), n) })
-                .toDF(sourceCol, "__old6", "__new6"))
-              dropInternal(spark.read.parquet(seenDir)
-                .filter(col("epoch") <= e0 && col("__band").isin(bandIds: _*))
-                .join(grownDf, Seq(sourceCol))
-                .filter(col("__h6") >= col("__old6") && col("__h6") < col("__new6"))
-                .drop("__old6", "__new6"))
-            } else emptyOut
-          val newDocs =
-            if (seenOk)
-              dropInternal(sampled(spark.read.parquet(seenDir)
-                .filter(col("epoch") > e0 && col("epoch") <= batchId)))
-            else emptyOut
-          keep.unionByName(bandIn).unionByName(newDocs)
-        case _ =>
-          // full refresh: first emission, incremental off, or a legacy
-          // prev epoch without its rates side file
-          if (seenOk)
-            dropInternal(sampled(
-              spark.read.parquet(seenDir).filter(col("epoch") <= batchId)))
-          else emptyOut
-      }
-      // sample epochs are CORPUS-scale artifacts (unlike the
-      // trigger-sized seen/admit epochs): write with task parallelism,
-      // not the single-file default
-      EpochCommit.commitEpoch(sample, sampleDir, batchId, maxFiles = 32,
-        sideFiles = Map(RatesFile -> encodeRates(ratesLocal)))
-    }
-    // 5. this batch's admissions — each doc decided once, at arrival
-    if (!EpochCommit.epochExists(spark, admitDir, batchId))
-      EpochCommit.commitEpoch(dropInternal(sampled(frozen)), admitDir, batchId)
+        collectLevels = () => currentRates(store, table)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq,
+        decide = sampled,
+        // a kept doc is just the mixture decision re-applied to the
+        // previous sample under the new rates
+        keep = sampled,
+        grownBandIds = (o, n) =>
+          (o / RateGate.BandWidth) to ((n - 1) / RateGate.BandWidth),
+        gained = (pruned, grownDf) => pruned.join(grownDf, Seq(sourceCol))
+          .filter(col("__h6") >= col("__old6") && col("__h6") < col("__new6"))
+          .drop("__old6", "__new6")))
   }
 
   /** Per-source seen-document counters — the gate's queryable state. */
@@ -259,7 +140,8 @@ object MixtureGate {
       idCol: String, sourceCol: String, root: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
       shufflePartitions: Option[Int] = Some(8),
-      refreshEvery: Int = 1, incremental: Boolean = true): StreamingQuery = {
+      refreshEvery: Int = 1, incremental: Boolean = true,
+      compactSeen: Boolean = true, retainSamples: Int = 0): StreamingQuery = {
     val spark = docs.sparkSession
     val release = ConfPins.acquireGatePins(spark, shufflePartitions,
       java.util.UUID.randomUUID())
@@ -271,7 +153,7 @@ object MixtureGate {
         .foreachBatch { (b: DataFrame, id: Long) =>
           applyBatch(store, table, b, id, idCol, sourceCol,
             s"$root/seen", s"$root/sample", s"$root/admitted",
-            refreshEvery, incremental); ()
+            refreshEvery, incremental, compactSeen, retainSamples); ()
         }
         .start()
       catch { case e: Throwable => release(); throw e }

@@ -32,30 +32,40 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object QualityGate {
 
-  /** One micro-batch through the gate (idempotent per `batchId`). */
+  /** One micro-batch through the gate (idempotent per `batchId`).
+    *
+    * Returns the pass frame when THIS call computed it fresh — a plan
+    * over the trigger's eager checkpoint, row-identical to the epoch
+    * it just committed — so a composing caller ([[CurationStream]])
+    * can hand it straight to the next tier instead of re-reading the
+    * epoch dir (the dir stays the crash-replay record). `None` on a
+    * replay skip: the epoch predates this call, read it back.
+    */
   def applyBatch(
       spark: SparkSession, batch: DataFrame, batchId: Long,
       constraints: Seq[(String, Column)], outDir: String,
       rejectDir: String,
-      enrich: DataFrame => DataFrame = identity): Unit = {
+      enrich: DataFrame => DataFrame = identity): Option[DataFrame] = {
     require(constraints.nonEmpty, "QualityGate: no constraints")
     val marker = s"$outDir/_graft_quality_epoch"
-    if (EpochCommit.readMarker(spark, marker).exists(_ >= batchId)) return
-    if (!EpochCommit.epochExists(spark, outDir, batchId)) {
-      val firstViolated = coalesce(
-        (constraints.map { case (n, viol) => when(viol, lit(n)) } :+
-          lit(null).cast("string")): _*)
-      val flagged = enrich(batch).withColumn("__violated", firstViolated)
-        .localCheckpoint(true) // one pass feeds both epoch writes
-      EpochCommit.commitEpoch(
-        flagged.filter(col("__violated").isNotNull)
-          .withColumnRenamed("__violated", "violated"),
-        rejectDir, batchId)
-      EpochCommit.commitEpoch(
-        flagged.filter(col("__violated").isNull).drop("__violated"),
-        outDir, batchId)
-    }
+    if (EpochCommit.readMarker(spark, marker).exists(_ >= batchId)) return None
+    val out =
+      if (!EpochCommit.epochExists(spark, outDir, batchId)) {
+        val firstViolated = coalesce(
+          (constraints.map { case (n, viol) => when(viol, lit(n)) } :+
+            lit(null).cast("string")): _*)
+        val flagged = enrich(batch).withColumn("__violated", firstViolated)
+          .localCheckpoint(true) // one pass feeds both epoch writes
+        EpochCommit.commitEpoch(
+          flagged.filter(col("__violated").isNotNull)
+            .withColumnRenamed("__violated", "violated"),
+          rejectDir, batchId)
+        val pass = flagged.filter(col("__violated").isNull).drop("__violated")
+        EpochCommit.commitEpoch(pass, outDir, batchId)
+        Some(pass)
+      } else None
     EpochCommit.writeMarker(spark, marker, batchId)
+    out
   }
 
   /** Run the gate over a stream. */

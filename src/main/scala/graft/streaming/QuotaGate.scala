@@ -69,13 +69,13 @@ object QuotaGate {
       store: SnapshotStore, table: String, batch: DataFrame, batchId: Long,
       idCol: String, sourceCol: String, nTokensCol: String,
       budgets: DataFrame, outDir: String, rejectDir: String,
-      order: Seq[org.apache.spark.sql.Column] = Nil): Unit = {
+      order: Seq[org.apache.spark.sql.Column] = Nil): Option[DataFrame] = {
     val spark = batch.sparkSession
     val epochDone = EpochCommit.epochExists(spark, outDir, batchId) &&
       EpochCommit.epochExists(spark, rejectDir, batchId)
     val countsDone = store.currentMeta(table)
       .flatMap(m => scala.util.Try(m.toLong).toOption).exists(_ >= batchId)
-    if (epochDone && countsDone) return // fully landed epoch
+    if (epochDone && countsDone) return None // fully landed epoch
 
     // exclusive in-batch prefix sums per source (deterministic order),
     // then one broadcast join against state-consumed + budgets
@@ -97,17 +97,20 @@ object QuotaGate {
           .otherwise(lit("QUOTA_EXHAUSTED")))
       .localCheckpoint(true) // one pass feeds both epochs AND the delta
 
-    if (!epochDone) {
-      EpochCommit.commitEpoch(
-        prefixed.filter(col("__verdict").isNotNull)
-          .withColumnRenamed("__verdict", "reason")
-          .drop("__before", "__used", "budget"),
-        rejectDir, batchId)
-      EpochCommit.commitEpoch(
-        prefixed.filter(col("__verdict").isNull)
-          .drop("__verdict", "__before", "__used", "budget"),
-        outDir, batchId)
-    }
+    val admitted =
+      if (!epochDone) {
+        EpochCommit.commitEpoch(
+          prefixed.filter(col("__verdict").isNotNull)
+            .withColumnRenamed("__verdict", "reason")
+            .drop("__before", "__used", "budget"),
+          rejectDir, batchId)
+        val keep = prefixed.filter(col("__verdict").isNull)
+          .drop("__verdict", "__before", "__used", "budget")
+        EpochCommit.commitEpoch(keep, outDir, batchId)
+        // a plan over the trigger's eager checkpoint, row-identical to
+        // the committed epoch — composing callers skip the read-back
+        Some(keep)
+      } else None
     if (!countsDone) {
       // only KEPT tokens consume quota; O(|sources touched|) rows
       val delta = prefixed.filter(col("__verdict").isNull)
@@ -115,6 +118,7 @@ object QuotaGate {
         .agg(sum(col(nTokensCol)).cast("long").as("state_cnt"))
       store.commitAdditive(table, delta, meta = Some(batchId.toString))
     }
+    admitted
   }
 
   /** Per-source consumed tokens so far — the gate's queryable state. */

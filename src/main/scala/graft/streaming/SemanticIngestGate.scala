@@ -61,9 +61,9 @@ object SemanticIngestGate {
       spark: SparkSession, table: String, batch: DataFrame, batchId: Long,
       idCol: String, embCol: String, outDir: String, rejectDir: String,
       threshold: Double = 0.9, nProbe: Int = 2,
-      checkIdCollisions: Boolean = true): Unit = {
+      checkIdCollisions: Boolean = true): Option[DataFrame] = {
     val marker = s"$outDir/_graft_semingest_epoch"
-    if (EpochCommit.readMarker(spark, marker).exists(_ >= batchId)) return // replay
+    if (EpochCommit.readMarker(spark, marker).exists(_ >= batchId)) return None // replay
     val epochKey = s"semingest-e$batchId"
     // every index read below excludes THIS epoch's appended files by
     // name ([[graft.sources.Bucketing.appendBucketedEpoch]] embeds the
@@ -78,7 +78,7 @@ object SemanticIngestGate {
     // either may exist without the other after a crash — recompute
     // whenever one is missing and let commitEpoch's own idempotence
     // skip the half that landed
-    if (!(EpochCommit.epochExists(spark, outDir, batchId) &&
+    val fresh = if (!(EpochCommit.epochExists(spark, outDir, batchId) &&
         EpochCommit.epochExists(spark, rejectDir, batchId))) {
       val b = TriggerTiming.timed("semingest", "checkpoint") {
         batch.localCheckpoint(true)
@@ -178,14 +178,18 @@ object SemanticIngestGate {
           () => AnnIndex.appendIvfEpoch(survivors, table, epochKey,
             idCol, embCol))
       }
-    } else if (EpochCommit.epochHasData(spark, outDir, batchId)) {
-      // replay with both epochs already committed: the batch was never
-      // recomputed this attempt, so append the FROZEN survivors (the
-      // append stays idempotent per epoch key)
-      AnnIndex.appendIvfEpoch(spark.read.parquet(s"$outDir/epoch=$batchId"),
-        table, epochKey, idCol, embCol)
+      Some(survivors)
+    } else {
+      if (EpochCommit.epochHasData(spark, outDir, batchId))
+        // replay with both epochs already committed: the batch was never
+        // recomputed this attempt, so append the FROZEN survivors (the
+        // append stays idempotent per epoch key)
+        AnnIndex.appendIvfEpoch(spark.read.parquet(s"$outDir/epoch=$batchId"),
+          table, epochKey, idCol, embCol)
+      None
     }
     EpochCommit.writeMarker(spark, marker, batchId)
+    fresh
   }
 
   /** Run the gate over an embedding stream against an EXISTING IVF

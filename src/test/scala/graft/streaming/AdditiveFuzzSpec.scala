@@ -111,6 +111,14 @@ class AdditiveFuzzSpec extends SparkSpec {
     spark.read.parquet(s"$dir/epoch=$e").select("doc_id").as[Long]
       .collect().toSet
 
+  // MULTISET variant: a set compare can't see silent row duplication
+  // (the round-14 compaction hazard — a replayed batch re-freezing an
+  // epoch whose dir was folded into a run would double rows without
+  // changing the id set)
+  private def epochIdBag(dir: String, e: Long): Seq[Long] =
+    spark.read.parquet(s"$dir/epoch=$e").select("doc_id").as[Long]
+      .collect().toSeq.sorted
+
   private def runSequence(seqIdx: Int, seed: Long): Unit = {
     val rnd = new scala.util.Random(seed)
     val dir = Files.createTempDirectory(s"graft-afuzz-$seqIdx").toString
@@ -198,10 +206,12 @@ class AdditiveFuzzSpec extends SparkSpec {
         mCounts = mCounts.updated(s, mCounts.getOrElse(s, 0L) + ds.size)
       }
       // sample epoch = the FULL prefix re-decided under post-batch
-      // rates; admit epoch = this batch's slice of the same decision
-      assert(epochIds(s"$dir/msample", batchId) == mixSample(mSeen),
+      // rates; admit epoch = this batch's slice of the same decision.
+      // MULTISET compare: each kept id appears exactly once — catches
+      // duplication from a folded-epoch re-freeze, not just id drift
+      assert(epochIdBag(s"$dir/msample", batchId) == mixSample(mSeen).toSeq.sorted,
         s"mixture sample epoch $batchId drifted (seed $seed)")
-      assert(epochIds(s"$dir/madmit", batchId) == mixSample(docs),
+      assert(epochIdBag(s"$dir/madmit", batchId) == mixSample(docs).toSeq.sorted,
         s"mixture admit epoch $batchId drifted (seed $seed)")
     }
 
@@ -226,9 +236,11 @@ class AdditiveFuzzSpec extends SparkSpec {
           case _ => Seq.empty
         }
       }.toSet
-    def epochPairs(root: String, e: Long): Set[(Long, Long)] =
+    // multiset like epochIdBag: (id, epoch_idx) pairs are unique in
+    // the model, so sorted-seq equality catches silent duplication
+    def epochPairs(root: String, e: Long): Seq[(Long, Long)] =
       spark.read.parquet(s"$root/epoch=$e").select("doc_id", "epoch_idx")
-        .as[(Long, Long)].collect().toSet
+        .as[(Long, Long)].collect().toSeq.sorted
 
     // mode chosen at random per call, like the mixture arm: band and
     // full refreshes must commit identical epochs
@@ -250,9 +262,9 @@ class AdditiveFuzzSpec extends SparkSpec {
       docs.groupBy(_._2).foreach { case (s, ds) =>
         uTotals = uTotals.updated(s, uTotals.getOrElse(s, 0L) + ds.map(_._3).sum)
       }
-      assert(epochPairs(s"$dir/usample", batchId) == upSample(uSeen),
+      assert(epochPairs(s"$dir/usample", batchId) == upSample(uSeen).toSeq.sorted,
         s"upsample sample epoch $batchId drifted (seed $seed)")
-      assert(epochPairs(s"$dir/uadmit", batchId) == upSample(docs),
+      assert(epochPairs(s"$dir/uadmit", batchId) == upSample(docs).toSeq.sorted,
         s"upsample admit epoch $batchId drifted (seed $seed)")
     }
 

@@ -1,0 +1,181 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import java.nio.file.Files
+
+/** The epoch-log lifetime bound (round 14): [[EpochCommit.compactRuns]]
+  * folds a gate's seen root into O(log triggers) runs without changing
+  * ANY emitted epoch, survives a crash at every point of its two-phase
+  * swap, and never lets a replayed batch re-freeze a folded epoch. Plus
+  * the marker fast-paths' fallback contract and `retainSamples`.
+  */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "source")
+
+  private def bag(dir: String, e: Long): Seq[Long] =
+    spark.read.parquet(s"$dir/epoch=$e").select("doc_id").as[Long]
+      .collect().toSeq.sorted
+
+  private def epochDirs(root: String): Seq[String] = {
+    val (fs, p) = EpochCommit.fsFor(spark, root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("epoch=")).sorted
+  }
+
+  // 8 batches whose rates move both ways (new sources arrive, old ones
+  // catch up), so the refresh exercises keep + gained + new across the
+  // fold boundary
+  private def batchAt(k: Int): DataFrame = {
+    val src = Seq("a", "b", "c")(k % 3)
+    docs((0 until 4).map(i => ((k * 100 + i).toLong, src)) :+
+      ((k * 100 + 50).toLong, "a"): _*)
+  }
+
+  test("compaction changes no emitted epoch and bounds the seen root's dir count") {
+    val dirC = Files.createTempDirectory("graft-cmp-on").toString
+    val dirN = Files.createTempDirectory("graft-cmp-off").toString
+    val store = new SnapshotStore(spark, s"$dirC/store")
+    (0 until 8).foreach { k =>
+      MixtureGate.applyBatch(store, "CC", batchAt(k), k.toLong, "doc_id",
+        "source", s"$dirC/seen", s"$dirC/sample", s"$dirC/admit",
+        compactSeen = true)
+      MixtureGate.applyBatch(store, "CN", batchAt(k), k.toLong, "doc_id",
+        "source", s"$dirN/seen", s"$dirN/sample", s"$dirN/admit",
+        compactSeen = false)
+      // every emitted surface identical across the fold boundary
+      assert(bag(s"$dirC/sample", k) == bag(s"$dirN/sample", k),
+        s"sample epoch $k diverged under compaction")
+      assert(bag(s"$dirC/admit", k) == bag(s"$dirN/admit", k),
+        s"admit epoch $k diverged under compaction")
+    }
+    val (cDirs, nDirs) = (epochDirs(s"$dirC/seen"), epochDirs(s"$dirN/seen"))
+    assert(nDirs.size == 8, s"uncompacted root should hold 8 dirs: $nDirs")
+    assert(cDirs.size < nDirs.size,
+      s"compacted root must hold fewer run dirs: $cDirs")
+    // the folded layout keeps the band dirs — directory pruning intact
+    val (fs, _) = EpochCommit.fsFor(spark, s"$dirC/seen")
+    val oldestRun = new Path(s"$dirC/seen/${cDirs.head}")
+    assert(fs.listStatus(oldestRun).exists(d =>
+      d.isDirectory && d.getPath.getName.startsWith("__band=")),
+      "folded runs must stay hash-band partitioned")
+  }
+
+  test("a replayed batch whose epoch dir was folded does not re-freeze (no silent duplication)") {
+    val dir = Files.createTempDirectory("graft-cmp-replay").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    def apply(k: Long) = MixtureGate.applyBatch(store, "CR", batchAt(k.toInt),
+      k, "doc_id", "source", s"$dir/seen", s"$dir/sample", s"$dir/admit")
+    (0L until 6L).foreach(apply)
+    val before = epochDirs(s"$dir/seen")
+    assert(!before.contains("epoch=0"), s"fixture needs epoch 0 folded: $before")
+    val rows = spark.read.parquet(s"$dir/seen").count()
+    apply(0L) // replay of a folded batch
+    apply(2L)
+    assert(epochDirs(s"$dir/seen") == before,
+      "replaying a folded batch must not re-create its epoch dir")
+    assert(spark.read.parquet(s"$dir/seen").count() == rows,
+      "replaying a folded batch must not duplicate seen rows")
+  }
+
+  test("a merge swap crashed between commit and visible swap is finished by recovery") {
+    val dir = Files.createTempDirectory("graft-cmp-crash").toString
+    val root = s"$dir/seen"
+    // three banded epochs committed the way the gates freeze them
+    (0 to 2).foreach { k =>
+      EpochCommit.commitEpoch(
+        batchAt(k).withColumn("__h6",
+          RateGate.h6Expr("mix3", "doc_id"))
+          .withColumn("__band", org.apache.spark.sql.functions.expr(
+            s"CAST(__h6 DIV ${RateGate.BandWidth} AS INT)")),
+        root, k.toLong, partitionBy = Seq("__band"))
+    }
+    val total = spark.read.parquet(root).count()
+    // drive a real merge, then reconstruct the mid-swap crash state:
+    // hidden committed dir present, one source already deleted, the
+    // other still visible
+    assert(EpochCommit.compactRuns(spark, root, 2L) >= 1)
+    val afterDirs = epochDirs(root)
+    val (fs, rootP) = EpochCommit.fsFor(spark, root)
+    val hi = afterDirs.last.stripPrefix("epoch=").toLong
+    // simulate: the merged run was committed hidden but the swap died
+    // after deleting ONE source — recovery must finish the deletes and
+    // take the visible name
+    val mergedHidden = new Path(rootP, s".merged_e$hi")
+    assert(fs.rename(new Path(rootP, s"epoch=$hi"), mergedHidden))
+    EpochCommit.recoverRuns(spark, root)
+    assert(epochDirs(root) == afterDirs, "recovery must restore the visible run")
+    assert(spark.read.parquet(root).count() == total,
+      "recovery must preserve every row")
+    // and a reader that forgot recovery would have seen the hidden dir
+    // ignored (dot-prefixed) — the data only reappears via recoverRuns
+  }
+
+  test("retainSamples keeps only the newest N sample epochs; refresh survives the pruning") {
+    val dir = Files.createTempDirectory("graft-cmp-retain").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    (0L until 5L).foreach { k =>
+      MixtureGate.applyBatch(store, "RT", batchAt(k.toInt), k, "doc_id",
+        "source", s"$dir/seen", s"$dir/sample", s"$dir/admit",
+        retainSamples = 2)
+    }
+    assert(epochDirs(s"$dir/sample") == Seq("epoch=3", "epoch=4"))
+    // the retained latest is a valid refresh base for the next trigger
+    MixtureGate.applyBatch(store, "RT", batchAt(5), 5L, "doc_id", "source",
+      s"$dir/seen", s"$dir/sample", s"$dir/admit", retainSamples = 2)
+    assert(epochDirs(s"$dir/sample") == Seq("epoch=4", "epoch=5"))
+  }
+
+  test("marker fast-paths fall back to the listing when the marker is lost or stale") {
+    val dir = Files.createTempDirectory("graft-cmp-marker").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    def apply(k: Long) = MixtureGate.applyBatch(store, "MK", batchAt(k.toInt),
+      k, "doc_id", "source", s"$dir/seen", s"$dir/sample", s"$dir/admit")
+    (0L until 3L).foreach(apply)
+    val (fs, _) = EpochCommit.fsFor(spark, s"$dir/sample")
+    // lost latest marker → listing fallback, same answer
+    assert(EpochCommit.latestEpochBeforeFast(
+      spark, s"$dir/sample", 3L, "_graft_latest").contains(2L))
+    fs.delete(new Path(s"$dir/sample/_graft_latest"), false)
+    assert(EpochCommit.latestEpochBeforeFast(
+      spark, s"$dir/sample", 3L, "_graft_latest").contains(2L))
+    // stale-but-valid marker → the older committed base is accepted
+    // (refresh algebra is base-independent) — and the next refresh
+    // repairs the marker and commits the correct epoch anyway
+    EpochCommit.writeMarker(spark, s"$dir/sample/_graft_latest", 1L)
+    assert(EpochCommit.latestEpochBeforeFast(
+      spark, s"$dir/sample", 3L, "_graft_latest").contains(1L))
+    apply(3L)
+    assert(EpochCommit.readMarker(spark, s"$dir/sample/_graft_latest")
+      .contains(3L))
+    // sample 3 must equal the from-scratch decision despite the stale base
+    val dir2 = Files.createTempDirectory("graft-cmp-marker2").toString
+    val store2 = new SnapshotStore(spark, s"$dir2/store")
+    (0L until 4L).foreach { k =>
+      MixtureGate.applyBatch(store2, "MK2", batchAt(k.toInt), k, "doc_id",
+        "source", s"$dir2/seen", s"$dir2/sample", s"$dir2/admit")
+    }
+    assert(bag(s"$dir/sample", 3L) == bag(s"$dir2/sample", 3L),
+      "a stale marker base must not change the emitted sample")
+    // lost any-data marker → recursive walk fallback
+    fs.delete(new Path(s"$dir/seen/_graft_any_data"), false)
+    assert(EpochCommit.anyEpochDataFast(spark, s"$dir/seen", "_graft_any_data"))
+  }
+
+  test("a pre-band legacy seen root fails loudly with restart instructions") {
+    val dir = Files.createTempDirectory("graft-cmp-legacy").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    // epoch 0 written UN-banded (the pre-band layout)
+    EpochCommit.commitEpoch(batchAt(0), s"$dir/seen", 0L)
+    val e = intercept[IllegalStateException] {
+      MixtureGate.applyBatch(store, "LG", batchAt(1), 1L, "doc_id",
+        "source", s"$dir/seen", s"$dir/sample", s"$dir/admit")
+    }
+    assert(e.getMessage.contains("restart this gate on a fresh root"))
+  }
+}
