@@ -239,6 +239,19 @@ object Extras extends QueryPack {
   private[graft] val wavStageCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), (Seq[Int], DataFrame, DataFrame)]
 
+  /** Serializes wav-stage builds: the eviction id set is the
+    * persistent-RDD-id DELTA around a build, and a CONCURRENT persist in
+    * the same session (another key's build racing through
+    * computeIfAbsent's other bin, or any parallel query's
+    * localCheckpoint) would land inside the delta — later stale-token
+    * eviction would then unpersist live truncated-lineage blocks it
+    * doesn't own, failing their still-cached consumer unrecoverably.
+    * One lock around delta+build makes the delta exactly this entry's
+    * block set. (Builds are rare — once per (session, dir, token) — so
+    * the serialization costs nothing in steady state.)
+    */
+  private val wavBuildLock = new Object
+
   /** Snapshot token (max leaf mtime + total size + file count of
     * documents.parquet) in the cache key — the PipelineQueries.dirToken
     * contract: a same-session data rewrite must miss the cache, not
@@ -288,7 +301,7 @@ object Extras extends QueryPack {
         it.remove()
       }
     }
-    val (_, segs, pairs) = wavStageCache.computeIfAbsent((s, dir, token), _ => {
+    val (_, segs, pairs) = wavStageCache.computeIfAbsent((s, dir, token), _ => wavBuildLock.synchronized {
       // pinned: the segmentation AND the fingerprint extraction both
       // read the frames — without the checkpoint each consumer re-runs
       // the real WAV encode+decode over the whole corpus. The builds are

@@ -244,10 +244,17 @@ object CurationStream {
           s"$root/mix_seen", s"$root/mixture", s"$root/mix_admitted")
       }
     }
-    def withTokens(df: DataFrame): DataFrame =
-      if (df.columns.contains("n_tokens")) df
-      else df.withColumn("n_tokens", org.apache.spark.sql.functions.size(
+    // Quota/upsample accounting always uses ENGINE tokenization: a
+    // caller-supplied n_tokens column on the input stream is
+    // deliberately OVERWRITTEN (withColumn replaces), so budget charges
+    // can't silently switch to upstream counts. Frames that already
+    // carry the gate-computed column (the quota tier's admissions and
+    // their epoch read-back) skip the recompute via reuseTokens.
+    def engineTokens(df: DataFrame): DataFrame =
+      df.withColumn("n_tokens", org.apache.spark.sql.functions.size(
         graft.ops.TextAnalysis.tokens(col(textCol))).cast("long"))
+    def reuseTokens(df: DataFrame): DataFrame =
+      if (df.columns.contains("n_tokens")) df else engineTokens(df)
     // very last: only docs the recipe SHIPS may burn budget, so the
     // quota gate consumes the final upstream surface (the mixture
     // tier's once-per-doc admissions when configured, else weighted
@@ -258,7 +265,7 @@ object CurationStream {
       else shippedBase
     val admittedOpt: Option[DataFrame] = quota.flatMap { qt =>
       TriggerTiming.timed("ladder", "quota") {
-        QuotaGate.applyBatch(qt.store, qt.table, withTokens(preQuota), batchId,
+        QuotaGate.applyBatch(qt.store, qt.table, engineTokens(preQuota), batchId,
           idCol, qt.sourceCol, "n_tokens", qt.budgets,
           s"$root/admitted", s"$root/quota_reject",
           order = qt.scoreCol.map(c => col(c).desc).toSeq)
@@ -271,9 +278,9 @@ object CurationStream {
       // tokenized the same way the quota tier would)
       val shipped =
         if (quota.isDefined)
-          withTokens(admittedOpt.getOrElse(
-            epochOrEmpty(s"$root/admitted", withTokens(postFallback))))
-        else withTokens(preQuota)
+          reuseTokens(admittedOpt.getOrElse(
+            epochOrEmpty(s"$root/admitted", engineTokens(postFallback))))
+        else engineTokens(preQuota)
       TriggerTiming.timed("ladder", "upsample") {
         UpsampleGate.applyBatch(ut.store, ut.table, shipped, batchId, idCol,
           ut.sourceCol, "n_tokens", ut.budgets,

@@ -55,7 +55,11 @@ object IngestDedup {
     * Returns the survivor frame when THIS call computed it fresh (a
     * plan over the trigger's eager checkpoints, row-identical to the
     * committed epoch) so a composing caller can skip the epoch
-    * read-back on the hot path; `None` on any replay skip.
+    * read-back on the hot path; `None` on any replay skip. The frame
+    * is a HANDOFF, not a durable artifact: consume it within the
+    * producing trigger — its checkpoint blocks are session-held and
+    * unrecoverable if lost; anything retained across triggers must
+    * re-read `outDir/epoch=<batchId>` (the committed record).
     */
   def applyBatch(
       spark: SparkSession, table: String, batch: DataFrame, batchId: Long,

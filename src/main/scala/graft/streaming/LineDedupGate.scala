@@ -87,6 +87,11 @@ object LineDedupGate {
     * the cleaned text, `n_lines`/`n_dropped` append as stats — so the
     * epoch composes as a ladder tier ([[CurationStream]]'s frozen
     * handoff): downstream gates still see ids, languages, embeddings.
+    *
+    * Unlike the other gates, the returned frame is the committed epoch
+    * READ (its plan consults mutable store counts — re-evaluating the
+    * pre-commit plan downstream could diverge from the epoch), so it
+    * stays valid across triggers: `outDir` epochs are never folded.
     */
   def applyBatch(
       store: SnapshotStore, table: String, batch: DataFrame, batchId: Long,

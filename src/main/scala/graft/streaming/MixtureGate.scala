@@ -90,15 +90,22 @@ object MixtureGate {
     * epoch, so skipping epochs skips cost, not correctness). 1 =
     * refresh every trigger. `incremental = false` forces the
     * O(corpus) full re-decide (the oracle path the band refresh is
-    * spec-proven equal to). `compactSeen`/`retainSamples` bound the
-    * epoch logs over stream lifetime ([[RateGate]]'s contract).
+    * spec-proven equal to). `compactSeen`/`compactEvery`/
+    * `retainSamples` bound the epoch logs over stream lifetime
+    * ([[RateGate]]'s contract).
+    *
+    * Returns this batch's admit frame (None on replay) — valid ONLY
+    * within the producing trigger: the plan reads `seen/epoch=<k>`,
+    * which a later trigger's compaction may fold away. Consume it
+    * synchronously or re-read `admitDir/epoch=<k>`.
     */
   def applyBatch(
       store: SnapshotStore, table: String, batch: DataFrame, batchId: Long,
       idCol: String, sourceCol: String,
       seenDir: String, sampleDir: String, admitDir: String,
       refreshEvery: Int = 1, incremental: Boolean = true,
-      compactSeen: Boolean = true, retainSamples: Int = 0): Option[DataFrame] = {
+      compactSeen: Boolean = true, retainSamples: Int = 0,
+      compactEvery: Int = 1): Option[DataFrame] = {
     // the mixture decision: keep iff hash < rate6 — works on live
     // batches (hash recomputed) and frozen/sample reads (__h6 carried)
     def sampled(df: DataFrame, levels: DataFrame): DataFrame =
@@ -110,6 +117,7 @@ object MixtureGate {
       seenDir = seenDir, sampleDir = sampleDir, admitDir = admitDir,
       refreshEvery = refreshEvery, incremental = incremental,
       compactSeen = compactSeen, retainSamples = retainSamples,
+      compactEvery = compactEvery,
       hooks = RateGate.Hooks(
         outCols = batch.columns.toSeq,
         stateDelta = frozen => frozen.groupBy(col(sourceCol).as("source"))
@@ -141,7 +149,8 @@ object MixtureGate {
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
       shufflePartitions: Option[Int] = Some(8),
       refreshEvery: Int = 1, incremental: Boolean = true,
-      compactSeen: Boolean = true, retainSamples: Int = 0): StreamingQuery = {
+      compactSeen: Boolean = true, retainSamples: Int = 0,
+      compactEvery: Int = 1): StreamingQuery = {
     val spark = docs.sparkSession
     val release = ConfPins.acquireGatePins(spark, shufflePartitions,
       java.util.UUID.randomUUID())
@@ -153,7 +162,8 @@ object MixtureGate {
         .foreachBatch { (b: DataFrame, id: Long) =>
           applyBatch(store, table, b, id, idCol, sourceCol,
             s"$root/seen", s"$root/sample", s"$root/admitted",
-            refreshEvery, incremental, compactSeen, retainSamples); ()
+            refreshEvery, incremental, compactSeen, retainSamples,
+            compactEvery); ()
         }
         .start()
       catch { case e: Throwable => release(); throw e }

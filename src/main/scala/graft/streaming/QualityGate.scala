@@ -39,7 +39,11 @@ object QualityGate {
     * it just committed — so a composing caller ([[CurationStream]])
     * can hand it straight to the next tier instead of re-reading the
     * epoch dir (the dir stays the crash-replay record). `None` on a
-    * replay skip: the epoch predates this call, read it back.
+    * replay skip: the epoch predates this call, read it back. The
+    * frame is a HANDOFF, not a durable artifact — consume it within
+    * the producing trigger; anything retained across triggers must
+    * re-read the epoch dir (checkpoint blocks are session-held and
+    * unrecoverable if lost).
     */
   def applyBatch(
       spark: SparkSession, batch: DataFrame, batchId: Long,

@@ -64,6 +64,12 @@ object QuotaGate {
     * ascending is always appended as the tie-break so the order stays
     * total and replays decide identically. Empty = arrival (id) order,
     * the plain Pile/Dolma construction.
+    *
+    * Returns the admitted frame when THIS call computed it fresh
+    * (`None` on replay). The frame is a HANDOFF, not a durable
+    * artifact: consume it within the producing trigger; anything
+    * retained across triggers must re-read `admitDir/epoch=<batchId>`
+    * (checkpoint blocks are session-held and unrecoverable if lost).
     */
   def applyBatch(
       store: SnapshotStore, table: String, batch: DataFrame, batchId: Long,

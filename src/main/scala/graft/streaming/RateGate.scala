@@ -161,16 +161,25 @@ private[streaming] object RateGate {
     * false` forces the O(corpus) full re-decide (the oracle path the
     * band refresh is spec-proven equal to); `compactSeen` bounds the
     * seen root's dir count over stream lifetime (off = round-13
-    * layout, one dir per trigger forever); `retainSamples` > 0 keeps
-    * only the newest N sample epochs.
+    * layout, one dir per trigger forever); `compactEvery` runs the fold
+    * only every Nth trigger (1 = every trigger; deferral is always
+    * safe — the fold boundary contract is cadence-independent);
+    * `retainSamples` > 0 keeps only the newest N sample epochs.
+    *
+    * Returns the admit frame committed THIS call (None on replay). The
+    * frame is only valid within the producing trigger — its plan reads
+    * `seen/epoch=<batchId>`, which a later trigger's compaction may
+    * fold away; callers that need it later must re-read the admit
+    * epoch dir.
     */
   def applyBatch(
       store: SnapshotStore, table: String, batch: DataFrame, batchId: Long,
       idCol: String, sourceCol: String, salt: String, sideFileName: String,
       seenDir: String, sampleDir: String, admitDir: String,
       refreshEvery: Int, incremental: Boolean, compactSeen: Boolean,
-      retainSamples: Int, hooks: Hooks): Option[DataFrame] = {
+      retainSamples: Int, hooks: Hooks, compactEvery: Int = 1): Option[DataFrame] = {
     require(refreshEvery > 0, "refreshEvery must be positive")
+    require(compactEvery > 0, "compactEvery must be positive")
     val spark = batch.sparkSession
     def dropInternal(df: DataFrame): DataFrame =
       df.drop(Internal: _*).select(hooks.outCols.map(col): _*)
@@ -182,11 +191,14 @@ private[streaming] object RateGate {
     // A replay of a batch whose own dir was folded into a run must NOT
     // re-freeze (the run already holds its rows — a second copy would
     // silently duplicate refresh reads): the root's max epoch covers
-    // every id ≤ it, because the gate freezes batch ids in order.
-    // (compactSeen must therefore be stable per root — don't turn it
-    // off after runs have folded.)
+    // every id ≤ it, because the gate freezes batch ids in order. The
+    // maxEpoch fallback applies REGARDLESS of this call's compactSeen —
+    // a caller that turns compaction off on a root where runs already
+    // folded must still not re-freeze a folded epoch (one cheap listing,
+    // and on a never-compacted root it can never fire: in-order freezing
+    // means a missing epoch=k with maxEpoch ≥ k only happens post-fold).
     val frozenCovered = EpochCommit.epochExists(spark, seenDir, batchId) ||
-      (compactSeen && EpochCommit.maxEpoch(spark, seenDir).exists(_ >= batchId))
+      EpochCommit.maxEpoch(spark, seenDir).exists(_ >= batchId)
     if (!frozenCovered)
       EpochCommit.commitEpoch(
         batch.withColumn("__h6", h6Expr(salt, idCol))
@@ -217,8 +229,8 @@ private[streaming] object RateGate {
     // 5. the refreshed sample over everything seen, on the configured
     //    cadence (epochs ≤ batchId — later epochs cannot exist yet by
     //    trigger order; the filter also makes replays explicit-safe)
-    if ((batchId + 1) % refreshEvery == 0 &&
-        !EpochCommit.epochExists(spark, sampleDir, batchId)) {
+    if ((batchId + 1) % refreshEvery == 0) {
+      if (!EpochCommit.epochExists(spark, sampleDir, batchId)) {
       val seenOk = EpochCommit.anyEpochDataFast(spark, seenDir, AnyDataMarker)
       if (seenOk) assertBandedRoot(spark, seenDir)
       def emptyOut = dropInternal(hooks.decide(batch.limit(0), levelsDf))
@@ -272,30 +284,56 @@ private[streaming] object RateGate {
       // not the single-file default
       EpochCommit.commitEpoch(sample, sampleDir, batchId, maxFiles = 32,
         sideFiles = Map(sideFileName -> encodeLevels(levelsLocal)))
-      EpochCommit.writeMarker(spark, s"$sampleDir/$LatestMarker", batchId)
+      }
+      // Marker advance runs OUTSIDE the epoch-exists guard so the
+      // replay-skip path repairs a stale marker too: a crash between the
+      // sample commitEpoch above and this write leaves _graft_latest at
+      // an older epoch while epoch=batchId exists. Without the repair,
+      // step 7 on the replay would fold runs up to batchId-1 — past the
+      // stale marker — and the NEXT refresh (refreshEvery ≥ 2) would
+      // resolve its base from the stale marker, land the straddling
+      // folded run entirely on the epoch>e0 side, and re-decide docs
+      // already kept from the previous sample: persistent duplication.
+      // With it, the marker is never behind any fold boundary, which is
+      // what makes latestEpochBeforeFast's stale-marker tolerance claim
+      // actually hold under compaction.
+      if (!EpochCommit.readMarker(spark, s"$sampleDir/$LatestMarker")
+          .exists(_ >= batchId))
+        EpochCommit.writeMarker(spark, s"$sampleDir/$LatestMarker", batchId)
       if (retainSamples > 0) pruneSamples(spark, sampleDir, retainSamples)
     }
     // 6. this batch's admissions — each doc decided once, at arrival.
     // The fresh frame is returned (deterministic over frozen inputs —
     // identical to the committed epoch) so composing callers skip the
-    // read-back on the hot path.
+    // read-back on the hot path. SINGLE-TRIGGER VALIDITY: the plan reads
+    // `seen/epoch=<batchId>`, which a LATER trigger's step 7 may fold
+    // away — consume the frame within the trigger that produced it, or
+    // re-read `admit/epoch=<batchId>`; evaluating a frame retained
+    // across triggers fails loudly (FileNotFound at scan time).
     val admitOut =
       if (!EpochCommit.epochExists(spark, admitDir, batchId)) {
         val admit = dropInternal(hooks.decide(frozen, levelsDf))
         EpochCommit.commitEpoch(admit, admitDir, batchId)
         Some(admit)
       } else None
-    // 7. fold seen runs up to the latest emitted sample (never the
-    // current trigger's own epoch — replay simplicity) — amortized
-    // O(log) merges/trigger, each O(folded span) I/O
-    if (compactSeen) {
-      val upTo =
-        if (EpochCommit.epochExists(spark, sampleDir, batchId)) Some(batchId)
-        else EpochCommit.latestEpochBeforeFast(
-          spark, sampleDir, batchId, LatestMarker)
-      upTo.foreach(u =>
-        EpochCommit.compactRuns(spark, seenDir, math.min(u, batchId - 1),
-          bands = Bands))
+    // 7. fold seen runs, clamped to the LATEST MARKER value (never the
+    // current trigger's own epoch — replay simplicity): every future
+    // refresh resolves its base from this marker (or a listing that can
+    // only return newer), and the marker is monotone, so no folded run
+    // can ever straddle a future epoch≤e0/epoch>e0 split — including
+    // after the crash-stale-marker repair above. Amortized O(log)
+    // merges/trigger, each O(folded span) I/O; `compactEvery` defers the
+    // fold to every Nth trigger (the boundary contract tolerates
+    // deferral — runs just stay unfolded longer), the knob for ladders
+    // whose trigger cadence can't absorb a merge spike inline.
+    if (compactSeen && (batchId + 1) % compactEvery == 0) {
+      TriggerTiming.timed("gate", s"compact($seenDir)") {
+        EpochCommit.readMarker(spark, s"$sampleDir/$LatestMarker")
+          .orElse(EpochCommit.latestEpochBefore(spark, sampleDir, batchId + 1))
+          .foreach(u =>
+            EpochCommit.compactRuns(spark, seenDir, math.min(u, batchId - 1),
+              bands = Bands))
+      }
       ()
     }
     admitOut

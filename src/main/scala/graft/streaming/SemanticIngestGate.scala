@@ -56,6 +56,12 @@ object SemanticIngestGate {
     * Per-trigger action budget: 5 root SQL executions — batch
     * checkpoint, unified-reject checkpoint, two epoch commits, one
     * index append (`SemanticIngestGateSpec` pins it).
+    *
+    * Returns the survivor frame when THIS call computed it fresh
+    * (`None` on replay). The frame is a HANDOFF, not a durable
+    * artifact: consume it within the producing trigger; anything
+    * retained across triggers must re-read `outDir/epoch=<batchId>`
+    * (checkpoint blocks are session-held and unrecoverable if lost).
     */
   def applyBatch(
       spark: SparkSession, table: String, batch: DataFrame, batchId: Long,

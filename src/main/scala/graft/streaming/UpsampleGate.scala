@@ -70,6 +70,11 @@ object UpsampleGate {
   /** One micro-batch through the gate (idempotent per `batchId`);
     * parameters mirror [[MixtureGate.applyBatch]], plus the batch
     * operator's `budgets` (source, budget in tokens) and `maxEpochs`.
+    *
+    * Returns this batch's admit frame (None on replay) — valid ONLY
+    * within the producing trigger: the plan reads `seen/epoch=<k>`,
+    * which a later trigger's compaction may fold away. Consume it
+    * synchronously or re-read `admitDir/epoch=<k>`.
     */
   def applyBatch(
       store: SnapshotStore, table: String, batch: DataFrame, batchId: Long,
@@ -77,7 +82,7 @@ object UpsampleGate {
       budgets: DataFrame, seenDir: String, sampleDir: String,
       admitDir: String, refreshEvery: Int = 1, incremental: Boolean = true,
       maxEpochs: Int = 4, compactSeen: Boolean = true,
-      retainSamples: Int = 0): Option[DataFrame] = {
+      retainSamples: Int = 0, compactEvery: Int = 1): Option[DataFrame] = {
     // canonical output layout = the batch operator's, taken from its
     // own plan over an empty slice (schema-only, no job runs)
     val outCols = graft.ops.Packing.epochUpsample(
@@ -99,6 +104,7 @@ object UpsampleGate {
       seenDir = seenDir, sampleDir = sampleDir, admitDir = admitDir,
       refreshEvery = refreshEvery, incremental = incremental,
       compactSeen = compactSeen, retainSamples = retainSamples,
+      compactEvery = compactEvery,
       hooks = RateGate.Hooks(
         outCols = outCols,
         stateDelta = frozen => frozen.groupBy(col(sourceCol).as("source"))
@@ -157,7 +163,7 @@ object UpsampleGate {
       shufflePartitions: Option[Int] = Some(8),
       refreshEvery: Int = 1, incremental: Boolean = true,
       maxEpochs: Int = 4, compactSeen: Boolean = true,
-      retainSamples: Int = 0): StreamingQuery = {
+      retainSamples: Int = 0, compactEvery: Int = 1): StreamingQuery = {
     val spark = docs.sparkSession
     val release = ConfPins.acquireGatePins(spark, shufflePartitions,
       java.util.UUID.randomUUID())
@@ -170,7 +176,7 @@ object UpsampleGate {
           applyBatch(store, table, b, id, idCol, sourceCol, nTokensCol,
             budgets, s"$root/up_seen", s"$root/upsampled",
             s"$root/up_admitted", refreshEvery, incremental, maxEpochs,
-            compactSeen, retainSamples); ()
+            compactSeen, retainSamples, compactEvery); ()
         }
         .start()
       catch { case e: Throwable => release(); throw e }

@@ -167,6 +167,94 @@ class CompactionSpec extends SparkSpec {
     assert(EpochCommit.anyEpochDataFast(spark, s"$dir/seen", "_graft_any_data"))
   }
 
+  test("crash-stale latest marker + compaction at refreshEvery=2: replay repairs the marker, no duplicated sample rows") {
+    // The round-14 ADVICE scenario: a crash between the sample
+    // commitEpoch and the marker write leaves _graft_latest stale; the
+    // replay skips the refresh body (epoch exists), then step 7 folds
+    // runs PAST the stale marker — and the next refresh (refreshEvery
+    // ≥ 2), resolving its base from the stale marker, would re-decide
+    // the straddling folded run's docs as new, duplicating rows already
+    // kept from the previous sample. The fix: the replay path advances
+    // the marker whenever the sample epoch exists, BEFORE step 7 clamps
+    // its fold boundary to the marker.
+    // Fixture geometry (refreshEvery = 4, refreshes at k = 3, 7, 11):
+    // after trigger 7 the seen runs are {[0-2], 3, 4, 5, 6, 7}; a replay
+    // of 7 folds ≤ 6, and the Bentley-Saxe pass merges [0-2],3,4,5,6
+    // into ONE run [0-6] — which straddles a marker stale at 3. The
+    // refresh at 11 would then split at e0 = 3, drop [0-6] from
+    // keep/gained, and re-decide ALL its rows (0-3 included) as new.
+    val dirX = Files.createTempDirectory("graft-cmp-stale").toString
+    val dirR = Files.createTempDirectory("graft-cmp-staleref").toString
+    val store = new SnapshotStore(spark, s"$dirX/store")
+    def applyX(k: Long) = MixtureGate.applyBatch(store, "SX", batchAt(k.toInt),
+      k, "doc_id", "source", s"$dirX/seen", s"$dirX/sample", s"$dirX/admit",
+      refreshEvery = 4)
+    def applyR(k: Long) = MixtureGate.applyBatch(store, "SR", batchAt(k.toInt),
+      k, "doc_id", "source", s"$dirR/seen", s"$dirR/sample", s"$dirR/admit",
+      refreshEvery = 4)
+    (0L to 7L).foreach { k => applyX(k); applyR(k) }
+    // simulate the crash: sample epoch 7 committed, marker still at the
+    // previous refresh (3) — then the foreachBatch replays trigger 7
+    EpochCommit.writeMarker(spark, s"$dirX/sample/_graft_latest", 3L)
+    applyX(7L)
+    assert(EpochCommit.readMarker(spark, s"$dirX/sample/_graft_latest")
+      .contains(7L), "the replay-skip path must repair the stale marker")
+    (8L to 11L).foreach { k => applyX(k); applyR(k) }
+    // multiset-compare every emitted sample — a straddling fold would
+    // duplicate kept rows in epoch 11 and every refresh after
+    Seq(3L, 7L, 11L).foreach { e =>
+      assert(bag(s"$dirX/sample", e) == bag(s"$dirR/sample", e),
+        s"sample epoch $e diverged after the crash-stale-marker replay")
+    }
+  }
+
+  test("compactEvery defers folds without changing any emitted epoch") {
+    val dirD = Files.createTempDirectory("graft-cmp-defer").toString
+    val dirI = Files.createTempDirectory("graft-cmp-inline").toString
+    val store = new SnapshotStore(spark, s"$dirD/store")
+    (0 until 8).foreach { k =>
+      MixtureGate.applyBatch(store, "CD", batchAt(k), k.toLong, "doc_id",
+        "source", s"$dirD/seen", s"$dirD/sample", s"$dirD/admit",
+        compactEvery = 4)
+      MixtureGate.applyBatch(store, "CI", batchAt(k), k.toLong, "doc_id",
+        "source", s"$dirI/seen", s"$dirI/sample", s"$dirI/admit")
+      assert(bag(s"$dirD/sample", k) == bag(s"$dirI/sample", k),
+        s"sample epoch $k diverged under deferred compaction")
+      assert(bag(s"$dirD/admit", k) == bag(s"$dirI/admit", k),
+        s"admit epoch $k diverged under deferred compaction")
+      // between cadence points the deferred root accumulates plain
+      // trigger epochs (no fold ran yet)
+      if (k == 2)
+        assert(epochDirs(s"$dirD/seen").size == 3,
+          "no fold may run before the compactEvery cadence point")
+    }
+    // the cadence point still bounds the root
+    assert(epochDirs(s"$dirD/seen").size < 8,
+      s"deferred compaction must still fold: ${epochDirs(s"$dirD/seen")}")
+  }
+
+  test("an admit frame retained across triggers fails loudly once its seen epoch folds") {
+    val dir = Files.createTempDirectory("graft-cmp-retained").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    def apply(k: Long) = MixtureGate.applyBatch(store, "RF", batchAt(k.toInt),
+      k, "doc_id", "source", s"$dir/seen", s"$dir/sample", s"$dir/admit")
+    apply(0L)
+    val retained = apply(1L).get // plan reads seen/epoch=1
+    retained.count() // valid within the producing trigger
+    apply(2L) // step 7 folds epochs 0-1 into run epoch=1 (files replaced)
+    // the single-trigger-validity contract: evaluation now fails loudly
+    // (the frame's listed files were deleted by the fold) instead of
+    // silently returning stale or partial rows
+    val e = intercept[Throwable] { retained.count() }
+    def messages(t: Throwable, acc: List[String] = Nil): List[String] =
+      if (t == null || acc.size > 8) acc
+      else messages(t.getCause, acc :+ (s"${t.getClass.getName}: ${t.getMessage}"))
+    val all = messages(e).mkString("\n")
+    assert(all.contains("FileNotFound") || all.contains("does not exist") ||
+      all.contains("FILE_NOT_EXIST"),
+      s"expected a missing-file failure, got:\n$all")
+  }
+
   test("a pre-band legacy seen root fails loudly with restart instructions") {
     val dir = Files.createTempDirectory("graft-cmp-legacy").toString
     val store = new SnapshotStore(spark, s"$dir/store")

@@ -267,6 +267,32 @@ class CurationStreamSpec extends SparkSpec {
     assert(store.currentVersion("CQ") == v)
   }
 
+  test("quota accounting always uses engine tokenization: a caller-supplied n_tokens column is overwritten") {
+    val dir = Files.createTempDirectory("graft-curation-tok").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    DedupIndex.build(Seq((1L, doc("the quick brown fox ")))
+      .toDF("doc_id", "text"), "curationtok_idx", "doc_id", "text")
+    val budgets = Seq(("w", 70L)).toDF("source", "budget")
+    // the input stream carries its OWN n_tokens column with absurd
+    // counts (1 and 1,000,000); if the quota tier honored them, doc 91
+    // would reject and the chain would record 1 consumed token — the
+    // engine recomputes (30 whitespace tokens per doc), so both admit
+    // and the chain records 60
+    CurationStream.applyBatch(spark,
+      Seq((90L, "w", doc("pack my box with jugs "), 1L),
+        (91L, "w", doc("sphinx of black quartz judge "), 1000000L))
+        .toDF("doc_id", "source", "text", "n_tokens"),
+      0L, constraints, "curationtok_idx", "doc_id", "text", s"$dir/cur",
+      quota = Some(CurationStream.QuotaTier(store, "CTK", "source", budgets)))
+    val a0 = spark.read.parquet(s"$dir/cur/admitted/epoch=0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a0 == Set(90L, 91L),
+      s"quota must charge engine token counts, not caller-supplied: $a0")
+    assert(QuotaGate.consumed(spark, store, "CTK")
+      .as[(String, Long)].collect().toMap == Map("w" -> 60L),
+      "consumed-token state must reflect engine tokenization")
+  }
+
   test("upsample tier: quota admissions repeat toward budget, prefix-exact across triggers") {
     val dir = Files.createTempDirectory("graft-curation-up").toString
     val store = new SnapshotStore(spark, s"$dir/store")
