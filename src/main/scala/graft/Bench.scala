@@ -24,6 +24,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // The un-losable-artifact contract (round 15; BENCH_r14 was rc=124
+    // with NO numbers because the suite's wall grew unbounded under
+    // host load and the line was only written at the very end): every
+    // expansion beyond the core single pass — extra stabilizing draws,
+    // canary re-runs, each streaming probe — is gated on a wall-clock
+    // budget, and the COMPLETE line is persisted before any re-run
+    // pass. A loaded host now ships a flagged, single-shot line within
+    // budget instead of nothing.
+    val wallStart = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - wallStart) / 1e9
+    val budgetS = sys.env.get("GRAFT_BENCH_BUDGET_S")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(1200.0)
+    def overBudget: Boolean = elapsedS > budgetS
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -48,7 +61,7 @@ object Bench {
     // unremarkable missing field, hiding exactly the class of
     // regression the probe exists to surface. Fatal errors propagate.
     def streamingFragment(): String =
-      try StreamBench.jsonFragment(spark)
+      try StreamBench.jsonFragment(spark, () => overBudget)
       catch {
         case scala.util.control.NonFatal(e) =>
           s""""streaming":{"error":"${e.getClass.getSimpleName}"}"""
@@ -86,9 +99,17 @@ object Bench {
     // between "cold single-shot" and "warm min", and nothing in the
     // line let a reader see which happened. Draw-array length encodes
     // the tier (1/2/3); draw order is preserved (first = cold).
+    // Budget cap on the stabilizing draws: past the wall budget every
+    // query ships its cold single-shot (draw-array length 1 where the
+    // tier would say 2-3 — `draws_capped` counts them so the truncation
+    // is visible, never silent).
+    var drawsCapped = 0
     def timed(name: String): (Double, IndexedSeq[Double]) = {
       val first = draw(SparkEntry.queries(name))
-      if (first >= 3.0) {
+      if (first >= 1.0 && overBudget) {
+        drawsCapped += 1
+        (first, IndexedSeq(first))
+      } else if (first >= 3.0) {
         val ds = IndexedSeq(first, draw(SparkEntry.queries(name)),
           draw(SparkEntry.queries(name)))
         (ds.sorted.apply(1), ds)
@@ -129,38 +150,52 @@ object Bench {
     var r2 = secondHalf.map(n => n -> timed(n))
     var cEnd = canary()
     var reruns = 0
-    if (drifted(cStart, cMid)) {
-      reruns += 1
-      cStart = canary(); r1 = firstHalf.map(n => n -> timed(n)); cMid = canary()
-    }
-    if (drifted(cMid, cEnd)) {
-      reruns += 1
-      // re-bracket the second half only (a spliced mid reading when just
-      // one half re-ran is documented by canary_reruns > 0)
-      cMid = canary(); r2 = secondHalf.map(n => n -> timed(n)); cEnd = canary()
-    }
-    val violation = drifted(cStart, cMid) || drifted(cMid, cEnd)
     val streaming = streamingPre.getOrElse(streamingFragment())
-    val results = r1 ++ r2
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val drawsJson = results.map { case (k, (_, ds)) =>
-      "\"" + k + "\":" + ds.map(Json.num3).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
-    val canaryJson =
-      s""""canary":{"query":"$canaryName","start":${Json.num3(cStart)},"mid":${Json.num3(cMid)},"end":${Json.num3(cEnd)}},"canary_reruns":$reruns,"canary_violation":$violation"""
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"draws":$drawsJson,$streaming,$canaryJson,"sf":"$sfDir"}"""
+    def assemble(): String = {
+      val violation = drifted(cStart, cMid) || drifted(cMid, cEnd)
+      val results = r1 ++ r2
+      val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val drawsJson = results.map { case (k, (_, ds)) =>
+        "\"" + k + "\":" + ds.map(Json.num3).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val total = results.map(_._2._1).sum
+      val canaryJson =
+        s""""canary":{"query":"$canaryName","start":${Json.num3(cStart)},"mid":${Json.num3(cMid)},"end":${Json.num3(cEnd)}},"canary_reruns":$reruns,"canary_violation":$violation"""
+      val budgetJson =
+        s""""budget_s":${Json.num3(budgetS)},"elapsed_s":${Json.num3(elapsedS)},"over_budget":$overBudget,"draws_capped":$drawsCapped"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"draws":$drawsJson,$streaming,$canaryJson,$budgetJson,"sf":"$sfDir"}"""
+    }
     // persist the COMPLETE line as a repo artifact: the driver's stdout
     // capture keeps only the tail of this very long line, losing the
     // per-query head every round — BENCH_FULL.json (overwritten per
     // run, committed per round) is what round-over-round per-query
     // diffs read
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case scala.util.control.NonFatal(_) => () } // stdout still carries it
+    def persist(line: String): Unit =
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(_) => () } // stdout still carries it
+    // Write the complete first-pass line BEFORE any re-run pass —
+    // flagged canary_violation:true if dirty. Round 14's lesson: the
+    // re-run enforcement re-times whole half-suites exactly when the
+    // host is loaded, so without this a loaded run produced NO artifact
+    // at all (rc=124). A dirty-but-present line beats a missing one;
+    // the re-runs below overwrite it with a cleaner line when the
+    // budget allows.
+    persist(assemble())
+    if (drifted(cStart, cMid) && !overBudget) {
+      reruns += 1
+      cStart = canary(); r1 = firstHalf.map(n => n -> timed(n)); cMid = canary()
+    }
+    if (drifted(cMid, cEnd) && !overBudget) {
+      reruns += 1
+      // re-bracket the second half only (a spliced mid reading when just
+      // one half re-ran is documented by canary_reruns > 0)
+      cMid = canary(); r2 = secondHalf.map(n => n -> timed(n)); cEnd = canary()
+    }
+    val line = assemble()
+    persist(line)
     println(line)
     spark.stop()
   }

@@ -693,40 +693,88 @@ object StreamBench {
     * the median of three full runs, with `<key>_min`/`<key>_max`
     * alongside; the serve-latency probe is already a 25-epoch
     * distribution and stays single-shot.
+    *
+    * `overBudget` is checked BEFORE each probe (round-15, the
+    * un-losable-artifact contract): once the caller's wall budget is
+    * spent, the remaining probes are SKIPPED — their names ship in
+    * `"skipped":[...]` so a truncated fragment can never masquerade as
+    * a complete one (no silent caps) — and the fragment still closes,
+    * so the bench line always parses. A probe failure stays visible as
+    * `<name>_error` for the same reason.
     */
-  def jsonFragment(spark: SparkSession): String = {
+  def jsonFragment(spark: SparkSession,
+      overBudget: () => Boolean = () => false): String = {
+    val parts = scala.collection.mutable.ListBuffer[String]()
+    val skipped = scala.collection.mutable.ListBuffer[String]()
+    def probe(name: String)(f: => String): Unit =
+      if (overBudget()) skipped += name
+      else try parts += f
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          parts += s""""${name}_error":"${e.getClass.getSimpleName}""""
+      }
+    def tri(key: String, med: Double, min: Double, max: Double): String =
+      f""""$key":${med}%.0f,"${key}_min":${min}%.0f,"${key}_max":${max}%.0f"""
     // tws runs in a FRESH JVM (same warm-up + 3-run protocol, see
     // twsForked) — round 12 showed three same-day IN-SESSION medians of
     // 21,354/21,287/14,664 ev/s on identical code: the RocksDB path
     // rides the whole JVM's GC/compaction phase, which no in-session
     // treatment (canary, warm-up waves) can remove. The fork IS the
     // standalone-envelope context, so the shipped number is same-day
-    // reproducible and directly comparable to the documented 18-26k
-    // band. Fallback (spawn failure only): the old in-session protocol,
+    // reproducible and directly comparable to the documented band.
+    // Fallback (spawn failure only): the old in-session protocol,
     // flagged via "tws_forked":false.
-    val forked = twsForked()
-    val (twsEps, twsMin, twsMax, twsState) = forked.getOrElse {
-      // in-session fallback: one untimed full wave absorbs cross-run
-      // C2/JIT warmth (runs 1-2 of a fresh session read 15-17k while
-      // runs 3+ plateau at 22-24k on both commits, round-10 A/B)
-      twsThroughput(spark)
-      val runs = IndexedSeq.fill(3)(twsThroughput(spark)).sortBy(_._1)
-      (runs(1)._1, runs(0)._1, runs(2)._1, runs(1)._2)
+    probe("tws") {
+      val forked = twsForked()
+      val (twsEps, twsMin, twsMax, twsState) = forked.getOrElse {
+        // in-session fallback: one untimed full wave absorbs cross-run
+        // C2/JIT warmth (runs 1-2 of a fresh session read 15-17k while
+        // runs 3+ plateau at 22-24k on both commits, round-10 A/B)
+        twsThroughput(spark)
+        val runs = IndexedSeq.fill(3)(twsThroughput(spark)).sortBy(_._1)
+        (runs(1)._1, runs(0)._1, runs(2)._1, runs(1)._2)
+      }
+      tri("tws_events_per_s", twsEps, twsMin, twsMax) +
+        s""","tws_state_rows":$twsState,"tws_forked":${forked.isDefined}"""
     }
-    val twsForkedFlag = forked.isDefined
-    val (syncMin, syncEps, syncMax) = minMedMax(() => syncThroughput(spark))
-    val (concMin, concEps, concMax) = minMedMax(() => concurrentThroughput(spark))
-    val (muxMin, muxEps, muxMax) = minMedMax(() => multiplexedThroughput(spark))
-    val (ingMin, ingestEps, ingMax) = minMedMax(() => ingestThroughput(spark))
-    val (semMin, semEps, semMax) = minMedMax(() => semanticThroughput(spark))
-    val (lineMin, lineEps, lineMax) = minMedMax(() => lineGateThroughput(spark))
+    probe("sync") {
+      val (mn, md, mx) = minMedMax(() => syncThroughput(spark))
+      tri("sync_events_per_s", md, mn, mx)
+    }
+    probe("concurrent") {
+      val (mn, md, mx) = minMedMax(() => concurrentThroughput(spark))
+      tri("concurrent_events_per_s", md, mn, mx)
+    }
+    probe("multiplexed") {
+      val (mn, md, mx) = minMedMax(() => multiplexedThroughput(spark))
+      tri("multiplexed_events_per_s", md, mn, mx)
+    }
+    probe("ingest") {
+      val (mn, md, mx) = minMedMax(() => ingestThroughput(spark))
+      tri("ingest_docs_per_s", md, mn, mx)
+    }
+    probe("semantic") {
+      val (mn, md, mx) = minMedMax(() => semanticThroughput(spark))
+      tri("semantic_docs_per_s", md, mn, mx)
+    }
+    probe("line") {
+      val (mn, md, mx) = minMedMax(() => lineGateThroughput(spark))
+      tri("line_docs_per_s", md, mn, mx)
+    }
     // one run, per-wave band (the tier stores inside a run carry real
     // cross-trigger state; re-running the whole ladder 3× would mostly
     // re-measure index/table builds)
-    val (ladEps, ladMin, ladMax) = ladderThroughput(spark)
+    probe("ladder") {
+      val (md, mn, mx) = ladderThroughput(spark)
+      tri("ladder_docs_per_s", md, mn, mx)
+    }
     // pinned-snapshot posture: what a serving tier actually runs
     // (measured ~25% lower p50 than resolve-per-batch; ServePinCompare)
-    val (p50, p95) = serveLatency(spark, pinSnapshot = true)
-    f""""streaming":{"tws_events_per_s":${twsEps}%.0f,"tws_events_per_s_min":${twsMin}%.0f,"tws_events_per_s_max":${twsMax}%.0f,"tws_state_rows":$twsState,"tws_forked":$twsForkedFlag,"sync_events_per_s":${syncEps}%.0f,"sync_events_per_s_min":${syncMin}%.0f,"sync_events_per_s_max":${syncMax}%.0f,"concurrent_events_per_s":${concEps}%.0f,"concurrent_events_per_s_min":${concMin}%.0f,"concurrent_events_per_s_max":${concMax}%.0f,"multiplexed_events_per_s":${muxEps}%.0f,"multiplexed_events_per_s_min":${muxMin}%.0f,"multiplexed_events_per_s_max":${muxMax}%.0f,"ingest_docs_per_s":${ingestEps}%.0f,"ingest_docs_per_s_min":${ingMin}%.0f,"ingest_docs_per_s_max":${ingMax}%.0f,"semantic_docs_per_s":${semEps}%.0f,"semantic_docs_per_s_min":${semMin}%.0f,"semantic_docs_per_s_max":${semMax}%.0f,"line_docs_per_s":${lineEps}%.0f,"line_docs_per_s_min":${lineMin}%.0f,"line_docs_per_s_max":${lineMax}%.0f,"ladder_docs_per_s":${ladEps}%.0f,"ladder_docs_per_s_min":${ladMin}%.0f,"ladder_docs_per_s_max":${ladMax}%.0f,"serve_p50_ms":${p50}%.0f,"serve_p95_ms":${p95}%.0f}"""
+    probe("serve") {
+      val (p50, p95) = serveLatency(spark, pinSnapshot = true)
+      f""""serve_p50_ms":${p50}%.0f,"serve_p95_ms":${p95}%.0f"""
+    }
+    parts += s""""skipped":[${skipped.map("\"" + _ + "\"").mkString(",")}]"""
+    s""""streaming":{${parts.mkString(",")}}"""
   }
 }
