@@ -30,7 +30,8 @@ import org.apache.spark.sql.functions._
   *     every seen doc) — with the deciding levels riding the epoch
   *     commit as an atomic side file;
   *  6. admit this batch's docs, decided once at arrival;
-  *  7. (compaction on) fold seen runs up to the latest sample boundary
+  *  7. (compaction on, every `compactEvery`-th trigger) fold seen runs
+  *     up to the sample root's `_graft_latest` marker value
   *     ([[EpochCommit.compactRuns]], binary-counter merge).
   *
   * == Epoch-log lifetime bound ==
@@ -52,11 +53,26 @@ import org.apache.spark.sql.functions._
   * retention is a consumer contract, not a correctness knob).
   *
   * The compaction boundary contract: runs are only folded up to the
-  * latest EMITTED sample epoch (and never the current trigger's own
-  * epoch), because every future refresh splits the seen root at a
-  * sample boundary ≥ that — a folded run (which adopts its highest
-  * epoch id as partition value) therefore always lands entirely on the
-  * `epoch ≤ boundary` side, never straddling a split.
+  * sample root's `_graft_latest` MARKER value (and never the current
+  * trigger's own epoch). Every future refresh resolves its base from
+  * that marker when present — or from a root listing, which can only
+  * return a NEWER epoch — and the marker is monotone (advanced after
+  * every sample commit, including on the replay-skip path, which
+  * repairs a marker left stale by a crash between the sample commit
+  * and the marker write). A folded run (which adopts its highest epoch
+  * id as partition value) therefore always lands entirely on the
+  * `epoch ≤ boundary` side of every future split, never straddling it.
+  *
+  * Steps 5 and 6 stay SEQUENTIAL by measurement, not oversight: the
+  * round-15 candidate of overlapping the independent epoch writes
+  * ([[graft.Par]] — sample/admit here, pass/reject in the quality and
+  * quota gates) A/B'd SLOWER on the 8-tier ladder (64 [60, 67] vs
+  * 72 [66, 84] docs/s, SQL exec wall 180 s vs 142 s, quiet host,
+  * `LadderExecProfile`): trigger-sized epoch writes are executor-bound
+  * enough that two concurrent commits contend for task slots, costing
+  * more than the overlapped driver-side plan analysis saves. Par stays
+  * right for mixed driver/executor phases (ingest probe+commit), wrong
+  * for co-scheduling two executor-bound jobs on one pool.
   */
 private[streaming] object RateGate {
 
