@@ -9,6 +9,9 @@ import org.apache.spark.sql.SparkSession
   */
 object TwsProfile {
   def main(args: Array[String]): Unit = {
+    // run in the bench-child context regardless of launcher
+    // ([[SelfFork]] — keeps readings comparable to the shipped number)
+    if (SelfFork.reexecIfWrapped("graft.tools.TwsProfile", args)) return
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = args.headOption.map(_.toInt).getOrElse(3)
     val spark = SparkSession.builder()

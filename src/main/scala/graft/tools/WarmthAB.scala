@@ -18,6 +18,9 @@ import org.apache.spark.sql.SparkSession
   */
 object WarmthAB {
   def main(args: Array[String]): Unit = {
+    // run in the bench-child context regardless of launcher
+    // ([[SelfFork]] — keeps readings comparable to the shipped number)
+    if (SelfFork.reexecIfWrapped("graft.tools.WarmthAB", args)) return
     val mode = args.headOption.getOrElse("cold")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
