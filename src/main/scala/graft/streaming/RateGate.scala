@@ -200,8 +200,13 @@ private[streaming] object RateGate {
     def dropInternal(df: DataFrame): DataFrame =
       df.drop(Internal: _*).select(hooks.outCols.map(col): _*)
     // 1. a merge swap that crashed mid-flight leaves the root missing
-    // source runs until re-driven — recover before anything reads it
-    if (compactSeen) EpochCommit.recoverRuns(spark, seenDir)
+    // source runs until re-driven — recover before anything reads it.
+    // UNCONDITIONAL, like the frozenCovered fallback below: a caller
+    // that turns compactSeen off after a fold crashed would otherwise
+    // read a half-swapped root (hidden merged dir ignored, sources
+    // partially deleted) and silently under-count; on a never-compacted
+    // root this is one listing finding no hidden dirs.
+    EpochCommit.recoverRuns(spark, seenDir)
     // 2. freeze the batch — hash-band partitioned: the input record
     // every later refresh re-reads, band-prunable by construction.
     // A replay of a batch whose own dir was folded into a run must NOT

@@ -255,6 +255,47 @@ class CompactionSpec extends SparkSpec {
       s"expected a missing-file failure, got:\n$all")
   }
 
+  test("a crashed fold is recovered even when the trigger runs with compactSeen=false") {
+    // the recoverRuns twin of the frozenCovered rule: turning
+    // compaction off on a root where a fold crashed mid-swap must not
+    // leave reads on the half-swapped root (hidden merged dir ignored
+    // by Spark, source runs partially deleted) — recovery is one cheap
+    // listing and runs regardless of this call's compactSeen
+    val dir = Files.createTempDirectory("graft-cmp-off").toString
+    val store = new SnapshotStore(spark, s"$dir/store")
+    def apply(k: Long, compact: Boolean) = MixtureGate.applyBatch(store,
+      "CO", batchAt(k.toInt), k, "doc_id", "source", s"$dir/seen",
+      s"$dir/sample", s"$dir/admit", refreshEvery = 4, compactSeen = compact)
+    (0L to 3L).foreach(k => apply(k, compact = true))
+    val total = spark.read.parquet(s"$dir/seen").count()
+    // reconstruct the mid-swap crash (the folded run hidden again, as
+    // if the swap died before its visible rename)
+    val (fs, rootP) = EpochCommit.fsFor(spark, s"$dir/seen")
+    val hi = epochDirs(s"$dir/seen").last.stripPrefix("epoch=").toLong
+    assert(fs.rename(new Path(rootP, s"epoch=$hi"),
+      new Path(rootP, s".merged_e$hi")))
+    assert(spark.read.parquet(s"$dir/seen").count() < total,
+      "fixture must actually hide rows from a recovery-less reader")
+    // next trigger arrives with compaction turned OFF — recovery must
+    // still run (structural pin: the hidden dir is re-swapped and every
+    // frozen row is visible again; only recoverRuns can do that on a
+    // compactSeen=false path) and the refresh at k=7 sees every doc
+    (4L to 7L).foreach(k => apply(k, compact = false))
+    assert(!fs.listStatus(rootP).exists(_.getPath.getName.startsWith(".merged_")),
+      "the crashed fold must be re-driven on the compactSeen=false path")
+    assert(spark.read.parquet(s"$dir/seen").count() >= total,
+      "every pre-crash frozen row must be visible again")
+    val sampleDocs = bag(s"$dir/sample", 7L)
+    val refDir = Files.createTempDirectory("graft-cmp-offref").toString
+    val refStore = new SnapshotStore(spark, s"$refDir/store")
+    (0L to 7L).foreach(k => MixtureGate.applyBatch(refStore, "CR",
+      batchAt(k.toInt), k, "doc_id", "source", s"$refDir/seen",
+      s"$refDir/sample", s"$refDir/admit", refreshEvery = 4,
+      compactSeen = false))
+    assert(sampleDocs == bag(s"$refDir/sample", 7L),
+      "recovery must run before reads even with compactSeen=false")
+  }
+
   test("a pre-band legacy seen root fails loudly with restart instructions") {
     val dir = Files.createTempDirectory("graft-cmp-legacy").toString
     val store = new SnapshotStore(spark, s"$dir/store")
