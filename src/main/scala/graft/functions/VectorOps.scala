@@ -145,4 +145,153 @@ object VectorOps {
 
   def srp_bucket(emb: Column, planes: Int, dims: Int): Column =
     GraftBridge.column(SrpBucket(GraftBridge.expression(emb), planes, dims))
+
+  // ---- nearest-centroid argmin over a broadcast centroid array ------------
+
+  /** `round(x, 6)` exactly as Spark's `Round` evaluates it on DOUBLE
+    * (scala BigDecimal(d) == java BigDecimal.valueOf(d), HALF_UP), so
+    * the kernel's scores are bit-identical to the
+    * `round(dot_product(...), 6)` column the min_by formulation scored
+    * with — and therefore to every oracle restatement.
+    */
+  def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** Top-`n` centroids of `emb` from the packed centroid array, sorted
+    * by (−score, cent_id) ascending — the exact ordering the min_by /
+    * row_number formulations used, including the quantize-BEFORE-compare
+    * rule that makes ties engine-reproducible.
+    *
+    *  - `fixedPoint = false`: score = round(dot, 6) (cosine on
+    *    L2-normalized inputs); output struct (ns = −s, cent_id, s).
+    *  - `fixedPoint = true`: score = floor(dot·10⁶ + 0.5) as long (the
+    *    PQ `d6` quantization); output struct (nd = −d6, cent_id).
+    *
+    * One pass, no allocation beyond the ≤ n result rows: replaces the
+    * explode → corpus×C rows → partial-SortAggregate(min_by) shape with
+    * a single whole-stage-codegen projection — no per-partition sort of
+    * the ×C scored rows, no aggregate, no exchange (see
+    * [[graft.ops.Similarity.assignToCentroidsWithSim]]).
+    */
+  def nearestCentroids(
+      emb: ArrayData, cents: ArrayData, n: Int,
+      embFloat: Boolean, centFloat: Boolean, fixedPoint: Boolean): ArrayData = {
+    val c = cents.numElements()
+    val m = Math.min(n, c)
+    // parallel top-m buffers, insertion-sorted by (key1, id) ascending
+    val ks = new Array[Double](m) // round6 path: ns = −s
+    val kl = new Array[Long](m)   // fixedPoint path: nd = −d6
+    val ids = new Array[Long](m)
+    var filled = 0
+    var i = 0
+    while (i < c) {
+      val row = cents.getStruct(i, 2)
+      val id = row.getLong(0)
+      val d = dotSeq(emb, row.getArray(1), embFloat, centFloat)
+      if (fixedPoint) {
+        val nd = -Math.floor(d * 1000000.0 + 0.5).toLong
+        // find insertion position from the end (buffers are tiny)
+        var p = filled
+        while (p > 0 && (kl(p - 1) > nd || (kl(p - 1) == nd && ids(p - 1) > id))) p -= 1
+        if (p < m) {
+          val last = Math.min(filled, m - 1)
+          var q = last
+          while (q > p) { kl(q) = kl(q - 1); ids(q) = ids(q - 1); q -= 1 }
+          kl(p) = nd; ids(p) = id
+          if (filled < m) filled += 1
+        }
+      } else {
+        val ns = 0.0 - round6(d)
+        var p = filled
+        while (p > 0 && (ks(p - 1) > ns || (ks(p - 1) == ns && ids(p - 1) > id))) p -= 1
+        if (p < m) {
+          val last = Math.min(filled, m - 1)
+          var q = last
+          while (q > p) { ks(q) = ks(q - 1); ids(q) = ids(q - 1); q -= 1 }
+          ks(p) = ns; ids(p) = id
+          if (filled < m) filled += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](filled)
+    var j = 0
+    while (j < filled) {
+      out(j) =
+        if (fixedPoint)
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](kl(j), ids(j)))
+        else
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](ks(j), ids(j), 0.0 - ks(j)))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class NearestCentroids(
+      left: Expression, right: Expression, n: Int, fixedPoint: Boolean)
+      extends BinaryExpression {
+    override def dataType: DataType =
+      if (fixedPoint) ArrayType(StructType(Seq(
+        StructField("nd", LongType, nullable = false),
+        StructField("cent_id", LongType, nullable = false))), containsNull = false)
+      else ArrayType(StructType(Seq(
+        StructField("ns", DoubleType, nullable = false),
+        StructField("cent_id", LongType, nullable = false),
+        StructField("s", DoubleType, nullable = false))), containsNull = false)
+    override def prettyName: String = "nearest_centroids"
+    private def centElemFloat: Boolean = right.dataType match {
+      case ArrayType(StructType(fs), _) if fs.length == 2 => fs(1).dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+      case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult = {
+      if (n < 1) return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires n >= 1, got $n")
+      checkNumericArray(prettyName, left) match {
+        case TypeCheckResult.TypeCheckSuccess => right.dataType match {
+          case ArrayType(StructType(fs), _)
+              if fs.length == 2 && fs(0).dataType == LongType &&
+                (fs(1).dataType match {
+                  case ArrayType(FloatType | DoubleType, _) => true
+                  case _ => false
+                }) =>
+            TypeCheckResult.TypeCheckSuccess
+          case other => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires array<struct<bigint, array<float|double>>> centroids, got ${other.sql}")
+        }
+        case f => f
+      }
+    }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      nearestCentroids(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], n,
+        elemIsFloat(left), centElemFloat, fixedPoint)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = "graft.functions.VectorOps$.MODULE$"
+      val (ef, cf) = (elemIsFloat(left), centElemFloat)
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = $m.nearestCentroids($a, $b, $n, $ef, $cf, $fixedPoint);")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Top-n nearest centroids by rounded cosine — element type
+    * struct(ns, cent_id, s), sorted (ns, cent_id) ascending.
+    */
+  def nearest_centroids(emb: Column, cents: Column, n: Int): Column =
+    GraftBridge.column(NearestCentroids(
+      GraftBridge.expression(emb), GraftBridge.expression(cents), n, fixedPoint = false))
+
+  /** Top-n nearest centroids by the PQ fixed-point dot (d6) — element
+    * type struct(nd, cent_id), sorted (nd, cent_id) ascending.
+    */
+  def nearest_centroids_q(emb: Column, cents: Column, n: Int): Column =
+    GraftBridge.column(NearestCentroids(
+      GraftBridge.expression(emb), GraftBridge.expression(cents), n, fixedPoint = true))
 }

@@ -183,14 +183,38 @@ object Similarity {
   private def seedRows(corpus: DataFrame, n: Int, idCol: String): DataFrame =
     corpus.orderBy(col(idCol)).limit(n)
 
-  /** Nearest-centroid assignment as ONE map-side `max_by` partial
-    * aggregation: the corpus×C scored rows never shuffle — only the
-    * one-row-per-vector partials do (the corpus×C exchange+sort a
-    * per-key `row_number` window would pay; pinned in PlanShapeSpec).
-    * Ties break on the lower centroid id via `min_by` over
-    * (−sim, cent_id) — the negation sits on the DOUBLE score, not the
-    * id, so string/any-orderable centroid ids work; matches the window
-    * formulation `ORDER BY sim DESC, cent_id`.
+  /** True when `df`'s `idField` is BIGINT — the precondition of the
+    * packed-argmin fast path ([[graft.functions.VectorOps.NearestCentroids]]
+    * carries centroid ids as longs). Every engine query path satisfies
+    * it (vec_id is BIGINT end to end); generic callers with string ids
+    * keep the min_by formulation.
+    */
+  private def idIsLong(df: DataFrame, idField: String): Boolean =
+    df.schema.find(_.name == idField).exists(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+
+  /** The centroid set packed into ONE row: `__cents =
+    * array<struct<cent_id, cent_e>>` — the broadcast payload of the
+    * per-row argmin. Element order is irrelevant (the argmin is a
+    * strict (−sim, cent_id) lexicographic min, order-independent).
+    */
+  private def centroidArray(cents: DataFrame): DataFrame =
+    cents.agg(collect_list(struct(col("cent_id"), col("cent_e"))).as("__cents"))
+
+  /** Nearest-centroid assignment as a single whole-stage-codegen
+    * projection: the centroid set is packed into one broadcast array
+    * row and every vector computes its argmin in one native pass
+    * ([[graft.functions.VectorOps.nearest_centroids]]) — NO corpus×C
+    * row inflation, NO per-partition sort, NO aggregate, NO exchange.
+    * (The min_by formulation this replaces paid a corpus×C explode +
+    * a per-partition partial-SortAggregate sort of the scored rows +
+    * a corpus-sized exchange of the partials; the new shape is pinned
+    * in PlanShapeSpec.) Ties break on the lower centroid id via the
+    * kernel's (−sim, cent_id) ascending order — identical to the
+    * window formulation `ORDER BY sim DESC, cent_id` and to the
+    * min_by fallback, which generic (non-BIGINT-id) callers still
+    * get; quantization (round 6 dp) happens BEFORE the compare on
+    * both paths, so ties are engine-reproducible.
     */
   def assignToCentroids(
       df: DataFrame, cents: DataFrame, outId: String, outEmb: String,
@@ -200,39 +224,63 @@ object Similarity {
 
   /** [[assignToCentroids]] keeping the winner's (rounded) similarity —
     * the raw material of the centroid-drift signal
-    * ([[graft.sources.AnnIndex.ivfDriftReport]]): same map-side
-    * `min_by` partial aggregation, one extra struct field in flight.
+    * ([[graft.sources.AnnIndex.ivfDriftReport]]): same packed-argmin
+    * projection, one extra struct field read.
     */
   def assignToCentroidsWithSim(
       df: DataFrame, cents: DataFrame, outId: String, outEmb: String,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
-    df.select(col(idCol).as(outId), col(embCol).as(outEmb))
-      .join(broadcast(cents))
-      .select(col(outId), col(outEmb), col("cent_id"),
-        cosineRounded(col(outEmb), col("cent_e")).as("cent_sim"))
-      .groupBy(col(outId))
-      .agg(min_by(struct(col("cent_id"), col(outEmb).as("e"),
-          col("cent_sim").as("s")),
-        struct((lit(0d) - col("cent_sim")).as("ns"), col("cent_id"))).as("m"))
-      .select(col(outId), col("m.e").as(outEmb), col("m.cent_id").as("cent_id"),
-        col("m.s").as("cent_sim"))
+    if (idIsLong(cents, "cent_id")) {
+      // explode of the 1-element argmin array keeps inner-join
+      // semantics for an empty centroid set (zero output rows) and
+      // evaluates the kernel exactly once per row (no project-collapse
+      // re-evaluation per extracted field)
+      df.select(col(idCol).as(outId), col(embCol).as(outEmb))
+        .join(broadcast(centroidArray(cents)))
+        .select(col(outId), col(outEmb),
+          explode(graft.functions.VectorOps.nearest_centroids(
+            col(outEmb), col("__cents"), 1)).as("m"))
+        .select(col(outId), col(outEmb), col("m.cent_id").as("cent_id"),
+          col("m.s").as("cent_sim"))
+    } else
+      df.select(col(idCol).as(outId), col(embCol).as(outEmb))
+        .join(broadcast(cents))
+        .select(col(outId), col(outEmb), col("cent_id"),
+          cosineRounded(col(outEmb), col("cent_e")).as("cent_sim"))
+        .groupBy(col(outId))
+        .agg(min_by(struct(col("cent_id"), col(outEmb).as("e"),
+            col("cent_sim").as("s")),
+          struct((lit(0d) - col("cent_sim")).as("ns"), col("cent_id"))).as("m"))
+        .select(col(outId), col("m.e").as(outEmb), col("m.cent_id").as("cent_id"),
+          col("m.s").as("cent_sim"))
 
-  /** Top-n nearest centroids (probe selection) — window-ranked; runs on
-    * the (small, broadcastable) QUERY side only, where an exchange+sort
-    * over |queries|·C rows is noise.
+  /** Top-n nearest centroids (probe selection) — the same packed-argmin
+    * projection as [[assignToCentroidsWithSim]] with n > 1: one native
+    * pass per query row, exploded to n probe rows. Replaces the
+    * window-ranked form (|queries|·C rows through an exchange + sort);
+    * tie order (−sim, cent_id) is identical, which the window fallback
+    * for generic ids still spells out.
     */
   private[graft] def probeCentroids(
       df: DataFrame, cents: DataFrame, outId: String, outEmb: String, n: Int,
-      idCol: String, embCol: String): DataFrame = {
-    val w = Window.partitionBy(col(outId))
-      .orderBy(col("cent_sim").desc, col("cent_id"))
-    df.select(col(idCol).as(outId), col(embCol).as(outEmb))
-      .join(broadcast(cents))
-      .withColumn("cent_sim", cosineRounded(col(outEmb), col("cent_e")))
-      .withColumn("cent_rank", row_number().over(w))
-      .filter(col("cent_rank") <= n)
-      .select(col(outId), col(outEmb), col("cent_id"))
-  }
+      idCol: String, embCol: String): DataFrame =
+    if (idIsLong(cents, "cent_id"))
+      df.select(col(idCol).as(outId), col(embCol).as(outEmb))
+        .join(broadcast(centroidArray(cents)))
+        .select(col(outId), col(outEmb),
+          explode(graft.functions.VectorOps.nearest_centroids(
+            col(outEmb), col("__cents"), n)).as("m"))
+        .select(col(outId), col(outEmb), col("m.cent_id").as("cent_id"))
+    else {
+      val w = Window.partitionBy(col(outId))
+        .orderBy(col("cent_sim").desc, col("cent_id"))
+      df.select(col(idCol).as(outId), col(embCol).as(outEmb))
+        .join(broadcast(cents))
+        .withColumn("cent_sim", cosineRounded(col(outEmb), col("cent_e")))
+        .withColumn("cent_rank", row_number().over(w))
+        .filter(col("cent_rank") <= n)
+        .select(col(outId), col(outEmb), col("cent_id"))
+    }
 
   /** Fused [[assignToCentroids]] + [[probeCentroids]]: ONE batch×C
     * scoring pass and ONE exchange yield, per query, the top-`n`
@@ -258,15 +306,26 @@ object Similarity {
       df: DataFrame, cents: DataFrame, n: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     require(n >= 1, s"assignAndProbes needs n >= 1, got $n")
-    df.select(col(idCol).as("query_id"), col(embCol).as("qe"))
-      .join(broadcast(cents))
-      .select(col("query_id"), col("qe"), col("cent_id"),
-        cosineRounded(col("qe"), col("cent_e")).as("cent_sim"))
-      .groupBy(col("query_id"))
-      .agg(first(col("qe")).as("qe"),
-        slice(sort_array(collect_list(struct(
-          (lit(0d) - col("cent_sim")).as("ns"), col("cent_id"),
-          col("cent_sim").as("s")))), 1, n).as("top"))
+    if (idIsLong(cents, "cent_id"))
+      // the kernel's output IS the (ns, cent_id, s)-sorted top array;
+      // size-0 rows (empty centroid set) are dropped to match the
+      // aggregate form's inner-join semantics
+      df.select(col(idCol).as("query_id"), col(embCol).as("qe"))
+        .join(broadcast(centroidArray(cents)))
+        .select(col("query_id"), col("qe"),
+          graft.functions.VectorOps.nearest_centroids(
+            col("qe"), col("__cents"), n).as("top"))
+        .filter(size(col("top")) >= 1)
+    else
+      df.select(col(idCol).as("query_id"), col(embCol).as("qe"))
+        .join(broadcast(cents))
+        .select(col("query_id"), col("qe"), col("cent_id"),
+          cosineRounded(col("qe"), col("cent_e")).as("cent_sim"))
+        .groupBy(col("query_id"))
+        .agg(first(col("qe")).as("qe"),
+          slice(sort_array(collect_list(struct(
+            (lit(0d) - col("cent_sim")).as("ns"), col("cent_id"),
+            col("cent_sim").as("s")))), 1, n).as("top"))
   }
 
   /** `refine` k-means update passes over deterministic seeds: assign
@@ -432,14 +491,26 @@ object Similarity {
     val cb0 = subspaces(seedRows(corpus, codebookK, idCol), "cent_id", m, dims, idCol, embCol)
       .select(col("sub_id"), col("cent_id"), col("v").as("cent_sub"))
     (1 to refine).foldLeft(cb0) { (cb, _) =>
-      val assigned = subspaces(corpus, "vid", m, dims, idCol, embCol)
-        .join(broadcast(cb), Seq("sub_id"))
-        .select(col("vid"), col("sub_id"), col("cent_id"), col("v"),
-          pqD6(col("v"), col("cent_sub")).as("d6"))
-        .groupBy(col("vid"), col("sub_id"))
-        .agg(min_by(struct(col("cent_id"), col("v").as("v")),
-          struct((lit(0L) - col("d6")).as("nd"), col("cent_id"))).as("m"))
-        .select(col("sub_id"), col("m.cent_id").as("cent_id"), col("m.v").as("v"))
+      // per-subspace packed argmin (see assignToCentroidsWithSim): the
+      // codebook folds to m array rows, each (vector, subspace) row
+      // computes its nearest code in one native fixed-point pass — no
+      // ×codebookK row inflation, no SortAggregate, no exchange
+      val assigned =
+        if (idIsLong(cb, "cent_id"))
+          subspaces(corpus, "vid", m, dims, idCol, embCol)
+            .join(broadcast(codebookArray(cb)), Seq("sub_id"))
+            .select(col("sub_id"), col("v"),
+              explode(graft.functions.VectorOps.nearest_centroids_q(
+                col("v"), col("__cb"), 1)).as("mm"))
+            .select(col("sub_id"), col("mm.cent_id").as("cent_id"), col("v"))
+        else subspaces(corpus, "vid", m, dims, idCol, embCol)
+          .join(broadcast(cb), Seq("sub_id"))
+          .select(col("vid"), col("sub_id"), col("cent_id"), col("v"),
+            pqD6(col("v"), col("cent_sub")).as("d6"))
+          .groupBy(col("vid"), col("sub_id"))
+          .agg(min_by(struct(col("cent_id"), col("v").as("v")),
+            struct((lit(0L) - col("d6")).as("nd"), col("cent_id"))).as("m"))
+          .select(col("sub_id"), col("m.cent_id").as("cent_id"), col("m.v").as("v"))
       val updated = assigned
         .select(col("sub_id"), col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("sub_id"), col("cent_id"), col("pos"))
@@ -457,19 +528,36 @@ object Similarity {
     }
   }
 
+  /** The per-subspace codebook packed into m array rows:
+    * `sub_id, __cb = array<struct<cent_id, cent_sub>>` — the broadcast
+    * payload of the packed PQ argmin.
+    */
+  private def codebookArray(cb: DataFrame): DataFrame =
+    cb.groupBy(col("sub_id"))
+      .agg(collect_list(struct(col("cent_id"), col("cent_sub"))).as("__cb"))
+
   /** PQ codes: nearest sub-codebook centroid per (vector, subspace) —
-    * map-side max_by, no window. Output: `outId, sub_id, code`.
+    * one packed fixed-point argmin pass per row (no ×codebookK rows,
+    * no aggregate, no exchange). Output: `outId, sub_id, code`.
     */
   def pqEncode(
       corpus: DataFrame, cb: DataFrame, outId: String, m: Int, dims: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
-    subspaces(corpus, outId, m, dims, idCol, embCol)
-      .join(broadcast(cb), Seq("sub_id"))
-      .select(col(outId), col("sub_id"), col("cent_id"),
-        pqD6(col("v"), col("cent_sub")).as("d6"))
-      .groupBy(col(outId), col("sub_id"))
-      .agg(min_by(col("cent_id"),
-        struct((lit(0L) - col("d6")).as("nd"), col("cent_id"))).as("code"))
+    if (idIsLong(cb, "cent_id"))
+      subspaces(corpus, outId, m, dims, idCol, embCol)
+        .join(broadcast(codebookArray(cb)), Seq("sub_id"))
+        .select(col(outId), col("sub_id"),
+          explode(graft.functions.VectorOps.nearest_centroids_q(
+            col("v"), col("__cb"), 1)).as("m"))
+        .select(col(outId), col("sub_id"), col("m.cent_id").as("code"))
+    else
+      subspaces(corpus, outId, m, dims, idCol, embCol)
+        .join(broadcast(cb), Seq("sub_id"))
+        .select(col(outId), col("sub_id"), col("cent_id"),
+          pqD6(col("v"), col("cent_sub")).as("d6"))
+        .groupBy(col(outId), col("sub_id"))
+        .agg(min_by(col("cent_id"),
+          struct((lit(0L) - col("d6")).as("nd"), col("cent_id"))).as("code"))
 
   /** Per-query ADC lookup table: quantized partial dot against every
     * sub-codebook centroid. Output: `outId, sub_id, code, q6`.
@@ -618,7 +706,19 @@ object Similarity {
       outId, outEmb, idCol, embCol)
       .select(col(outId), col(outEmb), col("cent_id").as("cell_id"))
     // vector -> nearest fine centroid WITHIN its cell: n·(K/Kc) scoring
-    vecCell.join(broadcast(cellOf), Seq("cell_id"))
+    // via the packed argmin, keyed per cell (the min_by fallback for
+    // generic ids mirrors assignToCentroidsWithSim's)
+    if (idIsLong(cellOf, "f_id"))
+      vecCell.join(broadcast(
+          cellOf.groupBy(col("cell_id")).agg(
+            collect_list(struct(col("f_id"), col("f_e"))).as("__cents"))),
+          Seq("cell_id"))
+        .select(col(outId), col(outEmb),
+          explode(graft.functions.VectorOps.nearest_centroids(
+            col(outEmb), col("__cents"), 1)).as("m"))
+        .select(col(outId), col(outEmb), col("m.cent_id").as("cent_id"),
+          col("m.s").as("cent_sim"))
+    else vecCell.join(broadcast(cellOf), Seq("cell_id"))
       .select(col(outId), col(outEmb),
         col("f_id").as("cent_id"),
         cosineRounded(col(outEmb), col("f_e")).as("cent_sim"))

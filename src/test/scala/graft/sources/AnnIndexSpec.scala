@@ -87,7 +87,9 @@ class AnnIndexSpec extends SparkSpec {
     val inline = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
       k = 10, nCentroids = 8, nProbe = 2)
     assert(served.collect().toSet == inline.collect().toSet)
-    assertAggRankTail(served, probeWindows = 1)
+    // round 15: probe selection is the packed nearest_centroids kernel
+    // (no window at all) — the serve tail must be window-free
+    assertAggRankTail(served, probeWindows = 0)
   }
 
   test("ivfDriftReport flags a drifted append and accumulates across appends") {
@@ -185,7 +187,8 @@ class AnnIndexSpec extends SparkSpec {
     val inline = Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
       k = 10, nCentroids = 8, nProbe = 2, m = 4, dims = 64, codebookK = 16)
     assert(served.collect().toSet == inline.collect().toSet)
-    assertAggRankTail(served, probeWindows = 1)
+    // round 15: packed-kernel probe selection — window-free serve tail
+    assertAggRankTail(served, probeWindows = 0)
     // the stored-list side of the candidate join must stream straight
     // off its bucketed scan — no exchange, and no embedding column:
     // serve reads codes + the tiny trained artifacts, never the floats
