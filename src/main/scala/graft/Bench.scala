@@ -84,9 +84,28 @@ object Bench {
     // multi-draw statistic; the first draw still carries any
     // cold-plan/codegen cost the later draws skip, which is exactly
     // why the min/median is the comparable number.
+    // MEASUREMENT FIX (round 15, guide §1.4, declared in
+    // OPTIMIZATION_r15.md): the timed action is now the noop sink —
+    // every column of every row is computed and discarded — instead of
+    // `.count()`. A count lets the optimizer prune columns and whole
+    // subtrees: a round-15 audit (tools/CountPruneAudit) found 167/193
+    // queries losing at least their final sort under count, and ~30
+    // losing REAL work — ev1_ann_recall's count plan dropped 5 joins +
+    // 16 aggregates + 2 windows (its shipped number timed a fraction
+    // of the query), dd8_dup_spans' count eliminated the entire span
+    // computation via left-join elimination (0.14 s shipped vs 1.4 s
+    // real), and bl1/bl2/je1/ld1/mx3/rj1/pca1/mad1/hll*/km*/cc1/qp1/
+    // to1 all lost joins or aggregates. Old-methodology numbers remain
+    // comparable via GRAFT_BENCH_COUNT=1 (the A/B switch) and the
+    // committed r15 baseline artifacts.
+    val countAction = sys.env.get("GRAFT_BENCH_COUNT").contains("1")
     def draw(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try {
+        val df = fn(spark, sfDir)
+        if (countAction) { df.count(); () }
+        else df.write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
     // Returns (statistic, all draws in draw order). The statistic is
@@ -164,7 +183,8 @@ object Bench {
         s""""canary":{"query":"$canaryName","start":${Json.num3(cStart)},"mid":${Json.num3(cMid)},"end":${Json.num3(cEnd)}},"canary_reruns":$reruns,"canary_violation":$violation"""
       val budgetJson =
         s""""budget_s":${Json.num3(budgetS)},"elapsed_s":${Json.num3(elapsedS)},"over_budget":$overBudget,"draws_capped":$drawsCapped"""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"draws":$drawsJson,$streaming,$canaryJson,$budgetJson,"sf":"$sfDir"}"""
+      val action = if (countAction) "count" else "noop"
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"draws":$drawsJson,$streaming,$canaryJson,$budgetJson,"timed_action":"$action","sf":"$sfDir"}"""
     }
     // persist the COMPLETE line as a repo artifact: the driver's stdout
     // capture keeps only the tail of this very long line, losing the

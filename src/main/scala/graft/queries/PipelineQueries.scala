@@ -1802,7 +1802,16 @@ object PipelineQueries extends QueryPack {
   // doesn't re-run the ladder per row.
   private def cp2FullLadder(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
+    // Each tier's survivor set is eagerly checkpointed as a SLIM id
+    // frame (doc_id only — never document text) before the next tier
+    // builds on it: the five count branches below share one frame per
+    // tier instead of re-deriving every earlier tier per branch (the
+    // unmaterialized form re-ran the exact tier ~4x and the span tier
+    // 2x — measured 8.2 s warm vs 2.6 s checkpointed at sf0.1). This
+    // is the decide-with-small-rows shape: what persists between tiers
+    // is O(ids), the corpus is scanned per tier but never shuffled.
     val s1 = Dedup.exactDedup(docs, "doc_id", "text").select(col("doc_id"))
+      .localCheckpoint(true)
     // near tier: drop any tier-1 survivor that MinHash-verifies (>=0.9
     // Jaccard) against a lower-id survivor — the greedy lower-id-wins
     // policy (dd6's full component closure is the *canonicalization*
@@ -1813,6 +1822,7 @@ object PipelineQueries extends QueryPack {
       .join(s1.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
       .select(col("id_b").as("doc_id")).distinct()
     val s2 = s1.join(rej2, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
     // substring tier: coverage is computed over the FULL corpus (the
     // signal is "how much of this doc exists elsewhere", which earlier
     // rejections don't change), then applied as a gate to survivors
@@ -1820,6 +1830,7 @@ object PipelineQueries extends QueryPack {
       .select(col("doc_id"), col("dup_frac"))
     val s3 = s2.join(cov, Seq("doc_id")).filter(col("dup_frac") <= 0.3)
       .select(col("doc_id"))
+      .localCheckpoint(true)
     // semantic tier: SemDeDup over the surviving docs' embeddings
     // (vec_id is doc-aligned); seeds re-derive from the survivor set
     val emb3 = Tables.load(s, dir, "embeddings")
