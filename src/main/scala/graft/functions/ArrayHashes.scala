@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -66,6 +67,151 @@ object ArrayHashes {
 
   def jaccard_sorted(a: Column, b: Column): Column =
     GraftBridge.column(SortedJaccard(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Per-edge triangle contributions, one pass: apexes = N⁺(b) ∩ N⁺(c)
+    * (sorted-merge over the sorted adjacency arrays); emits
+    * (apex, 1) for every apex plus (b, |apexes|) and (c, |apexes|), or
+    * an EMPTY array when the edge closes nothing (explode then drops
+    * the row). Summing `n` per id downstream yields exact per-node
+    * triangle counts — each triangle contributes exactly once at each
+    * of its three corners, by the orientation argument in
+    * [[graft.ops.Graph.triangleCounts]].
+    */
+  def triangleContribs(b: Long, c: Long, nb: ArrayData, nc: ArrayData): ArrayData = {
+    val na = nb.numElements()
+    val nbn = nc.numElements()
+    val apex = new Array[Long](Math.min(na, nbn))
+    var i = 0; var j = 0; var w = 0
+    while (i < na && j < nbn) {
+      val x = nb.getLong(i); val y = nc.getLong(j)
+      if (x == y) { apex(w) = x; w += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    if (w == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](w + 2)
+    var k = 0
+    while (k < w) {
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](apex(k), 1L))
+      k += 1
+    }
+    out(w) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](b, w.toLong))
+    out(w + 1) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](c, w.toLong))
+    new GenericArrayData(out)
+  }
+
+  case class TriangleContribs(
+      first: Expression, second: Expression, third: Expression, fourth: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n", LongType, nullable = false))), containsNull = false)
+    override def nullable: Boolean =
+      first.nullable || second.nullable || third.nullable || fourth.nullable
+    override def prettyName: String = "triangle_contribs"
+    override def nullSafeEval(b: Any, c: Any, nb: Any, nc: Any): Any =
+      triangleContribs(b.asInstanceOf[Long], c.asInstanceOf[Long],
+        nb.asInstanceOf[ArrayData], nc.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = "graft.functions.ArrayHashes$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (b, c, nb, nc) =>
+        s"${ev.value} = $m.triangleContribs($b, $c, $nb, $nc);")
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+      copy(first = f, second = s, third = t, fourth = q)
+  }
+
+  def triangle_contribs(b: Column, c: Column, nb: Column, nc: Column): Column =
+    GraftBridge.column(TriangleContribs(GraftBridge.expression(b),
+      GraftBridge.expression(c), GraftBridge.expression(nb), GraftBridge.expression(nc)))
+
+  // ---- shingle min-md5 fingerprint ----------------------------------------
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): String = {
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = hexDigits((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** unsigned lexicographic compare — the byte order that matches
+    * lowercase-hex STRING ordering (hex digits are ascii-monotone in
+    * the nibble value), so the min digest IS the min hex string.
+    */
+  private def ltUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** `list_min([md5(shingle) for shingle in n-grams(toks)])` in ONE
+    * native pass: each n-gram is streamed word-by-word into a reused
+    * MD5 (space-joined, concat_ws semantics), digests compared as
+    * unsigned bytes, the winner hex-encoded once at the end. Fewer
+    * than n tokens ⇒ the whole token list is the single shingle —
+    * shinglesOf's `otherwise` branch. Replaces the interpreted
+    * transform(shingles)+md5+array_min chain whose lambda re-evaluated
+    * the inlined `split` per element reference (O(len²) per document —
+    * tx3_fingerprint measured 24 s of the sf0.1 noop bench on it).
+    */
+  def shingleMinMd5(toks: ArrayData, n: Int): UTF8String = {
+    val m = toks.numElements()
+    val d = md5
+    def digestOf(start: Int, len: Int): Array[Byte] = {
+      d.reset()
+      var j = 0
+      while (j < len) {
+        if (j > 0) d.update(' '.toByte)
+        val w = toks.getUTF8String(start + j)
+        if (w != null) d.update(w.getBytes)
+        j += 1
+      }
+      d.digest()
+    }
+    if (m < n) return UTF8String.fromString(hex(digestOf(0, m)))
+    var best: Array[Byte] = null
+    var i = 0
+    while (i + n <= m) {
+      val dig = digestOf(i, n)
+      if (best == null || ltUnsigned(dig, best)) best = dig
+      i += 1
+    }
+    UTF8String.fromString(hex(best))
+  }
+
+  case class ShingleMinMd5(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "shingle_min_md5"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string> tokens and n >= 1, got ${other.sql} / n=$n")
+    }
+    override def nullSafeEval(t: Any): Any =
+      shingleMinMd5(t.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = "graft.functions.ArrayHashes$.MODULE$"
+      nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $m.shingleMinMd5($t, $n);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def shingle_min_md5(toks: Column, n: Int): Column =
+    GraftBridge.column(ShingleMinMd5(GraftBridge.expression(toks), n))
 
   // ---- positional prefix equality (LSH first-colliding-band) -------------
 

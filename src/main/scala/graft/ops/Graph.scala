@@ -74,18 +74,31 @@ object Graph {
       .join(deg.select(col("u").as("__bv"), col("d").as("dv")), col("v") === col("__bv"))
       .filter(struct(col("du"), col("u")) < struct(col("dv"), col("v")))
       .select(col("u"), col("v"))
-      .localCheckpoint(true) // read three times (two wedge sides + close)
-    // wedges at u: (u→v, u→w), v ≠ w; the closing edge exists in
-    // EXACTLY one orientation, so matching (v→w) both closes and
-    // dedups the (v,w)/(w,v) wedge double
-    val wedges = oriented.select(col("u"), col("v").as("b"))
-      .join(oriented.select(col("u"), col("v").as("c")), Seq("u"))
-      .filter(col("b") =!= col("c"))
-    val triangles = wedges.join(
-      oriented.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
-    triangles
-      .select(explode(array(col("u"), col("b"), col("c"))).as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+      .localCheckpoint(true) // read twice (adjacency build + edge list)
+    // Round-15 shape: close triangles by ADJACENCY INTERSECTION, not by
+    // materializing wedge rows. Each oriented edge (b, c) fetches the
+    // sorted out-neighbor arrays N⁺(b) and N⁺(c); their one-pass
+    // sorted-merge intersection IS the apex set {u : u→b, u→c} — every
+    // triangle found exactly once at its out-degree-2 node, same as the
+    // wedge join, because u→b and u→c orient the same way for a fixed
+    // triangle. The wedge formulation shuffled Σ outdeg² (u, b, c) ROWS
+    // into the closing (b, c) join (~186M wedge rows at sf0.1's dense
+    // dup graph); this shuffles the m edges + their adjacency arrays
+    // (the same Σ outdeg² longs in the b-side arrays but packed into m
+    // rows — ~3× fewer bytes, no 186M-row join, no wedge Generate) and
+    // does the close inside whole-stage codegen. Out-degree is O(√m)
+    // under the orientation, so arrays stay bounded and the per-edge
+    // merge is O(√m).
+    val adj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+      .localCheckpoint(true) // read twice (b side + c side)
+    oriented
+      .select(col("u").as("b"), col("v").as("c"))
+      .join(adj.select(col("u").as("b"), col("nbrs").as("nb")), Seq("b"))
+      .join(adj.select(col("u").as("c"), col("nbrs").as("nc")), Seq("c"))
+      .select(explode(graft.functions.ArrayHashes.triangle_contribs(
+        col("b"), col("c"), col("nb"), col("nc"))).as("t"))
+      .groupBy(col("t.id").as("id")).agg(sum(col("t.n")).as("n_triangles"))
   }
 
   /** Bounded SYNCHRONOUS k-core peel over an undirected pair list

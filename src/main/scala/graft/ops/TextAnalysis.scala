@@ -102,6 +102,16 @@ object TextAnalysis {
       .otherwise(array(concat_ws(" ", t)))
   }
 
+  /** Native one-pass min-md5 over word n-gram shingles
+    * ([[graft.functions.ArrayHashes.shingleMinMd5]]). The previous DSL
+    * form (`array_min(transform(shingles(text, n), md5))`) hit the
+    * shinglesOf caveat above from INSIDE this helper: the inlined
+    * `tokens(text)` sub-tree re-evaluated the full split per lambda
+    * element reference — O(len²) per document, measured 24 s on
+    * tx3_fingerprint alone at sf0.1 under the noop-timed bench (0.6 s
+    * native). Same bytes hashed, same min (unsigned digest order ==
+    * lowercase-hex string order), same short-document fallback.
+    */
   def shingleFingerprint(text: Column, n: Int = 5): Column =
-    array_min(transform(shingles(text, n), s => md5(s)))
+    graft.functions.ArrayHashes.shingle_min_md5(tokens(text), n)
 }

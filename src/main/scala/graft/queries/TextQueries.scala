@@ -274,17 +274,45 @@ object TextQueries extends QueryPack {
   // quantized scores, so the ranking is deterministic in any engine;
   // unseen bigrams contribute 0 on both sides (lm2's convention).
   private def rho1Select(s: SparkSession, dir: String): DataFrame = {
+    // Round 15 (guide §2.3/§2.4): the en slice is a SUBSET of the full
+    // train slice, so both LMs train in ONE bigram pass (cb_tgt =
+    // count-when(lang='en'), cb_ref = count(*)) and the held docs score
+    // against the joint table in ONE join — halving the corpus explodes
+    // (2 train + 2 score → 1 + 1) with bit-identical results: counts
+    // are the same integers; a bigram absent from the en slice has
+    // cb_tgt = 0 and contributes the same 0 the old LEFT-join null did;
+    // the per-bigram quantization and per-doc floor sequence are
+    // unchanged operation for operation.
     val docs = Tables.load(s, dir, "documents")
-    val trainSlice = docs.filter(col("doc_id") % 10 =!= 0)
-    val tgt = TextQuality.trainBigramLm(
-      trainSlice.filter(col("lang") === "en"), "doc_id", "text")
-    val ref = TextQuality.trainBigramLm(trainSlice, "doc_id", "text")
-    val held = docs.filter(col("doc_id") % 10 === 0)
-    val ft = TextQuality.scoreAgainstLm(tgt, held, "doc_id", "text")
-      .select(col("doc_id"), col("fluency6").as("f_tgt"))
-    val fr = TextQuality.scoreAgainstLm(ref, held, "doc_id", "text")
-      .select(col("doc_id"), col("fluency6").as("f_ref"))
-    ft.join(fr, Seq("doc_id"))
+    def bigrams(df: DataFrame, keep: org.apache.spark.sql.Column*): DataFrame = {
+      val toks = df.select(keep :+
+        graft.ops.TextAnalysis.tokens(col("text")).as("w"): _*)
+      toks.select(keep :+ explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - 1).as("w1"),
+          slice(col("w"), lit(2), size(col("w")) - 1).as("w2"))).as("b"): _*)
+        .select(keep :+ col("b.w1").as("w1") :+ col("b.w2").as("w2"): _*)
+    }
+    val train = bigrams(docs.filter(col("doc_id") % 10 =!= 0)
+        .repartition(col("doc_id")), col("lang"))
+    val cb = train.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb_ref"),
+        count(when(col("lang") === "en", lit(1))).as("cb_tgt"))
+    val cp = cb.groupBy(col("w1"))
+      .agg(sum(col("cb_ref")).as("cp_ref"), sum(col("cb_tgt")).as("cp_tgt"))
+    val lm = cb.join(cp, Seq("w1"))
+    val held = bigrams(docs.filter(col("doc_id") % 10 === 0)
+      .repartition(col("doc_id")), col("doc_id"))
+    def t6(cbC: org.apache.spark.sql.Column, cpC: org.apache.spark.sql.Column) =
+      coalesce(when(cbC > 0,
+        floor(cbC.cast("double") * 1000000.0 / cpC + 0.5).cast("long")), lit(0L))
+    def fl6(t: org.apache.spark.sql.Column) =
+      floor(sum(t).cast("double") / count(lit(1)) + 0.5) / 1000000.0
+    held.join(lm, Seq("w1", "w2"), "left")
+      .select(col("doc_id"),
+        t6(col("cb_tgt"), col("cp_tgt")).as("t6_tgt"),
+        t6(col("cb_ref"), col("cp_ref")).as("t6_ref"))
+      .groupBy(col("doc_id"))
+      .agg(fl6(col("t6_tgt")).as("f_tgt"), fl6(col("t6_ref")).as("f_ref"))
       .select(col("doc_id"), col("f_tgt"), col("f_ref"),
         (col("f_tgt") - col("f_ref")).as("excess"))
       .orderBy(col("excess").desc, col("doc_id"))

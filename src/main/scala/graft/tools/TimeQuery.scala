@@ -23,10 +23,20 @@ object TimeQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Tables.names.foreach(n => graft.Tables.load(spark, sfDir, n).count())
+    // GRAFT_TIME_COUNT=1 restores the legacy count() action; default is
+    // the noop sink (matches Bench's round-15 timed action — count()
+    // lets the optimizer prune the very work being timed, guide §1.4)
+    val useCount = sys.env.get("GRAFT_TIME_COUNT").contains("1")
     names.foreach { name =>
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"[time] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      if (useCount) {
+        val n = df.count()
+        println(f"[time] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+      } else {
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[time] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s (noop)")
+      }
     }
     spark.stop()
   }

@@ -49,6 +49,20 @@ class GraphSpec extends SparkSpec {
     assert(got.values.sum == 3 * 4)
   }
 
+  test("triangleCounts: two triangles sharing an edge — the adjacency close weights the shared edge's endpoints once per apex") {
+    import spark.implicits._
+    // round-15 internals: triangles close by per-edge adjacency
+    // intersection (triangle_contribs); an edge shared by TWO triangles
+    // has a 2-element apex set, so its endpoints must each gain 2 from
+    // that single edge row — the weighted-contribution path a
+    // one-triangle fixture never exercises
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val got = graft.ops.Graph.triangleCounts(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L), s"got $got")
+  }
+
   test("triangleCounts: a hub contributes no wedges (orientation points at it)") {
     import spark.implicits._
     // star on 0 with 50 leaves + one leaf-leaf edge → exactly 1 triangle
