@@ -213,6 +213,162 @@ object ArrayHashes {
   def shingle_min_md5(toks: Column, n: Int): Column =
     GraftBridge.column(ShingleMinMd5(GraftBridge.expression(toks), n))
 
+  // ---- md5 hex-prefix hashes as one native pass ---------------------------
+
+  /** First `hexChars` hex digits of md5(s) as a long — bit-identical to
+    * `conv(substring(md5(s), 1, hexChars), 16, 10)` (the engine's
+    * portable hash32/hash60) without materializing the 32-char hex
+    * string, substringing it, and re-parsing it base-16: the value is
+    * read straight off the digest bytes (each hex char is one nibble,
+    * big-endian). hexChars ≤ 15 keeps the value positive in int64.
+    */
+  def md5HeadHex(s: UTF8String, hexChars: Int): Long = {
+    val b = md5.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < hexChars) {
+      val nib =
+        if ((i & 1) == 0) (b(i >> 1) >> 4) & 0xf
+        else b(i >> 1) & 0xf
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+
+  case class Md5HeadHex(child: Expression, hexChars: Int) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "md5_head_hex"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType if hexChars >= 1 && hexChars <= 15 =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string and 1 <= hexChars <= 15, got ${other.sql} / $hexChars")
+    }
+    override def nullSafeEval(s: Any): Any =
+      md5HeadHex(s.asInstanceOf[UTF8String], hexChars)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = "graft.functions.ArrayHashes$.MODULE$"
+      nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $m.md5HeadHex($s, $hexChars);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def md5_head_hex(s: Column, hexChars: Int): Column =
+    GraftBridge.column(Md5HeadHex(GraftBridge.expression(s), hexChars))
+
+  // ---- stopword-list language ID, one token pass ---------------------------
+
+  /** The engine's language-ID stopword lists, ALPHABETICAL lang order —
+    * the single source of truth ([[graft.ops.TextAnalysis.stopwords]]
+    * re-exports this map; the oracle SQL hardcodes the same lists).
+    * Order is semantics-bearing: the argmax encodes hits·4 + index, so
+    * ties resolve to the alphabetically-LAST language.
+    */
+  val stopwordLangs: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "and", "of", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  private val stopU: Array[Array[UTF8String]] =
+    stopwordLangs.map(_._2.map(UTF8String.fromString).toArray).toArray
+  private val langU: Array[UTF8String] =
+    (stopwordLangs.map(_._1) :+ "und").map(UTF8String.fromString).toArray
+
+  /** All four languages' stopword-hit counts in ONE pass over the
+    * token array, argmax-encoded and decoded to the language string
+    * (hits·4 + langIndex, max wins, <4 total ⇒ zero hits everywhere ⇒
+    * "und") — bit-identical to the greatest(...)/when-chain DSL form,
+    * which re-evaluated the inlined `split` and an interpreted filter
+    * lambda once per language (5 full passes per row on tx2).
+    */
+  def langBest(toks: ArrayData): UTF8String = {
+    val hits = new Array[Int](4)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val w = toks.getUTF8String(i)
+      if (w != null) {
+        var l = 0
+        while (l < 4) {
+          val lst = stopU(l)
+          var k = 0
+          while (k < lst.length) {
+            if (lst(k).equals(w)) { hits(l) += 1; k = lst.length }
+            else k += 1
+          }
+          l += 1
+        }
+      }
+      i += 1
+    }
+    var best = 0
+    var l = 0
+    while (l < 4) { val e = hits(l) * 4 + l; if (e > best) best = e; l += 1 }
+    if (best >= 4) langU(best % 4) else langU(4)
+  }
+
+  /** One language's stopword-hit count (same single token pass). */
+  def stopwordHitCount(toks: ArrayData, lang: Int): Int = {
+    val lst = stopU(lang)
+    val n = toks.numElements()
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      val w = toks.getUTF8String(i)
+      if (w != null) {
+        var k = 0
+        while (k < lst.length) {
+          if (lst(k).equals(w)) { hits += 1; k = lst.length }
+          else k += 1
+        }
+      }
+      i += 1
+    }
+    hits
+  }
+
+  case class LangBest(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "lang_best"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string> tokens, got ${other.sql}")
+    }
+    override def nullSafeEval(t: Any): Any = langBest(t.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = "graft.functions.ArrayHashes$.MODULE$"
+      nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $m.langBest($t);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class StopwordHitsExpr(child: Expression, lang: Int) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "stopword_hits"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) if lang >= 0 && lang < stopU.length =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string> tokens and a valid lang index, got ${other.sql} / $lang")
+    }
+    override def nullSafeEval(t: Any): Any =
+      stopwordHitCount(t.asInstanceOf[ArrayData], lang)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = "graft.functions.ArrayHashes$.MODULE$"
+      nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $m.stopwordHitCount($t, $lang);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def lang_best(toks: Column): Column =
+    GraftBridge.column(LangBest(GraftBridge.expression(toks)))
+
+  def stopword_hits(toks: Column, lang: Int): Column =
+    GraftBridge.column(StopwordHitsExpr(GraftBridge.expression(toks), lang))
+
   // ---- positional prefix equality (LSH first-colliding-band) -------------
 
   /** True iff any of the first `n` positions of the two long arrays are

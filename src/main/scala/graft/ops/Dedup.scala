@@ -20,16 +20,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** 32-bit hash from an md5 prefix (engine-portable, deterministic). */
+  /** 32-bit hash from an md5 prefix (engine-portable, deterministic).
+    * Native digest-prefix read (round 15): bit-identical to
+    * `conv(substring(md5(c),1,8),16,10)` without the hex-string
+    * round-trip — the old form allocated the 32-char hex, substringed
+    * it, and re-parsed it base-16 on every evaluation, in per-token
+    * hot paths (count-min rows, span grams, bloom bits).
+    */
   def hash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    graft.functions.ArrayHashes.md5_head_hex(c.cast("string"), 8)
 
   /** 60-bit hash (15 md5 hex chars) — collision-safe enough to stand in
     * for set elements in Jaccard arithmetic (p ≈ n²/2⁶¹ per pair), while
-    * staying positive in a signed 64-bit value in any engine.
+    * staying positive in a signed 64-bit value in any engine. Same
+    * native digest-prefix read as [[hash32]].
     */
   def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.ArrayHashes.md5_head_hex(c.cast("string"), 15)
 
   // ---- exact dedup -------------------------------------------------------
 

@@ -40,32 +40,28 @@ object TextAnalysis {
     round6((length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))).cast("double")
       / greatest(length(text), lit(1)))
 
-  /** Stopword-hit ratio against a tiny function-word list per language. */
-  val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "a", "and", "of", "is", "to", "in"),
-    "de" -> Seq("der", "die", "das", "und", "ist"),
-    "es" -> Seq("el", "la", "de", "que", "y"),
-    "fr" -> Seq("le", "la", "et", "les", "des"))
+  /** Stopword lists per language — re-exported from the native kernel's
+    * single source of truth ([[graft.functions.ArrayHashes.stopwordLangs]]).
+    */
+  val stopwords: Map[String, Seq[String]] =
+    graft.functions.ArrayHashes.stopwordLangs.toMap
+
+  private val langIndex: Map[String, Int] =
+    graft.functions.ArrayHashes.stopwordLangs.map(_._1).zipWithIndex.toMap
 
   def stopwordHits(text: Column, lang: String): Column =
-    size(filter(tokens(text), t => t.isInCollection(stopwords(lang))))
+    graft.functions.ArrayHashes.stopword_hits(tokens(text), langIndex(lang))
+      .cast("int")
 
   /** N-gram-heuristic language ID: argmax of stopword-hit counts,
-    * 'und' (unknown) when nothing matches. Argmax is integer-encoded
-    * (hits*4 + alphabetical index) so ties resolve identically in any
-    * engine: equal hits ⇒ alphabetically-last language wins.
+    * 'und' (unknown) when nothing matches; ties resolve to the
+    * alphabetically-last language (hits·4 + index encoding). One
+    * native token pass ([[graft.functions.ArrayHashes.lang_best]]) —
+    * the DSL form re-evaluated the inlined split + an interpreted
+    * filter lambda once per language (5 full passes per row).
     */
-  def langId(text: Column): Column = {
-    val langs = stopwords.keys.toSeq.sorted // de, en, es, fr
-    val encoded = langs.zipWithIndex.map { case (l, i) =>
-      stopwordHits(text, l) * 4 + i
-    }
-    val best = greatest(encoded: _*)
-    val lang = langs.zipWithIndex.foldLeft(lit("und")) { case (acc, (l, i)) =>
-      when(best % 4 === i, l).otherwise(acc)
-    }
-    when(best >= 4, lang).otherwise("und") // best<4 ⇒ zero hits everywhere
-  }
+  def langId(text: Column): Column =
+    graft.functions.ArrayHashes.lang_best(tokens(text))
 
   /** Composite quality score in [0,1]: length, diversity, word shape.
     * Deterministic decimal-free arithmetic (6-dp rounded terms).
