@@ -23,8 +23,22 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ArrayHashes {
 
-  private def md5: java.security.MessageDigest =
-    java.security.MessageDigest.getInstance("MD5")
+  /** Thread-local reused digest: `MessageDigest.getInstance` does a
+    * provider lookup + allocation per call, and several kernels here
+    * (md5HeadHex above all — hash32/hash60's per-TOKEN hot paths) used
+    * to pay it once per ROW evaluation. One instance per executor
+    * thread, reset on fetch; every use below is sequential within one
+    * expression evaluation, so sharing per thread is safe.
+    */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private def md5: java.security.MessageDigest = {
+    val d = md5Local.get()
+    d.reset()
+    d
+  }
 
   /** First 32 bits of md5(bytes) as unsigned-in-long — equals
     * `('0x' || substr(md5(s),1,8))::BIGINT`.
@@ -410,6 +424,58 @@ object ArrayHashes {
   def prefix_any_equal(a: Column, b: Column, n: Column): Column =
     GraftBridge.column(PrefixAnyEqual(
       GraftBridge.expression(a), GraftBridge.expression(b), GraftBridge.expression(n)))
+
+  // ---- first-common-element test (prefix-filter pair dedup) ---------------
+
+  /** True iff the FIRST element of `pa` (in array order) that occurs
+    * anywhere in `pb` equals `tok` — i.e.
+    * `element_at(array_intersect(pa, pb), 1) === tok` for distinct
+    * arrays, without array_intersect's per-row hash-set + result-array
+    * allocation. Runs once per joined candidate row in the AllPairs
+    * prefix join, where the prefixes are short by construction
+    * (⌈(1−t)·|d|⌉+1 elements), so the nested scan with early exit is a
+    * handful of long compares.
+    */
+  def firstCommonEquals(pa: ArrayData, pb: ArrayData, tok: Long): Boolean = {
+    val na = pa.numElements()
+    val nb = pb.numElements()
+    var i = 0
+    while (i < na) {
+      val x = pa.getLong(i)
+      var j = 0
+      while (j < nb) {
+        if (pb.getLong(j) == x) return x == tok
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  case class FirstCommonEquals(left: Expression, right: Expression, tok: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def first: Expression = left
+    override def second: Expression = right
+    override def third: Expression = tok
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = left.nullable || right.nullable || tok.nullable
+    override def prettyName: String = "first_common_equals"
+    override def nullSafeEval(a: Any, b: Any, t: Any): Any =
+      firstCommonEquals(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        t.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = "graft.functions.ArrayHashes$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (a, b, t) =>
+        s"${ev.value} = $m.firstCommonEquals($a, $b, $t);")
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(left = f, right = s, tok = t)
+  }
+
+  def first_common_equals(a: Column, b: Column, tok: Column): Column =
+    GraftBridge.column(FirstCommonEquals(
+      GraftBridge.expression(a), GraftBridge.expression(b), GraftBridge.expression(tok)))
 
   // ---- greedy BPE pair merge (tokenizer trainer inner loop) ---------------
 

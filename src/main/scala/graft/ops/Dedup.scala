@@ -20,6 +20,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Scale-adaptive spread BEFORE a per-row-expensive projection
+    * (round 16): a single-row-group parquet file scans as ONE task, so
+    * any hash/signature kernel computed directly above it — including
+    * one sitting below a later `repartition(...)`, whose exchange runs
+    * AFTER the projection — serializes on one core. This helper
+    * repartitions the RAW rows by `key` only when the input's actual
+    * partition count is below the session's default parallelism; at
+    * scale inputs arrive with abundant scan parallelism and it is a
+    * no-op (the decision reads the physical partition count, not a
+    * constant), so no corpus-sized payload shuffle is ever added to
+    * the 100 TB plan.
+    */
+  private[graft] def spreadForCompute(df: DataFrame, key: Column): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(key)
+  }
+
   /** 32-bit hash from an md5 prefix (engine-portable, deterministic).
     * Native digest-prefix read (round 15): bit-identical to
     * `conv(substring(md5(c),1,8),16,10)` without the hex-string
@@ -122,19 +139,23 @@ object Dedup {
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       k: Int = 32, bands: Int = 8): DataFrame =
-    // hash-partition by id first: spreads signature hashing across all
-    // cores even when the source is one parquet file; the eager
+    // spread BEFORE the signature projection (round 16): the old
+    // `.select(sig).repartition(id)` put the exchange ABOVE the
+    // projection, so signature hashing of a one-row-group file still
+    // ran on one core — spreadForCompute repartitions the raw rows
+    // first (no-op when the scan is already parallel). The eager
     // localCheckpoint computes signatures exactly once — they feed the
     // slim band join AND both verification probes in stage 2. The
     // payload is dropped BEFORE the checkpoint on purpose: a corpus-
     // scale caller must not cache document text
-    df.select(
-      col(idCol).as("id"),
-      graft.functions.ArrayHashes.shingle_hash_set(
-        TextAnalysis.tokens(col(textCol)), 1).as("wh"),
-      graft.functions.ArrayHashes.minhash_band_keys(
-        array_distinct(TextAnalysis.tokens(col(textCol))), k, bands).as("band_keys"))
-      .repartition(col("id"))
+    spreadForCompute(df.select(col(idCol).as("id"), col(textCol).as("__t")),
+        col("id"))
+      .select(
+        col("id"),
+        graft.functions.ArrayHashes.shingle_hash_set(
+          TextAnalysis.tokens(col("__t")), 1).as("wh"),
+        graft.functions.ArrayHashes.minhash_band_keys(
+          array_distinct(TextAnalysis.tokens(col("__t"))), k, bands).as("band_keys"))
       .localCheckpoint(true)
 
   /** [[minHashSignatures]] KEEPING the payload columns: one
@@ -147,13 +168,13 @@ object Dedup {
     */
   def withMinHashSignatures(df: DataFrame, idCol: String, textCol: String,
       k: Int = 32, bands: Int = 8): DataFrame =
-    df.withColumn("wh",
+    spreadForCompute(df, col(idCol))
+      .withColumn("wh",
         graft.functions.ArrayHashes.shingle_hash_set(
           TextAnalysis.tokens(col(textCol)), 1))
       .withColumn("band_keys",
         graft.functions.ArrayHashes.minhash_band_keys(
           array_distinct(TextAnalysis.tokens(col(textCol))), k, bands))
-      .repartition(col(idCol))
       .localCheckpoint(true)
 
   /** Stage 2: banded candidate generation + exact-Jaccard verification
@@ -232,10 +253,14 @@ object Dedup {
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8): DataFrame = {
     val t = threshold - 1e-6
-    val sets = df.select(col(idCol).as("id"),
+    // spread before the hash-set projection (see spreadForCompute — the
+    // old post-projection repartition left the hashing single-core on a
+    // one-row-group file)
+    val sets = spreadForCompute(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")), col("id"))
+      .select(col("id"),
         graft.functions.ArrayHashes.shingle_hash_set(
-          TextAnalysis.tokens(col(textCol)), 1).as("wh"))
-      .repartition(col("id"))
+          TextAnalysis.tokens(col("__t")), 1).as("wh"))
       .localCheckpoint(true)
     val toks = sets.select(col("id"), explode(col("wh")).as("tok"))
     val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("doc_freq"))
@@ -249,8 +274,16 @@ object Dedup {
     val pref = ordered.select(col("id"), col("n"),
       slice(col("ord"), lit(1),
         (col("n") - ceil(col("n") * t) + 1).cast("int")).as("prefix"))
+    // Exploded prefix postings, materialized ONCE (round 16): the
+    // self-join below otherwise recomputes the whole prefix pipeline —
+    // token explode, doc-freq aggregate, collect_list+array_sort — per
+    // side (two of each exchange in the round-15 plan). The prefix
+    // array rides along for the first-common test; it is short by
+    // construction (⌈(1−t)·|d|⌉+1 rare tokens — measured 2.8 longs avg
+    // at sf0.1), so the bytes are immaterial next to a second build.
     val ex = pref.select(col("id"), col("n"), col("prefix"),
-      posexplode(col("prefix")).as(Seq("pos", "tok")))
+        posexplode(col("prefix")).as(Seq("pos", "tok")))
+      .localCheckpoint(true)
     val a = ex.select(col("tok"), col("id").as("id_a"), col("n").as("na"),
       col("pos").as("posa"), col("prefix").as("pa"))
     val b = ex.select(col("tok"), col("id").as("id_b"), col("n").as("nb"),
@@ -260,13 +293,25 @@ object Dedup {
     // position; J ≥ t needs overlap ≥ t/(1+t)·(na+nb). A sound upper
     // bound, so pruning below it never drops a qualifying pair — it
     // just keeps tail-token coincidences out of the verify join.
+    //
+    // Pair dedup stays PER-ROW (each pair survives exactly once, on its
+    // order-minimal common prefix token) via the native early-exit
+    // first_common_equals kernel — round 16 A/B'd this against a
+    // (id_a,id_b) min-pos AGGREGATE variant (shuffle-narrower on paper)
+    // and the aggregate lost ~2.5× on the candidate stage: the join
+    // emits 8.8M rows at sf0.1 whose per-pair multiplicity is only
+    // ~2.7, so hash-aggregating 3.3M groups cost far more than a
+    // handful of long compares per row, while the interpreted
+    // array_intersect the kernel replaces paid a hash-set + result
+    // allocation per row.
     val cands = a.join(b, Seq("tok"))
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("na"), col("nb")).cast("double") >=
         greatest(col("na"), col("nb")) * t)
       .filter((lit(1) + least(col("na") - col("posa"), col("nb") - col("posb")) - 1)
         .cast("double") >= (col("na") + col("nb")) * (t / (1 + t)))
-      .filter(element_at(array_intersect(col("pa"), col("pb")), 1) === col("tok"))
+      .filter(graft.functions.ArrayHashes.first_common_equals(
+        col("pa"), col("pb"), col("tok")))
       .select(col("id_a"), col("id_b"))
     val wa = sets.select(col("id").as("id_a"), col("wh").as("wa"))
     val wb = sets.select(col("id").as("id_b"), col("wh").as("wb"))
@@ -580,16 +625,25 @@ object Dedup {
   def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("w"))
+    val toks = spreadForCompute(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")), col("id"))
+      .select(col("id"), TextAnalysis.tokens(col("__t")).as("w"))
     // (doc, 0-based pos, gram hash) — empty for docs shorter than n
-    // (sequence() would count DOWNWARD on a negative span, so guard it)
+    // (sequence() would count DOWNWARD on a negative span, so guard it).
+    // Materialized ONCE (round 16): the dup-gram aggregate and the
+    // occurrence side below otherwise each recompute the full
+    // split+md5-per-gram posexplode — the round-15 plan ran the gram
+    // generation twice (plus a third split for n_tokens). The
+    // checkpointed frame is slim — three scalars per gram occurrence,
+    // never text.
     val occ = toks
-      .select(col("id"), size(col("w")).as("n_tokens"),
+      .select(col("id"),
         posexplode(when(size(col("w")) >= n,
           transform(sequence(lit(0), size(col("w")) - n),
             i => hash60(array_join(slice(col("w"), i + 1, lit(n)), " "))))
           .otherwise(array())))
-      .toDF("id", "n_tokens", "pos", "g")
+      .toDF("id", "pos", "g")
+      .localCheckpoint(true)
     val dupGrams = occ.groupBy(col("g"))
       .agg(count_distinct(col("id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
@@ -692,28 +746,79 @@ object Dedup {
           x => x.getField("line")), "\n").as("clean_text"))
       .select(col("id"), col("n_lines"), col("n_dropped"), col("clean_text"))
 
-  /** SimHash near-dup pairs: candidates share one of 4 8-bit chunks
-    * (standard simhash blocking), verified by Hamming ≤ maxDist.
+  /** SimHash near-dup pairs, verified by Hamming ≤ maxDist.
+    *
+    * Blocking (round 16): for maxDist ≤ 2 candidates share one of the
+    * C(4,2) = 6 two-chunk (16-bit) keys — EXACT by pigeonhole (≤ 2
+    * differing bits touch ≤ 2 of the 4 byte chunks, so ≥ 2 chunks are
+    * equal and some chunk PAIR matches), with posting lists ~256×
+    * more selective than the single-8-bit-chunk scheme (measured at
+    * sf0.1: the single-chunk blocks generated ~40× the candidate
+    * pairs). Each surviving pair is emitted exactly once via the
+    * first-colliding-pair filter (dd2's first-colliding-band trick:
+    * a cheap bitwise when-chain on the two simhashes riding the row),
+    * so the old DISTINCT exchange over candidates is gone. maxDist 3
+    * keeps the single-chunk scheme (its exactness bound); the verify
+    * is exact either way.
+    *
+    * The (id, simhash) frame is materialized once: the self-join
+    * otherwise recomputed the full scan + simhash per side, and the
+    * join's inferred isnotnull constraint re-evaluated the simhash a
+    * second time inside each side's pushed filter — 4 simhash passes
+    * per document where one suffices.
     */
   def simHashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 2): DataFrame = {
-    val withSim = df
-      .select(col(idCol).as("id"), simHash32(col(textCol)).as("simhash"))
-      .repartition(col("id"))
-    // candidate ids deduped across chunks BEFORE the Hamming verify;
-    // simhashes ride along (one long each) to avoid a re-join
-    val chunked = withSim.select(col("id"), col("simhash"),
-      explode(array((0 until 4).map(c =>
-        concat_ws(":", lit(c), shiftright(col("simhash"), c * 8).bitwiseAND(255))): _*))
-        .as("chunk_key"))
-    val a = chunked.select(col("chunk_key"), col("id").as("id_a"), col("simhash").as("sa"))
-    val b = chunked.select(col("chunk_key"), col("id").as("id_b"), col("simhash").as("sb"))
-    a.join(b, Seq("chunk_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sa"), col("sb"))
-      .distinct()
-      .select(col("id_a"), col("id_b"), hamming(col("sa"), col("sb")).as("hamming"))
-      .filter(col("hamming") <= maxDist)
+    // spread BEFORE the simhash projection (see spreadForCompute), so
+    // the hashing pass parallelizes even over a one-row-group file
+    val withSim = spreadForCompute(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")), col("id"))
+      .select(col("id"), simHash32(col("__t")).as("simhash"))
+      .localCheckpoint(true)
+    def chunk(sim: Column, c: Int): Column =
+      shiftright(sim, c * 8).bitwiseAND(255)
+    if (maxDist <= 2) {
+      // chunk pairs in fixed order; key packs (pair index, 16-bit value)
+      val combos = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+      def pairKeys(sim: Column): Column =
+        array(combos.zipWithIndex.map { case ((c1, c2), p) =>
+          lit(p.toLong * (1L << 16)) + chunk(sim, c1) * 256 + chunk(sim, c2)
+        }: _*)
+      val chunked = withSim.select(col("id"), col("simhash"),
+        explode(pairKeys(col("simhash"))).as("pk"))
+      val a = chunked.select(col("pk"), col("id").as("id_a"), col("simhash").as("sa"))
+      val b = chunked.select(col("pk"), col("id").as("id_b"), col("simhash").as("sb"))
+      // first colliding chunk pair, derived from the simhashes in-row
+      val firstCollide = combos.zipWithIndex.foldRight(lit(-1L)) {
+        case (((c1, c2), p), rest) =>
+          when(chunk(col("sa"), c1) === chunk(col("sb"), c1) &&
+            chunk(col("sa"), c2) === chunk(col("sb"), c2), lit(p.toLong))
+            .otherwise(rest)
+      }
+      a.join(b, Seq("pk"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(shiftright(col("pk"), 16) === firstCollide)
+        .select(col("id_a"), col("id_b"), hamming(col("sa"), col("sb")).as("hamming"))
+        .filter(col("hamming") <= maxDist)
+    } else {
+      // the distinct below needs clustering by a subset of its keys;
+      // the checkpoint dropped the partitioning info, so re-establish it
+      val rep = withSim.repartition(col("id"))
+      // candidate ids deduped across chunks BEFORE the Hamming verify;
+      // simhashes ride along (one long each) to avoid a re-join
+      val chunked = rep.select(col("id"), col("simhash"),
+        explode(array((0 until 4).map(c =>
+          concat_ws(":", lit(c), chunk(col("simhash"), c))): _*))
+          .as("chunk_key"))
+      val a = chunked.select(col("chunk_key"), col("id").as("id_a"), col("simhash").as("sa"))
+      val b = chunked.select(col("chunk_key"), col("id").as("id_b"), col("simhash").as("sb"))
+      a.join(b, Seq("chunk_key"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("sa"), col("sb"))
+        .distinct()
+        .select(col("id_a"), col("id_b"), hamming(col("sa"), col("sb")).as("hamming"))
+        .filter(col("hamming") <= maxDist)
+    }
   }
 }

@@ -29,18 +29,27 @@ object Graph {
     * rank = 150000 + 850000·(weighted in-neighbor mass).
     */
   def pageRankFixedPoint(pairs: DataFrame, iters: Int): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // Adjacency-array iterate (round 16, the tr1 technique applied to
+    // the loop): the per-iteration join used to re-shuffle the |E|-row
+    // edge list against the rank table every round. The neighbor lists
+    // are built ONCE into a |V|-row adjacency table; each round joins
+    // |V|×|V| rows, the explode back to per-edge contributions is
+    // map-side, and the groupBy(dst) partial-aggregates before its
+    // exchange — so a round shuffles O(|V|) rows (plus the packed
+    // neighbor arrays once on the build), never |E| rows. Math is
+    // unchanged: degree = neighbor-array length, each dst receives the
+    // identical integer contribution, and integer addition commutes.
+    val adj = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+      .select(col("src"), col("nbrs"), size(col("nbrs")).cast("long").as("degree"))
       .localCheckpoint(true)
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
-      .localCheckpoint(true)
-    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("rank"))
+    var ranks = adj.select(col("src").as("id"), lit(1000000L).as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = ranks.join(deg, ranks("id") === deg("src"))
-        .select(col("id"), expr("rank div degree").as("c"))
-      val in = edges.join(contrib, edges("src") === contrib("id"))
+      val in = ranks.join(adj, ranks("id") === adj("src"))
+        .select(explode(col("nbrs")).as("dst"), expr("rank div degree").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
-      ranks = deg.select(col("src").as("id"))
+      ranks = adj.select(col("src").as("id"))
         .join(in, col("id") === col("dst"), "left")
         .select(col("id"),
           (lit(150000L) + expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
@@ -139,15 +148,26 @@ object Graph {
     * shuffles, lineage cut per round. Returns (id, label).
     */
   def labelPropagation(pairs: DataFrame, rounds: Int): DataFrame = {
+    // Adjacency-array iterate (round 16, same argument as
+    // [[pageRankFixedPoint]]): each round used to re-shuffle the
+    // |E|-row symmetric edge list against the label table. The
+    // neighbor lists fold ONCE into a |V|-row table keyed by dst (the
+    // label-lookup side); a round joins |V|×|V| rows, explodes the
+    // srcs map-side — the identical (src, label) multiset the edge
+    // join produced — and both aggregations partial-aggregate before
+    // their exchanges.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val adjIn = edges.groupBy(col("dst"))
+      .agg(collect_list(col("src")).as("srcs"))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
+    var labels = adjIn.select(col("dst").as("id"))
       .withColumn("label", col("id"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      val counts = edges
+      val counts = adjIn
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .select(explode(col("srcs")).as("src"), col("label"))
         .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
       labels = counts.groupBy(col("src"))
         .agg(min_by(col("label"), struct((-col("cnt")).as("n"), col("label")))

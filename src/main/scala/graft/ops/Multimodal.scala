@@ -23,6 +23,25 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default read/write path buffers through a DISK-backed
+  // cache (a temp file created and deleted per codec call) — pure
+  // overhead for the ≤16×16 images here and a point of filesystem
+  // contention once the codec stages run on all cores (round 16).
+  // Static, process-wide, affects buffering strategy only — decoded
+  // bytes are identical.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Scale-adaptive spread of the slim doc_id frame feeding a codec
+    * mapPartitions (round 16): the synthesized media tables derive from
+    * a one-row-group parquet scan, i.e. ONE task — so every
+    * encode/decode pass (ImageIO, AudioSystem) ran on a single core.
+    * No-op whenever the upstream scan is already parallel (the 100 TB
+    * case), so no shuffle is added at scale; locally it moves 8 bytes
+    * per row once and parallelizes four codec passes.
+    */
+  private def spread(ids: DataFrame): DataFrame =
+    Dedup.spreadForCompute(ids, col("doc_id"))
+
   /** Synthesize a deterministic media table from `documents`: payload =
     * utf-8 bytes of the text, mime cycled by doc_id. Stands in for a
     * parquet table with real binary media columns.
@@ -91,7 +110,7 @@ object Multimodal {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("payload", BinaryType)))
-    docs.select(col("doc_id")).mapPartitions { rows =>
+    spread(docs.select(col("doc_id"))).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val w = 1 + (id % 16).toInt
@@ -238,7 +257,7 @@ object Multimodal {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("payload", BinaryType)))
-    docs.select(col("doc_id")).mapPartitions { rows =>
+    spread(docs.select(col("doc_id"))).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val cls = id % 50
@@ -274,7 +293,7 @@ object Multimodal {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("payload", BinaryType)))
-    docs.select(col("doc_id")).mapPartitions { rows =>
+    spread(docs.select(col("doc_id"))).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val cls = id % 50
@@ -391,6 +410,12 @@ object Multimodal {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("payload", BinaryType)))
+    // deliberately NOT spread (round-16 negative A/B): unlike the
+    // ImageIO png tables (mm4 2.33→1.18 from spreading), the wav path
+    // measured a wash — same-session-order draws [8.64,1.98,1.75]
+    // spread vs [9.00,2.09,1.87] unspread (mm10 cold/warm/warm) — the
+    // AudioSystem encode is cheap next to mm10's downstream pair stage,
+    // so the extra exchange buys nothing; left on the scan partitioning
     docs.select(col("doc_id")).mapPartitions { rows =>
       val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
       rows.map { r =>

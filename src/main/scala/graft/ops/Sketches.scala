@@ -76,9 +76,14 @@ object Sketches {
     * aggregation — constant in input size.
     */
   def countMinTable(df: DataFrame, valueCol: Column, d: Int, w: Int): DataFrame =
-    df.select(explode(array((0 until d).map(r =>
+    // spread the raw key column before the d·|rows| md5 pass (round 16:
+    // a one-row-group file scans as one task, serializing the hashing;
+    // spreadForCompute is a no-op whenever the scan is already parallel,
+    // so the 100 TB plan never gains a key shuffle)
+    Dedup.spreadForCompute(df.select(valueCol.cast("string").as("__v")), col("__v"))
+      .select(explode(array((0 until d).map(r =>
         struct(lit(r).as("r"),
-          pmod(Dedup.hash60(concat_ws("|", lit(r.toString), valueCol.cast("string"))),
+          pmod(Dedup.hash60(concat_ws("|", lit(r.toString), col("__v"))),
             lit(w.toLong)).as("bucket"))): _*)).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))

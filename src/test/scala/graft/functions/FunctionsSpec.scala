@@ -53,6 +53,25 @@ class FunctionsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("first_common_equals matches the array_intersect formulation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // distinct long arrays, as the prefix join produces
+    val rows = Seq(
+      (Seq(5L, 3L, 9L), Seq(7L, 3L, 5L), 5L),  // first common in pa order = 5
+      (Seq(5L, 3L, 9L), Seq(7L, 3L, 5L), 3L),  // 3 is common but not first
+      (Seq(1L, 2L), Seq(2L, 4L), 2L),
+      (Seq(1L, 2L), Seq(2L, 4L), 1L),
+      (Seq(8L), Seq(8L), 8L))
+      .toDF("pa", "pb", "tok")
+    val got = rows.select(
+      ArrayHashes.first_common_equals(col("pa"), col("pb"), col("tok")),
+      element_at(array_intersect(col("pa"), col("pb")), 1) === col("tok"))
+      .collect()
+    got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r.toString))
+    assert(got.map(_.getBoolean(0)).toSeq == Seq(true, false, true, false, true))
+  }
+
   test("hash60 equivalence: md5Head60 matches the hex-prefix definition") {
     import org.apache.spark.unsafe.types.UTF8String
     val d = java.security.MessageDigest.getInstance("MD5")
