@@ -110,14 +110,21 @@ object Envelope {
   def parse(raw: DataFrame, side: TableSide): DataFrame = {
     val envSchema = envelopeSchema(side)
     val outer = StructType(envSchema.fields :+ StructField("payload", envSchema))
-    val parsed = from_json(col("value"), outer)
-    val env = when(parsed.getField("payload").isNotNull, parsed.getField("payload"))
-      .otherwise(struct(envSchema.fieldNames.map(n => parsed.getField(n).as(n)): _*))
     // opaque(): optimizer barrier so the wide from_json runs ONCE per
     // row — without it, project-collapse + per-field JSON pruning
-    // re-parse the envelope once per referenced field (measured 27×)
+    // re-parse the envelope once per referenced field (measured 27×).
+    // The opaque sits on the PARSE itself (round 16), not the combined
+    // wrapper-coalesce: wrapping the when/otherwise still duplicated
+    // the from_json child into the condition AND the winning branch —
+    // two full parses per row in the shipped plan. Building the
+    // coalesce from attribute references parses exactly once.
+    val parsed = graft.functions.ArrayHashes.opaque(from_json(col("value"), outer))
     val withEnv = raw
-      .withColumn("_env", graft.functions.ArrayHashes.opaque(env))
+      .withColumn("_parsed", parsed)
+      .withColumn("_env",
+        when(col("_parsed.payload").isNotNull, col("_parsed.payload"))
+          .otherwise(struct(envSchema.fieldNames.map(n =>
+            col("_parsed").getField(n).as(n)): _*)))
       .withColumn("op", col("_env.op"))
       .withColumn("operation", decodeOp(col("_env.op")))
       .withColumn("source_ts", timestamp_millis(col("_env.ts_ms")))
@@ -174,10 +181,20 @@ object Envelope {
   def parseSchemaless(raw: DataFrame): DataFrame = {
     val envSchema = schemalessEnvelopeSchema
     val outer = StructType(envSchema.fields :+ StructField("payload", envSchema))
-    val parsed = from_json(col("value"), outer)
-    val env = when(parsed.getField("payload").isNotNull, parsed.getField("payload"))
-      .otherwise(struct(envSchema.fieldNames.map(n => parsed.getField(n).as(n)): _*))
-    raw.withColumn("_env", graft.functions.ArrayHashes.opaque(env))
+    // Parse ONCE into its own opaque-guarded column, then build the
+    // wrapper-coalesce from attribute references (round 16): with the
+    // opaque around the COMBINED when/otherwise, the from_json child was
+    // still textually duplicated inside it — the condition and the then
+    // branch each re-parsed the document (2 full JSON parses per row,
+    // visible in the round-15 plan). The opaque sits on the parse
+    // itself now, so project-collapse can't inline it into its three
+    // downstream references and every row parses exactly once.
+    val parsed = graft.functions.ArrayHashes.opaque(from_json(col("value"), outer))
+    raw.withColumn("_parsed", parsed)
+      .withColumn("_env",
+        when(col("_parsed.payload").isNotNull, col("_parsed.payload"))
+          .otherwise(struct(envSchema.fieldNames.map(n =>
+            col("_parsed").getField(n).as(n)): _*)))
       .withColumn("op", col("_env.op"))
       .withColumn("operation", decodeOp(col("op")))
       .withColumn("source_ts", timestamp_millis(col("_env.ts_ms")))
@@ -186,10 +203,17 @@ object Envelope {
       .withColumn("_imgraw",
         when(col("operation") === "DELETE", col("_env.before")).otherwise(col("_env.after")))
       .filter(col("_env").isNotNull && col("op").isNotNull && col("_imgraw").isNotNull)
-      .withColumn("image", transform_keys(col("_imgraw"), (k, _) => upper(k)))
-      .withColumn("image_ts", transform_values(
+      // opaque: the interpreted map HOFs below are re-evaluated per
+      // downstream REFERENCE when project-collapse inlines them — a
+      // consumer extracting four fields re-ran transform_keys four
+      // times and the rlike/epochAuto chain twice per row (round 16:
+      // cdc2 spent more re-evaluating the maps than parsing the JSON).
+      // The barrier pins each map to one evaluation per row.
+      .withColumn("image", graft.functions.ArrayHashes.opaque(
+        transform_keys(col("_imgraw"), (k, _) => upper(k))))
+      .withColumn("image_ts", graft.functions.ArrayHashes.opaque(transform_values(
         map_filter(col("image"), (k, _) => k.rlike(temporalNamePattern)),
-        (_, v) => epochAuto(v)))
+        (_, v) => epochAuto(v))))
       .select(col("operation"), col("source_ts"), col("source_schema"),
         col("source_table"), col("image"), col("image_ts"))
   }

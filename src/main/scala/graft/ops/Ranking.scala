@@ -31,6 +31,31 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  /** Global ORDER BY that evaluates its (expensive) input exactly once
+    * (round 16). A bare `orderBy` plans a range exchange, and range
+    * partitioning SAMPLES its child to pick bounds — re-running the
+    * whole map-side pipeline above it once for the sample pass and
+    * once for the real shuffle. For a query whose final stage does
+    * real per-row work (JSON round-trips, codecs, per-token hashing)
+    * that doubles the dominant cost. The hash repartition on the lead
+    * sort key pins an exchange UNDER the sort, so the sampling pass
+    * re-reads shuffle files instead of recomputing the pipeline — one
+    * extra narrow shuffle of exactly the output rows, the standard
+    * materialize-before-range-sort trade at any scale (measured: cdc2
+    * 2.3 → 1.3 s warm at sf0.1; results identical, the sort is global
+    * either way).
+    */
+  def orderByOnce(df: DataFrame, sort: Column*): DataFrame =
+    df.repartition(sort.head).orderBy(sort: _*)
+
+  /** [[graft.ops.Dedup.spreadForCompute]] under its partitioning-util
+    * name: scale-adaptive repartition of raw rows before a
+    * per-row-expensive projection (no-op when the input scan is
+    * already parallel).
+    */
+  def spread(df: DataFrame, key: Column): DataFrame =
+    Dedup.spreadForCompute(df, key)
+
   /** df + a global 1-based rank column under `sort` (which must be a
     * total order — include a tie-break key).
     */

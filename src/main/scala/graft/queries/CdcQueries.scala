@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.cdc._
+import graft.ops.Ranking
 
 /** CDC operator semantics (SURVEY.md §2.2 P1/P5, §2.8 ST1/ST5-ST7)
   * certified against the DuckDB oracle by modeling `events` as a CDC
@@ -255,14 +256,14 @@ object CdcQueries extends QueryPack {
         Registry.targetSchema(eventsMapping.tobe)))
     val r = Apply.applyBatch(base, changes, "EVENT_ID", "seq",
       targetCols.filterNot(_ == "EVENT_ID"))
-    r.target.select(
+    Ranking.orderByOnce(r.target.select(
       col("EVENT_ID").cast("long").as("event_id"),
       col("USER_ID").cast("long").as("user_id"),
       col("KIND").as("kind"),
       col("VALUE").cast("double").as("value"),
       col("EVENT_TS").as("event_ts"),
-      col("CREATED_BY").as("created_by"))
-      .orderBy(col("event_id"))
+      col("CREATED_BY").as("created_by")),
+      col("event_id"))
   }
 
   private val cdc1Sql =
@@ -297,7 +298,7 @@ object CdcQueries extends QueryPack {
     val envelopes = ev.select(
       when(col("event_id") % 2 === 0, to_json(struct(inner.as("payload"))))
         .otherwise(to_json(inner)).as("value"))
-    Envelope.parseSchemaless(envelopes).select(
+    Ranking.orderByOnce(Envelope.parseSchemaless(envelopes).select(
         element_at(col("image"), "EVENT_ID").cast("long").as("event_id"),
         element_at(col("image"), "USER_ID").cast("long").as("user_id"),
         col("operation"),
@@ -307,8 +308,8 @@ object CdcQueries extends QueryPack {
         element_at(col("image"), "VALUE")
           .cast(org.apache.spark.sql.types.DecimalType(18, 2))
           .cast("double").as("value"),
-        element_at(col("image_ts"), "CREATED_AT").as("created_at"))
-      .orderBy(col("event_id"))
+        element_at(col("image_ts"), "CREATED_AT").as("created_at")),
+      col("event_id"))
   }
 
   private val cdc2Sql =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
-import graft.ops.Multimodal
+import graft.ops.{Multimodal, Ranking}
 import graft.functions.DebeziumDecimalDecode.debezium_decimal
 
 /** Coverage extras: multimodal plumbing, the custom decimal Expression
@@ -48,8 +48,9 @@ object Extras extends QueryPack {
   // dimensions + fill color from doc_id alone — a hash match certifies
   // that a genuine codec ran and round-tripped losslessly.
   private def mm3PngDecode(s: SparkSession, dir: String): DataFrame =
-    Multimodal.imageMeta(Multimodal.pngTable(Tables.load(s, dir, "documents")))
-      .orderBy(col("doc_id"))
+    Ranking.orderByOnce(
+      Multimodal.imageMeta(Multimodal.pngTable(Tables.load(s, dir, "documents"))),
+      col("doc_id"))
 
   private val mm3Sql =
     """SELECT doc_id,
@@ -64,9 +65,10 @@ object Extras extends QueryPack {
   // an oracle that predicts the post-resize metadata from doc_id alone
   // (solid-color fills survive any resample).
   private def mm4Resize(s: SparkSession, dir: String): DataFrame =
-    Multimodal.imageMeta(Multimodal.resizeImages(
-      Multimodal.pngTable(Tables.load(s, dir, "documents")), 4, 4))
-      .orderBy(col("doc_id"))
+    Ranking.orderByOnce(
+      Multimodal.imageMeta(Multimodal.resizeImages(
+        Multimodal.pngTable(Tables.load(s, dir, "documents")), 4, 4)),
+      col("doc_id"))
 
   private val mm4Sql =
     """SELECT doc_id,
@@ -168,8 +170,10 @@ object Extras extends QueryPack {
   // decoded sample from doc_id alone — a hash match certifies the
   // codec round trip bit-for-bit.
   private def mm6WavFeatures(s: SparkSession, dir: String): DataFrame =
-    Multimodal.wavFrameFeatures(Multimodal.wavTable(Tables.load(s, dir, "documents")))
-      .orderBy(col("doc_id"), col("frame_idx"))
+    Ranking.orderByOnce(
+      Multimodal.wavFrameFeatures(
+        Multimodal.wavTable(Tables.load(s, dir, "documents"))),
+      col("doc_id"), col("frame_idx"))
 
   private val mm6Sql =
     """WITH s AS (
@@ -485,9 +489,11 @@ object Extras extends QueryPack {
     val v = col("o_orderkey").cast("string")
     val json = concat(lit("{\"scale\":2,\"value\":\""),
       base64(v.cast("binary")), lit("\"}"))
-    Tables.load(s, dir, "orders")
-      .select(col("o_orderkey"), debezium_decimal(json).cast("double").as("decoded"))
-      .orderBy(col("o_orderkey"))
+    Ranking.orderByOnce(
+      Ranking.spread(Tables.load(s, dir, "orders").select(col("o_orderkey")),
+          col("o_orderkey"))
+        .select(col("o_orderkey"), debezium_decimal(json).cast("double").as("decoded")),
+      col("o_orderkey"))
   }
 
   private val p7Sql =

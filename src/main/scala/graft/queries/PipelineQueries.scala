@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Dedup, Incremental, Similarity, Stats, TextAnalysis}
+import graft.ops.{Dedup, Incremental, Ranking, Similarity, Stats, TextAnalysis}
 
 /** Training-data pipeline operators over `documents` / `embeddings`
   * (dedup, similarity search, text analysis) wired into the driver
@@ -17,14 +17,15 @@ object PipelineQueries extends QueryPack {
   // ---- TX1: token stats + quality score ----------------------------------
   private def tx1TokenStats(s: SparkSession, dir: String): DataFrame = {
     val t = col("text")
-    Tables.load(s, dir, "documents").select(
-      col("doc_id"),
-      TextAnalysis.tokenCount(t).as("n_tokens"),
-      TextAnalysis.typeTokenRatio(t).as("ttr"),
-      TextAnalysis.avgWordLen(t).as("avg_word_len"),
-      TextAnalysis.punctRatio(t).as("punct_ratio"),
-      TextAnalysis.qualityScore(t).as("quality"))
-      .orderBy(col("doc_id"))
+    Ranking.orderByOnce(
+      Ranking.spread(Tables.load(s, dir, "documents"), col("doc_id")).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.typeTokenRatio(t).as("ttr"),
+        TextAnalysis.avgWordLen(t).as("avg_word_len"),
+        TextAnalysis.punctRatio(t).as("punct_ratio"),
+        TextAnalysis.qualityScore(t).as("quality")),
+      col("doc_id"))
   }
 
   private val tx1Sql =
@@ -68,11 +69,12 @@ object PipelineQueries extends QueryPack {
 
   // ---- TX3: document fingerprints ----------------------------------------
   private def tx3Fingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents").select(
-      col("doc_id"),
-      TextAnalysis.fingerprint(col("text")).as("fingerprint"),
-      TextAnalysis.shingleFingerprint(col("text"), 5).as("shingle_fp"))
-      .orderBy(col("doc_id"))
+    Ranking.orderByOnce(
+      Ranking.spread(Tables.load(s, dir, "documents"), col("doc_id")).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+        TextAnalysis.shingleFingerprint(col("text"), 5).as("shingle_fp")),
+      col("doc_id"))
 
   private val tx3Sql =
     """SELECT doc_id,
@@ -559,9 +561,10 @@ object PipelineQueries extends QueryPack {
   // Same 0.9 threshold as dd2, so the two rows together measure exactly
   // what LSH recall costs (dd2 ⊆ pj1 by construction).
   private def pj1PrefixJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.prefixJaccardPairs(Tables.load(s, dir, "documents"),
-        "doc_id", "text", threshold = 0.9)
-      .orderBy(col("id_a"), col("id_b"))
+    Ranking.orderByOnce(
+      Dedup.prefixJaccardPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.9),
+      col("id_a"), col("id_b"))
 
   private val pj1Sql =
     s"""WITH t AS (SELECT doc_id, $wordsSql AS words FROM documents),
@@ -1330,13 +1333,14 @@ object PipelineQueries extends QueryPack {
   // ---- TX4: regex / BPE-ish tokenization ---------------------------------
   private def tx4RegexTokens(s: SparkSession, dir: String): DataFrame = {
     val toks = regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))
-    Tables.load(s, dir, "documents").select(
-      col("doc_id"),
-      size(toks).as("n_word_tokens"),
-      size(regexp_extract_all(col("text"), lit("[^a-z0-9\\s]"), lit(0))).as("n_punct_tokens"),
-      aggregate(toks, lit(0L), (acc, t) => acc + ceil(length(t) / 4.0).cast("long"))
-        .as("n_bpe4_pieces"))
-      .orderBy(col("doc_id"))
+    Ranking.orderByOnce(
+      Ranking.spread(Tables.load(s, dir, "documents"), col("doc_id")).select(
+        col("doc_id"),
+        size(toks).as("n_word_tokens"),
+        size(regexp_extract_all(col("text"), lit("[^a-z0-9\\s]"), lit(0))).as("n_punct_tokens"),
+        aggregate(toks, lit(0L), (acc, t) => acc + ceil(length(t) / 4.0).cast("long"))
+          .as("n_bpe4_pieces")),
+      col("doc_id"))
   }
 
   private val tx4Sql =
@@ -1354,9 +1358,10 @@ object PipelineQueries extends QueryPack {
   // is an interval merge of the duplicated grams' [pos, pos+8) windows,
   // so a long duplicated span counts its length once, not once per gram.
   private def dd8DupSpans(s: SparkSession, dir: String): DataFrame =
-    Dedup.dupSpanCoverage(Tables.load(s, dir, "documents"), "doc_id", "text",
-        n = 8, minDocs = 2)
-      .orderBy(col("doc_id"))
+    Ranking.orderByOnce(
+      Dedup.dupSpanCoverage(Tables.load(s, dir, "documents"), "doc_id", "text",
+        n = 8, minDocs = 2),
+      col("doc_id"))
 
   private val dd8Sql =
     """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

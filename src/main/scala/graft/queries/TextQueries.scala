@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.TextQuality
+import graft.ops.{Ranking, TextQuality}
 
 /** Corpus-quality operators over `documents`: repetition signals,
   * TF-IDF keywords, PII redaction, vocabulary and BPE-pair counting.
@@ -29,12 +29,13 @@ object TextQueries extends QueryPack {
         lit("e\u0301e\u0301e\u0301")), (col("doc_id") % 4 + 1).cast("int")),
       lit("\u200B"))
     val cleaned = regexp_replace(nfc_normalize(planted), lit("\u200B"), lit(""))
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"),
-        length(planted).cast("long").as("len_raw"),
-        length(cleaned).cast("long").as("len_norm"),
-        md5(cleaned).as("norm_md5"))
-      .orderBy(col("doc_id"))
+    Ranking.orderByOnce(
+      Ranking.spread(Tables.load(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"),
+          length(planted).cast("long").as("len_raw"),
+          length(cleaned).cast("long").as("len_norm"),
+          md5(cleaned).as("norm_md5")),
+      col("doc_id"))
   }
 
   private val uc1Sql =
@@ -473,15 +474,17 @@ object TextQueries extends QueryPack {
   // synthetic contacts derived from (source, doc_id) and then proves the
   // redaction pass removes exactly those.
   private def pii1Redact(s: SparkSession, dir: String): DataFrame = {
-    val aug = Tables.load(s, dir, "documents").select(
-      col("doc_id"),
-      concat(col("text"), lit(" contact "), lower(col("source")),
-        col("doc_id").cast("string"), lit("@example.com call +1-555-"),
-        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("t"))
-    TextQuality.piiRedact(aug, "t")
-      .select(col("doc_id"), md5(col("t")).as("redacted_md5"),
-        col("n_emails"), col("n_phones"))
-      .orderBy(col("doc_id"))
+    val aug = Ranking.spread(Tables.load(s, dir, "documents"), col("doc_id"))
+      .select(
+        col("doc_id"),
+        concat(col("text"), lit(" contact "), lower(col("source")),
+          col("doc_id").cast("string"), lit("@example.com call +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("t"))
+    Ranking.orderByOnce(
+      TextQuality.piiRedact(aug, "t")
+        .select(col("doc_id"), md5(col("t")).as("redacted_md5"),
+          col("n_emails"), col("n_phones")),
+      col("doc_id"))
   }
 
   private val pii1Sql =
