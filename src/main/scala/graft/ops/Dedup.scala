@@ -57,10 +57,14 @@ object Dedup {
 
   // ---- exact dedup -------------------------------------------------------
 
-  /** Exact duplicate groups: content hash → survivor (min id) + count. */
+  /** Exact duplicate groups: content hash → survivor (min id) + count.
+    * Spread before the fingerprint (normalize + md5 per doc — the
+    * per-row-expensive projection; see [[spreadForCompute]]).
+    */
   def exactDupGroups(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.groupBy(TextAnalysis.fingerprint(text).as("content_hash"))
-      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+    spreadForCompute(df.select(id.as("__id"), text.as("__t")), col("__id"))
+      .groupBy(TextAnalysis.fingerprint(col("__t")).as("content_hash"))
+      .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Exact dedup: keep the minimum id per normalized-content hash. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -168,7 +172,13 @@ object Dedup {
     */
   def withMinHashSignatures(df: DataFrame, idCol: String, textCol: String,
       k: Int = 32, bands: Int = 8): DataFrame =
-    spreadForCompute(df, col(idCol))
+    // unconditional repartition BEFORE the signature projection (NOT
+    // spreadForCompute: its partition-count probe materializes AQE
+    // stages of a shuffled trigger batch — an extra per-trigger job,
+    // caught by IngestDedupSpec's action budget). The old code paid
+    // this same exchange after the projection; moving it below keeps
+    // the job count and parallelizes the hashing.
+    df.repartition(col(idCol))
       .withColumn("wh",
         graft.functions.ArrayHashes.shingle_hash_set(
           TextAnalysis.tokens(col(textCol)), 1))
@@ -559,16 +569,20 @@ object Dedup {
   def ngramContainmentPairs(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
       threshold: Double = 0.5, maxDf: Long = 1000): DataFrame = {
-    def shingles(df: DataFrame, name: String) = df.select(
-      col(idCol).as(name),
-      explode(graft.functions.ArrayHashes.shingle_hash_set(
-        TextAnalysis.tokens(col(textCol)), n)).as("h"))
+    def shingles(df: DataFrame, name: String) = spreadForCompute(
+        df.select(col(idCol).as(name), col(textCol).as("__t")), col(name))
+      .select(col(name),
+        explode(graft.functions.ArrayHashes.shingle_hash_set(
+          TextAnalysis.tokens(col("__t")), n)).as("h"))
     val trainSh = shingles(train, "train_id")
     val keep = trainSh.groupBy(col("h"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf).select("h")
-    val evalSizes = eval.select(col(idCol).as("eval_id"),
-      size(graft.functions.ArrayHashes.shingle_hash_set(
-        TextAnalysis.tokens(col(textCol)), n)).as("n_eval"))
+    val evalSizes = spreadForCompute(
+        eval.select(col(idCol).as("eval_id"), col(textCol).as("__t")),
+        col("eval_id"))
+      .select(col("eval_id"),
+        size(graft.functions.ArrayHashes.shingle_hash_set(
+          TextAnalysis.tokens(col("__t")), n)).as("n_eval"))
     shingles(eval, "eval_id")
       .join(keep, Seq("h"), "left_semi")
       .join(trainSh, Seq("h"))

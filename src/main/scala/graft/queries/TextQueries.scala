@@ -111,10 +111,17 @@ object TextQueries extends QueryPack {
   // every shuffle key is `source`.
   private def card1DatasetCard(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.TextAnalysis
-    val d = Tables.load(s, dir, "documents")
+    // spread + checkpoint (round 16): the shingle-fingerprint kernel
+    // ran on the single scan task, and BOTH aggregations below
+    // re-derived it — the slim (source, lang, n_chars, wc, fp) frame is
+    // materialized once instead
+    val d = Ranking.spread(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("lang"), col("n_chars"), col("text")), col("doc_id"))
       .select(col("source"), col("lang"), col("n_chars"),
         TextAnalysis.tokenCount(col("text")).as("wc"),
         TextAnalysis.shingleFingerprint(col("text"), 5).as("fp"))
+      .localCheckpoint(true)
     val langMode = d.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("source"))
@@ -657,11 +664,16 @@ object TextQueries extends QueryPack {
   private def bpe3Encode(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val merges = TextQuality.bpeMergeTable(docs, "text", rounds = 3)
-    TextQuality.bpeEncode(docs, "doc_id", "text", merges)
+    // spread: the per-doc merge-pass kernel chain otherwise runs on the
+    // single scan task; orderByOnce: the final range sort otherwise
+    // re-runs that chain for its sampling pass
+    Ranking.orderByOnce(
+      TextQuality.bpeEncode(
+          Ranking.spread(docs, col("doc_id")), "doc_id", "text", merges)
       .select(col("doc_id"),
         size(col("tokens")).cast("long").as("n_tokens"),
-        md5(concat_ws("", col("tokens"))).as("tokens_md5"))
-      .orderBy(col("doc_id"))
+        md5(concat_ws("", col("tokens"))).as("tokens_md5")),
+      col("doc_id"))
   }
 
   /** One encode pass carrying doc_id: apply merge `m<i>` to `prev`. */
